@@ -1,0 +1,76 @@
+"""Unit tests for the functional ops layer."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from tpudct.ops import (
+    apply_retention,
+    blockify,
+    deblockify,
+    dequantize,
+    dct2_blocks,
+    idct2_blocks,
+    level_shift,
+    level_unshift,
+    quantize,
+    retention_mask,
+    round_half_away,
+    to_uint8,
+)
+
+
+def test_round_half_away_matches_cuda_round():
+    x = jnp.array([2.5, -2.5, 0.5, -0.5, 1.4999, -1.4999, 3.0, -3.0, 0.0])
+    expect = np.array([3, -3, 1, -1, 1, -1, 3, -3, 0], dtype=np.float32)
+    np.testing.assert_array_equal(np.asarray(round_half_away(x)), expect)
+    # Divergence from banker's rounding is exactly the point:
+    assert float(round_half_away(jnp.float32(2.5))) == 3.0
+    assert float(jnp.round(jnp.float32(2.5))) == 2.0
+
+
+def test_blockify_roundtrip(rng):
+    x = jnp.asarray(rng.standard_normal((64, 128)).astype(np.float32))
+    b = blockify(x)
+    assert b.shape == (128, 8, 8)
+    np.testing.assert_array_equal(np.asarray(deblockify(b, 64, 128)), np.asarray(x))
+    # Block (0, 1) is columns 8:16 of rows 0:8.
+    np.testing.assert_array_equal(np.asarray(b[1]), np.asarray(x[0:8, 8:16]))
+
+
+def test_level_shift_inverse(image256):
+    x = jnp.asarray(image256)
+    np.testing.assert_array_equal(np.asarray(level_unshift(level_shift(x))), image256)
+
+
+def test_dct_idct_inverse_without_quant(image256):
+    # T orthogonal => exact inverse up to f32 rounding.
+    x = jnp.asarray(image256)
+    rec = idct2_blocks(dct2_blocks(x))
+    np.testing.assert_allclose(np.asarray(rec), image256, atol=2e-3)
+
+
+def test_quant_dequant_semantics():
+    y = jnp.full((8, 8), 40.0)  # Q[0,0]=16 -> 40/16=2.5 -> 3 (away from zero)
+    c = quantize(y)
+    assert float(c[0, 0]) == 3.0
+    d = dequantize(c)
+    assert float(d[0, 0]) == 48.0
+
+
+def test_retention_mask_counts():
+    assert retention_mask(None).sum() == 64
+    for k, n in [(1, 1), (2, 3), (6, 21), (8, 36), (15, 64)]:
+        assert retention_mask(k).sum() == n, k
+
+
+def test_apply_retention_zeroes_high_freq():
+    c = jnp.ones((16, 16))
+    out = np.asarray(apply_retention(c, 2))
+    assert out[0, 0] == 1 and out[0, 1] == 1 and out[1, 0] == 1
+    assert out[7, 7] == 0 and out[15, 15] == 0
+    assert out.sum() == 4 * 3
+
+
+def test_to_uint8_clamps():
+    x = jnp.array([-5.0, 0.0, 254.6, 300.0])
+    np.testing.assert_array_equal(np.asarray(to_uint8(x)), np.array([0, 0, 254, 255], np.uint8))

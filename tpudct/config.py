@@ -1,0 +1,55 @@
+"""Runtime configuration.
+
+The reference has no runtime config at all — block size is a compile-time
+``#define BLOCK_SIZE 8`` re-defined per TU (utils_kernels.cuh:4,
+main_cublass.cu:31), T/Q are hardcoded literals and argv carries only two
+filenames (main_cublass.cu:41-44) or one size (benchmark_newAppr.cu:35-38).
+Here a single frozen dataclass drives every pipeline, the CLI, the
+benchmarks and the sharded paths.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+
+@dataclasses.dataclass(frozen=True)
+class CodecConfig:
+    """Configuration for one codec run.
+
+    Attributes:
+      block_size: transform block edge. The Haweel T is 8x8, so 8.
+      q_scale: multiplier applied to the JPEG luminance table Q (1.0 = the
+        reference's "Standard Q" column, README.md:67-69).
+      retain_k: optional zonal coefficient retention. Keeps coefficient
+        (u, v) iff u + v < retain_k (anti-diagonal / zonal mask), the codec
+        analog of the README's k=6..10 sweep (README.md:62-69; the reference
+        computed these externally — no retention code exists in-repo).
+        None = keep all 64 (the "Standard Q" configuration).
+      interpret: force Pallas kernels into interpreter mode (used on
+        non-TPU backends, e.g. the forced-CPU test mesh).
+      lane_blocks: how many 8x8 blocks ride one 128-lane tile in the fused
+        Pallas kernel (128 // block_size).
+      band_rows: sublane rows per Pallas grid step (multiple of 8; 128 puts
+        a full MXU-shaped (128, 128) sub-tile through each matmul).
+      tile_cols: lane columns per Pallas grid step (multiple of 128).
+    """
+
+    block_size: int = 8
+    q_scale: float = 1.0
+    retain_k: Optional[int] = None
+    interpret: bool = False
+    band_rows: int = 128
+    tile_cols: int = 512
+
+    @property
+    def lane_blocks(self) -> int:
+        return 128 // self.block_size
+
+    def validate_image(self, h: int, w: int) -> None:
+        bs = self.block_size
+        if h % bs or w % bs:
+            raise ValueError(
+                f"image {h}x{w} not divisible into {bs}x{bs} blocks; pad first"
+            )

@@ -1,0 +1,77 @@
+"""Pipeline interface and registry.
+
+Every pipeline exposes the uniform signature the reference uses for all four
+variants (``dct_all_blocks(img, ...)`` / ``idct_all_blocks(img, ...)``, e.g.
+main_cublass.cu:36-37, main_newAppr.cu:23-24): an (H, W) float image in,
+an (H, W) quantized-coefficient map out, and the mirror for the inverse.
+Coefficients stay in image layout (blocks in place) exactly like the
+reference's device buffers, which makes serialization and cross-variant
+equivalence checks trivial.
+"""
+
+from __future__ import annotations
+
+import abc
+from typing import Callable, Dict
+
+import jax
+import jax.numpy as jnp
+
+from tpudct.config import CodecConfig
+from tpudct.ops.quant import apply_retention
+from tpudct.ops.transform import to_uint8
+
+_REGISTRY: Dict[str, "Pipeline"] = {}
+
+
+class Pipeline(abc.ABC):
+    """A codec compute strategy. Stateless; all methods are jit-compatible."""
+
+    name: str = "?"
+
+    @abc.abstractmethod
+    def dct(self, image, cfg: CodecConfig):
+        """(H, W) float image -> (H, W) quantized coefficients.
+
+        Includes level shift (-128), blockwise T X T^T and quantization —
+        the same phase the reference times as "DCT" (main_newAppr.cu:266-287).
+        """
+
+    @abc.abstractmethod
+    def idct(self, coeffs, cfg: CodecConfig):
+        """(H, W) quantized coefficients -> (H, W) float reconstruction.
+
+        Includes dequantization, blockwise T^T Y T and level unshift (+128).
+        """
+
+    # ---- shared drivers -------------------------------------------------
+
+    def encode(self, image, cfg: CodecConfig):
+        """dct + optional zonal retention (the README k-sweep)."""
+        return apply_retention(self.dct(image, cfg), cfg.retain_k)
+
+    def roundtrip(self, image, cfg: CodecConfig):
+        """image -> (coefficients, uint8 reconstruction)."""
+        c = self.encode(image, cfg)
+        return c, to_uint8(self.idct(c, cfg))
+
+    def jit_roundtrip(self, cfg: CodecConfig) -> Callable:
+        """One compiled graph for the full codec pass."""
+        return jax.jit(lambda x: self.roundtrip(x, cfg))
+
+
+def register(p: Pipeline, *aliases: str) -> Pipeline:
+    for n in (p.name, *aliases):
+        _REGISTRY[n] = p
+    return p
+
+
+def get_pipeline(name: str) -> Pipeline:
+    try:
+        return _REGISTRY[name]
+    except KeyError:
+        raise KeyError(f"unknown pipeline {name!r}; have {sorted(set(_REGISTRY))}") from None
+
+
+def available_pipelines():
+    return sorted({p.name for p in _REGISTRY.values()})

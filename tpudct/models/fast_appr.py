@@ -1,0 +1,64 @@
+"""`fast`: Haweel integer core on the MXU (fastApprDCT re-design).
+
+main_fastAppr.cu ports Haweel-2016 to the GPU with a thread-per-block-row
+kernel (main_fastAppr.cu:164-228) but still multiplies by the *float* T.
+The TPU-native design instead exploits the factorization T = D @ Ts
+(constants.py): the core contraction ``Ts @ Xb @ Ts.T`` runs entirely in
+int8 -> int32 on the MXU — the true "multiplierless" add/shift spirit, since
+Ts entries are {0, +-1, +-2} — and the row norms fold into a single
+rank-one float scale ``outer(d, d)`` fused with quantization.
+
+Exactness: level-shifted pixels fit int8 ([-128, 127]); |Ts Xb Ts^T| <=
+12 * 12 * 128 = 18432, comfortably inside int32 (and exact — integer
+arithmetic, no accumulation-order sensitivity at all, unlike the float
+reference).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from tpudct.config import CodecConfig
+from tpudct.constants import BLOCK_SIZE, Q, haweel_integer_core, haweel_row_norms
+from tpudct.models.base import Pipeline, register
+from tpudct.ops.blocks import as_block_grid, from_block_grid
+from tpudct.ops.rounding import round_half_away
+from tpudct.ops.transform import level_unshift
+
+_TS = haweel_integer_core()  # int8 {0,+-1,+-2}
+_D = (1.0 / haweel_row_norms()).astype(np.float32)  # reciprocal row norms
+
+
+class FastApprPipeline(Pipeline):
+    name = "fast"
+
+    def dct(self, image, cfg: CodecConfig):
+        ts = jnp.asarray(_TS, jnp.int8)
+        # Level shift in integer domain: u8 pixel - 128 always fits int8.
+        g = (as_block_grid(image).astype(jnp.int32) - 128).astype(jnp.int8)
+        core = jnp.einsum(
+            "ij,ajbk,lk->aibl", ts, g, ts, preferred_element_type=jnp.int32
+        )
+        # Fold D-scaling into quantization: Y/Q = core * (d_i d_l / Q_il).
+        d = jnp.asarray(_D, image.dtype)
+        q = jnp.asarray(Q, image.dtype) * jnp.asarray(cfg.q_scale, image.dtype)
+        scale = (d[:, None] * d[None, :]) / q
+        y = core.astype(image.dtype) * scale.reshape(1, BLOCK_SIZE, 1, BLOCK_SIZE)
+        return round_half_away(from_block_grid(y))
+
+    def idct(self, coeffs, cfg: CodecConfig):
+        # Inverse is not integer (coeffs * Q * d scaling is float); use the
+        # factored form X = Ts^T @ (D Y D * Q) @ Ts for the same MXU path.
+        ts = jnp.asarray(_TS.astype(np.float32), coeffs.dtype)
+        d = jnp.asarray(_D, coeffs.dtype)
+        q = jnp.asarray(Q, coeffs.dtype) * jnp.asarray(cfg.q_scale, coeffs.dtype)
+        scale = (d[:, None] * d[None, :]) * q
+        g = as_block_grid(coeffs) * scale.reshape(1, BLOCK_SIZE, 1, BLOCK_SIZE)
+        # Ts entries are small integers — exactly representable in bf16 — but
+        # the scaled coefficients are not; keep full f32 (see transform.py).
+        x = jnp.einsum("ji,ajbk,kl->aibl", ts, g, ts, precision="highest")
+        return level_unshift(from_block_grid(x))
+
+
+register(FastApprPipeline())
