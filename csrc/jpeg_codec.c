@@ -1,0 +1,156 @@
+/* Native JPEG codec for tpudct.
+ *
+ * TPU-native re-design of the reference's host image I/O
+ * (load_jpeg_as_matrix, /root/reference/utils.cu:38-95;
+ * save_grayscale_jpeg, utils.cu:98-147).  Differences by design:
+ *   - decode can force grayscale conversion in-codec (the reference returns
+ *     native channels and its drivers then index RGB data as if it were
+ *     single-channel — a latent bug we do not replicate);
+ *   - encode-to-memory is provided so the framework can measure compressed
+ *     sizes without touching the filesystem (compression-factor metric);
+ *   - errors return codes instead of exit() (the reference's CHECK_* macros
+ *     print-and-exit, main_cublass.cu:10-29).
+ *
+ * Exposed via ctypes (no pybind11 in this image); see tpudct/utils/imageio.py.
+ */
+
+#include <setjmp.h>
+#include <stdio.h>
+#include <stdlib.h>
+#include <string.h>
+
+#include <jpeglib.h>
+
+/* libjpeg's default error handler calls exit(); trampoline back instead. */
+struct tpudct_err_mgr {
+    struct jpeg_error_mgr pub;
+    jmp_buf setjmp_buffer;
+};
+
+static void tpudct_error_exit(j_common_ptr cinfo) {
+    struct tpudct_err_mgr *err = (struct tpudct_err_mgr *)cinfo->err;
+    longjmp(err->setjmp_buffer, 1);
+}
+
+/* Decode `filename`.  force_gray!=0 requests JCS_GRAYSCALE output (libjpeg
+ * does the colorspace conversion).  On success returns 0 and fills *out
+ * (malloc'd, h*w*channels bytes, caller frees via tpudct_free), *w, *h,
+ * *channels.  Returns nonzero on failure. */
+int tpudct_jpeg_decode(const char *filename, unsigned char **out, int *w,
+                       int *h, int *channels, int force_gray) {
+    struct jpeg_decompress_struct cinfo;
+    struct tpudct_err_mgr jerr;
+    FILE *infile = fopen(filename, "rb");
+    unsigned char *buf = NULL;
+
+    if (!infile) return 1;
+
+    cinfo.err = jpeg_std_error(&jerr.pub);
+    jerr.pub.error_exit = tpudct_error_exit;
+    if (setjmp(jerr.setjmp_buffer)) {
+        jpeg_destroy_decompress(&cinfo);
+        fclose(infile);
+        free(buf);
+        return 2;
+    }
+
+    jpeg_create_decompress(&cinfo);
+    jpeg_stdio_src(&cinfo, infile);
+    jpeg_read_header(&cinfo, TRUE);
+    if (force_gray) cinfo.out_color_space = JCS_GRAYSCALE;
+    jpeg_start_decompress(&cinfo);
+
+    *w = (int)cinfo.output_width;
+    *h = (int)cinfo.output_height;
+    *channels = (int)cinfo.output_components;
+
+    size_t stride = (size_t)(*w) * (size_t)(*channels);
+    buf = (unsigned char *)malloc(stride * (size_t)(*h));
+    if (!buf) {
+        jpeg_destroy_decompress(&cinfo);
+        fclose(infile);
+        return 3;
+    }
+
+    while (cinfo.output_scanline < cinfo.output_height) {
+        unsigned char *row = buf + (size_t)cinfo.output_scanline * stride;
+        jpeg_read_scanlines(&cinfo, &row, 1);
+    }
+
+    jpeg_finish_decompress(&cinfo);
+    jpeg_destroy_decompress(&cinfo);
+    fclose(infile);
+    *out = buf;
+    return 0;
+}
+
+static int encode_common(struct jpeg_compress_struct *cinfo,
+                         const unsigned char *data, int w, int h,
+                         int quality) {
+    cinfo->image_width = (JDIMENSION)w;
+    cinfo->image_height = (JDIMENSION)h;
+    cinfo->input_components = 1;
+    cinfo->in_color_space = JCS_GRAYSCALE;
+    jpeg_set_defaults(cinfo);
+    jpeg_set_quality(cinfo, quality, TRUE);
+    jpeg_start_compress(cinfo, TRUE);
+    while (cinfo->next_scanline < cinfo->image_height) {
+        const unsigned char *row = data + (size_t)cinfo->next_scanline * (size_t)w;
+        jpeg_write_scanlines(cinfo, (JSAMPARRAY)&row, 1);
+    }
+    jpeg_finish_compress(cinfo);
+    return 0;
+}
+
+/* Encode a grayscale buffer to `filename` at `quality` (0-100).  0 on
+ * success (mirror of save_grayscale_jpeg, utils.cu:98-147). */
+int tpudct_jpeg_encode(const char *filename, const unsigned char *data, int w,
+                       int h, int quality) {
+    struct jpeg_compress_struct cinfo;
+    struct tpudct_err_mgr jerr;
+    FILE *outfile = fopen(filename, "wb");
+    if (!outfile) return 1;
+
+    cinfo.err = jpeg_std_error(&jerr.pub);
+    jerr.pub.error_exit = tpudct_error_exit;
+    if (setjmp(jerr.setjmp_buffer)) {
+        jpeg_destroy_compress(&cinfo);
+        fclose(outfile);
+        return 2;
+    }
+
+    jpeg_create_compress(&cinfo);
+    jpeg_stdio_dest(&cinfo, outfile);
+    encode_common(&cinfo, data, w, h, quality);
+    jpeg_destroy_compress(&cinfo);
+    fclose(outfile);
+    return 0;
+}
+
+/* Encode to a malloc'd memory buffer; fills *out/*out_size.  Used for
+ * compressed-size measurement without filesystem round-trips. */
+int tpudct_jpeg_encode_mem(const unsigned char *data, int w, int h,
+                           int quality, unsigned char **out,
+                           unsigned long *out_size) {
+    struct jpeg_compress_struct cinfo;
+    struct tpudct_err_mgr jerr;
+    *out = NULL;
+    *out_size = 0;
+
+    cinfo.err = jpeg_std_error(&jerr.pub);
+    jerr.pub.error_exit = tpudct_error_exit;
+    if (setjmp(jerr.setjmp_buffer)) {
+        jpeg_destroy_compress(&cinfo);
+        free(*out);
+        *out = NULL;
+        return 2;
+    }
+
+    jpeg_create_compress(&cinfo);
+    jpeg_mem_dest(&cinfo, out, out_size);
+    encode_common(&cinfo, data, w, h, quality);
+    jpeg_destroy_compress(&cinfo);
+    return 0;
+}
+
+void tpudct_free(unsigned char *p) { free(p); }

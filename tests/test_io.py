@@ -1,0 +1,64 @@
+"""JPEG I/O tests — native C codec (csrc) and PIL fallback."""
+
+import os
+
+import numpy as np
+import pytest
+
+from tpudct.utils import imageio
+
+
+@pytest.fixture
+def gray(rng):
+    return rng.integers(0, 256, size=(64, 48)).astype(np.uint8)
+
+
+def test_native_backend_builds():
+    # g++/make are baked into this image; the native path must come up.
+    assert imageio.native_backend_available()
+
+
+def test_roundtrip_native(tmp_path, gray):
+    p = tmp_path / "img.jpg"
+    imageio.save_jpeg(p, gray, quality=100)
+    back = imageio.load_jpeg(p)
+    assert back.shape == gray.shape and back.dtype == np.uint8
+    # Quality-100 JPEG is lossy but close.
+    assert np.abs(back.astype(int) - gray.astype(int)).mean() < 6.0
+
+
+def test_lossless_on_smooth_image(tmp_path):
+    img = np.tile(np.arange(64, 192, 2, dtype=np.uint8), (64, 1))
+    p = tmp_path / "s.jpg"
+    imageio.save_jpeg(p, img, quality=100)
+    back = imageio.load_jpeg(p)
+    assert np.abs(back.astype(int) - img.astype(int)).max() <= 3
+
+
+def test_encode_bytes_matches_file(tmp_path, gray):
+    p = tmp_path / "img.jpg"
+    imageio.save_jpeg(p, gray, quality=90)
+    data = imageio.encode_jpeg_bytes(gray, quality=90)
+    assert abs(len(data) - os.path.getsize(p)) < 64  # same codec, same tables
+
+
+def test_pil_fallback_agrees(tmp_path, gray, monkeypatch):
+    p = tmp_path / "img.jpg"
+    imageio.save_jpeg(p, gray, quality=100)
+    native = imageio.load_jpeg(p)
+    monkeypatch.setattr(imageio, "_lib", None)
+    monkeypatch.setattr(imageio, "_lib_tried", True)
+    assert not imageio.native_backend_available()
+    pil = imageio.load_jpeg(p)
+    # Same file, two decoders: IDCT rounding may differ by a couple LSBs.
+    assert np.abs(native.astype(int) - pil.astype(int)).max() <= 2
+
+
+def test_decode_missing_file_raises(tmp_path):
+    with pytest.raises(Exception):
+        imageio.load_jpeg(tmp_path / "nope.jpg")
+
+
+def test_save_rejects_rgb(tmp_path):
+    with pytest.raises(ValueError):
+        imageio.save_jpeg(tmp_path / "x.jpg", np.zeros((4, 4, 3), np.uint8))

@@ -1,0 +1,73 @@
+"""Metrics + serialization tests."""
+
+import numpy as np
+import pytest
+
+from tpudct.utils import metrics, serialize
+
+
+def test_mse_psnr_peen_basics(rng):
+    x = rng.integers(0, 256, size=(64, 64)).astype(np.float32)
+    assert float(metrics.mse(x, x)) == 0.0
+    assert float(metrics.peen(x, x)) == 0.0
+    y = x + 1.0
+    assert abs(float(metrics.mse(x, y)) - 1.0) < 1e-6
+    assert abs(float(metrics.psnr(x, y)) - 10 * np.log10(255.0**2)) < 1e-3
+    # PEEN normalizes by input energy.
+    expected_peen = 100.0 * (64 * 64) / float((x.astype(np.float64) ** 2).sum())
+    assert abs(float(metrics.peen(x, y)) - expected_peen) < 1e-4
+
+
+def test_compression_factor_increases_with_truncation(rng):
+    from tpudct import CodecConfig, get_pipeline
+    import jax.numpy as jnp
+
+    img = rng.integers(0, 256, size=(128, 128)).astype(np.float32)
+    p = get_pipeline("batched")
+    factors = []
+    for k in [None, 10, 6]:
+        c, _ = p.roundtrip(jnp.asarray(img), CodecConfig(retain_k=k))
+        factors.append(metrics.compression_factor(img.astype(np.uint8), np.asarray(c)))
+    assert factors[0] < factors[1] < factors[2], factors
+    assert factors[0] > 1.0  # quantization alone must win over raw
+
+
+def test_quality_report_keys(rng):
+    img = rng.integers(0, 256, size=(64, 64)).astype(np.uint8)
+    rec = img.copy()
+    c = np.zeros((64, 64), np.float32)
+    rep = metrics.quality_report(img, rec, c)
+    assert set(rep) == {"mse", "psnr_db", "peen_pct", "compression_factor"}
+
+
+def test_serialize_roundtrip(tmp_path, rng):
+    c = rng.integers(-100, 100, size=(64, 128)).astype(np.float32)
+    path = tmp_path / "x.tdc"
+    n = serialize.save_coefficients(path, c, q_scale=2.0, retain_k=8)
+    assert n == path.stat().st_size
+    back, q_scale, k = serialize.load_coefficients(path)
+    np.testing.assert_array_equal(back, c)
+    assert q_scale == 2.0 and k == 8
+
+
+def test_serialize_rejects_garbage(tmp_path):
+    with pytest.raises(ValueError):
+        serialize.bytes_to_coefficients(b"JUNKJUNKJUNKJUNKJUNKJUNKJUNK")
+
+
+def test_serialized_decode_end_to_end(tmp_path, rng):
+    """Encode -> .tdc file -> decode with a different pipeline."""
+    from tpudct import CodecConfig, get_pipeline
+    import jax.numpy as jnp
+
+    img = rng.integers(0, 256, size=(128, 128)).astype(np.float32)
+    cfg = CodecConfig(retain_k=8)
+    c = get_pipeline("fast").encode(jnp.asarray(img), cfg)
+    serialize.save_coefficients(tmp_path / "x.tdc", np.asarray(c), retain_k=8)
+    back, q_scale, k = serialize.load_coefficients(tmp_path / "x.tdc")
+    rec = get_pipeline("batched").idct(jnp.asarray(back), CodecConfig(q_scale=q_scale))
+    m = float(metrics.mse(img, np.clip(np.trunc(np.asarray(rec)), 0, 255)))
+    # Decodes to the same quality ballpark as a direct roundtrip.
+    _, direct = get_pipeline("batched").roundtrip(jnp.asarray(img), cfg)
+    md = float(metrics.mse(img, np.asarray(direct)))
+    assert abs(m - md) / md < 0.05

@@ -1,0 +1,94 @@
+"""Distributed pipeline tests on the forced 8-device CPU mesh.
+
+Runs the same code path as a real pod slice (SURVEY.md §4: "distributed
+without a cluster").
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tpudct import CodecConfig, get_pipeline
+from tpudct.parallel import (
+    band_mesh,
+    gather,
+    shard_image,
+    sharded_codec_step,
+    sharded_roundtrip,
+)
+from tpudct.parallel.sharding import gather_recon
+from tests.golden import golden_roundtrip
+
+
+def test_mesh_has_8_devices():
+    mesh = band_mesh()
+    assert mesh.shape["band"] == 8
+
+
+@pytest.mark.parametrize("name", ["batched", "fast", "hp"])
+def test_sharded_matches_single_chip(name, image256):
+    mesh = band_mesh()
+    p = get_pipeline(name)
+    cfg = CodecConfig()
+    xs = shard_image(jnp.asarray(image256), mesh)
+    c_sh, r_sh = sharded_roundtrip(p, cfg, mesh)(xs)
+    c1, r1 = p.roundtrip(jnp.asarray(image256), cfg)
+    # XLA compiles different fusions for band vs full shapes; f32 last-ulp
+    # differences flip exact .5 quantizer ties on a handful of entries
+    # (same tolerance rationale as tests/test_pipelines.py).
+    cs, c1n = gather(c_sh), np.asarray(c1)
+    assert int((cs != c1n).sum()) <= cs.size * 5e-3
+    assert np.abs(cs - c1n).max() <= 1.0
+    rs, r1n = gather(r_sh).astype(int), np.asarray(r1).astype(int)
+    assert (rs != r1n).mean() <= 5e-3 and np.abs(rs - r1n).max() <= 64  # one tie-flip at Q=121 moves a pixel by ~Q/2
+
+
+def test_sharded_matches_golden(image256):
+    mesh = band_mesh()
+    xs = shard_image(jnp.asarray(image256), mesh)
+    c, r = sharded_roundtrip(get_pipeline("batched"), CodecConfig(), mesh)(xs)
+    gc, gr = golden_roundtrip(image256)
+    # Same half-boundary tolerance as single-chip golden tests.
+    assert int((gather(c) != gc).sum()) <= gc.size * 5e-3
+    assert np.abs(gather(r).astype(int) - gr.astype(int)).max() <= 64
+
+
+def test_codec_step_distributed_metrics(image256):
+    mesh = band_mesh()
+    p = get_pipeline("batched")
+    cfg = CodecConfig()
+    xs = shard_image(jnp.asarray(image256), mesh)
+    (c, r), m = sharded_codec_step(p, cfg, mesh)(xs)
+    # psum'd metrics must equal host-side metrics on the gathered arrays.
+    rec = gather(r).astype(np.float64)
+    mse = ((rec - image256) ** 2).mean()
+    peen = 100.0 * ((rec - image256) ** 2).sum() / (image256.astype(np.float64) ** 2).sum()
+    assert abs(float(m["mse"]) - mse) / mse < 1e-4
+    assert abs(float(m["peen_pct"]) - peen) / peen < 1e-4
+    assert 0.0 < float(m["nonzero_frac"]) < 1.0
+
+
+def test_gather_recon_replicates(image256):
+    mesh = band_mesh()
+    c, full = gather_recon(get_pipeline("batched"), CodecConfig(), mesh)(
+        shard_image(jnp.asarray(image256), mesh)
+    )
+    assert full.shape == image256.shape
+    _, r1 = get_pipeline("batched").roundtrip(jnp.asarray(image256), CodecConfig())
+    fn, r1n = np.asarray(full).astype(int), np.asarray(r1).astype(int)
+    assert (fn != r1n).mean() <= 5e-3 and np.abs(fn - r1n).max() <= 64
+
+
+def test_shard_image_validates():
+    mesh = band_mesh()
+    with pytest.raises(ValueError):
+        shard_image(jnp.zeros((40, 64)), mesh)  # 40/8 = 5 rows/band: not 8-multiple
+
+
+def test_uneven_device_counts(image256):
+    for n in [1, 2, 4]:
+        mesh = band_mesh(n_devices=n)
+        xs = shard_image(jnp.asarray(image256), mesh)
+        c, r = sharded_roundtrip(get_pipeline("batched"), CodecConfig(), mesh)(xs)
+        assert gather(r).shape == image256.shape

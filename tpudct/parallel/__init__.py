@@ -1,0 +1,29 @@
+"""Multi-chip parallelism.
+
+The reference is strictly single-GPU/single-process — its only parallelism
+is the CUDA grid of independent 8x8 blocks and its only "communication" is
+cudaMemcpy (SURVEY.md §2 rows 19-20; no NCCL/MPI symbol exists in the
+tree).  Here distribution is first-class: images shard as row-bands of
+8-row multiples over a `jax.sharding.Mesh`, compute runs under
+`jax.shard_map` with zero halo (blocks are independent), metrics reduce
+with `psum` over ICI, and reassembly is an `all_gather` kept off the
+critical path.
+"""
+
+from tpudct.parallel.mesh import band_mesh, distributed_init, band_spec
+from tpudct.parallel.sharding import (
+    shard_image,
+    sharded_roundtrip,
+    sharded_codec_step,
+    gather,
+)
+
+__all__ = [
+    "band_mesh",
+    "distributed_init",
+    "band_spec",
+    "shard_image",
+    "sharded_roundtrip",
+    "sharded_codec_step",
+    "gather",
+]

@@ -1,0 +1,46 @@
+"""Mesh construction and multi-host bring-up."""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+from jax.sharding import Mesh, PartitionSpec
+
+BAND_AXIS = "band"
+
+
+def distributed_init(coordinator: Optional[str] = None, **kw) -> None:
+    """Multi-host bring-up over DCN (`jax.distributed.initialize`).
+
+    No-op on a single host (or when already initialized).  After this,
+    `band_mesh()` spans every chip in the slice and the same shard_map'd
+    codec runs unchanged — host-count-agnostic by construction.
+    """
+    try:
+        if coordinator is not None:
+            jax.distributed.initialize(coordinator_address=coordinator, **kw)
+        else:
+            jax.distributed.initialize(**kw)
+    except (RuntimeError, ValueError):
+        # Already initialized, or single-process environment.
+        pass
+
+
+def band_mesh(n_devices: Optional[int] = None, devices: Optional[Sequence] = None) -> Mesh:
+    """1-D mesh over the row-band axis.
+
+    Row-bands are the codec's natural parallel axis (SURVEY.md §5: the
+    structural analog of sequence parallelism — zero-halo because 8x8
+    blocks are independent).  ICI carries the (only) collectives.
+    """
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return jax.make_mesh((len(devices),), (BAND_AXIS,), devices=devices)
+
+
+def band_spec() -> PartitionSpec:
+    """Rows sharded over the band axis, columns replicated."""
+    return PartitionSpec(BAND_AXIS, None)

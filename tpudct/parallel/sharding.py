@@ -1,0 +1,109 @@
+"""Sharded codec execution: shard_map over row-bands + psum metrics.
+
+Design (SURVEY.md §7 M6): each device owns a contiguous band of image rows
+(a multiple of 8, so whole blocks — zero halo exchange).  The per-band
+compute is the unmodified single-chip pipeline; collectives appear only in
+two places, both chosen to stay off the critical path:
+
+  * metrics: per-band partial sums reduced with `psum` over ICI — the image
+    is never gathered to compute quality;
+  * reassembly: an `all_gather` exists solely for producing host output.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from tpudct.config import CodecConfig
+from tpudct.models.base import Pipeline
+from tpudct.parallel.mesh import BAND_AXIS, band_spec
+
+
+def shard_image(x, mesh: Mesh):
+    """Place an (H, W) image as row-bands across the mesh."""
+    n = mesh.shape[BAND_AXIS]
+    h = x.shape[0]
+    if (h // n) % 8 or h % n:
+        raise ValueError(
+            f"height {h} must split into {n} bands of 8-row multiples"
+        )
+    return jax.device_put(x, NamedSharding(mesh, band_spec()))
+
+
+def gather(x):
+    """Reassemble a band-sharded array on the host (output path only)."""
+    return jax.device_get(x)
+
+
+def sharded_roundtrip(pipeline: Pipeline, cfg: CodecConfig, mesh: Mesh):
+    """Compiled band-parallel codec pass: sharded image -> (coeffs, recon_u8),
+    both left band-sharded (no gather inside)."""
+
+    def band_fn(x):
+        return pipeline.roundtrip(x, cfg)
+
+    # check_vma=False: the hp pipeline's pallas_call outputs don't carry vma
+    # metadata, and replication of gathered outputs is guaranteed by
+    # construction here rather than inferred.
+    fn = jax.shard_map(
+        band_fn, mesh=mesh, in_specs=band_spec(),
+        out_specs=(band_spec(), band_spec()), check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+def sharded_codec_step(pipeline: Pipeline, cfg: CodecConfig, mesh: Mesh):
+    """The framework's full distributed step (the `dryrun_multichip` target):
+
+    band-local encode + decode + DISTRIBUTED quality metrics (psum'd partial
+    sums over ICI).  Returns ((coeffs, recon) band-sharded, metrics dict
+    replicated).  One jit graph; XLA overlaps the psum with band compute.
+    """
+
+    def band_fn(x):
+        c, r = pipeline.roundtrip(x, cfg)
+        xf = jnp.asarray(x, jnp.float32)
+        rf = jnp.asarray(r, jnp.float32)
+        d = xf - rf
+        # Partial sums -> psum: the distributed MSE/PEEN of SURVEY.md §2 row 20.
+        err = jax.lax.psum(jnp.sum(d * d), BAND_AXIS)
+        energy = jax.lax.psum(jnp.sum(xf * xf), BAND_AXIS)
+        count = jax.lax.psum(jnp.asarray(x.size, jnp.float32), BAND_AXIS)
+        nonzero = jax.lax.psum(jnp.sum(jnp.asarray(c != 0, jnp.float32)), BAND_AXIS)
+        metrics = {
+            "mse": err / count,
+            "psnr_db": 10.0 * jnp.log10(255.0**2 * count / jnp.maximum(err, 1e-30)),
+            "peen_pct": 100.0 * err / energy,
+            "nonzero_frac": nonzero / count,
+        }
+        return (c, r), metrics
+
+    fn = jax.shard_map(
+        band_fn,
+        mesh=mesh,
+        in_specs=band_spec(),
+        out_specs=((band_spec(), band_spec()), P()),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+def gather_recon(pipeline: Pipeline, cfg: CodecConfig, mesh: Mesh):
+    """Variant that all_gathers the reconstruction inside the graph —
+    the explicit ICI reassembly collective (for callers that need the full
+    image on every device, e.g. subsequent replicated stages)."""
+
+    def band_fn(x):
+        c, r = pipeline.roundtrip(x, cfg)
+        full = jax.lax.all_gather(r, BAND_AXIS, axis=0, tiled=True)
+        return c, full
+
+    fn = jax.shard_map(
+        band_fn, mesh=mesh, in_specs=band_spec(),
+        out_specs=(band_spec(), P()), check_vma=False,
+    )
+    return jax.jit(fn)

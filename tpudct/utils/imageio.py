@@ -1,0 +1,163 @@
+"""Grayscale JPEG I/O.
+
+Primary path: the native C codec (csrc/jpeg_codec.c, libjpeg via ctypes) —
+the TPU-framework equivalent of the reference's host utils
+(load_jpeg_as_matrix utils.cu:38-95, save_grayscale_jpeg utils.cu:98-147).
+The shared library is built on demand with the system compiler (the image
+bakes g++/make but not pybind11).  Fallback: PIL, so the framework degrades
+gracefully where no C toolchain exists.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import io
+import os
+import pathlib
+import subprocess
+from typing import Optional, Tuple
+
+import numpy as np
+
+_CSRC = pathlib.Path(__file__).resolve().parent.parent.parent / "csrc"
+_LIB_PATH = _CSRC / "libtpudct_jpeg.so"
+_lib: Optional[ctypes.CDLL] = None
+_lib_tried = False
+
+
+def _build_native() -> bool:
+    if _LIB_PATH.exists():
+        return True
+    if not (_CSRC / "jpeg_codec.c").exists():
+        return False
+    try:
+        subprocess.run(
+            ["make", "-C", str(_CSRC)], check=True, capture_output=True, timeout=120
+        )
+        return _LIB_PATH.exists()
+    except Exception:
+        return False
+
+
+def _load_native() -> Optional[ctypes.CDLL]:
+    global _lib, _lib_tried
+    if _lib_tried:
+        return _lib
+    _lib_tried = True
+    if os.environ.get("TPUDCT_NO_NATIVE_JPEG"):
+        return None
+    if not _build_native():
+        return None
+    try:
+        lib = ctypes.CDLL(str(_LIB_PATH))
+    except OSError:
+        return None
+    u8p = ctypes.POINTER(ctypes.c_ubyte)
+    lib.tpudct_jpeg_decode.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(u8p),
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int), ctypes.c_int,
+    ]
+    lib.tpudct_jpeg_decode.restype = ctypes.c_int
+    lib.tpudct_jpeg_encode.argtypes = [
+        ctypes.c_char_p, u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int
+    ]
+    lib.tpudct_jpeg_encode.restype = ctypes.c_int
+    lib.tpudct_jpeg_encode_mem.argtypes = [
+        u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(u8p), ctypes.POINTER(ctypes.c_ulong),
+    ]
+    lib.tpudct_jpeg_encode_mem.restype = ctypes.c_int
+    lib.tpudct_free.argtypes = [u8p]
+    lib.tpudct_free.restype = None
+    _lib = lib
+    return _lib
+
+
+def native_backend_available() -> bool:
+    return _load_native() is not None
+
+
+def load_jpeg(path: str, force_gray: bool = True) -> np.ndarray:
+    """Decode a JPEG to a (H, W) uint8 array (grayscale).
+
+    Unlike the reference loader — which returns native channels and whose
+    drivers then treat RGB data as single-channel (utils.cu:70-72 with
+    main_cublass.cu:50-57) — RGB inputs are converted to luminance
+    in-codec.
+    """
+    lib = _load_native()
+    if lib is not None:
+        out = ctypes.POINTER(ctypes.c_ubyte)()
+        w = ctypes.c_int()
+        h = ctypes.c_int()
+        ch = ctypes.c_int()
+        rc = lib.tpudct_jpeg_decode(
+            str(path).encode(), ctypes.byref(out), ctypes.byref(w),
+            ctypes.byref(h), ctypes.byref(ch), 1 if force_gray else 0,
+        )
+        if rc != 0:
+            raise IOError(f"native JPEG decode failed (rc={rc}) for {path}")
+        try:
+            n = h.value * w.value * ch.value
+            arr = np.ctypeslib.as_array(out, shape=(n,)).copy()
+        finally:
+            lib.tpudct_free(out)
+        if ch.value == 1:
+            return arr.reshape(h.value, w.value)
+        return arr.reshape(h.value, w.value, ch.value)
+    from PIL import Image
+
+    img = Image.open(path)
+    if force_gray:
+        img = img.convert("L")
+    return np.asarray(img)
+
+
+def save_jpeg(path: str, image: np.ndarray, quality: int = 100) -> None:
+    """Encode a (H, W) uint8 grayscale array to a JPEG file.
+
+    quality=100 matches the reference drivers' output setting
+    (main_cublass.cu:152).
+    """
+    image = np.ascontiguousarray(image, dtype=np.uint8)
+    if image.ndim != 2:
+        raise ValueError(f"expected (H, W) grayscale, got {image.shape}")
+    lib = _load_native()
+    if lib is not None:
+        h, w = image.shape
+        rc = lib.tpudct_jpeg_encode(
+            str(path).encode(),
+            image.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)), w, h, quality,
+        )
+        if rc != 0:
+            raise IOError(f"native JPEG encode failed (rc={rc}) for {path}")
+        return
+    from PIL import Image
+
+    Image.fromarray(image, mode="L").save(path, format="JPEG", quality=quality)
+
+
+def encode_jpeg_bytes(image: np.ndarray, quality: int = 100) -> bytes:
+    """Encode to an in-memory JPEG (for compressed-size measurement)."""
+    image = np.ascontiguousarray(image, dtype=np.uint8)
+    lib = _load_native()
+    if lib is not None:
+        h, w = image.shape
+        out = ctypes.POINTER(ctypes.c_ubyte)()
+        size = ctypes.c_ulong()
+        rc = lib.tpudct_jpeg_encode_mem(
+            image.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)), w, h, quality,
+            ctypes.byref(out), ctypes.byref(size),
+        )
+        if rc != 0:
+            raise IOError(f"native in-memory JPEG encode failed (rc={rc})")
+        try:
+            return bytes(np.ctypeslib.as_array(out, shape=(size.value,)))
+        finally:
+            lib.tpudct_free(out)
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.fromarray(image, mode="L").save(buf, format="JPEG", quality=quality)
+    return buf.getvalue()

@@ -1,0 +1,82 @@
+"""Accuracy / compression metrics.
+
+The reference publishes PEEN, MSE and compression factor for the Circuit
+image (README.md:62-69) but contains NO code computing them (verified in
+SURVEY.md §4 — they were produced outside the repo).  This module makes
+them first-class, jit-compatible, and shardable (each reduces with sums, so
+the distributed variants in tpudct.parallel psum the partial sums).
+
+Definitions used (documented because the reference leaves them implicit):
+  MSE   = mean((x - y)^2)                      over uint8-range pixels
+  PSNR  = 10 log10(255^2 / MSE)
+  PEEN  = 100 * sum((x - y)^2) / sum(x^2)      percentage error energy,
+          normalized to the input energy (the PEEN of the approximate-DCT
+          literature, e.g. the Haweel line of papers)
+  compression factor = compressed_size(original) / compressed_size(coded)
+          where both sides use the same lossless entropy stage (zlib) —
+          the quantized+truncated coefficient stream vs the raw image.
+          An alternative JPEG-file-based factor is provided for parity
+          with the reference's libjpeg-re-encode storage model.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def mse(x, y):
+    d = jnp.asarray(x, jnp.float32) - jnp.asarray(y, jnp.float32)
+    return jnp.mean(d * d)
+
+
+def psnr(x, y):
+    return 10.0 * jnp.log10(255.0**2 / mse(x, y))
+
+
+def peen(x, y):
+    """Percentage error energy normalized: 100 * ||x-y||^2 / ||x||^2."""
+    xf = jnp.asarray(x, jnp.float32)
+    d = xf - jnp.asarray(y, jnp.float32)
+    return 100.0 * jnp.sum(d * d) / jnp.sum(xf * xf)
+
+
+def _zlib_size(data: bytes, level: int = 6) -> int:
+    return len(zlib.compress(data, level))
+
+
+def compression_factor(image_u8: np.ndarray, coeffs: np.ndarray, level: int = 6) -> float:
+    """Losslessly-entropy-coded size ratio: raw image vs coefficient stream.
+
+    Coefficients are integers after quantization (utils_kernels.cu:42);
+    they are serialized as int16 (max |coeff| ~ 1024/10 << 32767) before
+    entropy coding, mirroring tpudct.utils.serialize's on-disk format.
+    """
+    img = np.ascontiguousarray(image_u8, dtype=np.uint8)
+    c = np.ascontiguousarray(np.asarray(coeffs), dtype=np.int16)
+    return _zlib_size(img.tobytes(), level) / _zlib_size(c.tobytes(), level)
+
+
+def jpeg_compression_factor(image_u8: np.ndarray, recon_u8: np.ndarray, quality: int = 100) -> float:
+    """JPEG-file-size ratio, matching the reference's storage model (the
+    reconstruction is re-encoded with libjpeg at quality 100,
+    main_cublass.cu:152)."""
+    from tpudct.utils.imageio import encode_jpeg_bytes
+
+    return len(encode_jpeg_bytes(image_u8, quality)) / len(
+        encode_jpeg_bytes(np.asarray(recon_u8), quality)
+    )
+
+
+def quality_report(image_u8, recon_u8, coeffs) -> dict:
+    """The README-table triple for one image (README.md:62-69)."""
+    img = np.asarray(image_u8)
+    rec = np.asarray(recon_u8)
+    return {
+        "mse": float(mse(img, rec)),
+        "psnr_db": float(psnr(img, rec)),
+        "peen_pct": float(peen(img, rec)),
+        "compression_factor": compression_factor(img, np.asarray(coeffs)),
+    }
