@@ -1,0 +1,58 @@
+#!/usr/bin/env python
+"""Headline benchmark — run by the driver on real TPU hardware.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <ms>, "unit": "ms", "vs_baseline": <speedup>}
+
+Metric (BASELINE.json): full 8192x8192 DCT+quant+IDCT codec pass per chip,
+flagship (hp) pipeline.  Baseline: the reference HpApprDCT on a Tesla T4
+times the DCT phase at 14.70 ms at 8192^2 (README.md:55) and the IDCT phase
+the same, so the comparable full-pass baseline is 29.4 ms.  vs_baseline is
+the speedup factor (baseline_ms / our_ms; >1 means faster than reference).
+
+Timing protocol: chained on-device iterations, slope between two chain
+lengths (tpudct/utils/timing.py) — this removes the axon-relay dispatch
+floor AND would equally remove host/dispatch overhead on a directly
+attached chip, making it a pure device-time measurement like the
+reference's cudaEvent protocol (main_newAppr.cu:266-287).
+"""
+
+import json
+import sys
+
+
+def main() -> int:
+    size = 8192
+    baseline_pair_ms = 2 * 14.70  # T4 HpApprDCT DCT + IDCT phases, README.md:55
+
+    import jax
+    import jax.numpy as jnp
+
+    from tpudct.benchmark import synthetic_image
+    from tpudct.config import CodecConfig
+    from tpudct.models import get_pipeline
+    from tpudct.utils.timing import device_time_ms
+
+    cfg = CodecConfig()
+    p = get_pipeline("hp")
+    x = jnp.asarray(synthetic_image(size))
+
+    pair_ms = device_time_ms(
+        lambda v: p.idct(p.dct(v, cfg), cfg), x, reps=5
+    )
+
+    print(
+        json.dumps(
+            {
+                "metric": f"{size}x{size} DCT+quant+IDCT ms/image per chip",
+                "value": round(pair_ms, 4),
+                "unit": "ms",
+                "vs_baseline": round(baseline_pair_ms / pair_ms, 2) if pair_ms > 0 else None,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

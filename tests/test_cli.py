@@ -1,0 +1,82 @@
+"""CLI tests — the subprocess surface would re-initialize JAX per test, so
+drive main() in-process (same argv contract)."""
+
+import json
+
+import numpy as np
+import pytest
+
+from tpudct.cli import main
+from tpudct.utils import imageio
+
+
+@pytest.fixture
+def jpg(tmp_path, rng):
+    img = rng.integers(0, 256, size=(64, 64)).astype(np.uint8)
+    p = tmp_path / "in.jpg"
+    imageio.save_jpeg(p, img, quality=95)
+    return p
+
+
+def test_run(tmp_path, jpg, capsys):
+    out = tmp_path / "out.jpg"
+    rc = main(["run", "--pipeline", "batched", str(jpg), str(out), "--corners"])
+    assert rc == 0
+    assert out.exists()
+    captured = capsys.readouterr().out
+    assert "input (top-left 8x8)" in captured
+    rep = json.loads(captured.strip().splitlines()[-1])
+    assert rep["pipeline"] == "batched" and rep["mse"] >= 0
+
+
+def test_run_writes_coeffs(tmp_path, jpg):
+    out = tmp_path / "out.jpg"
+    tdc = tmp_path / "c.tdc"
+    rc = main(["run", str(jpg), str(out), "--coeffs", str(tdc), "--k", "8"])
+    assert rc == 0 and tdc.exists()
+
+
+def test_encode_decode(tmp_path, jpg, capsys):
+    tdc = tmp_path / "c.tdc"
+    assert main(["encode", "--pipeline", "fast", str(jpg), str(tdc)]) == 0
+    rep = json.loads(capsys.readouterr().out.strip())
+    assert rep["factor_vs_raw"] > 1.0
+    out = tmp_path / "dec.jpg"
+    assert main(["decode", str(tdc), str(out)]) == 0
+    img = imageio.load_jpeg(out)
+    src = imageio.load_jpeg(jpg)
+    mse = ((img.astype(float) - src.astype(float)) ** 2).mean()
+    assert mse < 4000  # noise image quantizes harshly but must round-trip
+
+def test_bench_runs_small(capsys):
+    rc = main(["bench", "--size", "64", "--pipelines", "batched", "--reps", "1"])
+    assert rc == 0
+    row = json.loads(capsys.readouterr().out.strip())
+    assert row["size"] == 64 and row["dct_ms"] >= 0
+
+
+def test_table(jpg, capsys):
+    rc = main(["table", "--pipeline", "batched", str(jpg)])
+    assert rc == 0
+    rows = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert [r["k"] for r in rows] == [6, 7, 8, 9, 10, "std"]
+    # Truncation must not *improve* error energy.
+    assert rows[0]["peen_pct"] >= rows[-1]["peen_pct"]
+
+
+def test_info(capsys):
+    assert main(["info"]) == 0
+    rep = json.loads(capsys.readouterr().out.strip())
+    assert "hp" in rep["pipelines"] and rep["backend"] == "cpu"
+
+
+def test_run_rejects_bad_size(tmp_path, rng, capsys):
+    img = rng.integers(0, 256, size=(60, 60)).astype(np.uint8)
+    from PIL import Image
+
+    p = tmp_path / "bad.png"
+    jp = tmp_path / "bad.jpg"
+    Image.fromarray(img, "L").save(jp, format="JPEG")
+    rc = main(["run", str(jp), str(tmp_path / "o.jpg")])
+    assert rc == 2
+    assert "not divisible" in capsys.readouterr().err

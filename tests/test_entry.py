@@ -1,0 +1,43 @@
+"""Driver-contract tests for __graft_entry__.py and bench harness."""
+
+import sys
+import pathlib
+
+import jax
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+import __graft_entry__ as ge
+
+
+def test_entry_compiles_and_runs():
+    fn, args = ge.entry()
+    coeffs, recon = jax.jit(fn)(*args)
+    assert coeffs.shape == args[0].shape
+    assert np.asarray(recon).dtype == np.uint8
+
+
+def test_dryrun_multichip_8():
+    ge.dryrun_multichip(8)
+
+
+def test_dryrun_multichip_2():
+    ge.dryrun_multichip(2)
+
+
+def test_benchmark_harness_small():
+    from tpudct.benchmark import bench_pipeline, synthetic_image
+
+    a = synthetic_image(64)
+    b = synthetic_image(64)
+    np.testing.assert_array_equal(a, b)  # deterministic (srand(42) analog)
+    row = bench_pipeline("batched", 64, reps=1, k_pair=(2, 6))
+    assert row["pair_ms"] >= row["dct_ms"] >= 0.0
+
+
+def test_accuracy_table_shape(image256):
+    from tpudct.benchmark import accuracy_table
+
+    rows = accuracy_table(image256, "batched", ks=(6, None))
+    assert len(rows) == 2 and rows[0]["k"] == 6 and rows[1]["k"] == "std"

@@ -1,0 +1,218 @@
+"""Command-line interface.
+
+One CLI replaces the reference's four single-purpose binaries
+(makefile:4: main_cublass, main_cublass_2, main_fastAppr, main_newAppr;
+argv contract at main_cublass.cu:41-44) and its four benchmark drivers
+(benchmark_*.cu).
+
+  python -m tpudct run    --pipeline hp input.jpg output.jpg
+  python -m tpudct encode --pipeline hp input.jpg coeffs.tdc
+  python -m tpudct decode coeffs.tdc output.jpg
+  python -m tpudct bench  --size 1024 --pipelines hp,fast
+  python -m tpudct sweep
+  python -m tpudct table  input.jpg        # PEEN/MSE/compression k-sweep
+  python -m tpudct info
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+
+def _cfg_from(args) -> "CodecConfig":
+    from tpudct.config import CodecConfig
+
+    return CodecConfig(
+        q_scale=args.q_scale,
+        retain_k=args.k,
+    )
+
+
+def _add_codec_flags(sp):
+    sp.add_argument("--pipeline", default="hp", help="cublas|batched|cublas2|fast|hp")
+    sp.add_argument("--q-scale", type=float, default=1.0, dest="q_scale")
+    sp.add_argument("--k", type=int, default=None, help="zonal retention: keep u+v < k")
+
+
+def _print_corner(label: str, a, n: int = 8):
+    """Stage-corner printing, the reference's manual verification aid
+    (main_cublass.cu:63-70, 121-128, ...)."""
+    print(f"{label} (top-left {n}x{n}):")
+    corner = np.asarray(a)[:n, :n]
+    for row in corner:
+        print("  " + " ".join(f"{v:8.2f}" for v in np.asarray(row, np.float64)))
+
+
+def cmd_run(args) -> int:
+    import jax.numpy as jnp
+
+    from tpudct.models import get_pipeline
+    from tpudct.utils import imageio, metrics, serialize
+
+    img = imageio.load_jpeg(args.input)
+    h, w = img.shape
+    if h % 8 or w % 8:
+        print(f"error: image {h}x{w} not divisible into 8x8 blocks", file=sys.stderr)
+        return 2
+    cfg = _cfg_from(args)
+    p = get_pipeline(args.pipeline)
+    x = jnp.asarray(img, jnp.float32)
+    if args.corners:
+        _print_corner("input", img)
+    c = p.encode(x, cfg)
+    if args.corners:
+        _print_corner("DCT+quant", c)
+    rec = p.idct(c, cfg)
+    rec_u8 = np.clip(np.trunc(np.asarray(rec)), 0, 255).astype(np.uint8)
+    if args.corners:
+        _print_corner("IDCT", rec_u8)
+    imageio.save_jpeg(args.output, rec_u8, quality=args.quality)
+    if args.coeffs:
+        n = serialize.save_coefficients(args.coeffs, np.asarray(c), cfg.q_scale, cfg.retain_k)
+        print(f"coefficients -> {args.coeffs} ({n} bytes)")
+    rep = metrics.quality_report(img, rec_u8, np.asarray(c))
+    print(json.dumps({"pipeline": p.name, "shape": [h, w], **rep}))
+    return 0
+
+
+def cmd_encode(args) -> int:
+    import jax.numpy as jnp
+
+    from tpudct.models import get_pipeline
+    from tpudct.utils import imageio, serialize
+
+    img = imageio.load_jpeg(args.input)
+    cfg = _cfg_from(args)
+    c = get_pipeline(args.pipeline).encode(jnp.asarray(img, jnp.float32), cfg)
+    n = serialize.save_coefficients(args.output, np.asarray(c), cfg.q_scale, cfg.retain_k)
+    print(json.dumps({"bytes": n, "raw_bytes": img.size, "factor_vs_raw": img.size / n}))
+    return 0
+
+
+def cmd_decode(args) -> int:
+    import jax.numpy as jnp
+
+    from tpudct.config import CodecConfig
+    from tpudct.models import get_pipeline
+    from tpudct.utils import imageio, serialize
+
+    coeffs, q_scale, _k = serialize.load_coefficients(args.input)
+    rec = get_pipeline(args.pipeline).idct(jnp.asarray(coeffs), CodecConfig(q_scale=q_scale))
+    imageio.save_jpeg(args.output, np.clip(np.trunc(np.asarray(rec)), 0, 255).astype(np.uint8), quality=args.quality)
+    print(f"decoded {args.input} -> {args.output}")
+    return 0
+
+
+def cmd_bench(args) -> int:
+    from tpudct.benchmark import bench_fused_roundtrip, bench_pipeline
+
+    for name in args.pipelines.split(","):
+        print(json.dumps(bench_pipeline(name.strip(), args.size, _cfg_from(args), reps=args.reps)))
+    if args.fused:
+        print(json.dumps(bench_fused_roundtrip(args.size, _cfg_from(args), reps=args.reps)))
+    return 0
+
+
+def cmd_sweep(args) -> int:
+    from tpudct.benchmark import sweep
+
+    sizes = [int(s) for s in args.sizes.split(",")]
+    for row in sweep(sizes, [p.strip() for p in args.pipelines.split(",")], _cfg_from(args), reps=args.reps):
+        print(json.dumps(row))
+    return 0
+
+
+def cmd_table(args) -> int:
+    from tpudct.benchmark import accuracy_table
+    from tpudct.utils import imageio
+
+    img = imageio.load_jpeg(args.input)
+    for row in accuracy_table(img, args.pipeline):
+        print(json.dumps(row))
+    return 0
+
+
+def cmd_info(_args) -> int:
+    import jax
+
+    import tpudct
+    from tpudct.utils.imageio import native_backend_available
+
+    print(json.dumps({
+        "version": tpudct.__version__,
+        "backend": jax.default_backend(),
+        "devices": [str(d) for d in jax.devices()],
+        "native_jpeg": native_backend_available(),
+        "pipelines": tpudct.available_pipelines(),
+    }))
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(prog="tpudct", description=__doc__, formatter_class=argparse.RawDescriptionHelpFormatter)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    sp = sub.add_parser("run", help="encode+decode one image (the reference driver flow)")
+    _add_codec_flags(sp)
+    sp.add_argument("input")
+    sp.add_argument("output")
+    sp.add_argument("--quality", type=int, default=100, help="output JPEG quality (ref: 100)")
+    sp.add_argument("--coeffs", default=None, help="also write the .tdc coefficient file")
+    sp.add_argument("--corners", action="store_true", help="print stage corners like the reference drivers")
+    sp.set_defaults(fn=cmd_run)
+
+    sp = sub.add_parser("encode", help="image -> .tdc coefficient file")
+    _add_codec_flags(sp)
+    sp.add_argument("input")
+    sp.add_argument("output")
+    sp.set_defaults(fn=cmd_encode)
+
+    sp = sub.add_parser("decode", help=".tdc coefficient file -> image")
+    sp.add_argument("--pipeline", default="hp")
+    sp.add_argument("--quality", type=int, default=100)
+    sp.add_argument("input")
+    sp.add_argument("output")
+    sp.set_defaults(fn=cmd_decode)
+
+    sp = sub.add_parser("bench", help="one-size benchmark (the benchmark_* driver flow)")
+    _add_codec_flags(sp)
+    sp.add_argument("--size", type=int, default=1024)
+    sp.add_argument("--reps", type=int, default=5)
+    sp.add_argument("--pipelines", default="hp")
+    sp.add_argument("--fused", action="store_true", help="also time the single-kernel roundtrip")
+    sp.set_defaults(fn=cmd_bench)
+
+    sp = sub.add_parser("sweep", help="size x pipeline benchmark table (README.md:45-60)")
+    _add_codec_flags(sp)
+    sp.add_argument("--sizes", default="256,512,1024,2048,4096,8192")
+    sp.add_argument("--pipelines", default="batched,fast,hp")
+    sp.add_argument("--reps", type=int, default=5)
+    sp.set_defaults(fn=cmd_sweep)
+
+    sp = sub.add_parser("table", help="PEEN/MSE/compression k-sweep (README.md:62-69)")
+    sp.add_argument("--pipeline", default="hp")
+    sp.add_argument("input")
+    sp.set_defaults(fn=cmd_table)
+
+    sp = sub.add_parser("info", help="environment / backend report")
+    sp.set_defaults(fn=cmd_info)
+    return ap
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    try:
+        return args.fn(args)
+    except (KeyError, ValueError, OSError) as e:
+        # Clean CLI errors (the reference exits via CHECK_* macros with raw
+        # prints; we keep the message, drop the traceback).
+        print(f"error: {e}", file=sys.stderr)
+        return 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -49,18 +49,40 @@ def _best_wall(f: Callable, x, reps: int) -> float:
 def device_time_ms(
     op: Callable,
     example,
-    k_pair: Sequence[int] = (8, 40),
+    k_pair: Sequence[int] | None = None,
     reps: int = 5,
+    min_span_s: float = 0.05,
+    max_k: int = 8192,
 ) -> float:
-    """Median-free, floor-free per-call device time of `op` in milliseconds.
+    """Floor-free per-call device time of `op` in milliseconds.
 
     `op` must map an array to an array of a shape/dtype it can consume again
     (chainable).  For ops that aren't naturally chainable, wrap them, e.g.
-    ``lambda x: idct(dct(x))`` or ``lambda x: dct(x) * 0 + x``.
+    ``lambda x: idct(dct(x))``.
+
+    The chain length adapts until the timed span (t_k2 - t_k1) exceeds
+    `min_span_s`, otherwise fast ops at small sizes drown in dispatch jitter
+    (observed: a 0.07 ms op measured via a 16-iteration slope under ~ms of
+    relay jitter reported 13 us — impossible).  Pass `k_pair` to pin the
+    lengths explicitly (tests do, for speed).
     """
-    k1, k2 = k_pair
+    if k_pair is not None:
+        k1, k2 = k_pair
+        t1 = _best_wall(_chain(op, k1), example, reps)
+        t2 = _best_wall(_chain(op, k2), example, reps)
+        return max((t2 - t1) / (k2 - k1), 0.0) * 1e3
+
+    k1 = 8
     t1 = _best_wall(_chain(op, k1), example, reps)
-    t2 = _best_wall(_chain(op, k2), example, reps)
+    k2 = 64
+    while k2 <= max_k:
+        t2 = _best_wall(_chain(op, k2), example, reps)
+        if t2 - t1 >= min_span_s or k2 == max_k:
+            break
+        k2 *= 2
+    else:
+        k2 = max_k
+        t2 = _best_wall(_chain(op, k2), example, reps)
     return max((t2 - t1) / (k2 - k1), 0.0) * 1e3
 
 
