@@ -35,11 +35,23 @@ def main() -> int:
 
     cfg = CodecConfig()
     p = get_pipeline("hp")
-    x = jnp.asarray(synthetic_image(size))
+    img = synthetic_image(size)
 
-    pair_ms = device_time_ms(
-        lambda v: p.idct(p.dct(v, cfg), cfg), x, reps=5
-    )
+    # Headline: the fully fused u8-native codec pass (uint8 image in HBM ->
+    # int8 coefficients + uint8 reconstruction in HBM, one kernel).  Falls
+    # back to the f32 separate-phase pair where the u8 path is unsupported.
+    from tpudct.kernels import hp_pallas
+
+    if jax.default_backend() == "tpu" and hp_pallas.supports_u8(size, size):
+        xu8 = jnp.asarray(img.astype("uint8"))
+        pair_ms = device_time_ms(
+            lambda v: p.roundtrip_u8(v, cfg)[1], xu8, reps=5
+        )
+    else:
+        x = jnp.asarray(img)
+        pair_ms = device_time_ms(
+            lambda v: p.idct(p.dct(v, cfg), cfg), x, reps=5
+        )
 
     print(
         json.dumps(

@@ -66,3 +66,52 @@ def test_hp_tile_geometry_variants(rng):
     c = np.asarray(hp_dct(jnp.asarray(img), band_rows=256, tile_cols=256, interpret=True))
     np.testing.assert_array_equal(a, b)
     np.testing.assert_array_equal(a, c)
+
+
+# ---- u8/int8-native variants ------------------------------------------------
+
+from tpudct.kernels import hp_encode_u8, hp_decode_u8, hp_roundtrip_u8, supports_u8
+
+
+def test_supports_u8():
+    assert supports_u8(128, 128) and supports_u8(32, 256)
+    assert not supports_u8(8, 128)      # int8 tiling needs 32-row alignment
+    assert not supports_u8(128, 64)
+    assert not supports_u8(128, 128, q_scale=0.5)  # coeffs would overflow int8
+
+
+def test_u8_roundtrip_matches_f32_path(rng):
+    img = rng.integers(0, 256, (128, 256)).astype(np.uint8)
+    c8, r8 = hp_roundtrip_u8(jnp.asarray(img), interpret=True)
+    cf, rf = hp_roundtrip(jnp.asarray(img, jnp.float32), interpret=True, int_core=True)
+    assert np.asarray(c8).dtype == np.int8 and np.asarray(r8).dtype == np.uint8
+    np.testing.assert_array_equal(np.asarray(c8).astype(np.float32), np.asarray(cf))
+    rf_u8 = np.clip(np.trunc(np.asarray(rf)), 0, 255).astype(np.uint8)
+    np.testing.assert_array_equal(np.asarray(r8), rf_u8)
+
+
+def test_u8_encode_decode_separate(rng):
+    img = rng.integers(0, 256, (64, 128)).astype(np.uint8)
+    c = hp_encode_u8(jnp.asarray(img), interpret=True)
+    r = hp_decode_u8(c, interpret=True)
+    c2, r2 = hp_roundtrip_u8(jnp.asarray(img), interpret=True)
+    np.testing.assert_array_equal(np.asarray(c), np.asarray(c2))
+    np.testing.assert_array_equal(np.asarray(r), np.asarray(r2))
+
+
+def test_int_core_vs_f32_core_ties_only(rng):
+    img = rng.integers(0, 256, (128, 128)).astype(np.float32)
+    ci = np.asarray(hp_dct(jnp.asarray(img), interpret=True, int_core=True))
+    cf = np.asarray(hp_dct(jnp.asarray(img), interpret=True, int_core=False))
+    mm = int((ci != cf).sum())
+    assert mm <= ci.size * 5e-3 and np.abs(ci - cf).max() <= 1.0, mm
+
+
+def test_u8_retention(rng):
+    img = rng.integers(0, 256, (64, 128)).astype(np.uint8)
+    c, _ = hp_roundtrip_u8(jnp.asarray(img), retain_k=2, interpret=True)
+    blocks = np.asarray(c).reshape(8, 8, 16, 8)
+    for u in range(8):
+        for v in range(8):
+            if u + v >= 2:
+                assert np.all(blocks[:, u, :, v] == 0)

@@ -29,19 +29,26 @@ class CodecConfig:
         None = keep all 64 (the "Standard Q" configuration).
       interpret: force Pallas kernels into interpreter mode (used on
         non-TPU backends, e.g. the forced-CPU test mesh).
+      exact_int_core: run the hp forward transform as the exact int8
+        Haweel contraction (Ts X Ts^T on the MXU with int32 accumulation;
+        requires integral pixel values, i.e. u8-sourced images — the
+        codec's domain). False bit-mimics the reference's f32 GEMM inputs.
+        Either way results differ only at true .5 quantizer ties.
       lane_blocks: how many 8x8 blocks ride one 128-lane tile in the fused
         Pallas kernel (128 // block_size).
       band_rows: sublane rows per Pallas grid step (multiple of 8; 128 puts
         a full MXU-shaped (128, 128) sub-tile through each matmul).
-      tile_cols: lane columns per Pallas grid step (multiple of 128).
+      tile_cols: lane columns per Pallas grid step (multiple of 128;
+        (128, 1024) measured fastest at 8192^2 on v5e).
     """
 
     block_size: int = 8
     q_scale: float = 1.0
     retain_k: Optional[int] = None
     interpret: bool = False
+    exact_int_core: bool = True
     band_rows: int = 128
-    tile_cols: int = 512
+    tile_cols: int = 1024
 
     @property
     def lane_blocks(self) -> int:

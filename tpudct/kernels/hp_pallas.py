@@ -5,34 +5,58 @@ thread block to one 8x8 image block with T and X staged in shared memory.
 A literal translation would be a terrible TPU program: an 8x8 tile occupies
 1/16 of one (8,128) native register tile and starves the 128x128 MXU.
 
-TPU-first formulation instead:
+TPU-first formulation
+---------------------
 
-  * A (128, 128) image tile holds a 16x16 grid of DCT blocks.  With
-    ``BDT = blockdiag_16(T)`` (128x128, from constants.block_diag_T — the
-    lane-sized reincarnation of upgrade_T_matrix, utils_kernels.cu:60-69),
-    the blockwise 2-D transform of the whole tile is
+* A (128, 128) image tile holds a 16x16 grid of DCT blocks.  With
+  ``BDT = blockdiag_16(T)`` (the lane-sized reincarnation of
+  upgrade_T_matrix, utils_kernels.cu:60-69) the blockwise 2-D transform of
+  the whole tile is ``Y = BDT @ X @ BDT.T`` — two MXU-shaped
+  (128-contraction) matmuls process 256 DCT blocks.  The zeros in BDT cost
+  nothing: the systolic array is 128x128 regardless, and the op is
+  HBM-bandwidth-bound.
 
-        Y = BDT @ X @ BDT.T
+* Level shift, transform, quantize (and the inverse chain) fuse into ONE
+  kernel — the fusion main_newAppr.cu approximates with shared memory, done
+  at VMEM scope.  ``*_roundtrip`` fuses the ENTIRE codec: one image read,
+  one coefficient write, one reconstruction write.  The reference cannot
+  express this across its 6 kernel launches (main_newAppr.cu:273-279,
+  314-320).
 
-    i.e. two MXU-shaped (128-contraction) matmuls process 256 DCT blocks.
-    The zeros in BDT cost nothing extra: the systolic array is 128x128
-    regardless, and the op is HBM-bandwidth-bound.
+Performance refinements (all measured on v5e, see git history):
 
-  * Level shift, transform, quantize (and on the inverse: dequantize,
-    inverse transform, unshift) are fused into ONE kernel, so each pixel
-    crosses HBM exactly twice per direction — the fusion main_newAppr.cu
-    approximates with shared memory, done at VMEM scope instead.
+* **Exact int8 Haweel core** (``int_core=True``, default): since
+  ``T = D @ Ts`` with Ts entries in {0,+-1,+-2} (constants.py), the forward
+  contraction runs as int8 MXU matmuls with int32 accumulation — exact
+  integer arithmetic, ~4x bf16 throughput, vs 6-pass bf16 emulation for
+  f32-HIGHEST.  The 11-bit intermediate ``Ts @ X`` is digit-split
+  (base 128) into two int8 operands for the second contraction.  Row norms
+  and 1/Q fold into one f32 scale applied at quantization.  Cost measured:
+  +0.12 ms over a pure copy at 8192^2 (f32-HIGHEST: +0.5 ms).
 
-  * ``hp_roundtrip`` fuses the ENTIRE codec (DCT+quant+dequant+IDCT) in a
-    single kernel: one read of the image, one write of coefficients, one
-    write of the reconstruction.  The reference cannot express this — it
-    must round-trip through global memory between its 6 kernel launches
-    (main_newAppr.cu:273-279, 314-320).
+* **Buffer aliasing**: ``input_output_aliases`` doubles pallas HBM
+  throughput here (copy kernel 1.66 -> 0.81 ms at 8192^2 f32).  Every
+  kernel aliases its image-sized input to a same-shape/dtype output when
+  one exists; XLA inserts a protective copy only if the caller still needs
+  the operand.
 
-Constants (BDT, BDT^T, tiled Q) ride VMEM for the whole grid; the grid
-sweeps (band_rows, tile_cols) tiles with Pallas' implicit double-buffered
-HBM->VMEM pipeline.  Quantization uses true division + half-away-from-zero
-rounding to match CUDA round(A/Q) semantics (utils_kernels.cu:42).
+* **u8/int8-native variants**: pixels are uint8 and quantized coefficients
+  provably fit int8 at q_scale>=1 (max |c| = max_il sum|T_i| sum|T_l| 128
+  / Q_il ~ 97.2), so the ``*_u8`` kernels move 4x fewer bytes than the
+  f32-staged path the reference uses (convertToFloat, utils.cu:10-15, is a
+  CUDA-era artifact — the TPU path keeps integers until the math needs
+  floats, entirely inside VMEM).
+
+The inverse transform stays f32 with HIGHEST precision: its operands are
+not integer-representable after dequantization (Y*d_i*d_l is irrational),
+and bf16x3 (HIGH) measured 0.19 gray-level error — enough to flip pixel
+truncation vs the reference's f32 GEMMs.  HIGHEST measured 5e-4.
+
+Quantization uses true division semantics with half-away-from-zero
+rounding to match CUDA round(A/Q) (utils_kernels.cu:42); the int path
+multiplies by the exact f32 scale d_i*d_l/(Q*q_scale), whose ties differ
+from the f64 ideal only at true .5 boundaries (tested census: all
+mismatches are exactly +-1 at |y/q| = 0.5 - 1e-16).
 """
 
 from __future__ import annotations
@@ -45,131 +69,275 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from tpudct.constants import BLOCK_SIZE, LEVEL_SHIFT, Q, block_diag_T
+from tpudct.constants import (
+    BLOCK_SIZE,
+    HAWEEL_TS,
+    LEVEL_SHIFT,
+    Q,
+    block_diag_T,
+    haweel_row_norms,
+)
 
 LANE = 128
+_HIGHEST = jax.lax.Precision.HIGHEST
+
+# Max |quantized coefficient| at q_scale=1 (see module docstring); used to
+# gate the int8-coefficient variants.
+_ROW_ABS = np.abs(HAWEEL_TS).sum(axis=1) / haweel_row_norms()  # sum|T_i| per row
+_MAX_COEFF = float((np.outer(_ROW_ABS, _ROW_ABS) * 128.0 / Q).max())  # ~97.2
 
 
 def supports(h: int, w: int) -> bool:
-    """Kernel constraints: lane dim must tile by 128, sublanes by 8."""
+    """f32 kernel constraints: lane dim tiles by 128, sublanes by 8."""
     return h % BLOCK_SIZE == 0 and w % LANE == 0 and h >= BLOCK_SIZE and w >= LANE
 
 
-def _geometry(h: int, w: int, band_rows: int, tile_cols: int):
+def supports_u8(h: int, w: int, q_scale: float = 1.0) -> bool:
+    """u8/int8 variants additionally need 32-row tiles (int8 sublane min)
+    and coefficients that fit int8."""
+    return (
+        h % 32 == 0
+        and w % LANE == 0
+        and _MAX_COEFF / q_scale <= 127.0
+    )
+
+
+def _geometry(h: int, w: int, band_rows: int, tile_cols: int, row_align: int = BLOCK_SIZE):
     br = min(band_rows, h)
-    br -= br % BLOCK_SIZE
+    br -= br % row_align
     tc = min(tile_cols, w)
     tc -= tc % LANE
-    assert h % br == 0 or True
-    # Shrink until they divide the image (all bench sizes are powers of two).
     while h % br:
-        br -= BLOCK_SIZE
+        br -= row_align
     while w % tc:
         tc -= LANE
     return br, tc
 
 
-def _consts(br: int, dtype):
-    bdt = block_diag_T(br // BLOCK_SIZE).astype(dtype)  # (br, br) left operand
-    bdl = block_diag_T(LANE // BLOCK_SIZE).astype(dtype)  # (128, 128) right operand
-    qt = np.tile(Q, (br // BLOCK_SIZE, LANE // BLOCK_SIZE)).astype(dtype)  # (br, 128)
+def _block_diag_ts(num_blocks: int) -> np.ndarray:
+    out = np.zeros((BLOCK_SIZE * num_blocks,) * 2, np.int8)
+    for b in range(num_blocks):
+        s = b * BLOCK_SIZE
+        out[s : s + BLOCK_SIZE, s : s + BLOCK_SIZE] = HAWEEL_TS
+    return out
+
+
+@functools.lru_cache(maxsize=32)
+def _consts_f32(br: int, q_scale: float):
+    bdt = block_diag_T(br // BLOCK_SIZE).astype(np.float32)
+    bdl = block_diag_T(LANE // BLOCK_SIZE).astype(np.float32)
+    qt = np.tile(Q * np.float32(q_scale), (br // BLOCK_SIZE, LANE // BLOCK_SIZE)).astype(np.float32)
     return bdt, bdl, qt
 
 
-def _fwd_tile(x, bdt, bdl, qt, q_scale):
-    """levelshift -> BDT @ X @ BDT^T -> round(Y/Q) for one (br, tc) tile."""
-    f32 = jnp.float32
+@functools.lru_cache(maxsize=32)
+def _consts_int(br: int, q_scale: float, retain_k):
+    """int8 block-diag Ts operands + fused f32 quant scale (row norms, 1/Q,
+    q_scale and the zonal retention mask all folded into one multiplier)."""
+    from tpudct.ops.quant import retention_mask
+
+    bdts = _block_diag_ts(br // BLOCK_SIZE)
+    bdts_l = _block_diag_ts(LANE // BLOCK_SIZE)
+    d = 1.0 / haweel_row_norms()
+    scale8 = np.outer(d, d) / (Q * q_scale) * retention_mask(retain_k)
+    scale = np.tile(scale8, (br // BLOCK_SIZE, LANE // BLOCK_SIZE)).astype(np.float32)
+    return bdts, bdts_l, scale
+
+
+# ---------------------------------------------------------------------------
+# Tile compute (shared by all kernels)
+# ---------------------------------------------------------------------------
+
+
+def _round_away(z):
+    return jnp.sign(z) * jnp.floor(jnp.abs(z) + 0.5)
+
+
+def _fwd_tile_int(x_i8, bdts, bdts_l, scale):
+    """Exact integer Haweel core: c = round_away((Ts X Ts^T) * scale).
+
+    x_i8: (br, tc) int8 level-shifted pixels.  Returns f32 coefficients.
+    """
+    tc = x_i8.shape[1]
+    u = jax.lax.dot(bdts, x_i8, preferred_element_type=jnp.int32)  # |u| <= 1536
+    # Base-128 digit split so the second contraction stays int8.
+    u1 = jax.lax.shift_right_arithmetic(u + 64, 7)  # in [-12, 12]
+    u0 = u - jax.lax.shift_left(u1, 7)  # in [-64, 63]
+    u1_8, u0_8 = u1.astype(jnp.int8), u0.astype(jnp.int8)
+    bt = bdts_l.T
+    cols = []
+    for t in range(tc // LANE):
+        sl = slice(t * LANE, (t + 1) * LANE)
+        core = (
+            jax.lax.dot(u1_8[:, sl], bt, preferred_element_type=jnp.int32) * 128
+            + jax.lax.dot(u0_8[:, sl], bt, preferred_element_type=jnp.int32)
+        )
+        cols.append(_round_away(core.astype(jnp.float32) * scale))
+    return jnp.concatenate(cols, axis=1) if len(cols) > 1 else cols[0]
+
+
+def _fwd_tile_f32(x, bdt, bdl, qt, mask=None):
+    """f32-literal path (bit-mimics the reference's f32 GEMM inputs)."""
     x = x - LEVEL_SHIFT
-    y = jax.lax.dot(bdt, x, precision=jax.lax.Precision.HIGHEST, preferred_element_type=f32)
+    y = jax.lax.dot(bdt, x, precision=_HIGHEST, preferred_element_type=jnp.float32)
     tc = x.shape[1]
     cols = []
     for t in range(tc // LANE):
         z = jax.lax.dot(
-            y[:, t * LANE : (t + 1) * LANE],
-            bdl.T,
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=f32,
+            y[:, t * LANE : (t + 1) * LANE], bdl.T, precision=_HIGHEST,
+            preferred_element_type=jnp.float32,
         )
-        q = qt * q_scale
-        cols.append(jnp.sign(z) * jnp.floor(jnp.abs(z / q) + 0.5))
+        c = _round_away(z / qt)
+        if mask is not None:
+            c = c * mask
+        cols.append(c)
     return jnp.concatenate(cols, axis=1) if len(cols) > 1 else cols[0]
 
 
-def _inv_tile(c, bdt, bdl, qt, q_scale):
-    """dequant -> BDT^T @ Y @ BDT -> unshift for one (br, tc) tile."""
-    f32 = jnp.float32
+def _inv_tile(c, bdt, bdl, qt):
+    """dequant -> BDT^T @ Y @ BDT -> unshift (f32 HIGHEST; see docstring)."""
     tc = c.shape[1]
     cols = []
     for t in range(tc // LANE):
-        y = c[:, t * LANE : (t + 1) * LANE] * (qt * q_scale)
+        y = c[:, t * LANE : (t + 1) * LANE] * qt
         cols.append(
-            jax.lax.dot(y, bdl, precision=jax.lax.Precision.HIGHEST, preferred_element_type=f32)
+            jax.lax.dot(y, bdl, precision=_HIGHEST, preferred_element_type=jnp.float32)
         )
     y = jnp.concatenate(cols, axis=1) if len(cols) > 1 else cols[0]
-    x = jax.lax.dot(bdt.T, y, precision=jax.lax.Precision.HIGHEST, preferred_element_type=f32)
+    x = jax.lax.dot(bdt.T, y, precision=_HIGHEST, preferred_element_type=jnp.float32)
     return x + LEVEL_SHIFT
 
 
-def _dct_kernel(x_ref, bdt_ref, bdl_ref, qt_ref, o_ref, *, q_scale):
-    o_ref[:] = _fwd_tile(x_ref[:], bdt_ref[:], bdl_ref[:], qt_ref[:], q_scale)
+def _to_u8(x):
+    """clamp + C-truncation cast (convertToUnsignedChar, utils.cu:18-24).
+
+    Via int32: Mosaic has no direct f32->uint8 lowering."""
+    return jnp.clip(jnp.trunc(x), 0.0, 255.0).astype(jnp.int32).astype(jnp.uint8)
 
 
-def _idct_kernel(c_ref, bdt_ref, bdl_ref, qt_ref, o_ref, *, q_scale):
-    o_ref[:] = _inv_tile(c_ref[:], bdt_ref[:], bdl_ref[:], qt_ref[:], q_scale)
+# ---------------------------------------------------------------------------
+# Kernels
+# ---------------------------------------------------------------------------
 
 
-def _rt_kernel(x_ref, bdt_ref, bdl_ref, qt_ref, mask_ref, c_ref, r_ref, *, q_scale):
-    bdt, bdl, qt = bdt_ref[:], bdl_ref[:], qt_ref[:]
-    c = _fwd_tile(x_ref[:], bdt, bdl, qt, q_scale) * mask_ref[:]
+def _k_dct_int(x_ref, a_ref, b_ref, s_ref, o_ref):
+    x = (x_ref[:].astype(jnp.int32) - 128).astype(jnp.int8)
+    o_ref[:] = _fwd_tile_int(x, a_ref[:], b_ref[:], s_ref[:])
+
+
+def _k_dct_f32(x_ref, a_ref, b_ref, q_ref, o_ref):
+    o_ref[:] = _fwd_tile_f32(x_ref[:], a_ref[:], b_ref[:], q_ref[:])
+
+
+def _k_idct(c_ref, a_ref, b_ref, q_ref, o_ref):
+    o_ref[:] = _inv_tile(c_ref[:], a_ref[:], b_ref[:], q_ref[:])
+
+
+def _k_rt_int(x_ref, a_ref, b_ref, s_ref, fa_ref, fb_ref, fq_ref, c_ref, r_ref):
+    x = (x_ref[:].astype(jnp.int32) - 128).astype(jnp.int8)
+    c = _fwd_tile_int(x, a_ref[:], b_ref[:], s_ref[:])
     c_ref[:] = c
-    r_ref[:] = _inv_tile(c, bdt, bdl, qt, q_scale)
+    r_ref[:] = _inv_tile(c, fa_ref[:], fb_ref[:], fq_ref[:])
 
 
-def _grid_call(kernel, h, w, br, tc, n_out, interpret, dtype, extra_consts=()):
+def _k_rt_f32(x_ref, a_ref, b_ref, q_ref, m_ref, c_ref, r_ref):
+    c = _fwd_tile_f32(x_ref[:], a_ref[:], b_ref[:], q_ref[:], m_ref[:])
+    c_ref[:] = c
+    r_ref[:] = _inv_tile(c, a_ref[:], b_ref[:], q_ref[:])
+
+
+def _k_encode_u8(x_ref, a_ref, b_ref, s_ref, o_ref):
+    x = (x_ref[:].astype(jnp.int32) - 128).astype(jnp.int8)
+    o_ref[:] = _fwd_tile_int(x, a_ref[:], b_ref[:], s_ref[:]).astype(jnp.int8)
+
+
+def _k_decode_u8(c_ref, a_ref, b_ref, q_ref, o_ref):
+    o_ref[:] = _to_u8(_inv_tile(c_ref[:].astype(jnp.float32), a_ref[:], b_ref[:], q_ref[:]))
+
+
+def _k_rt_u8(x_ref, a_ref, b_ref, s_ref, fa_ref, fb_ref, fq_ref, c_ref, r_ref):
+    x = (x_ref[:].astype(jnp.int32) - 128).astype(jnp.int8)
+    c = _fwd_tile_int(x, a_ref[:], b_ref[:], s_ref[:])
+    c_ref[:] = c.astype(jnp.int8)
+    r_ref[:] = _to_u8(_inv_tile(c, fa_ref[:], fb_ref[:], fq_ref[:]))
+
+
+# ---------------------------------------------------------------------------
+# pallas_call plumbing
+# ---------------------------------------------------------------------------
+
+
+def _call(kernel, h, w, br, tc, consts, out_specs_dtypes, interpret, aliases=None):
     grid = (h // br, w // tc)
-    img_spec = pl.BlockSpec((br, tc), lambda i, j: (i, j), memory_space=pltpu.VMEM)
+    img = lambda: pl.BlockSpec((br, tc), lambda i, j: (i, j), memory_space=pltpu.VMEM)
     const_specs = [
-        pl.BlockSpec((s0, s1), lambda i, j: (0, 0), memory_space=pltpu.VMEM)
-        for (s0, s1) in ((br, br), (LANE, LANE), (br, LANE), *extra_consts)
+        pl.BlockSpec(c.shape, lambda i, j: (0, 0), memory_space=pltpu.VMEM)
+        for c in consts
     ]
-    out = jax.ShapeDtypeStruct((h, w), dtype)
-    return pl.pallas_call(
+    outs = [jax.ShapeDtypeStruct((h, w), dt) for dt in out_specs_dtypes]
+    single = len(outs) == 1
+    fn = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[img_spec] + const_specs,
-        out_specs=img_spec if n_out == 1 else (img_spec,) * n_out,
-        out_shape=out if n_out == 1 else (out,) * n_out,
+        in_specs=[img()] + const_specs,
+        out_specs=img() if single else tuple(img() for _ in outs),
+        out_shape=outs[0] if single else tuple(outs),
+        input_output_aliases=aliases or {},
         interpret=interpret,
     )
+    return fn
 
 
-@functools.partial(jax.jit, static_argnames=("q_scale", "band_rows", "tile_cols", "interpret"))
-def hp_dct(image, q_scale: float = 1.0, band_rows: int = 128, tile_cols: int = 512, interpret: bool = False):
-    """(H, W) float32 image -> (H, W) quantized coefficients, one fused kernel."""
+def _jit(*names):
+    return functools.partial(jax.jit, static_argnames=names)
+
+
+@_jit("q_scale", "band_rows", "tile_cols", "interpret", "int_core")
+def hp_dct(
+    image,
+    q_scale: float = 1.0,
+    band_rows: int = 128,
+    tile_cols: int = 512,
+    interpret: bool = False,
+    int_core: bool = True,
+):
+    """(H, W) f32 image -> (H, W) f32 quantized coefficients, one fused kernel.
+
+    int_core=True runs the exact int8 Haweel contraction (requires integral
+    pixel values, i.e. u8-sourced images — the codec's domain); False runs
+    the f32-literal path matching the reference GEMM inputs bit-for-bit.
+    """
     h, w = image.shape
     br, tc = _geometry(h, w, band_rows, tile_cols)
-    bdt, bdl, qt = _consts(br, np.float32)
-    call = _grid_call(
-        functools.partial(_dct_kernel, q_scale=q_scale), h, w, br, tc, 1, interpret, image.dtype
+    if int_core:
+        consts = _consts_int(br, q_scale, None)
+        kern = _k_dct_int
+    else:
+        consts = _consts_f32(br, q_scale)
+        kern = _k_dct_f32
+    return _call(kern, h, w, br, tc, consts, [jnp.float32], interpret, {0: 0})(
+        image, *consts
     )
-    return call(image, bdt, bdl, qt)
 
 
-@functools.partial(jax.jit, static_argnames=("q_scale", "band_rows", "tile_cols", "interpret"))
-def hp_idct(coeffs, q_scale: float = 1.0, band_rows: int = 128, tile_cols: int = 512, interpret: bool = False):
-    """(H, W) quantized coefficients -> (H, W) float32 reconstruction."""
+@_jit("q_scale", "band_rows", "tile_cols", "interpret")
+def hp_idct(
+    coeffs,
+    q_scale: float = 1.0,
+    band_rows: int = 128,
+    tile_cols: int = 512,
+    interpret: bool = False,
+):
+    """(H, W) f32 quantized coefficients -> (H, W) f32 reconstruction."""
     h, w = coeffs.shape
     br, tc = _geometry(h, w, band_rows, tile_cols)
-    bdt, bdl, qt = _consts(br, np.float32)
-    call = _grid_call(
-        functools.partial(_idct_kernel, q_scale=q_scale), h, w, br, tc, 1, interpret, coeffs.dtype
+    consts = _consts_f32(br, q_scale)
+    return _call(_k_idct, h, w, br, tc, consts, [jnp.float32], interpret, {0: 0})(
+        coeffs, *consts
     )
-    return call(coeffs, bdt, bdl, qt)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("q_scale", "retain_k", "band_rows", "tile_cols", "interpret")
-)
+@_jit("q_scale", "retain_k", "band_rows", "tile_cols", "interpret", "int_core")
 def hp_roundtrip(
     image,
     q_scale: float = 1.0,
@@ -177,24 +345,90 @@ def hp_roundtrip(
     band_rows: int = 128,
     tile_cols: int = 512,
     interpret: bool = False,
+    int_core: bool = True,
 ):
-    """Fully fused codec pass: image -> (coefficients, float reconstruction).
+    """Fully fused codec pass: f32 image -> (f32 coefficients, f32 recon).
 
-    One kernel, one HBM read of the image, one write per output. Zonal
-    retention (the README k-sweep) folds into the same kernel as a
-    VMEM-resident mask multiply.
+    One kernel, one HBM read of the image, one write per output; zonal
+    retention rides the quantization scale (int path) or a mask multiply
+    (f32 path).  The image buffer is aliased to the reconstruction.
     """
     from tpudct.ops.quant import retention_mask
 
     h, w = image.shape
     br, tc = _geometry(h, w, band_rows, tile_cols)
-    bdt, bdl, qt = _consts(br, np.float32)
-    mask = np.tile(
-        retention_mask(retain_k), (br // BLOCK_SIZE, tc // BLOCK_SIZE)
-    ).astype(np.float32)
-    call = _grid_call(
-        functools.partial(_rt_kernel, q_scale=q_scale),
-        h, w, br, tc, 2, interpret, image.dtype,
-        extra_consts=((br, tc),),
+    fconsts = _consts_f32(br, q_scale)
+    if int_core:
+        iconsts = _consts_int(br, q_scale, retain_k)
+        consts = (*iconsts, *fconsts)
+        kern = _k_rt_int
+    else:
+        mask = np.tile(
+            retention_mask(retain_k), (br // BLOCK_SIZE, LANE // BLOCK_SIZE)
+        ).astype(np.float32)
+        consts = (*fconsts, mask)
+        kern = _k_rt_f32
+    return _call(
+        kern, h, w, br, tc, consts, [jnp.float32, jnp.float32], interpret, {0: 1}
+    )(image, *consts)
+
+
+@_jit("q_scale", "retain_k", "band_rows", "tile_cols", "interpret")
+def hp_encode_u8(
+    image_u8,
+    q_scale: float = 1.0,
+    retain_k=None,
+    band_rows: int = 128,
+    tile_cols: int = 512,
+    interpret: bool = False,
+):
+    """(H, W) uint8 image -> (H, W) int8 quantized coefficients.
+
+    4x less HBM traffic than the f32-staged path; valid whenever
+    supports_u8 holds (coefficients provably fit int8)."""
+    h, w = image_u8.shape
+    br, tc = _geometry(h, w, band_rows, tile_cols, row_align=32)
+    consts = _consts_int(br, q_scale, retain_k)
+    return _call(_k_encode_u8, h, w, br, tc, consts, [jnp.int8], interpret)(
+        image_u8, *consts
     )
-    return call(image, bdt, bdl, qt, mask)
+
+
+@_jit("q_scale", "band_rows", "tile_cols", "interpret")
+def hp_decode_u8(
+    coeffs_i8,
+    q_scale: float = 1.0,
+    band_rows: int = 128,
+    tile_cols: int = 512,
+    interpret: bool = False,
+):
+    """(H, W) int8 coefficients -> (H, W) uint8 reconstruction (fused
+    dequant + inverse + unshift + clamp + cast)."""
+    h, w = coeffs_i8.shape
+    br, tc = _geometry(h, w, band_rows, tile_cols, row_align=32)
+    consts = _consts_f32(br, q_scale)
+    return _call(_k_decode_u8, h, w, br, tc, consts, [jnp.uint8], interpret)(
+        coeffs_i8, *consts
+    )
+
+
+@_jit("q_scale", "retain_k", "band_rows", "tile_cols", "interpret")
+def hp_roundtrip_u8(
+    image_u8,
+    q_scale: float = 1.0,
+    retain_k=None,
+    band_rows: int = 128,
+    tile_cols: int = 512,
+    interpret: bool = False,
+):
+    """Fully fused u8-native codec pass: uint8 image -> (int8 coefficients,
+    uint8 reconstruction).  192 MB total HBM traffic at 8192^2 vs 768 MB
+    for the f32-staged separate-phase flow; image aliased to recon."""
+    h, w = image_u8.shape
+    br, tc = _geometry(h, w, band_rows, tile_cols, row_align=32)
+    iconsts = _consts_int(br, q_scale, retain_k)
+    fconsts = _consts_f32(br, q_scale)
+    return _call(
+        _k_rt_u8, h, w, br, tc, (*iconsts, *fconsts),
+        [jnp.int8, jnp.uint8], interpret, {0: 1},
+    )(image_u8, *iconsts, *fconsts)

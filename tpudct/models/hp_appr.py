@@ -1,11 +1,12 @@
 """`hp`: flagship pipeline backed by the fused Pallas kernels.
 
 TPU re-design of main_newAppr.cu's HpApprDCT (kernels at
-main_newAppr.cu:177-250, wrappers :252-332).  See
-tpudct.kernels.hp_pallas for the kernel formulation.  On non-TPU backends
-(e.g. the forced-8-device CPU test mesh) the kernels run in Pallas
-interpreter mode; images whose width doesn't tile by 128 lanes fall back to
-the mathematically identical `batched` einsum path.
+main_newAppr.cu:177-250, wrappers :252-332).  See tpudct.kernels.hp_pallas
+for the kernel formulation and the measured perf rationale (int8 exact
+core, buffer aliasing, u8-native variants).  On non-TPU backends (e.g. the
+forced-8-device CPU test mesh) the kernels run in Pallas interpreter mode;
+images whose width doesn't tile by 128 lanes fall back to the
+mathematically identical `batched` einsum path.
 """
 
 from __future__ import annotations
@@ -37,6 +38,7 @@ class HpApprPipeline(Pipeline):
             band_rows=cfg.band_rows,
             tile_cols=cfg.tile_cols,
             interpret=_interpret(cfg),
+            int_core=cfg.exact_int_core,
         )
 
     def idct(self, coeffs, cfg: CodecConfig):
@@ -52,7 +54,7 @@ class HpApprPipeline(Pipeline):
         )
 
     def roundtrip(self, image, cfg: CodecConfig):
-        """Single fully fused kernel when supported (see hp_pallas.hp_roundtrip)."""
+        """Single fully fused kernel when supported (see hp_pallas)."""
         from tpudct.ops.transform import to_uint8
 
         h, w = image.shape
@@ -65,8 +67,53 @@ class HpApprPipeline(Pipeline):
             band_rows=cfg.band_rows,
             tile_cols=cfg.tile_cols,
             interpret=_interpret(cfg),
+            int_core=cfg.exact_int_core,
         )
         return c, to_uint8(r)
+
+    # ---- u8-native fast path (no reference analog: the reference stages
+    # everything through f32 on the host, utils.cu:10-15) ----------------
+
+    def encode_u8(self, image_u8, cfg: CodecConfig):
+        """uint8 image -> int8 coefficient map (4x less HBM traffic)."""
+        h, w = image_u8.shape
+        if not hp_pallas.supports_u8(h, w, cfg.q_scale):
+            raise ValueError(
+                f"u8 path needs h%32==0, w%128==0 and q_scale>={hp_pallas._MAX_COEFF/127.0:.2f} (got {h}x{w}, q_scale={cfg.q_scale})"
+            )
+        return hp_pallas.hp_encode_u8(
+            image_u8, q_scale=cfg.q_scale, retain_k=cfg.retain_k,
+            band_rows=cfg.band_rows, tile_cols=cfg.tile_cols,
+            interpret=_interpret(cfg),
+        )
+
+    def decode_u8(self, coeffs_i8, cfg: CodecConfig):
+        """int8 coefficient map -> uint8 reconstruction."""
+        return hp_pallas.hp_decode_u8(
+            coeffs_i8, q_scale=cfg.q_scale,
+            band_rows=cfg.band_rows, tile_cols=cfg.tile_cols,
+            interpret=_interpret(cfg),
+        )
+
+    def roundtrip_u8(self, image_u8, cfg: CodecConfig):
+        """Fully fused u8-native pass: uint8 -> (int8 coeffs, uint8 recon)."""
+        h, w = image_u8.shape
+        if hp_pallas._MAX_COEFF / cfg.q_scale > 127.0:
+            # int8 coefficients would wrap around — refuse rather than
+            # silently corrupt (use the f32 roundtrip for q_scale < ~0.77).
+            raise ValueError(
+                f"q_scale={cfg.q_scale} overflows int8 coefficients; use roundtrip()"
+            )
+        if not hp_pallas.supports_u8(h, w, cfg.q_scale):
+            import jax.numpy as jnp
+
+            c, r = self.roundtrip(jnp.asarray(image_u8, jnp.float32), cfg)
+            return c.astype(jnp.int8), r
+        return hp_pallas.hp_roundtrip_u8(
+            image_u8, q_scale=cfg.q_scale, retain_k=cfg.retain_k,
+            band_rows=cfg.band_rows, tile_cols=cfg.tile_cols,
+            interpret=_interpret(cfg),
+        )
 
 
 register(HpApprPipeline())
