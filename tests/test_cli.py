@@ -70,13 +70,17 @@ def test_info(capsys):
     assert "hp" in rep["pipelines"] and rep["backend"] == "cpu"
 
 
-def test_run_rejects_bad_size(tmp_path, rng, capsys):
+def test_run_pads_non_multiple_sizes(tmp_path, rng, capsys):
+    # Non-8-multiple images are edge-padded and cropped back (the reference
+    # silently skips tail pixels; we handle them).
     img = rng.integers(0, 256, size=(60, 60)).astype(np.uint8)
     from PIL import Image
 
-    p = tmp_path / "bad.png"
-    jp = tmp_path / "bad.jpg"
+    jp = tmp_path / "odd.jpg"
     Image.fromarray(img, "L").save(jp, format="JPEG")
-    rc = main(["run", str(jp), str(tmp_path / "o.jpg")])
-    assert rc == 2
-    assert "not divisible" in capsys.readouterr().err
+    out = tmp_path / "o.jpg"
+    rc = main(["run", "--pipeline", "batched", str(jp), str(out)])
+    assert rc == 0
+    assert imageio.load_jpeg(out).shape == (60, 60)
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["shape"] == [60, 60]

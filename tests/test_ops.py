@@ -74,3 +74,19 @@ def test_apply_retention_zeroes_high_freq():
 def test_to_uint8_clamps():
     x = jnp.array([-5.0, 0.0, 254.6, 300.0])
     np.testing.assert_array_equal(np.asarray(to_uint8(x)), np.array([0, 0, 254, 255], np.uint8))
+
+
+def test_padding_roundtrip(rng):
+    from tpudct.ops.padding import pad_to_blocks, crop, padded_shape
+
+    x = jnp.asarray(rng.integers(0, 256, (60, 100)).astype(np.float32))
+    p, (h, w) = pad_to_blocks(x)
+    assert p.shape == padded_shape(60, 100) == (64, 104)
+    np.testing.assert_array_equal(np.asarray(crop(p, h, w)), np.asarray(x))
+    # Edge replication: last real row/col extends.
+    assert float(p[63, 0]) == float(x[59, 0])
+    assert float(p[0, 103]) == float(x[0, 99])
+    # Already-aligned images pass through untouched.
+    y = jnp.zeros((64, 64))
+    p2, _ = pad_to_blocks(y)
+    assert p2 is y

@@ -96,3 +96,27 @@ def test_q_scale(image256):
     mse_f = float(((np.asarray(rec_fine).astype(np.float64) - image256) ** 2).mean())
     mse_c = float(((np.asarray(rec_coarse).astype(np.float64) - image256) ** 2).mean())
     assert mse_f < mse_c
+
+
+def test_roundtrip_batch(image256):
+    import jax.numpy as jnp
+
+    p = get_pipeline("batched")
+    batch = jnp.stack([jnp.asarray(image256), jnp.asarray(image256[::-1].copy())])
+    cb, rb = p.roundtrip_batch(batch, CFG)
+    assert cb.shape == rb.shape == batch.shape
+    c0, r0 = p.roundtrip(batch[0], CFG)
+    np.testing.assert_array_equal(np.asarray(rb[0]), np.asarray(r0))
+
+
+def test_roundtrip_padded(rng):
+    import jax.numpy as jnp
+
+    p = get_pipeline("batched")
+    img = rng.integers(0, 256, (60, 100)).astype(np.float32)
+    c, r = p.roundtrip_padded(jnp.asarray(img), CFG)
+    assert r.shape == (60, 100) and c.shape == (64, 104)
+    mse = float(((np.asarray(r).astype(np.float64) - img) ** 2).mean())
+    _, r_aligned = p.roundtrip(jnp.asarray(img[:56, :96]), CFG)
+    mse_a = float(((np.asarray(r_aligned).astype(np.float64) - img[:56, :96]) ** 2).mean())
+    assert abs(mse - mse_a) < 0.35 * max(mse_a, 1.0)  # padding shouldn't wreck quality

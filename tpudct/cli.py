@@ -53,26 +53,27 @@ def cmd_run(args) -> int:
     from tpudct.models import get_pipeline
     from tpudct.utils import imageio, metrics, serialize
 
+    from tpudct.ops.padding import crop, pad_to_blocks
+
     img = imageio.load_jpeg(args.input)
     h, w = img.shape
-    if h % 8 or w % 8:
-        print(f"error: image {h}x{w} not divisible into 8x8 blocks", file=sys.stderr)
-        return 2
     cfg = _cfg_from(args)
     p = get_pipeline(args.pipeline)
-    x = jnp.asarray(img, jnp.float32)
+    x, _ = pad_to_blocks(jnp.asarray(img, jnp.float32))
     if args.corners:
         _print_corner("input", img)
     c = p.encode(x, cfg)
     if args.corners:
         _print_corner("DCT+quant", c)
     rec = p.idct(c, cfg)
-    rec_u8 = np.clip(np.trunc(np.asarray(rec)), 0, 255).astype(np.uint8)
+    rec_u8 = np.asarray(crop(jnp.clip(jnp.trunc(rec), 0, 255).astype(jnp.uint8), h, w))
     if args.corners:
         _print_corner("IDCT", rec_u8)
     imageio.save_jpeg(args.output, rec_u8, quality=args.quality)
     if args.coeffs:
-        n = serialize.save_coefficients(args.coeffs, np.asarray(c), cfg.q_scale, cfg.retain_k)
+        n = serialize.save_coefficients(
+            args.coeffs, np.asarray(c), cfg.q_scale, cfg.retain_k, orig_shape=(h, w)
+        )
         print(f"coefficients -> {args.coeffs} ({n} bytes)")
     rep = metrics.quality_report(img, rec_u8, np.asarray(c))
     print(json.dumps({"pipeline": p.name, "shape": [h, w], **rep}))
@@ -85,10 +86,13 @@ def cmd_encode(args) -> int:
     from tpudct.models import get_pipeline
     from tpudct.utils import imageio, serialize
 
+    from tpudct.ops.padding import pad_to_blocks
+
     img = imageio.load_jpeg(args.input)
     cfg = _cfg_from(args)
-    c = get_pipeline(args.pipeline).encode(jnp.asarray(img, jnp.float32), cfg)
-    n = serialize.save_coefficients(args.output, np.asarray(c), cfg.q_scale, cfg.retain_k)
+    x, (h, w) = pad_to_blocks(jnp.asarray(img, jnp.float32))
+    c = get_pipeline(args.pipeline).encode(x, cfg)
+    n = serialize.save_coefficients(args.output, np.asarray(c), cfg.q_scale, cfg.retain_k, orig_shape=(h, w))
     print(json.dumps({"bytes": n, "raw_bytes": img.size, "factor_vs_raw": img.size / n}))
     return 0
 
@@ -100,9 +104,10 @@ def cmd_decode(args) -> int:
     from tpudct.models import get_pipeline
     from tpudct.utils import imageio, serialize
 
-    coeffs, q_scale, _k = serialize.load_coefficients(args.input)
+    coeffs, q_scale, _k, (h, w) = serialize.load_coefficients(args.input, with_orig_shape=True)
     rec = get_pipeline(args.pipeline).idct(jnp.asarray(coeffs), CodecConfig(q_scale=q_scale))
-    imageio.save_jpeg(args.output, np.clip(np.trunc(np.asarray(rec)), 0, 255).astype(np.uint8), quality=args.quality)
+    rec_u8 = np.clip(np.trunc(np.asarray(rec)), 0, 255).astype(np.uint8)[:h, :w]
+    imageio.save_jpeg(args.output, rec_u8, quality=args.quality)
     print(f"decoded {args.input} -> {args.output}")
     return 0
 

@@ -55,6 +55,32 @@ class Pipeline(abc.ABC):
         c = self.encode(image, cfg)
         return c, to_uint8(self.idct(c, cfg))
 
+    def roundtrip_batch(self, images, cfg: CodecConfig):
+        """(B, H, W) batch pass.
+
+        8x8 blocks are independent, so a batch is just a taller image: the
+        (B, H, W) stack folds to (B*H, W), runs through the single-image
+        path (one kernel launch for the whole batch — the TPU-native answer
+        to 'more images' is 'a bigger grid', exactly like the reference's
+        scaling axis being image size, SURVEY.md §5), and unfolds.
+        """
+        b, h, w = images.shape
+        c, r = self.roundtrip(images.reshape(b * h, w), cfg)
+        return c.reshape(b, h, w), r.reshape(b, h, w)
+
+    def roundtrip_padded(self, image, cfg: CodecConfig):
+        """Arbitrary-size pass: edge-pad to block multiples, crop back.
+
+        Returns (coeffs_padded, recon_cropped_u8). The reference silently
+        leaves tail pixels untransformed for non-multiple sizes (grid
+        round-down, main_newAppr.cu:261-264); here they are handled.
+        """
+        from tpudct.ops.padding import crop, pad_to_blocks
+
+        padded, (h, w) = pad_to_blocks(image)
+        c, r = self.roundtrip(padded, cfg)
+        return c, crop(r, h, w)
+
     def jit_roundtrip(self, cfg: CodecConfig) -> Callable:
         """One compiled graph for the full codec pass."""
         return jax.jit(lambda x: self.roundtrip(x, cfg))
