@@ -115,3 +115,20 @@ def test_u8_retention(rng):
         for v in range(8):
             if u + v >= 2:
                 assert np.all(blocks[:, u, :, v] == 0)
+
+
+def test_decode_precision_high_tier(rng):
+    # bf16x3 serving tier: bounded deviation from the HIGHEST path.
+    img = rng.integers(0, 256, (128, 256)).astype(np.uint8)
+    _, r_hi = hp_roundtrip_u8(jnp.asarray(img), interpret=True)
+    _, r_h = hp_roundtrip_u8(jnp.asarray(img), interpret=True, decode_precision="high")
+    d = np.abs(np.asarray(r_hi).astype(int) - np.asarray(r_h).astype(int))
+    assert d.max() <= 1 and (d > 0).mean() <= 2e-3
+
+
+def test_decode_precision_validates():
+    import pytest as _pytest
+
+    img = jnp.zeros((32, 128), jnp.uint8)
+    with _pytest.raises(ValueError):
+        hp_roundtrip_u8(img, interpret=True, decode_precision="fast")

@@ -153,6 +153,26 @@ def _round_away(z):
     return jnp.sign(z) * jnp.floor(jnp.abs(z) + 0.5)
 
 
+def _dot_b16x3(a, b):
+    """Manual bf16x3 (~Precision.HIGH, which Mosaic does not lower): split
+    both operands into bf16 hi+lo, compute the three significant products
+    on the bf16 MXU path, accumulate in f32.  Max error measured ~0.2 gray
+    levels through the inverse transform — the opt-in fast-decode tier."""
+    f32, b16 = jnp.float32, jnp.bfloat16
+    a_hi = a.astype(b16)
+    a_lo = (a - a_hi.astype(f32)).astype(b16)
+    b_hi = b.astype(b16)
+    b_lo = (b - b_hi.astype(f32)).astype(b16)
+    d = lambda x, y: jax.lax.dot(x, y, preferred_element_type=f32)
+    return d(a_hi, b_hi) + d(a_lo, b_hi) + d(a_hi, b_lo)
+
+
+def _dot_prec(a, b, precision: str):
+    if precision == "high":
+        return _dot_b16x3(a, b)
+    return jax.lax.dot(a, b, precision=_HIGHEST, preferred_element_type=jnp.float32)
+
+
 def _fwd_tile_int(x_i8, bdts, bdts_l, scale):
     """Exact integer Haweel core: c = round_away((Ts X Ts^T) * scale).
 
@@ -194,17 +214,20 @@ def _fwd_tile_f32(x, bdt, bdl, qt, mask=None):
     return jnp.concatenate(cols, axis=1) if len(cols) > 1 else cols[0]
 
 
-def _inv_tile(c, bdt, bdl, qt):
-    """dequant -> BDT^T @ Y @ BDT -> unshift (f32 HIGHEST; see docstring)."""
+def _inv_tile(c, bdt, bdl, qt, precision="highest"):
+    """dequant -> BDT^T @ Y @ BDT -> unshift.
+
+    precision: HIGHEST (default, reference-faithful: max 5e-4 gray-level
+    error vs f64) or HIGH (bf16x3: 2x cheaper, max ~0.2 gray-level error —
+    up to +-1 on reconstructed pixels after truncation; opt-in via
+    CodecConfig.decode_precision for serving paths that tolerate it)."""
     tc = c.shape[1]
     cols = []
     for t in range(tc // LANE):
         y = c[:, t * LANE : (t + 1) * LANE] * qt
-        cols.append(
-            jax.lax.dot(y, bdl, precision=_HIGHEST, preferred_element_type=jnp.float32)
-        )
+        cols.append(_dot_prec(y, bdl, precision))
     y = jnp.concatenate(cols, axis=1) if len(cols) > 1 else cols[0]
-    x = jax.lax.dot(bdt.T, y, precision=_HIGHEST, preferred_element_type=jnp.float32)
+    x = _dot_prec(bdt.T, y, precision)
     return x + LEVEL_SHIFT
 
 
@@ -229,15 +252,15 @@ def _k_dct_f32(x_ref, a_ref, b_ref, q_ref, o_ref):
     o_ref[:] = _fwd_tile_f32(x_ref[:], a_ref[:], b_ref[:], q_ref[:])
 
 
-def _k_idct(c_ref, a_ref, b_ref, q_ref, o_ref):
-    o_ref[:] = _inv_tile(c_ref[:], a_ref[:], b_ref[:], q_ref[:])
+def _k_idct(c_ref, a_ref, b_ref, q_ref, o_ref, *, precision="highest"):
+    o_ref[:] = _inv_tile(c_ref[:], a_ref[:], b_ref[:], q_ref[:], precision)
 
 
-def _k_rt_int(x_ref, a_ref, b_ref, s_ref, fa_ref, fb_ref, fq_ref, c_ref, r_ref):
+def _k_rt_int(x_ref, a_ref, b_ref, s_ref, fa_ref, fb_ref, fq_ref, c_ref, r_ref, *, precision="highest"):
     x = (x_ref[:].astype(jnp.int32) - 128).astype(jnp.int8)
     c = _fwd_tile_int(x, a_ref[:], b_ref[:], s_ref[:])
     c_ref[:] = c
-    r_ref[:] = _inv_tile(c, fa_ref[:], fb_ref[:], fq_ref[:])
+    r_ref[:] = _inv_tile(c, fa_ref[:], fb_ref[:], fq_ref[:], precision)
 
 
 def _k_rt_f32(x_ref, a_ref, b_ref, q_ref, m_ref, c_ref, r_ref):
@@ -251,15 +274,15 @@ def _k_encode_u8(x_ref, a_ref, b_ref, s_ref, o_ref):
     o_ref[:] = _fwd_tile_int(x, a_ref[:], b_ref[:], s_ref[:]).astype(jnp.int8)
 
 
-def _k_decode_u8(c_ref, a_ref, b_ref, q_ref, o_ref):
-    o_ref[:] = _to_u8(_inv_tile(c_ref[:].astype(jnp.float32), a_ref[:], b_ref[:], q_ref[:]))
+def _k_decode_u8(c_ref, a_ref, b_ref, q_ref, o_ref, *, precision="highest"):
+    o_ref[:] = _to_u8(_inv_tile(c_ref[:].astype(jnp.float32), a_ref[:], b_ref[:], q_ref[:], precision))
 
 
-def _k_rt_u8(x_ref, a_ref, b_ref, s_ref, fa_ref, fb_ref, fq_ref, c_ref, r_ref):
+def _k_rt_u8(x_ref, a_ref, b_ref, s_ref, fa_ref, fb_ref, fq_ref, c_ref, r_ref, *, precision="highest"):
     x = (x_ref[:].astype(jnp.int32) - 128).astype(jnp.int8)
     c = _fwd_tile_int(x, a_ref[:], b_ref[:], s_ref[:])
     c_ref[:] = c.astype(jnp.int8)
-    r_ref[:] = _to_u8(_inv_tile(c, fa_ref[:], fb_ref[:], fq_ref[:]))
+    r_ref[:] = _to_u8(_inv_tile(c, fa_ref[:], fb_ref[:], fq_ref[:], precision))
 
 
 # ---------------------------------------------------------------------------
@@ -286,6 +309,13 @@ def _call(kernel, h, w, br, tc, consts, out_specs_dtypes, interpret, aliases=Non
         interpret=interpret,
     )
     return fn
+
+
+
+def _prec(name: str):
+    if name not in ("highest", "high"):
+        raise ValueError(f"decode_precision must be 'highest' or 'high', got {name!r}")
+    return name
 
 
 def _jit(*names):
@@ -320,24 +350,26 @@ def hp_dct(
     )
 
 
-@_jit("q_scale", "band_rows", "tile_cols", "interpret")
+@_jit("q_scale", "band_rows", "tile_cols", "interpret", "decode_precision")
 def hp_idct(
     coeffs,
     q_scale: float = 1.0,
     band_rows: int = 128,
     tile_cols: int = 512,
     interpret: bool = False,
+    decode_precision: str = "highest",
 ):
     """(H, W) f32 quantized coefficients -> (H, W) f32 reconstruction."""
     h, w = coeffs.shape
     br, tc = _geometry(h, w, band_rows, tile_cols)
     consts = _consts_f32(br, q_scale)
-    return _call(_k_idct, h, w, br, tc, consts, [jnp.float32], interpret, {0: 0})(
+    kern = functools.partial(_k_idct, precision=_prec(decode_precision))
+    return _call(kern, h, w, br, tc, consts, [jnp.float32], interpret, {0: 0})(
         coeffs, *consts
     )
 
 
-@_jit("q_scale", "retain_k", "band_rows", "tile_cols", "interpret", "int_core")
+@_jit("q_scale", "retain_k", "band_rows", "tile_cols", "interpret", "int_core", "decode_precision")
 def hp_roundtrip(
     image,
     q_scale: float = 1.0,
@@ -346,6 +378,7 @@ def hp_roundtrip(
     tile_cols: int = 512,
     interpret: bool = False,
     int_core: bool = True,
+    decode_precision: str = "highest",
 ):
     """Fully fused codec pass: f32 image -> (f32 coefficients, f32 recon).
 
@@ -361,7 +394,7 @@ def hp_roundtrip(
     if int_core:
         iconsts = _consts_int(br, q_scale, retain_k)
         consts = (*iconsts, *fconsts)
-        kern = _k_rt_int
+        kern = functools.partial(_k_rt_int, precision=_prec(decode_precision))
     else:
         mask = np.tile(
             retention_mask(retain_k), (br // BLOCK_SIZE, LANE // BLOCK_SIZE)
@@ -394,25 +427,27 @@ def hp_encode_u8(
     )
 
 
-@_jit("q_scale", "band_rows", "tile_cols", "interpret")
+@_jit("q_scale", "band_rows", "tile_cols", "interpret", "decode_precision")
 def hp_decode_u8(
     coeffs_i8,
     q_scale: float = 1.0,
     band_rows: int = 128,
     tile_cols: int = 512,
     interpret: bool = False,
+    decode_precision: str = "highest",
 ):
     """(H, W) int8 coefficients -> (H, W) uint8 reconstruction (fused
     dequant + inverse + unshift + clamp + cast)."""
     h, w = coeffs_i8.shape
     br, tc = _geometry(h, w, band_rows, tile_cols, row_align=32)
     consts = _consts_f32(br, q_scale)
-    return _call(_k_decode_u8, h, w, br, tc, consts, [jnp.uint8], interpret)(
+    kern = functools.partial(_k_decode_u8, precision=_prec(decode_precision))
+    return _call(kern, h, w, br, tc, consts, [jnp.uint8], interpret)(
         coeffs_i8, *consts
     )
 
 
-@_jit("q_scale", "retain_k", "band_rows", "tile_cols", "interpret")
+@_jit("q_scale", "retain_k", "band_rows", "tile_cols", "interpret", "decode_precision")
 def hp_roundtrip_u8(
     image_u8,
     q_scale: float = 1.0,
@@ -420,6 +455,7 @@ def hp_roundtrip_u8(
     band_rows: int = 128,
     tile_cols: int = 512,
     interpret: bool = False,
+    decode_precision: str = "highest",
 ):
     """Fully fused u8-native codec pass: uint8 image -> (int8 coefficients,
     uint8 reconstruction).  192 MB total HBM traffic at 8192^2 vs 768 MB
@@ -428,7 +464,8 @@ def hp_roundtrip_u8(
     br, tc = _geometry(h, w, band_rows, tile_cols, row_align=32)
     iconsts = _consts_int(br, q_scale, retain_k)
     fconsts = _consts_f32(br, q_scale)
+    kern = functools.partial(_k_rt_u8, precision=_prec(decode_precision))
     return _call(
-        _k_rt_u8, h, w, br, tc, (*iconsts, *fconsts),
+        kern, h, w, br, tc, (*iconsts, *fconsts),
         [jnp.int8, jnp.uint8], interpret, {0: 1},
     )(image_u8, *iconsts, *fconsts)

@@ -51,6 +51,7 @@ class HpApprPipeline(Pipeline):
             band_rows=cfg.band_rows,
             tile_cols=cfg.tile_cols,
             interpret=_interpret(cfg),
+            decode_precision=cfg.decode_precision,
         )
 
     def roundtrip(self, image, cfg: CodecConfig):
@@ -68,6 +69,7 @@ class HpApprPipeline(Pipeline):
             tile_cols=cfg.tile_cols,
             interpret=_interpret(cfg),
             int_core=cfg.exact_int_core,
+            decode_precision=cfg.decode_precision,
         )
         return c, to_uint8(r)
 
@@ -93,6 +95,7 @@ class HpApprPipeline(Pipeline):
             coeffs_i8, q_scale=cfg.q_scale,
             band_rows=cfg.band_rows, tile_cols=cfg.tile_cols,
             interpret=_interpret(cfg),
+            decode_precision=cfg.decode_precision,
         )
 
     def roundtrip_u8(self, image_u8, cfg: CodecConfig):
@@ -113,6 +116,7 @@ class HpApprPipeline(Pipeline):
             image_u8, q_scale=cfg.q_scale, retain_k=cfg.retain_k,
             band_rows=cfg.band_rows, tile_cols=cfg.tile_cols,
             interpret=_interpret(cfg),
+            decode_precision=cfg.decode_precision,
         )
 
 
