@@ -84,3 +84,24 @@ def test_run_pads_non_multiple_sizes(tmp_path, rng, capsys):
     assert imageio.load_jpeg(out).shape == (60, 60)
     rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep["shape"] == [60, 60]
+
+
+def test_batch_resumable(tmp_path, rng, capsys):
+    src = tmp_path / "in"
+    dst = tmp_path / "out"
+    src.mkdir()
+    for i in range(3):
+        imageio.save_jpeg(src / f"im{i}.jpg", rng.integers(0, 256, (64, 64)).astype(np.uint8))
+    assert main(["batch", "--pipeline", "batched", str(src), str(dst)]) == 0
+    rep = json.loads(capsys.readouterr().out.strip())
+    assert rep["encoded"] == 3 and rep["skipped"] == 0
+    assert sorted(p.name for p in dst.glob("*.tdc")) == ["im0.tdc", "im1.tdc", "im2.tdc"]
+    # add one more file; rerun resumes
+    imageio.save_jpeg(src / "im3.jpg", rng.integers(0, 256, (64, 64)).astype(np.uint8))
+    assert main(["batch", "--pipeline", "batched", str(src), str(dst)]) == 0
+    rep = json.loads(capsys.readouterr().out.strip())
+    assert rep["encoded"] == 1 and rep["skipped"] == 3
+    # each .tdc decodes
+    from tpudct.utils import serialize
+    c, qs, k, (h, w) = serialize.load_coefficients(dst / "im3.tdc", with_orig_shape=True)
+    assert (h, w) == (64, 64)

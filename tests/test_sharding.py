@@ -92,3 +92,12 @@ def test_uneven_device_counts(image256):
         xs = shard_image(jnp.asarray(image256), mesh)
         c, r = sharded_roundtrip(get_pipeline("batched"), CodecConfig(), mesh)(xs)
         assert gather(r).shape == image256.shape
+
+
+def test_scaling_table_cpu_mesh():
+    from tpudct.parallel.scaling import scaling_table
+
+    rows = scaling_table(size=256, pipeline="batched", device_counts=[1, 2, 4], reps=1)
+    assert [r["devices"] for r in rows] == [1, 2, 4]
+    for r in rows:
+        assert r["pair_ms"] >= 0.0 and r["efficiency"] > 0.0

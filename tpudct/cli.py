@@ -141,6 +141,67 @@ def cmd_table(args) -> int:
     return 0
 
 
+def cmd_batch(args) -> int:
+    """Bulk encode a directory of JPEGs to .tdc files, resumably.
+
+    The reference persists nothing but one output JPEG per run (SURVEY.md
+    §5: checkpoint/resume "none"); production bulk jobs need restartable
+    progress.  A manifest (JSONL, one record per completed file) makes the
+    command idempotent: re-running skips completed work.
+    """
+    import pathlib
+
+    import jax.numpy as jnp
+
+    from tpudct.models import get_pipeline
+    from tpudct.ops.padding import pad_to_blocks
+    from tpudct.utils import imageio, serialize
+
+    src = pathlib.Path(args.input_dir)
+    dst = pathlib.Path(args.output_dir)
+    dst.mkdir(parents=True, exist_ok=True)
+    manifest = dst / "manifest.jsonl"
+    done = set()
+    if manifest.exists():
+        for line in manifest.read_text().splitlines():
+            try:
+                done.add(json.loads(line)["file"])
+            except (json.JSONDecodeError, KeyError):
+                continue
+
+    cfg = _cfg_from(args)
+    p = get_pipeline(args.pipeline)
+    files = sorted(q.name for q in src.iterdir() if q.suffix.lower() in (".jpg", ".jpeg"))
+    skipped = coded = 0
+    with open(manifest, "a") as mf:
+        for name in files:
+            if name in done:
+                skipped += 1
+                continue
+            img = imageio.load_jpeg(src / name)
+            x, (h, w) = pad_to_blocks(jnp.asarray(img, jnp.float32))
+            c = p.encode(x, cfg)
+            out = dst / (pathlib.Path(name).stem + ".tdc")
+            n = serialize.save_coefficients(out, np.asarray(c), cfg.q_scale, cfg.retain_k, orig_shape=(h, w))
+            rec = {"file": name, "tdc": out.name, "bytes": n, "shape": [h, w]}
+            mf.write(json.dumps(rec) + "\n")
+            mf.flush()
+            coded += 1
+    print(json.dumps({"encoded": coded, "skipped": skipped, "total": len(files), "manifest": str(manifest)}))
+    return 0
+
+
+def cmd_scale(args) -> int:
+    from tpudct.parallel.scaling import scaling_table
+
+    counts = None
+    if args.devices:
+        counts = [int(x) for x in args.devices.split(",")]
+    for row in scaling_table(args.size, args.pipeline, counts, _cfg_from(args), reps=args.reps):
+        print(json.dumps(row))
+    return 0
+
+
 def cmd_info(_args) -> int:
     import jax
 
@@ -202,6 +263,19 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--pipeline", default="hp")
     sp.add_argument("input")
     sp.set_defaults(fn=cmd_table)
+
+    sp = sub.add_parser("batch", help="bulk encode a directory to .tdc, resumable via manifest")
+    _add_codec_flags(sp)
+    sp.add_argument("input_dir")
+    sp.add_argument("output_dir")
+    sp.set_defaults(fn=cmd_batch)
+
+    sp = sub.add_parser("scale", help="scaling-efficiency table across device counts")
+    _add_codec_flags(sp)
+    sp.add_argument("--size", type=int, default=2048)
+    sp.add_argument("--devices", default=None, help="comma list, default powers of 2 up to available")
+    sp.add_argument("--reps", type=int, default=3)
+    sp.set_defaults(fn=cmd_scale)
 
     sp = sub.add_parser("info", help="environment / backend report")
     sp.set_defaults(fn=cmd_info)

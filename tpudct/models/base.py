@@ -15,7 +15,6 @@ import abc
 from typing import Callable, Dict
 
 import jax
-import jax.numpy as jnp
 
 from tpudct.config import CodecConfig
 from tpudct.ops.quant import apply_retention

@@ -9,7 +9,6 @@ lowers to cheap layout ops and that feeds batched MXU contractions.
 
 from __future__ import annotations
 
-import jax.numpy as jnp
 
 from tpudct.constants import BLOCK_SIZE
 

@@ -17,6 +17,7 @@ from tpudct.parallel.sharding import (
     sharded_codec_step,
     gather,
 )
+from tpudct.parallel.scaling import scaling_table
 
 __all__ = [
     "band_mesh",
@@ -26,4 +27,5 @@ __all__ = [
     "sharded_roundtrip",
     "sharded_codec_step",
     "gather",
+    "scaling_table",
 ]

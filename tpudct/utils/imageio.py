@@ -15,7 +15,7 @@ import io
 import os
 import pathlib
 import subprocess
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 
