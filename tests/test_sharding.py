@@ -101,3 +101,13 @@ def test_scaling_table_cpu_mesh():
     assert [r["devices"] for r in rows] == [1, 2, 4]
     for r in rows:
         assert r["pair_ms"] >= 0.0 and r["efficiency"] > 0.0
+
+
+def test_ring_all_gather_interpret(image256):
+    """Hand-rolled RDMA ring reassembly (parallel/ring.py) vs the truth."""
+    from tpudct.parallel.ring import ring_all_gather
+
+    mesh = band_mesh()
+    xs = shard_image(jnp.asarray(image256), mesh)
+    full = ring_all_gather(xs, mesh, interpret=True)
+    np.testing.assert_array_equal(np.asarray(full), image256)
