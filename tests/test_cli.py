@@ -95,7 +95,8 @@ def test_batch_resumable(tmp_path, rng, capsys):
     assert main(["batch", "--pipeline", "batched", str(src), str(dst)]) == 0
     rep = json.loads(capsys.readouterr().out.strip())
     assert rep["encoded"] == 3 and rep["skipped"] == 0
-    assert sorted(p.name for p in dst.glob("*.tdc")) == ["im0.tdc", "im1.tdc", "im2.tdc"]
+    # Output keeps the full input name so a.jpg / a.jpeg cannot collide.
+    assert sorted(p.name for p in dst.glob("*.tdc")) == ["im0.jpg.tdc", "im1.jpg.tdc", "im2.jpg.tdc"]
     # add one more file; rerun resumes
     imageio.save_jpeg(src / "im3.jpg", rng.integers(0, 256, (64, 64)).astype(np.uint8))
     assert main(["batch", "--pipeline", "batched", str(src), str(dst)]) == 0
@@ -103,5 +104,5 @@ def test_batch_resumable(tmp_path, rng, capsys):
     assert rep["encoded"] == 1 and rep["skipped"] == 3
     # each .tdc decodes
     from tpudct.utils import serialize
-    c, qs, k, (h, w) = serialize.load_coefficients(dst / "im3.tdc", with_orig_shape=True)
+    c, qs, k, (h, w) = serialize.load_coefficients(dst / "im3.jpg.tdc", with_orig_shape=True)
     assert (h, w) == (64, 64)

@@ -68,8 +68,8 @@ def bench_pipeline(
     ref = REFERENCE_HP_DCT_MS.get(size)
     if ref is not None:
         out["ref_hp_dct_ms"] = ref
-        out["speedup_dct_vs_ref_hp"] = ref / dct_ms if dct_ms > 0 else float("inf")
-        out["speedup_pair_vs_ref_hp"] = (2 * ref) / pair_ms if pair_ms > 0 else float("inf")
+        out["speedup_dct_vs_ref_hp"] = ref / dct_ms if dct_ms > 0 else None
+        out["speedup_pair_vs_ref_hp"] = (2 * ref) / pair_ms if pair_ms > 0 else None
     return out
 
 
@@ -115,13 +115,17 @@ def accuracy_table(image: np.ndarray, pipeline: str = "hp", ks=(6, 7, 8, 9, 10, 
     compression factor across the retained-coefficient sweep."""
     from tpudct.utils.metrics import quality_report
 
+    from tpudct.ops.padding import pad_to_blocks, crop
+
     p = get_pipeline(pipeline)
-    x = jnp.asarray(image, jnp.float32)
+    x, (h, w) = pad_to_blocks(jnp.asarray(image, jnp.float32))
     rows = []
     for k in ks:
         cfg = CodecConfig(retain_k=k)
         c, rec = p.roundtrip(x, cfg)
-        rep = quality_report(image.astype(np.uint8), np.asarray(rec), np.asarray(c))
+        rep = quality_report(
+            image.astype(np.uint8), np.asarray(crop(rec, h, w)), np.asarray(c)
+        )
         rep["k"] = "std" if k is None else k
         rows.append(rep)
     return rows

@@ -62,11 +62,11 @@ def cmd_run(args) -> int:
     x, _ = pad_to_blocks(jnp.asarray(img, jnp.float32))
     if args.corners:
         _print_corner("input", img)
-    c = p.encode(x, cfg)
+    # One fused kernel pass (the flagship hp_roundtrip path when supported).
+    c, rec = p.roundtrip(x, cfg)
     if args.corners:
         _print_corner("DCT+quant", c)
-    rec = p.idct(c, cfg)
-    rec_u8 = np.asarray(crop(jnp.clip(jnp.trunc(rec), 0, 255).astype(jnp.uint8), h, w))
+    rec_u8 = np.asarray(crop(rec, h, w))
     if args.corners:
         _print_corner("IDCT", rec_u8)
     imageio.save_jpeg(args.output, rec_u8, quality=args.quality)
@@ -104,9 +104,11 @@ def cmd_decode(args) -> int:
     from tpudct.models import get_pipeline
     from tpudct.utils import imageio, serialize
 
+    from tpudct.ops.transform import to_uint8
+
     coeffs, q_scale, _k, (h, w) = serialize.load_coefficients(args.input, with_orig_shape=True)
     rec = get_pipeline(args.pipeline).idct(jnp.asarray(coeffs), CodecConfig(q_scale=q_scale))
-    rec_u8 = np.clip(np.trunc(np.asarray(rec)), 0, 255).astype(np.uint8)[:h, :w]
+    rec_u8 = np.asarray(to_uint8(rec))[:h, :w]
     imageio.save_jpeg(args.output, rec_u8, quality=args.quality)
     print(f"decoded {args.input} -> {args.output}")
     return 0
@@ -181,7 +183,8 @@ def cmd_batch(args) -> int:
             img = imageio.load_jpeg(src / name)
             x, (h, w) = pad_to_blocks(jnp.asarray(img, jnp.float32))
             c = p.encode(x, cfg)
-            out = dst / (pathlib.Path(name).stem + ".tdc")
+            # Full input name in the output avoids a.jpg/a.jpeg collisions.
+            out = dst / (name + ".tdc")
             n = serialize.save_coefficients(out, np.asarray(c), cfg.q_scale, cfg.retain_k, orig_shape=(h, w))
             rec = {"file": name, "tdc": out.name, "bytes": n, "shape": [h, w]}
             mf.write(json.dumps(rec) + "\n")

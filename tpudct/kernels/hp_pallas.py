@@ -103,6 +103,10 @@ def supports_u8(h: int, w: int, q_scale: float = 1.0) -> bool:
 
 
 def _geometry(h: int, w: int, band_rows: int, tile_cols: int, row_align: int = BLOCK_SIZE):
+    if h % row_align or w % LANE:
+        raise ValueError(
+            f"kernel needs h % {row_align} == 0 and w % {LANE} == 0, got {h}x{w}"
+        )
     br = min(band_rows, h)
     br -= br % row_align
     tc = min(tile_cols, w)

@@ -91,6 +91,12 @@ class HpApprPipeline(Pipeline):
 
     def decode_u8(self, coeffs_i8, cfg: CodecConfig):
         """int8 coefficient map -> uint8 reconstruction."""
+        h, w = coeffs_i8.shape
+        if h % 32 or w % 128:
+            raise ValueError(
+                f"u8 decode path needs h%32==0 and w%128==0, got {h}x{w}; "
+                "use idct() + to_uint8 for other shapes"
+            )
         return hp_pallas.hp_decode_u8(
             coeffs_i8, q_scale=cfg.q_scale,
             band_rows=cfg.band_rows, tile_cols=cfg.tile_cols,

@@ -37,6 +37,10 @@ def band_mesh(n_devices: Optional[int] = None, devices: Optional[Sequence] = Non
     if devices is None:
         devices = jax.devices()
     if n_devices is not None:
+        if n_devices > len(devices):
+            raise ValueError(
+                f"requested {n_devices} devices, only {len(devices)} available"
+            )
         devices = devices[:n_devices]
     return jax.make_mesh((len(devices),), (BAND_AXIS,), devices=devices)
 

@@ -28,14 +28,37 @@ from tpudct.parallel.mesh import BAND_AXIS, band_spec
 
 
 def _ring_all_gather_kernel(
-    band_ref, out_ref, send_sem, recv_sem, *, num_devices: int, band_rows: int
+    band_ref, out_ref, local_sem, send_sem, recv_sem,
+    *, num_devices: int, band_rows: int, use_barrier: bool
 ):
     """Each device owns one band; after num_devices-1 hops every device
     holds the full image, bands placed at their true row offsets."""
     my_id = lax.axis_index(BAND_AXIS)
 
-    # Place our own band.
-    out_ref[pl.ds(my_id * band_rows, band_rows), :] = band_ref[:]
+    # Place our own band.  Both refs live in ANY/HBM, so this must be a DMA,
+    # not a direct vector store (Mosaic cannot address HBM refs directly).
+    local = pltpu.make_async_copy(
+        band_ref, out_ref.at[pl.ds(my_id * band_rows, band_rows), :], local_sem
+    )
+    local.start()
+    local.wait()
+
+    if num_devices > 1 and use_barrier:
+        # Barrier with both neighbors before the first RDMA: without it a
+        # fast device could push into a neighbor that hasn't entered the
+        # kernel yet (the race the collective_id/barrier pairing prevents).
+        # Skipped in interpret mode: get_barrier_semaphore has no interpret
+        # lowering (and interpret execution is synchronous anyway).
+        barrier = pltpu.get_barrier_semaphore()
+        left = lax.rem(my_id - 1 + num_devices, num_devices)
+        right_n = lax.rem(my_id + 1, num_devices)
+        pltpu.semaphore_signal(
+            barrier, inc=1, device_id=left, device_id_type=pltpu.DeviceIdType.LOGICAL
+        )
+        pltpu.semaphore_signal(
+            barrier, inc=1, device_id=right_n, device_id_type=pltpu.DeviceIdType.LOGICAL
+        )
+        pltpu.semaphore_wait(barrier, 2)
 
     def step(i, _):
         # At step i we forward the band that originated i hops to our left;
@@ -66,14 +89,19 @@ def ring_all_gather(x_sharded, mesh, interpret: bool = False):
     band_rows = h // n
 
     kernel = functools.partial(
-        _ring_all_gather_kernel, num_devices=n, band_rows=band_rows
+        _ring_all_gather_kernel, num_devices=n, band_rows=band_rows,
+        use_barrier=not interpret,
     )
     call = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((h, w), x_sharded.dtype),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
-        scratch_shapes=[pltpu.SemaphoreType.DMA, pltpu.SemaphoreType.DMA],
+        scratch_shapes=[
+            pltpu.SemaphoreType.DMA,  # local placement
+            pltpu.SemaphoreType.DMA,  # ring send
+            pltpu.SemaphoreType.DMA,  # ring recv
+        ],
         compiler_params=pltpu.CompilerParams(collective_id=7),
         interpret=interpret,
     )

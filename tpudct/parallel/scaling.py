@@ -61,21 +61,23 @@ def scaling_table(
 
     img = synthetic_image(size)
     rows = []
-    base_mpix = None
+    base_per_device = None  # throughput per device at the smallest count
     for n in device_counts:
         mesh = band_mesh(n_devices=n)
         xs = shard_image(jnp.asarray(img), mesh)
         op = _sharded_pair(p, cfg, mesh)
         ms = device_time_ms(op, xs, reps=reps)
         mpix = size * size / ms / 1e3
-        if base_mpix is None:
-            base_mpix = mpix
+        if base_per_device is None:
+            base_per_device = mpix / n
         rows.append(
             {
                 "devices": n,
                 "pair_ms": ms,
                 "mpix_per_s": mpix,
-                "efficiency": mpix / (n * base_mpix),
+                # efficiency relative to the smallest measured count, not
+                # hardcoded to n0 == 1: (mpix/n) / (mpix_0/n_0).
+                "efficiency": (mpix / n) / base_per_device,
                 "backend": jax.default_backend(),
             }
         )

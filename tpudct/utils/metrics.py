@@ -33,7 +33,10 @@ def mse(x, y):
 
 
 def psnr(x, y):
-    return 10.0 * jnp.log10(255.0**2 / mse(x, y))
+    # Guard the perfect-reconstruction case: inf is not valid JSON and the
+    # CLI emits these values verbatim (cap matches the sharded-metrics
+    # guard in parallel/sharding.py).
+    return 10.0 * jnp.log10(255.0**2 / jnp.maximum(mse(x, y), 1e-30))
 
 
 def peen(x, y):
