@@ -120,10 +120,61 @@ def test_u8_retention(rng):
 def test_decode_precision_high_tier(rng):
     # bf16x3 serving tier: bounded deviation from the HIGHEST path.
     img = rng.integers(0, 256, (128, 256)).astype(np.uint8)
-    _, r_hi = hp_roundtrip_u8(jnp.asarray(img), interpret=True)
+    _, r_hi = hp_roundtrip_u8(jnp.asarray(img), interpret=True, decode_precision="highest")
     _, r_h = hp_roundtrip_u8(jnp.asarray(img), interpret=True, decode_precision="high")
     d = np.abs(np.asarray(r_hi).astype(int) - np.asarray(r_h).astype(int))
     assert d.max() <= 1 and (d > 0).mean() <= 2e-3
+
+
+@pytest.mark.parametrize("shape", [(128, 128), (64, 256), (256, 384)])
+def test_butterfly_idct_matches_golden(rng, shape):
+    # The VPU add/shift butterfly inverse: every product is x0/+-1/+-2
+    # (exact in f32), so it must sit at least as close to the f64 golden
+    # as the f32-HIGHEST matmul path.
+    img = _img(rng, *shape)
+    coeffs = golden_dct(img).astype(np.float32)
+    r_bf = np.asarray(
+        hp_idct(jnp.asarray(coeffs), interpret=True, decode_precision="butterfly")
+    )
+    g = golden_idct(coeffs)
+    assert np.abs(r_bf - g).max() <= 1e-3
+
+
+def test_butterfly_roundtrip_consistency(rng):
+    img = _img(rng, 128, 256)
+    c_hi, _ = hp_roundtrip(jnp.asarray(img), interpret=True, decode_precision="highest")
+    c_bf, r_bf = hp_roundtrip(
+        jnp.asarray(img), interpret=True, decode_precision="butterfly"
+    )
+    np.testing.assert_array_equal(np.asarray(c_hi), np.asarray(c_bf))
+    r2 = hp_idct(c_bf, interpret=True, decode_precision="butterfly")
+    np.testing.assert_allclose(np.asarray(r_bf), np.asarray(r2), atol=1e-4)
+
+
+def test_butterfly_u8_paths(rng):
+    img = rng.integers(0, 256, (128, 256)).astype(np.uint8)
+    c_hi, r_hi = hp_roundtrip_u8(jnp.asarray(img), interpret=True, decode_precision="highest")
+    c_bf, r_bf = hp_roundtrip_u8(
+        jnp.asarray(img), interpret=True, decode_precision="butterfly"
+    )
+    np.testing.assert_array_equal(np.asarray(c_hi), np.asarray(c_bf))
+    # f32-exact adds: reconstruction may differ from HIGHEST only at
+    # truncation boundaries, by at most 1 gray level on a vanishing fraction.
+    d = np.abs(np.asarray(r_hi).astype(int) - np.asarray(r_bf).astype(int))
+    assert d.max() <= 1 and (d > 0).mean() <= 1e-3
+    r_dec = hp_decode_u8(c_bf, interpret=True, decode_precision="butterfly")
+    np.testing.assert_array_equal(np.asarray(r_dec), np.asarray(r_bf))
+
+
+def test_butterfly_f32_core(rng):
+    img = _img(rng, 64, 128)
+    c, r = hp_roundtrip(
+        jnp.asarray(img), interpret=True, int_core=False,
+        decode_precision="butterfly",
+    )
+    np.testing.assert_allclose(
+        np.asarray(r), golden_idct(np.asarray(c)), atol=1e-3
+    )
 
 
 def test_decode_precision_validates():

@@ -34,11 +34,19 @@ class CodecConfig:
         requires integral pixel values, i.e. u8-sourced images — the
         codec's domain). False bit-mimics the reference's f32 GEMM inputs.
         Either way results differ only at true .5 quantizer ties.
-      decode_precision: inverse-transform matmul precision. "highest"
-        (default) = f32 emulation, max 5e-4 gray-level error vs f64.
-        "high" = manual bf16x3: ~25% faster full-pass, ~0.01% of pixels
-        shift by +-1 after truncation (MSE delta ~1e-4, inside the <=1e-3
-        reference-fidelity budget) — the serving tier.
+      decode_precision: inverse-transform strategy.
+        "butterfly" (default) = hybrid exact inverse: sublane-direction
+        Haweel butterfly (pure VPU adds; every product is x0/+-1/+-2,
+        exact in f32) + lane-direction matmul as an exact 3-way bf16
+        split against the bf16-representable Ts. f32-class accuracy
+        (4.0e-5 vs f64 — tighter than "highest"'s own 4.1e-5) at ~70%
+        of "highest"'s full-pass time.
+        "highest" = 12-pass f32 MXU emulation of the reference's f32
+        GEMM inputs, max 5e-4 gray-level error vs f64 — the
+        bit-faithfulness tier for cross-checking against the reference.
+        "high" = manual bf16x3: fastest full-pass, ~0.01% of pixels
+        shift by +-1 after truncation (MSE delta ~1e-4, inside the
+        <=1e-3 reference-fidelity budget) — the serving tier.
       lane_blocks: how many 8x8 blocks ride one 128-lane tile in the fused
         Pallas kernel (128 // block_size).
       band_rows: sublane rows per Pallas grid step (multiple of 8; 128 puts
@@ -52,7 +60,7 @@ class CodecConfig:
     retain_k: Optional[int] = None
     interpret: bool = False
     exact_int_core: bool = True
-    decode_precision: str = "highest"
+    decode_precision: str = "butterfly"
     band_rows: int = 128
     tile_cols: int = 1024
 

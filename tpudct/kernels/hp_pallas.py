@@ -47,10 +47,22 @@ Performance refinements (all measured on v5e, see git history):
   CUDA-era artifact — the TPU path keeps integers until the math needs
   floats, entirely inside VMEM).
 
-The inverse transform stays f32 with HIGHEST precision: its operands are
-not integer-representable after dequantization (Y*d_i*d_l is irrational),
-and bf16x3 (HIGH) measured 0.19 gray-level error — enough to flip pixel
-truncation vs the reference's f32 GEMMs.  HIGHEST measured 5e-4.
+The inverse transform's operands are not integer-representable after
+dequantization (Y*d_i*d_l is irrational), so no int8 core exists for it.
+Three tiers (CodecConfig.decode_precision, benchmarked head-to-head in
+benchmarks/inv_formulations.py):
+
+* ``butterfly`` (default): hybrid exact inverse.  Row norms fold into the
+  dequant multiply (X = Tsᵀ·(Y ⊙ ddᵀ)·Ts), the sublane direction runs as a
+  22-add Haweel butterfly on the VPU (every product ×0/±1/±2 — exact in
+  f32) and the lane direction as THREE bf16 MXU passes: Ts is
+  bf16-representable and the f32 operand splits exactly into three bf16
+  digits.  f32-class accuracy, measured 4.0e-5 vs f64 — tighter than
+  HIGHEST's 4.1e-5 — at ~70% of its time.
+* ``highest``: 12-pass f32 emulation matching the reference's f32 GEMM
+  inputs; the cross-validation tier.  Measured 5e-4 vs f64.
+* ``high``: bf16x3 both-operand split, 0.19 gray-level error — can flip
+  pixel truncation by ±1 on ~0.01% of pixels; the opt-in serving tier.
 
 Quantization uses true division semantics with half-away-from-zero
 rounding to match CUDA round(A/Q) (utils_kernels.cu:42); the int path
@@ -132,6 +144,20 @@ def _consts_f32(br: int, q_scale: float):
     bdl = block_diag_T(LANE // BLOCK_SIZE).astype(np.float32)
     qt = np.tile(Q * np.float32(q_scale), (br // BLOCK_SIZE, LANE // BLOCK_SIZE)).astype(np.float32)
     return bdt, bdl, qt
+
+
+@functools.lru_cache(maxsize=32)
+def _consts_bf(br: int, q_scale: float):
+    """Butterfly-inverse consts: dequant scale Q·q_scale·outer(d,d) tiled,
+    plus the lane-sized int8 block-diag Ts for the exact bf16 lane matmul.
+
+    X = Tᵀ·Y·T with T = diag(d)·Ts means X = Tsᵀ·(Y ⊙ ddᵀ)·Ts, so the row
+    norms ride the elementwise dequant multiply and the transform proper is
+    integer-patterned (Ts ∈ {0,±1,±2} — exact in bf16)."""
+    d = 1.0 / haweel_row_norms()
+    q8 = Q * np.float64(q_scale) * np.outer(d, d)
+    qdd = np.tile(q8, (br // BLOCK_SIZE, LANE // BLOCK_SIZE)).astype(np.float32)
+    return qdd, _block_diag_ts(LANE // BLOCK_SIZE)
 
 
 @functools.lru_cache(maxsize=32)
@@ -235,6 +261,63 @@ def _inv_tile(c, bdt, bdl, qt, precision="highest"):
     return x + LEVEL_SHIFT
 
 
+def _bf8_sublane(y):
+    """blockdiag(Ts)ᵀ @ y over 8-row blocks along the sublane dim, as 22 VPU
+    adds per 8-vector (the Haweel butterfly read off Ts's columns).  Every
+    product is ×0/±1/±2 — exact in f32 — so accuracy is plain f32 addition,
+    better than the 6-pass bf16 emulation of an f32 MXU matmul."""
+    s_dim, l_dim = y.shape
+    z = y.reshape(s_dim // 8, 8, l_dim)
+    z0, z1, z2, z3 = z[:, 0], z[:, 1], z[:, 2], z[:, 3]
+    z4, z5, z6, z7 = z[:, 4], z[:, 5], z[:, 6], z[:, 7]
+    a = z0 + z4
+    b = z0 - z4
+    c2 = z2 + z2
+    c6 = z6 + z6
+    s = a + c2 + z6
+    t = z1 + z5
+    u = b + z2 - c6
+    v = z1 - z5
+    p = b - z2 + c6
+    q = a - c2 - z6
+    x = jnp.stack(
+        [s + t, u + v, p - z3, q - z7, q + z7, p + z3, u - v, s - t], axis=1
+    )
+    return x.reshape(s_dim, l_dim)
+
+
+def _split3_bf16(a):
+    """Exact 3-way bf16 decomposition of f32: a == a1 + a2 + a3 (24 mantissa
+    bits covered by 3x8).  Each residual subtraction is exact in f32."""
+    f32, b16 = jnp.float32, jnp.bfloat16
+    a1 = a.astype(b16)
+    r1 = a - a1.astype(f32)
+    a2 = r1.astype(b16)
+    a3 = (r1 - a2.astype(f32)).astype(b16)
+    return a1, a2, a3
+
+
+def _inv_tile_bf(c, qdd, ts_i8):
+    """Hybrid exact inverse: dequant (row norms folded into qdd) →
+    sublane-direction Tsᵀ·M as a pure-VPU add butterfly → lane-direction
+    ·Ts as THREE bf16 MXU passes, exact because Ts ∈ {0,±1,±2} is
+    bf16-representable and the f32 left operand splits exactly into three
+    bf16 digits.  Measured fastest of all inverse formulations on v5e
+    (benchmarks/inv_formulations.py): 6 passes of f32-HIGHEST emulation
+    per matmul → 0 + 3 passes total, at f32-class accuracy (4.0e-5 vs f64,
+    tighter than HIGHEST's own 4.1e-5)."""
+    ts = ts_i8.astype(jnp.bfloat16)
+    tc = c.shape[1]
+    cols = []
+    for t in range(tc // LANE):
+        m = c[:, t * LANE : (t + 1) * LANE] * qdd
+        u = _bf8_sublane(m)
+        u1, u2, u3 = _split3_bf16(u)
+        d = lambda x: jax.lax.dot(x, ts, preferred_element_type=jnp.float32)
+        cols.append(d(u1) + d(u2) + d(u3) + LEVEL_SHIFT)
+    return jnp.concatenate(cols, axis=1) if len(cols) > 1 else cols[0]
+
+
 def _to_u8(x):
     """clamp + C-truncation cast (convertToUnsignedChar, utils.cu:18-24).
 
@@ -273,6 +356,24 @@ def _k_rt_f32(x_ref, a_ref, b_ref, q_ref, m_ref, c_ref, r_ref):
     r_ref[:] = _inv_tile(c, a_ref[:], b_ref[:], q_ref[:])
 
 
+def _k_idct_bf(c_ref, s_ref, t_ref, o_ref):
+    o_ref[:] = _inv_tile_bf(c_ref[:], s_ref[:], t_ref[:])
+
+
+def _k_rt_int_bf(x_ref, a_ref, b_ref, s_ref, qdd_ref, c_ref, r_ref):
+    x = (x_ref[:].astype(jnp.int32) - 128).astype(jnp.int8)
+    c = _fwd_tile_int(x, a_ref[:], b_ref[:], s_ref[:])
+    c_ref[:] = c
+    # b_ref (lane-sized int8 block-diag Ts) doubles as the inverse operand.
+    r_ref[:] = _inv_tile_bf(c, qdd_ref[:], b_ref[:])
+
+
+def _k_rt_f32_bf(x_ref, a_ref, b_ref, q_ref, m_ref, qdd_ref, ts_ref, c_ref, r_ref):
+    c = _fwd_tile_f32(x_ref[:], a_ref[:], b_ref[:], q_ref[:], m_ref[:])
+    c_ref[:] = c
+    r_ref[:] = _inv_tile_bf(c, qdd_ref[:], ts_ref[:])
+
+
 def _k_encode_u8(x_ref, a_ref, b_ref, s_ref, o_ref):
     x = (x_ref[:].astype(jnp.int32) - 128).astype(jnp.int8)
     o_ref[:] = _fwd_tile_int(x, a_ref[:], b_ref[:], s_ref[:]).astype(jnp.int8)
@@ -287,6 +388,17 @@ def _k_rt_u8(x_ref, a_ref, b_ref, s_ref, fa_ref, fb_ref, fq_ref, c_ref, r_ref, *
     c = _fwd_tile_int(x, a_ref[:], b_ref[:], s_ref[:])
     c_ref[:] = c.astype(jnp.int8)
     r_ref[:] = _to_u8(_inv_tile(c, fa_ref[:], fb_ref[:], fq_ref[:], precision))
+
+
+def _k_decode_u8_bf(c_ref, s_ref, t_ref, o_ref):
+    o_ref[:] = _to_u8(_inv_tile_bf(c_ref[:].astype(jnp.float32), s_ref[:], t_ref[:]))
+
+
+def _k_rt_u8_bf(x_ref, a_ref, b_ref, s_ref, qdd_ref, c_ref, r_ref):
+    x = (x_ref[:].astype(jnp.int32) - 128).astype(jnp.int8)
+    c = _fwd_tile_int(x, a_ref[:], b_ref[:], s_ref[:])
+    c_ref[:] = c.astype(jnp.int8)
+    r_ref[:] = _to_u8(_inv_tile_bf(c, qdd_ref[:], b_ref[:]))
 
 
 # ---------------------------------------------------------------------------
@@ -317,8 +429,11 @@ def _call(kernel, h, w, br, tc, consts, out_specs_dtypes, interpret, aliases=Non
 
 
 def _prec(name: str):
-    if name not in ("highest", "high"):
-        raise ValueError(f"decode_precision must be 'highest' or 'high', got {name!r}")
+    if name not in ("highest", "high", "butterfly"):
+        raise ValueError(
+            "decode_precision must be 'highest', 'high' or 'butterfly', "
+            f"got {name!r}"
+        )
     return name
 
 
@@ -366,8 +481,12 @@ def hp_idct(
     """(H, W) f32 quantized coefficients -> (H, W) f32 reconstruction."""
     h, w = coeffs.shape
     br, tc = _geometry(h, w, band_rows, tile_cols)
-    consts = _consts_f32(br, q_scale)
-    kern = functools.partial(_k_idct, precision=_prec(decode_precision))
+    if _prec(decode_precision) == "butterfly":
+        consts = _consts_bf(br, q_scale)
+        kern = _k_idct_bf
+    else:
+        consts = _consts_f32(br, q_scale)
+        kern = functools.partial(_k_idct, precision=decode_precision)
     return _call(kern, h, w, br, tc, consts, [jnp.float32], interpret, {0: 0})(
         coeffs, *consts
     )
@@ -394,17 +513,27 @@ def hp_roundtrip(
 
     h, w = image.shape
     br, tc = _geometry(h, w, band_rows, tile_cols)
+    butterfly = _prec(decode_precision) == "butterfly"
     fconsts = _consts_f32(br, q_scale)
     if int_core:
         iconsts = _consts_int(br, q_scale, retain_k)
-        consts = (*iconsts, *fconsts)
-        kern = functools.partial(_k_rt_int, precision=_prec(decode_precision))
+        if butterfly:
+            # only qdd is extra: iconsts already carries the lane-sized Ts.
+            consts = (*iconsts, _consts_bf(br, q_scale)[0])
+            kern = _k_rt_int_bf
+        else:
+            consts = (*iconsts, *fconsts)
+            kern = functools.partial(_k_rt_int, precision=decode_precision)
     else:
         mask = np.tile(
             retention_mask(retain_k), (br // BLOCK_SIZE, LANE // BLOCK_SIZE)
         ).astype(np.float32)
-        consts = (*fconsts, mask)
-        kern = _k_rt_f32
+        if butterfly:
+            consts = (*fconsts, mask, *_consts_bf(br, q_scale))
+            kern = _k_rt_f32_bf
+        else:
+            consts = (*fconsts, mask)
+            kern = _k_rt_f32
     return _call(
         kern, h, w, br, tc, consts, [jnp.float32, jnp.float32], interpret, {0: 1}
     )(image, *consts)
@@ -444,8 +573,12 @@ def hp_decode_u8(
     dequant + inverse + unshift + clamp + cast)."""
     h, w = coeffs_i8.shape
     br, tc = _geometry(h, w, band_rows, tile_cols, row_align=32)
-    consts = _consts_f32(br, q_scale)
-    kern = functools.partial(_k_decode_u8, precision=_prec(decode_precision))
+    if _prec(decode_precision) == "butterfly":
+        consts = _consts_bf(br, q_scale)
+        kern = _k_decode_u8_bf
+    else:
+        consts = _consts_f32(br, q_scale)
+        kern = functools.partial(_k_decode_u8, precision=decode_precision)
     return _call(kern, h, w, br, tc, consts, [jnp.uint8], interpret)(
         coeffs_i8, *consts
     )
@@ -467,9 +600,13 @@ def hp_roundtrip_u8(
     h, w = image_u8.shape
     br, tc = _geometry(h, w, band_rows, tile_cols, row_align=32)
     iconsts = _consts_int(br, q_scale, retain_k)
-    fconsts = _consts_f32(br, q_scale)
-    kern = functools.partial(_k_rt_u8, precision=_prec(decode_precision))
+    if _prec(decode_precision) == "butterfly":
+        consts = (*iconsts, _consts_bf(br, q_scale)[0])
+        kern = _k_rt_u8_bf
+    else:
+        consts = (*iconsts, *_consts_f32(br, q_scale))
+        kern = functools.partial(_k_rt_u8, precision=decode_precision)
     return _call(
-        kern, h, w, br, tc, (*iconsts, *fconsts),
+        kern, h, w, br, tc, consts,
         [jnp.int8, jnp.uint8], interpret, {0: 1},
-    )(image_u8, *iconsts, *fconsts)
+    )(image_u8, *consts)
