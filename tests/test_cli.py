@@ -55,6 +55,17 @@ def test_bench_runs_small(capsys):
     assert row["size"] == 64 and row["dct_ms"] >= 0
 
 
+def test_bench_serving_batch(capsys):
+    # Batch-as-taller-image serving throughput (u8-fused where supported).
+    rc = main(["bench", "--size", "128", "--pipelines", "hp",
+               "--batch", "2", "--reps", "1"])
+    assert rc == 0
+    rows = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    srv = rows[-1]
+    assert srv["pipeline"] == "hp-serving" and srv["batch"] == 2
+    assert srv["images_per_s"] > 0
+
+
 def test_table(jpg, capsys):
     rc = main(["table", "--pipeline", "batched", str(jpg)])
     assert rc == 0

@@ -100,6 +100,53 @@ def bench_fused_roundtrip(size: int, cfg: Optional[CodecConfig] = None, k_pair=N
     }
 
 
+def bench_serving_throughput(
+    size: int = 1024,
+    batch: int = 16,
+    cfg: Optional[CodecConfig] = None,
+    k_pair=None,
+    reps: int = 5,
+) -> dict:
+    """Serving-tier throughput: a batch of B images per device pass.
+
+    8x8 blocks are independent, so a (B, S, S) batch is one (B*S, S) tall
+    image (models/base.py roundtrip_batch) — the whole batch rides ONE
+    fused kernel launch.  Reports images/s and Mpix/s through the u8-native
+    roundtrip (falls back to the f32 path where unsupported)."""
+    from tpudct.kernels import hp_pallas
+
+    cfg = cfg or CodecConfig()
+    rng = np.random.default_rng(42)
+    tall = rng.integers(0, 256, size=(batch * size, size))
+    interpret = jax.default_backend() != "tpu"
+
+    if hp_pallas.supports_u8(batch * size, size, cfg.q_scale):
+        x = jnp.asarray(tall.astype(np.uint8))
+        fn = lambda v: hp_pallas.hp_roundtrip_u8(
+            v, q_scale=cfg.q_scale, retain_k=cfg.retain_k,
+            band_rows=cfg.band_rows, tile_cols=cfg.tile_cols,
+            interpret=interpret, decode_precision=cfg.decode_precision,
+        )[1]
+        path = "u8-fused"
+    else:
+        p = get_pipeline("hp")
+        x = jnp.asarray(tall.astype(np.float32))
+        fn = lambda v: p.roundtrip(v, cfg)[1].astype(jnp.float32)
+        path = "f32"
+
+    ms = device_time_ms(fn, x, k_pair=k_pair, reps=reps)
+    return {
+        "pipeline": "hp-serving",
+        "path": path,
+        "size": size,
+        "batch": batch,
+        "batch_ms": ms,
+        "images_per_s": batch / ms * 1e3 if ms > 0 else None,
+        "mpix_per_s": batch * size * size / ms / 1e3 if ms > 0 else None,
+        "backend": jax.default_backend(),
+    }
+
+
 def sweep(
     sizes: Iterable[int] = (256, 512, 1024, 2048, 4096, 8192),
     pipelines: Iterable[str] = ("batched", "fast", "hp"),

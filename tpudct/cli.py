@@ -115,12 +115,18 @@ def cmd_decode(args) -> int:
 
 
 def cmd_bench(args) -> int:
-    from tpudct.benchmark import bench_fused_roundtrip, bench_pipeline
+    from tpudct.benchmark import (
+        bench_fused_roundtrip,
+        bench_pipeline,
+        bench_serving_throughput,
+    )
 
     for name in args.pipelines.split(","):
         print(json.dumps(bench_pipeline(name.strip(), args.size, _cfg_from(args), reps=args.reps)))
     if args.fused:
         print(json.dumps(bench_fused_roundtrip(args.size, _cfg_from(args), reps=args.reps)))
+    if args.batch:
+        print(json.dumps(bench_serving_throughput(args.size, args.batch, _cfg_from(args), reps=args.reps)))
     return 0
 
 
@@ -253,6 +259,7 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--reps", type=int, default=5)
     sp.add_argument("--pipelines", default="hp")
     sp.add_argument("--fused", action="store_true", help="also time the single-kernel roundtrip")
+    sp.add_argument("--batch", type=int, default=0, help="also time serving throughput for a batch of N images")
     sp.set_defaults(fn=cmd_bench)
 
     sp = sub.add_parser("sweep", help="size x pipeline benchmark table (README.md:45-60)")

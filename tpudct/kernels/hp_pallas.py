@@ -476,7 +476,7 @@ def hp_idct(
     band_rows: int = 128,
     tile_cols: int = 512,
     interpret: bool = False,
-    decode_precision: str = "highest",
+    decode_precision: str = "butterfly",
 ):
     """(H, W) f32 quantized coefficients -> (H, W) f32 reconstruction."""
     h, w = coeffs.shape
@@ -501,7 +501,7 @@ def hp_roundtrip(
     tile_cols: int = 512,
     interpret: bool = False,
     int_core: bool = True,
-    decode_precision: str = "highest",
+    decode_precision: str = "butterfly",
 ):
     """Fully fused codec pass: f32 image -> (f32 coefficients, f32 recon).
 
@@ -567,7 +567,7 @@ def hp_decode_u8(
     band_rows: int = 128,
     tile_cols: int = 512,
     interpret: bool = False,
-    decode_precision: str = "highest",
+    decode_precision: str = "butterfly",
 ):
     """(H, W) int8 coefficients -> (H, W) uint8 reconstruction (fused
     dequant + inverse + unshift + clamp + cast)."""
@@ -592,7 +592,7 @@ def hp_roundtrip_u8(
     band_rows: int = 128,
     tile_cols: int = 512,
     interpret: bool = False,
-    decode_precision: str = "highest",
+    decode_precision: str = "butterfly",
 ):
     """Fully fused u8-native codec pass: uint8 image -> (int8 coefficients,
     uint8 reconstruction).  192 MB total HBM traffic at 8192^2 vs 768 MB
