@@ -147,6 +147,46 @@ def bench_serving_throughput(
     }
 
 
+def bench_cpu_numpy(size: int, cfg: Optional[CodecConfig] = None, reps: int = 3) -> dict:
+    """Host-CPU baseline: the codec as vectorized numpy f32 on this host.
+
+    The reference's CPU column (README.md:48-55) timed a sequential C
+    loop on a Xeon 2.0 GHz; vectorized numpy is a *stronger* CPU baseline,
+    so speedups vs this column understate the TPU advantage.  Completes the
+    CPU / fast / Hp table shape for `bench --cpu`."""
+    import time
+
+    from tpudct.constants import Q, T
+
+    cfg = cfg or CodecConfig()
+    q = (Q * np.float32(cfg.q_scale)).astype(np.float32)
+    t = T.astype(np.float32)
+    img = synthetic_image(size)
+    bs = 8
+
+    def blocks(x):
+        h, w = x.shape
+        return x.reshape(h // bs, bs, w // bs, bs).transpose(0, 2, 1, 3)
+
+    def cpu_dct(x):
+        xb = blocks(x) - np.float32(128.0)
+        yb = np.einsum("ij,abjk,lk->abil", t, xb, t)
+        z = yb / q
+        return np.sign(z) * np.floor(np.abs(z) + np.float32(0.5))
+
+    best = None
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        cpu_dct(img)
+        dt = (time.perf_counter() - t0) * 1e3
+        best = dt if best is None else min(best, dt)
+    out = {"pipeline": "cpu-numpy", "size": size, "dct_ms": best}
+    ref = REFERENCE_CPU_DCT_MS.get(size)
+    if ref is not None:
+        out["ref_cpu_dct_ms"] = ref
+    return out
+
+
 def sweep(
     sizes: Iterable[int] = (256, 512, 1024, 2048, 4096, 8192),
     pipelines: Iterable[str] = ("batched", "fast", "hp"),

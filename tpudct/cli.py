@@ -127,6 +127,10 @@ def cmd_bench(args) -> int:
         print(json.dumps(bench_fused_roundtrip(args.size, _cfg_from(args), reps=args.reps)))
     if args.batch:
         print(json.dumps(bench_serving_throughput(args.size, args.batch, _cfg_from(args), reps=args.reps)))
+    if args.cpu:
+        from tpudct.benchmark import bench_cpu_numpy
+
+        print(json.dumps(bench_cpu_numpy(args.size, _cfg_from(args))))
     return 0
 
 
@@ -260,6 +264,7 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--pipelines", default="hp")
     sp.add_argument("--fused", action="store_true", help="also time the single-kernel roundtrip")
     sp.add_argument("--batch", type=int, default=0, help="also time serving throughput for a batch of N images")
+    sp.add_argument("--cpu", action="store_true", help="also time the host-CPU numpy baseline (reference CPU column analog)")
     sp.set_defaults(fn=cmd_bench)
 
     sp = sub.add_parser("sweep", help="size x pipeline benchmark table (README.md:45-60)")
