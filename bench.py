@@ -33,10 +33,11 @@ def main() -> int:
     from tpudct.models import get_pipeline
     from tpudct.utils.timing import device_time_ms
 
-    # decode_precision="high" (manual bf16x3 inverse): measured MSE delta
-    # ~1e-4 vs the f32-HIGHEST reference-faithful path — inside the <=1e-3
-    # fidelity budget — and ~25% faster.  See tpudct/kernels/hp_pallas.py.
-    cfg = CodecConfig(decode_precision="high")
+    # Default config = the "butterfly" exact decode tier (broadcast-FMA
+    # Haweel butterfly + exact 3xbf16-split lane matmul): measured both the
+    # FASTEST tier and f32-class-exact (~4e-5 vs f64, tighter than the
+    # 12-pass f32 emulation).  See tpudct/kernels/hp_pallas.py.
+    cfg = CodecConfig()
     p = get_pipeline("hp")
     img = synthetic_image(size)
 

@@ -58,21 +58,22 @@ def _inv_tile_c(c, qdd, bdts_bf):
     return jnp.concatenate(cols, axis=1) if len(cols) > 1 else cols[0]
 
 
-def _inv_tile_b(c, qdd, bdts_bf):
+def _inv_tile_b(c, qdd, bdts_bf, wts):
     tc = c.shape[1]
     cols = []
     for t in range(tc // LANE):
         m = c[:, t * LANE : (t + 1) * LANE] * qdd
-        u = hp._bf8_sublane(m)  # Ts^T @ m over sublane blocks, pure VPU adds
+        u = hp._bf8_sublane(m, wts)  # Ts^T @ m over sublanes, broadcast-FMA
         cols.append(_dot_exact_right(u, bdts_bf) + 128.0)
     return jnp.concatenate(cols, axis=1) if len(cols) > 1 else cols[0]
 
 
-def _k_b(c_ref, s_ref, t_ref, o_ref):
-    o_ref[:] = _inv_tile_b(c_ref[:], s_ref[:], t_ref[:])
+def _k_b(c_ref, s_ref, t_ref, w_ref, o_ref):
+    o_ref[:] = _inv_tile_b(c_ref[:], s_ref[:], t_ref[:], w_ref[:])
 
 
-def _k_c(c_ref, s_ref, t_ref, o_ref):
+def _k_c(c_ref, s_ref, t_ref, w_ref, o_ref):
+    del w_ref
     o_ref[:] = _inv_tile_c(c_ref[:], s_ref[:], t_ref[:])
 
 
@@ -80,7 +81,7 @@ def _k_c(c_ref, s_ref, t_ref, o_ref):
 def idct_x(coeffs, variant: str):
     h, w = coeffs.shape
     br, tc = 128, 512
-    qdd, _ = hp._consts_bf(br, 1.0)
+    qdd, _, wts = hp._consts_bf(br, 1.0)
     bdts = hp._block_diag_ts(br // 8).astype(np.float32).astype(jnp.bfloat16)
     kern = {"b": _k_b, "c": _k_c}[variant]
     grid = (h // br, w // tc)
@@ -89,11 +90,11 @@ def idct_x(coeffs, variant: str):
     return pl.pallas_call(
         kern,
         grid=grid,
-        in_specs=[img(), cs(qdd), cs(bdts)],
+        in_specs=[img(), cs(qdd), cs(bdts), cs(wts)],
         out_specs=img(),
         out_shape=jax.ShapeDtypeStruct((h, w), jnp.float32),
         input_output_aliases={0: 0},
-    )(coeffs, qdd, jnp.asarray(bdts))
+    )(coeffs, qdd, jnp.asarray(bdts), wts)
 
 
 def main():

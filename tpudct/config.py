@@ -36,23 +36,26 @@ class CodecConfig:
         Either way results differ only at true .5 quantizer ties.
       decode_precision: inverse-transform strategy.
         "butterfly" (default) = hybrid exact inverse: sublane-direction
-        Haweel butterfly (pure VPU adds; every product is x0/+-1/+-2,
-        exact in f32) + lane-direction matmul as an exact 3-way bf16
-        split against the bf16-representable Ts. f32-class accuracy
-        (4.0e-5 vs f64 — tighter than "highest"'s own 4.1e-5) at ~70%
-        of "highest"'s full-pass time.
+        Haweel butterfly (broadcast-FMA VPU ops; every product is
+        x0/+-1/+-2, exact in f32) + lane-direction matmul as an exact
+        3-way bf16 split against the bf16-representable Ts. f32-class
+        accuracy (~4e-5 vs f64 — tighter than "highest"'s own ~4.1e-5)
+        AND the fastest tier measured (8192^2 u8 roundtrip 0.92 ms vs
+        0.98 bf16x3 / 1.47 f32-emulation).
         "highest" = 12-pass f32 MXU emulation of the reference's f32
         GEMM inputs, max 5e-4 gray-level error vs f64 — the
         bit-faithfulness tier for cross-checking against the reference.
-        "high" = manual bf16x3: fastest full-pass, ~0.01% of pixels
-        shift by +-1 after truncation (MSE delta ~1e-4, inside the
-        <=1e-3 reference-fidelity budget) — the serving tier.
+        "high" = manual bf16x3: ~0.01% of pixels shift by +-1 after
+        truncation (MSE delta ~1e-4, inside the <=1e-3 budget).
+        Superseded by "butterfly" (faster AND exact); kept for
+        comparison.
       lane_blocks: how many 8x8 blocks ride one 128-lane tile in the fused
         Pallas kernel (128 // block_size).
-      band_rows: sublane rows per Pallas grid step (multiple of 8; 128 puts
-        a full MXU-shaped (128, 128) sub-tile through each matmul).
+      band_rows: sublane rows per Pallas grid step (multiple of 8; 256
+        puts two MXU-shaped (128, 128) sub-tiles through each matmul —
+        measured fastest across kernels at 8192^2 on v5e).
       tile_cols: lane columns per Pallas grid step (multiple of 128;
-        (128, 1024) measured fastest at 8192^2 on v5e).
+        (256, 1024) measured fastest at 8192^2 on v5e).
     """
 
     block_size: int = 8
@@ -61,7 +64,7 @@ class CodecConfig:
     interpret: bool = False
     exact_int_core: bool = True
     decode_precision: str = "butterfly"
-    band_rows: int = 128
+    band_rows: int = 256
     tile_cols: int = 1024
 
     @property

