@@ -117,22 +117,13 @@ def bench_serving_throughput(
 
     cfg = cfg or CodecConfig()
     rng = np.random.default_rng(42)
-    tall = rng.integers(0, 256, size=(batch * size, size))
-    interpret = jax.default_backend() != "tpu"
-
-    if hp_pallas.supports_u8(batch * size, size, cfg.q_scale):
-        x = jnp.asarray(tall.astype(np.uint8))
-        fn = lambda v: hp_pallas.hp_roundtrip_u8(
-            v, q_scale=cfg.q_scale, retain_k=cfg.retain_k,
-            band_rows=cfg.band_rows, tile_cols=cfg.tile_cols,
-            interpret=interpret, decode_precision=cfg.decode_precision,
-        )[1]
-        path = "u8-fused"
-    else:
-        p = get_pipeline("hp")
-        x = jnp.asarray(tall.astype(np.float32))
-        fn = lambda v: p.roundtrip(v, cfg)[1].astype(jnp.float32)
-        path = "f32"
+    tall = rng.integers(0, 256, size=(batch * size, size), dtype=np.uint8)
+    p = get_pipeline("hp")
+    x = jnp.asarray(tall)
+    # roundtrip_u8 owns the supports_u8 gating (falls back to the f32
+    # kernel internally); both paths return a chainable uint8 recon.
+    fn = lambda v: p.roundtrip_u8(v, cfg)[1]
+    path = "u8-fused" if hp_pallas.supports_u8(batch * size, size, cfg.q_scale) else "f32-fallback"
 
     ms = device_time_ms(fn, x, k_pair=k_pair, reps=reps)
     return {

@@ -130,7 +130,7 @@ def cmd_bench(args) -> int:
     if args.cpu:
         from tpudct.benchmark import bench_cpu_numpy
 
-        print(json.dumps(bench_cpu_numpy(args.size, _cfg_from(args))))
+        print(json.dumps(bench_cpu_numpy(args.size, _cfg_from(args), reps=args.reps)))
     return 0
 
 

@@ -443,8 +443,8 @@ def _jit(*names):
 def hp_dct(
     image,
     q_scale: float = 1.0,
-    band_rows: int = 128,
-    tile_cols: int = 512,
+    band_rows: int = 256,
+    tile_cols: int = 1024,
     interpret: bool = False,
     int_core: bool = True,
 ):
@@ -471,8 +471,8 @@ def hp_dct(
 def hp_idct(
     coeffs,
     q_scale: float = 1.0,
-    band_rows: int = 128,
-    tile_cols: int = 512,
+    band_rows: int = 256,
+    tile_cols: int = 1024,
     interpret: bool = False,
     decode_precision: str = "butterfly",
 ):
@@ -495,8 +495,8 @@ def hp_roundtrip(
     image,
     q_scale: float = 1.0,
     retain_k=None,
-    band_rows: int = 128,
-    tile_cols: int = 512,
+    band_rows: int = 256,
+    tile_cols: int = 1024,
     interpret: bool = False,
     int_core: bool = True,
     decode_precision: str = "butterfly",
@@ -543,8 +543,8 @@ def hp_encode_u8(
     image_u8,
     q_scale: float = 1.0,
     retain_k=None,
-    band_rows: int = 128,
-    tile_cols: int = 512,
+    band_rows: int = 256,
+    tile_cols: int = 1024,
     interpret: bool = False,
 ):
     """(H, W) uint8 image -> (H, W) int8 quantized coefficients.
@@ -563,8 +563,8 @@ def hp_encode_u8(
 def hp_decode_u8(
     coeffs_i8,
     q_scale: float = 1.0,
-    band_rows: int = 128,
-    tile_cols: int = 512,
+    band_rows: int = 256,
+    tile_cols: int = 1024,
     interpret: bool = False,
     decode_precision: str = "butterfly",
 ):
@@ -588,8 +588,8 @@ def hp_roundtrip_u8(
     image_u8,
     q_scale: float = 1.0,
     retain_k=None,
-    band_rows: int = 128,
-    tile_cols: int = 512,
+    band_rows: int = 256,
+    tile_cols: int = 1024,
     interpret: bool = False,
     decode_precision: str = "butterfly",
 ):
