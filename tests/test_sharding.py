@@ -34,14 +34,19 @@ def test_sharded_matches_single_chip(name, image256):
     xs = shard_image(jnp.asarray(image256), mesh)
     c_sh, r_sh = sharded_roundtrip(p, cfg, mesh)(xs)
     c1, r1 = p.roundtrip(jnp.asarray(image256), cfg)
-    # XLA compiles different fusions for band vs full shapes; f32 last-ulp
-    # differences flip exact .5 quantizer ties on a handful of entries
-    # (same tolerance rationale as tests/test_pipelines.py).
+    # The exact-int-core pipelines (hp, fast) produce bit-identical
+    # coefficients at any shape.  `batched` is the f32-literal path: 32-row
+    # bands fall back to the K=8 einsum while the full image takes the
+    # K=128 block-diag formulation, so f32 accumulation order differs and
+    # exact .5 quantizer ties flip on ~0.03% of coefficients; each flip
+    # perturbs all 64 pixels of its block (same equivalence class as
+    # tests/test_pipelines.py documents across compute strategies).
     cs, c1n = gather(c_sh), np.asarray(c1)
     assert int((cs != c1n).sum()) <= cs.size * 5e-3
     assert np.abs(cs - c1n).max() <= 1.0
     rs, r1n = gather(r_sh).astype(int), np.asarray(r1).astype(int)
-    assert (rs != r1n).mean() <= 5e-3 and np.abs(rs - r1n).max() <= 64  # one tie-flip at Q=121 moves a pixel by ~Q/2
+    pix_tol = 5e-2 if name == "batched" else 5e-3
+    assert (rs != r1n).mean() <= pix_tol and np.abs(rs - r1n).max() <= 64  # one tie-flip at Q=121 moves a pixel by ~Q/2
 
 
 def test_sharded_matches_golden(image256):
@@ -77,7 +82,10 @@ def test_gather_recon_replicates(image256):
     assert full.shape == image256.shape
     _, r1 = get_pipeline("batched").roundtrip(jnp.asarray(image256), CodecConfig())
     fn, r1n = np.asarray(full).astype(int), np.asarray(r1).astype(int)
-    assert (fn != r1n).mean() <= 5e-3 and np.abs(fn - r1n).max() <= 64
+    # batched f32 path: band vs full shapes take different contraction
+    # widths (see test_sharded_matches_single_chip) — tie flips spread to
+    # whole blocks.
+    assert (fn != r1n).mean() <= 5e-2 and np.abs(fn - r1n).max() <= 64
 
 
 def test_shard_image_validates():

@@ -28,33 +28,67 @@ from tpudct.ops.transform import level_unshift
 
 _TS = haweel_integer_core()  # int8 {0,+-1,+-2}
 _D = (1.0 / haweel_row_norms()).astype(np.float32)  # reciprocal row norms
+_LANE = 128
+
+
+def _bdts_lane() -> np.ndarray:
+    """(128, 128) int8 block-diag Ts — the MXU-shaped contraction operand
+    (K=8 einsums map poorly onto the 128x128 systolic array; K=128 with the
+    block-diagonal layout is identical math and ~12x faster at 8192²)."""
+    out = np.zeros((_LANE, _LANE), np.int8)
+    for b in range(_LANE // BLOCK_SIZE):
+        i = b * BLOCK_SIZE
+        out[i : i + BLOCK_SIZE, i : i + BLOCK_SIZE] = _TS
+    return out
+
+
+_BDTS = _bdts_lane()
 
 
 class FastApprPipeline(Pipeline):
     name = "fast"
 
     def dct(self, image, cfg: CodecConfig):
+        h, w = image.shape
+        # Fold D-scaling into quantization: Y/Q = core * (d_i d_l / Q_il).
+        d = jnp.asarray(_D, image.dtype)
+        q = jnp.asarray(Q, image.dtype) * jnp.asarray(cfg.q_scale, image.dtype)
+        scale8 = (d[:, None] * d[None, :]) / q
+        if h % _LANE == 0 and w % _LANE == 0:
+            ts = jnp.asarray(_BDTS, jnp.int8)
+            g = image.reshape(h // _LANE, _LANE, w // _LANE, _LANE)
+            g = (g.astype(jnp.int32) - 128).astype(jnp.int8)
+            core = jnp.einsum(
+                "ij,ajbk,lk->aibl", ts, g, ts, preferred_element_type=jnp.int32
+            )
+            scale = jnp.tile(scale8, (_LANE // BLOCK_SIZE, _LANE // BLOCK_SIZE))
+            y = core.astype(image.dtype) * scale.reshape(1, _LANE, 1, _LANE)
+            return round_half_away(y.reshape(h, w))
         ts = jnp.asarray(_TS, jnp.int8)
         # Level shift in integer domain: u8 pixel - 128 always fits int8.
         g = (as_block_grid(image).astype(jnp.int32) - 128).astype(jnp.int8)
         core = jnp.einsum(
             "ij,ajbk,lk->aibl", ts, g, ts, preferred_element_type=jnp.int32
         )
-        # Fold D-scaling into quantization: Y/Q = core * (d_i d_l / Q_il).
-        d = jnp.asarray(_D, image.dtype)
-        q = jnp.asarray(Q, image.dtype) * jnp.asarray(cfg.q_scale, image.dtype)
-        scale = (d[:, None] * d[None, :]) / q
-        y = core.astype(image.dtype) * scale.reshape(1, BLOCK_SIZE, 1, BLOCK_SIZE)
+        y = core.astype(image.dtype) * scale8.reshape(1, BLOCK_SIZE, 1, BLOCK_SIZE)
         return round_half_away(from_block_grid(y))
 
     def idct(self, coeffs, cfg: CodecConfig):
         # Inverse is not integer (coeffs * Q * d scaling is float); use the
         # factored form X = Ts^T @ (D Y D * Q) @ Ts for the same MXU path.
-        ts = jnp.asarray(_TS.astype(np.float32), coeffs.dtype)
+        h, w = coeffs.shape
         d = jnp.asarray(_D, coeffs.dtype)
         q = jnp.asarray(Q, coeffs.dtype) * jnp.asarray(cfg.q_scale, coeffs.dtype)
-        scale = (d[:, None] * d[None, :]) * q
-        g = as_block_grid(coeffs) * scale.reshape(1, BLOCK_SIZE, 1, BLOCK_SIZE)
+        scale8 = (d[:, None] * d[None, :]) * q
+        if h % _LANE == 0 and w % _LANE == 0:
+            ts = jnp.asarray(_BDTS.astype(np.float32), coeffs.dtype)
+            scale = jnp.tile(scale8, (_LANE // BLOCK_SIZE, _LANE // BLOCK_SIZE))
+            g = coeffs.reshape(h // _LANE, _LANE, w // _LANE, _LANE)
+            g = g * scale.reshape(1, _LANE, 1, _LANE)
+            x = jnp.einsum("ji,ajbk,kl->aibl", ts, g, ts, precision="highest")
+            return level_unshift(x.reshape(h, w))
+        ts = jnp.asarray(_TS.astype(np.float32), coeffs.dtype)
+        g = as_block_grid(coeffs) * scale8.reshape(1, BLOCK_SIZE, 1, BLOCK_SIZE)
         # Ts entries are small integers — exactly representable in bf16 — but
         # the scaled coefficients are not; keep full f32 (see transform.py).
         x = jnp.einsum("ji,ajbk,kl->aibl", ts, g, ts, precision="highest")

@@ -21,7 +21,6 @@ import numpy as np
 import jax.numpy as jnp
 
 from tpudct.constants import BLOCK_SIZE, Q
-from tpudct.ops.blocks import as_block_grid, from_block_grid
 from tpudct.ops.rounding import round_half_away
 
 
@@ -29,18 +28,29 @@ def _q_for(x, q_scale: float):
     return jnp.asarray(Q * np.float32(q_scale), x.dtype)
 
 
+def _rowwise(x, tile8x8, op):
+    """Apply ``op(x, tile)`` with an (8, 8) tile broadcast per block position,
+    WITHOUT the (H/8, 8, W/8, 8) block-grid view: splitting the lane (minor)
+    dimension into 8-wide pieces forces an expensive relayout on TPU
+    (measured ~17 ms of a 22 ms `batched` DCT at 8192²).  The (H/8, 8, W)
+    view keeps lanes intact — the reshape is free — and the tile becomes a
+    cheap (8, W) row pattern."""
+    h, w = x.shape
+    row = jnp.tile(tile8x8, (1, w // BLOCK_SIZE))  # (8, W)
+    g = x.reshape(h // BLOCK_SIZE, BLOCK_SIZE, w)
+    return op(g, row).reshape(h, w)
+
+
 def quantize(y, q_scale: float = 1.0):
     """round_half_away(Y / Q) with Q broadcast per 8x8 block position."""
-    g = as_block_grid(y)
     q = _q_for(y, q_scale)
-    return from_block_grid(round_half_away(g / q.reshape(1, BLOCK_SIZE, 1, BLOCK_SIZE)))
+    return _rowwise(y, q, lambda g, row: round_half_away(g / row))
 
 
 def dequantize(c, q_scale: float = 1.0):
     """C * Q, exact inverse scaling of :func:`quantize`'s division."""
-    g = as_block_grid(c)
     q = _q_for(c, q_scale)
-    return from_block_grid(g * q.reshape(1, BLOCK_SIZE, 1, BLOCK_SIZE))
+    return _rowwise(c, q, lambda g, row: g * row)
 
 
 def retention_mask(k: int | None, bs: int = BLOCK_SIZE) -> np.ndarray:
@@ -57,5 +67,4 @@ def apply_retention(c, k: int | None):
     if k is None:
         return c
     m = jnp.asarray(retention_mask(k), c.dtype)
-    g = as_block_grid(c)
-    return from_block_grid(g * m.reshape(1, BLOCK_SIZE, 1, BLOCK_SIZE))
+    return _rowwise(c, m, lambda g, row: g * row)
