@@ -127,7 +127,7 @@ int tpudct_jpeg_encode(const char *filename, const unsigned char *data, int w,
     return 0;
 }
 
-/* Encode to a malloc'd memory buffer; fills *out/*out_size.  Used for
+/* Encode to a malloc'd memory buffer; fills *out and *out_size.  Used for
  * compressed-size measurement without filesystem round-trips. */
 int tpudct_jpeg_encode_mem(const unsigned char *data, int w, int h,
                            int quality, unsigned char **out,
@@ -154,3 +154,63 @@ int tpudct_jpeg_encode_mem(const unsigned char *data, int w, int h,
 }
 
 void tpudct_free(unsigned char *p) { free(p); }
+
+/* ---- threaded batch decode (the data-loader path) ----------------------
+ *
+ * The device side of the codec runs at ~0.1 ms/image; host JPEG decode is
+ * the bulk-encoding bottleneck.  A pthread pool decodes N files in
+ * parallel (libjpeg contexts are per-thread, so this is safe); work is
+ * claimed with an atomic counter.  Per-file return codes land in rcs[];
+ * the function returns the number of failures (0 = all decoded). */
+
+#include <pthread.h>
+
+struct batch_ctx {
+    const char **filenames;
+    int n;
+    int force_gray;
+    unsigned char **outs;
+    int *ws, *hs, *chs, *rcs;
+    int next; /* atomic work index */
+};
+
+static void *batch_worker(void *arg) {
+    struct batch_ctx *ctx = (struct batch_ctx *)arg;
+    for (;;) {
+        int i = __atomic_fetch_add(&ctx->next, 1, __ATOMIC_RELAXED);
+        if (i >= ctx->n) break;
+        ctx->rcs[i] = tpudct_jpeg_decode(ctx->filenames[i], &ctx->outs[i],
+                                         &ctx->ws[i], &ctx->hs[i],
+                                         &ctx->chs[i], ctx->force_gray);
+    }
+    return NULL;
+}
+
+int tpudct_jpeg_decode_batch(const char **filenames, int n, int n_threads,
+                             unsigned char **outs, int *ws, int *hs, int *chs,
+                             int *rcs, int force_gray) {
+    if (n <= 0) return 0;
+    if (n_threads < 1) n_threads = 1;
+    if (n_threads > n) n_threads = n;
+
+    struct batch_ctx ctx = {filenames, n, force_gray, outs, ws, hs, chs, rcs, 0};
+    for (int i = 0; i < n; i++) {
+        outs[i] = NULL;
+        rcs[i] = -1;
+    }
+
+    pthread_t threads[64];
+    if (n_threads > 64) n_threads = 64;
+    int spawned = 0;
+    for (int t = 0; t < n_threads; t++) {
+        if (pthread_create(&threads[t], NULL, batch_worker, &ctx) != 0) break;
+        spawned++;
+    }
+    if (spawned == 0) batch_worker(&ctx); /* fall back to inline */
+    for (int t = 0; t < spawned; t++) pthread_join(threads[t], NULL);
+
+    int failures = 0;
+    for (int i = 0; i < n; i++)
+        if (rcs[i] != 0) failures++;
+    return failures;
+}

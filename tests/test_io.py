@@ -62,3 +62,33 @@ def test_decode_missing_file_raises(tmp_path):
 def test_save_rejects_rgb(tmp_path):
     with pytest.raises(ValueError):
         imageio.save_jpeg(tmp_path / "x.jpg", np.zeros((4, 4, 3), np.uint8))
+
+
+def test_load_jpeg_batch_matches_sequential(tmp_path, rng):
+    from tpudct.utils import imageio
+
+    paths = []
+    for i, shape in enumerate([(64, 48), (32, 32), (80, 96)]):
+        img = rng.integers(0, 256, shape).astype("uint8")
+        p = tmp_path / f"b{i}.jpg"
+        imageio.save_jpeg(p, img)
+        paths.append(p)
+    batch = imageio.load_jpeg_batch(paths, n_threads=3)
+    seq = [imageio.load_jpeg(p) for p in paths]
+    assert len(batch) == len(seq)
+    for b, s in zip(batch, seq):
+        np.testing.assert_array_equal(b, s)
+
+
+def test_load_jpeg_batch_raises_on_missing(tmp_path, rng):
+    import pytest
+
+    from tpudct.utils import imageio
+
+    img = rng.integers(0, 256, (32, 32)).astype("uint8")
+    good = tmp_path / "ok.jpg"
+    imageio.save_jpeg(good, img)
+    if not imageio.native_backend_available():
+        pytest.skip("native codec unavailable")
+    with pytest.raises(IOError):
+        imageio.load_jpeg_batch([good, tmp_path / "missing.jpg"])

@@ -184,22 +184,28 @@ def cmd_batch(args) -> int:
     cfg = _cfg_from(args)
     p = get_pipeline(args.pipeline)
     files = sorted(q.name for q in src.iterdir() if q.suffix.lower() in (".jpg", ".jpeg"))
-    skipped = coded = 0
+    todo = [name for name in files if name not in done]
+    skipped = len(files) - len(todo)
+    coded = 0
+    chunk = max(1, args.decode_threads or 16) * 4
     with open(manifest, "a") as mf:
-        for name in files:
-            if name in done:
-                skipped += 1
-                continue
-            img = imageio.load_jpeg(src / name)
-            x, (h, w) = pad_to_blocks(jnp.asarray(img, jnp.float32))
-            c = p.encode(x, cfg)
-            # Full input name in the output avoids a.jpg/a.jpeg collisions.
-            out = dst / (name + ".tdc")
-            n = serialize.save_coefficients(out, np.asarray(c), cfg.q_scale, cfg.retain_k, orig_shape=(h, w))
-            rec = {"file": name, "tdc": out.name, "bytes": n, "shape": [h, w]}
-            mf.write(json.dumps(rec) + "\n")
-            mf.flush()
-            coded += 1
+        for i in range(0, len(todo), chunk):
+            names = todo[i : i + chunk]
+            # Host decode is the bulk bottleneck (device encode ~0.1 ms per
+            # image); the native pthread pool decodes each chunk in parallel.
+            images = imageio.load_jpeg_batch(
+                [src / n for n in names], n_threads=args.decode_threads
+            )
+            for name, img in zip(names, images):
+                x, (h, w) = pad_to_blocks(jnp.asarray(img, jnp.float32))
+                c = p.encode(x, cfg)
+                # Full input name in the output avoids a.jpg/a.jpeg collisions.
+                out = dst / (name + ".tdc")
+                n = serialize.save_coefficients(out, np.asarray(c), cfg.q_scale, cfg.retain_k, orig_shape=(h, w))
+                rec = {"file": name, "tdc": out.name, "bytes": n, "shape": [h, w]}
+                mf.write(json.dumps(rec) + "\n")
+                mf.flush()
+                coded += 1
     print(json.dumps({"encoded": coded, "skipped": skipped, "total": len(files), "manifest": str(manifest)}))
     return 0
 
@@ -283,6 +289,8 @@ def build_parser() -> argparse.ArgumentParser:
     _add_codec_flags(sp)
     sp.add_argument("input_dir")
     sp.add_argument("output_dir")
+    sp.add_argument("--decode-threads", type=int, default=8,
+                    help="native JPEG decode pool size (0 = one per CPU)")
     sp.set_defaults(fn=cmd_batch)
 
     sp = sub.add_parser("scale", help="scaling-efficiency table across device counts")

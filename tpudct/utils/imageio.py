@@ -70,6 +70,13 @@ def _load_native() -> Optional[ctypes.CDLL]:
     lib.tpudct_jpeg_encode_mem.restype = ctypes.c_int
     lib.tpudct_free.argtypes = [u8p]
     lib.tpudct_free.restype = None
+    lib.tpudct_jpeg_decode_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(u8p), ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int), ctypes.c_int,
+    ]
+    lib.tpudct_jpeg_decode_batch.restype = ctypes.c_int
     _lib = lib
     return _lib
 
@@ -112,6 +119,56 @@ def load_jpeg(path: str, force_gray: bool = True) -> np.ndarray:
     if force_gray:
         img = img.convert("L")
     return np.asarray(img)
+
+
+def load_jpeg_batch(paths, n_threads: int = 0, force_gray: bool = True) -> list:
+    """Decode many JPEGs in parallel via the C pthread pool.
+
+    The data-loader path: device time is ~0.1 ms/image, so host decode
+    dominates bulk encoding — the native pool decodes with true parallelism
+    (one libjpeg context per thread, no GIL).  Returns a list of (H, W)
+    uint8 arrays in input order.  n_threads=0 = one per CPU (capped at 16).
+    Raises on the first failed file.  Falls back to sequential load_jpeg
+    when the native codec is unavailable.
+    """
+    paths = [str(p) for p in paths]
+    lib = _load_native()
+    if lib is None or not paths:
+        return [load_jpeg(p, force_gray) for p in paths]
+    if n_threads <= 0:
+        n_threads = min(os.cpu_count() or 4, 16)
+
+    n = len(paths)
+    u8p = ctypes.POINTER(ctypes.c_ubyte)
+    names = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    outs = (u8p * n)()
+    ws = (ctypes.c_int * n)()
+    hs = (ctypes.c_int * n)()
+    chs = (ctypes.c_int * n)()
+    rcs = (ctypes.c_int * n)()
+    lib.tpudct_jpeg_decode_batch(
+        names, n, n_threads, outs, ws, hs, chs, rcs, 1 if force_gray else 0
+    )
+    images = []
+    err = None
+    try:
+        for i in range(n):
+            if rcs[i] != 0:
+                err = err or IOError(
+                    f"native JPEG decode failed (rc={rcs[i]}) for {paths[i]}"
+                )
+                continue
+            cnt = hs[i] * ws[i] * chs[i]
+            arr = np.ctypeslib.as_array(outs[i], shape=(cnt,)).copy()
+            shape = (hs[i], ws[i]) if chs[i] == 1 else (hs[i], ws[i], chs[i])
+            images.append(arr.reshape(shape))
+    finally:
+        for i in range(n):
+            if outs[i]:
+                lib.tpudct_free(outs[i])
+    if err is not None:
+        raise err
+    return images
 
 
 def save_jpeg(path: str, image: np.ndarray, quality: int = 100) -> None:
