@@ -35,7 +35,10 @@ def test_sharded_matches_single_chip(name, image256):
     c_sh, r_sh = sharded_roundtrip(p, cfg, mesh)(xs)
     c1, r1 = p.roundtrip(jnp.asarray(image256), cfg)
     # The exact-int-core pipelines (hp, fast) produce bit-identical
-    # coefficients at any shape.  `batched` is the f32-literal path: 32-row
+    # coefficients at any shape on the CPU mesh (on TPU, `fast`'s final
+    # f32 scale-multiply can fuse differently under shard_map and tie-flip
+    # ~0.01% of entries by +-1 — measured, same equivalence class as
+    # below).  `batched` is the f32-literal path: 32-row
     # bands fall back to the K=8 einsum while the full image takes the
     # K=128 block-diag formulation, so f32 accumulation order differs and
     # exact .5 quantizer ties flip on ~0.03% of coefficients; each flip
