@@ -41,7 +41,8 @@ int tpudct_jpeg_decode(const char *filename, unsigned char **out, int *w,
     struct jpeg_decompress_struct cinfo;
     struct tpudct_err_mgr jerr;
     FILE *infile = fopen(filename, "rb");
-    unsigned char *buf = NULL;
+    /* volatile: modified between setjmp and longjmp (C11 7.13.2.1p3) */
+    unsigned char *volatile buf = NULL;
 
     if (!infile) return 1;
 

@@ -62,7 +62,7 @@ def bench_pipeline(
         "dct_ms": dct_ms,
         "idct_ms": max(pair_ms - dct_ms, 0.0),
         "pair_ms": pair_ms,
-        "mpix_per_s_pair": size * size / pair_ms / 1e3,
+        "mpix_per_s_pair": size * size / pair_ms / 1e3 if pair_ms > 0 else None,
         "backend": jax.default_backend(),
     }
     ref = REFERENCE_HP_DCT_MS.get(size)
@@ -95,7 +95,7 @@ def bench_fused_roundtrip(size: int, cfg: Optional[CodecConfig] = None, k_pair=N
         "pipeline": "hp-fused",
         "size": size,
         "roundtrip_ms": ms,
-        "mpix_per_s": size * size / ms / 1e3,
+        "mpix_per_s": size * size / ms / 1e3 if ms > 0 else None,
         "backend": jax.default_backend(),
     }
 
@@ -119,11 +119,17 @@ def bench_serving_throughput(
     rng = np.random.default_rng(42)
     tall = rng.integers(0, 256, size=(batch * size, size), dtype=np.uint8)
     p = get_pipeline("hp")
-    x = jnp.asarray(tall)
-    # roundtrip_u8 owns the supports_u8 gating (falls back to the f32
-    # kernel internally); both paths return a chainable uint8 recon.
-    fn = lambda v: p.roundtrip_u8(v, cfg)[1]
-    path = "u8-fused" if hp_pallas.supports_u8(batch * size, size, cfg.q_scale) else "f32-fallback"
+    if hp_pallas.supports_u8(batch * size, size, cfg.q_scale):
+        x = jnp.asarray(tall)
+        # roundtrip_u8 owns the shape gating; returns a chainable u8 recon.
+        fn = lambda v: p.roundtrip_u8(v, cfg)[1]
+        path = "u8-fused"
+    else:
+        # int8 coefficients may not hold (e.g. q_scale < ~0.77) — time the
+        # f32 roundtrip instead; chain on an f32 view of the u8 recon.
+        x = jnp.asarray(tall, jnp.float32)
+        fn = lambda v: p.roundtrip(v, cfg)[1].astype(jnp.float32)
+        path = "f32-fallback"
 
     ms = device_time_ms(fn, x, k_pair=k_pair, reps=reps)
     return {

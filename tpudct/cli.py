@@ -187,14 +187,17 @@ def cmd_batch(args) -> int:
     todo = [name for name in files if name not in done]
     skipped = len(files) - len(todo)
     coded = 0
-    chunk = max(1, args.decode_threads or 16) * 4
+    import os as _os
+
+    n_threads = args.decode_threads if args.decode_threads > 0 else min(_os.cpu_count() or 4, 16)
+    chunk = n_threads * 4
     with open(manifest, "a") as mf:
         for i in range(0, len(todo), chunk):
             names = todo[i : i + chunk]
             # Host decode is the bulk bottleneck (device encode ~0.1 ms per
             # image); the native pthread pool decodes each chunk in parallel.
             images = imageio.load_jpeg_batch(
-                [src / n for n in names], n_threads=args.decode_threads
+                [src / n for n in names], n_threads=n_threads
             )
             for name, img in zip(names, images):
                 x, (h, w) = pad_to_blocks(jnp.asarray(img, jnp.float32))

@@ -90,6 +90,17 @@ def derive_T(dtype=np.float32) -> np.ndarray:
     return (ts / haweel_row_norms()[:, None]).astype(dtype)
 
 
+def block_diag_Ts(num_blocks: int) -> np.ndarray:
+    """Block-diagonal expansion of the int8 integer core Ts (one builder for
+    the hp Pallas kernels, the fast pipeline's MXU einsum, and benchmarks)."""
+    n = BLOCK_SIZE * num_blocks
+    out = np.zeros((n, n), np.int8)
+    for b in range(num_blocks):
+        s = b * BLOCK_SIZE
+        out[s : s + BLOCK_SIZE, s : s + BLOCK_SIZE] = HAWEEL_TS
+    return out
+
+
 def block_diag_T(num_blocks: int, transpose: bool = False, dtype=np.float32) -> np.ndarray:
     """Block-diagonal expansion of T: the TPU analog of `upgrade_T_matrix`
     (utils_kernels.cu:60-69), sized for lane tiles rather than whole images.

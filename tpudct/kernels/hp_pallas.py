@@ -87,6 +87,7 @@ from tpudct.constants import (
     LEVEL_SHIFT,
     Q,
     block_diag_T,
+    block_diag_Ts,
     haweel_row_norms,
 )
 
@@ -130,12 +131,9 @@ def _geometry(h: int, w: int, band_rows: int, tile_cols: int, row_align: int = B
     return br, tc
 
 
-def _block_diag_ts(num_blocks: int) -> np.ndarray:
-    out = np.zeros((BLOCK_SIZE * num_blocks,) * 2, np.int8)
-    for b in range(num_blocks):
-        s = b * BLOCK_SIZE
-        out[s : s + BLOCK_SIZE, s : s + BLOCK_SIZE] = HAWEEL_TS
-    return out
+# canonical builder lives in constants.py; keep the private alias for
+# in-module and benchmark callers.
+_block_diag_ts = block_diag_Ts
 
 
 @functools.lru_cache(maxsize=32)
@@ -512,7 +510,6 @@ def hp_roundtrip(
     h, w = image.shape
     br, tc = _geometry(h, w, band_rows, tile_cols)
     butterfly = _prec(decode_precision) == "butterfly"
-    fconsts = _consts_f32(br, q_scale)
     if int_core:
         iconsts = _consts_int(br, q_scale, retain_k)
         if butterfly:
@@ -521,9 +518,10 @@ def hp_roundtrip(
             consts = (*iconsts, qdd, wts)
             kern = _k_rt_int_bf
         else:
-            consts = (*iconsts, *fconsts)
+            consts = (*iconsts, *_consts_f32(br, q_scale))
             kern = functools.partial(_k_rt_int, precision=decode_precision)
     else:
+        fconsts = _consts_f32(br, q_scale)
         mask = np.tile(
             retention_mask(retain_k), (br // BLOCK_SIZE, LANE // BLOCK_SIZE)
         ).astype(np.float32)

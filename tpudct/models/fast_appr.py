@@ -20,7 +20,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from tpudct.config import CodecConfig
-from tpudct.constants import BLOCK_SIZE, Q, haweel_integer_core, haweel_row_norms
+from tpudct.constants import BLOCK_SIZE, Q, block_diag_Ts, haweel_integer_core, haweel_row_norms
 from tpudct.models.base import Pipeline, register
 from tpudct.ops.blocks import as_block_grid, from_block_grid
 from tpudct.ops.rounding import round_half_away
@@ -31,18 +31,10 @@ _D = (1.0 / haweel_row_norms()).astype(np.float32)  # reciprocal row norms
 _LANE = 128
 
 
-def _bdts_lane() -> np.ndarray:
-    """(128, 128) int8 block-diag Ts — the MXU-shaped contraction operand
-    (K=8 einsums map poorly onto the 128x128 systolic array; K=128 with the
-    block-diagonal layout is identical math and ~12x faster at 8192²)."""
-    out = np.zeros((_LANE, _LANE), np.int8)
-    for b in range(_LANE // BLOCK_SIZE):
-        i = b * BLOCK_SIZE
-        out[i : i + BLOCK_SIZE, i : i + BLOCK_SIZE] = _TS
-    return out
-
-
-_BDTS = _bdts_lane()
+# (128, 128) int8 block-diag Ts — the MXU-shaped contraction operand
+# (K=8 einsums map poorly onto the 128x128 systolic array; K=128 with the
+# block-diagonal layout is identical math and ~12x faster at 8192²).
+_BDTS = block_diag_Ts(_LANE // BLOCK_SIZE)
 
 
 class FastApprPipeline(Pipeline):

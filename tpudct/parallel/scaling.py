@@ -67,6 +67,8 @@ def scaling_table(
         xs = shard_image(jnp.asarray(img), mesh)
         op = _sharded_pair(p, cfg, mesh)
         ms = device_time_ms(op, xs, reps=reps)
+        # tiny CI shapes can measure a zero slope; floor to one timer tick
+        ms = max(ms, 1e-6)
         mpix = size * size / ms / 1e3
         if base_per_device is None:
             base_per_device = mpix / n

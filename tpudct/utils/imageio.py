@@ -50,7 +50,16 @@ def _load_native() -> Optional[ctypes.CDLL]:
         return None
     try:
         lib = ctypes.CDLL(str(_LIB_PATH))
-    except OSError:
+        if not hasattr(lib, "tpudct_jpeg_decode_batch"):
+            # Stale prebuilt library from pre-batch sources: rebuild once.
+            subprocess.run(
+                ["make", "-C", str(_CSRC), "-B"],
+                check=True, capture_output=True, timeout=120,
+            )
+            lib = ctypes.CDLL(str(_LIB_PATH))
+            if not hasattr(lib, "tpudct_jpeg_decode_batch"):
+                return None
+    except (OSError, subprocess.SubprocessError):
         return None
     u8p = ctypes.POINTER(ctypes.c_ubyte)
     lib.tpudct_jpeg_decode.argtypes = [
