@@ -122,3 +122,30 @@ def test_ring_all_gather_interpret(image256):
     xs = shard_image(jnp.asarray(image256), mesh)
     full = ring_all_gather(xs, mesh, interpret=True)
     np.testing.assert_array_equal(np.asarray(full), image256)
+
+
+def test_grid_mesh_2d(image256):
+    """2-D (band, col) mesh: zero halo in both axes, psum over both."""
+    from tpudct.parallel import grid_mesh, shard_image_grid, sharded_codec_step_grid
+
+    mesh = grid_mesh()  # 8 devices -> (4, 2) by most-square factorization
+    assert mesh.shape["band"] * mesh.shape["col"] == 8
+    xs = shard_image_grid(jnp.asarray(image256), mesh)
+    p = get_pipeline("hp")
+    (c, r), m = sharded_codec_step_grid(p, CodecConfig(), mesh)(xs)
+    # hp/fast int-exact forward: grid-sharded coefficients == single-chip.
+    c1, r1 = p.roundtrip(jnp.asarray(image256), CodecConfig())
+    np.testing.assert_array_equal(gather(c), np.asarray(c1))
+    rec = gather(r).astype(np.float64)
+    mse = ((rec - image256) ** 2).mean()
+    assert abs(float(m["mse"]) - mse) / max(mse, 1e-9) < 1e-4
+
+
+def test_grid_mesh_validates(image256):
+    from tpudct.parallel import grid_mesh, shard_image_grid
+
+    mesh = grid_mesh((2, 4))
+    with pytest.raises(ValueError):
+        shard_image_grid(jnp.zeros((256, 40)), mesh)  # 40/4=10: not 8-multiple
+    with pytest.raises(ValueError):
+        grid_mesh((4, 4))  # needs 16 devices on the 8-device mesh

@@ -10,11 +10,13 @@ with `psum` over ICI, and reassembly is an `all_gather` kept off the
 critical path.
 """
 
-from tpudct.parallel.mesh import band_mesh, distributed_init, band_spec
+from tpudct.parallel.mesh import band_mesh, band_spec, distributed_init, grid_mesh, grid_spec
 from tpudct.parallel.sharding import (
     shard_image,
+    shard_image_grid,
     sharded_roundtrip,
     sharded_codec_step,
+    sharded_codec_step_grid,
     gather,
 )
 from tpudct.parallel.scaling import scaling_table
@@ -23,9 +25,13 @@ __all__ = [
     "band_mesh",
     "distributed_init",
     "band_spec",
+    "grid_mesh",
+    "grid_spec",
     "shard_image",
+    "shard_image_grid",
     "sharded_roundtrip",
     "sharded_codec_step",
+    "sharded_codec_step_grid",
     "gather",
     "scaling_table",
 ]

@@ -48,3 +48,37 @@ def band_mesh(n_devices: Optional[int] = None, devices: Optional[Sequence] = Non
 def band_spec() -> PartitionSpec:
     """Rows sharded over the band axis, columns replicated."""
     return PartitionSpec(BAND_AXIS, None)
+
+
+COL_AXIS = "col"
+
+
+def grid_mesh(
+    shape: Optional[Sequence[int]] = None, devices: Optional[Sequence] = None
+) -> Mesh:
+    """2-D (band, col) mesh: rows shard over 'band', columns over 'col'.
+
+    8x8 blocks are independent in BOTH image dimensions, so a 2-D tile grid
+    is as zero-halo as row bands.  On hardware with a physical 2-D ICI
+    torus (e.g. a v5e 4x2 slice) this keeps each collective on a mesh ring
+    instead of serializing one long band ring.  Default shape: the
+    most-square factorization of the device count."""
+    if devices is None:
+        devices = jax.devices()
+    if shape is None:
+        n = len(devices)
+        a = int(n**0.5)
+        while n % a:
+            a -= 1
+        shape = (n // a, a)
+    nb, nc = int(shape[0]), int(shape[1])
+    if nb * nc > len(devices):
+        raise ValueError(f"mesh {nb}x{nc} needs {nb*nc} devices, have {len(devices)}")
+    return jax.make_mesh(
+        (nb, nc), (BAND_AXIS, COL_AXIS), devices=list(devices)[: nb * nc]
+    )
+
+
+def grid_spec() -> PartitionSpec:
+    """Rows over 'band', columns over 'col'."""
+    return PartitionSpec(BAND_AXIS, COL_AXIS)

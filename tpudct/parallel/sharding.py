@@ -20,7 +20,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from tpudct.config import CodecConfig
 from tpudct.models.base import Pipeline
-from tpudct.parallel.mesh import BAND_AXIS, band_spec
+from tpudct.parallel.mesh import BAND_AXIS, COL_AXIS, band_spec, grid_spec
 
 
 def shard_image(x, mesh: Mesh):
@@ -87,6 +87,50 @@ def sharded_codec_step(pipeline: Pipeline, cfg: CodecConfig, mesh: Mesh):
         mesh=mesh,
         in_specs=band_spec(),
         out_specs=((band_spec(), band_spec()), P()),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+def shard_image_grid(x, mesh: Mesh):
+    """Place an (H, W) image as a 2-D tile grid across a (band, col) mesh."""
+    nb, nc = mesh.shape[BAND_AXIS], mesh.shape[COL_AXIS]
+    h, w = x.shape
+    if h % nb or (h // nb) % 8:
+        raise ValueError(f"height {h} must split into {nb} bands of 8-row multiples")
+    if w % nc or (w // nc) % 8:
+        raise ValueError(f"width {w} must split into {nc} tiles of 8-col multiples")
+    return jax.device_put(x, NamedSharding(mesh, grid_spec()))
+
+
+def sharded_codec_step_grid(pipeline: Pipeline, cfg: CodecConfig, mesh: Mesh):
+    """2-D-mesh variant of :func:`sharded_codec_step`: tile-local encode +
+    decode, quality metrics psum'd over BOTH mesh axes.  Per-tile widths
+    below 128 take the hp pipeline's batched fallback; size shards so each
+    column tile keeps a 128-multiple width to stay on the Pallas path."""
+
+    def tile_fn(x):
+        c, r = pipeline.roundtrip(x, cfg)
+        xf = jnp.asarray(x, jnp.float32)
+        d = xf - jnp.asarray(r, jnp.float32)
+        axes = (BAND_AXIS, COL_AXIS)
+        err = jax.lax.psum(jnp.sum(d * d), axes)
+        energy = jax.lax.psum(jnp.sum(xf * xf), axes)
+        count = jax.lax.psum(jnp.asarray(x.size, jnp.float32), axes)
+        nonzero = jax.lax.psum(jnp.sum(jnp.asarray(c != 0, jnp.float32)), axes)
+        metrics = {
+            "mse": err / count,
+            "psnr_db": 10.0 * jnp.log10(255.0**2 * count / jnp.maximum(err, 1e-30)),
+            "peen_pct": 100.0 * err / energy,
+            "nonzero_frac": nonzero / count,
+        }
+        return (c, r), metrics
+
+    fn = jax.shard_map(
+        tile_fn,
+        mesh=mesh,
+        in_specs=grid_spec(),
+        out_specs=((grid_spec(), grid_spec()), P()),
         check_vma=False,
     )
     return jax.jit(fn)
