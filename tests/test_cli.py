@@ -117,3 +117,24 @@ def test_batch_resumable(tmp_path, rng, capsys):
     from tpudct.utils import serialize
     c, qs, k, (h, w) = serialize.load_coefficients(dst / "im3.jpg.tdc", with_orig_shape=True)
     assert (h, w) == (64, 64)
+
+
+def test_batch_skips_corrupt_files(tmp_path, rng, capsys):
+    # A corrupt JPEG must be recorded in the manifest and skipped, not
+    # abort the job (the recovery story the reference lacks, SURVEY.md §5).
+    from tpudct.utils import imageio
+
+    src = tmp_path / "in"
+    dst = tmp_path / "out"
+    src.mkdir()
+    for i in range(2):
+        imageio.save_jpeg(src / f"ok{i}.jpg", rng.integers(0, 256, (32, 32)).astype("uint8"))
+    (src / "bad.jpg").write_bytes(b"\xff\xd8 definitely not a jpeg")
+    rc = main(["batch", str(src), str(dst)])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["encoded"] == 2 and rep["failed"] == 1
+    # Re-run: everything (including the failure record) is skipped.
+    rc = main(["batch", str(src), str(dst)])
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and rep["encoded"] == 0 and rep["skipped"] == 3

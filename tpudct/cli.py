@@ -186,7 +186,7 @@ def cmd_batch(args) -> int:
     files = sorted(q.name for q in src.iterdir() if q.suffix.lower() in (".jpg", ".jpeg"))
     todo = [name for name in files if name not in done]
     skipped = len(files) - len(todo)
-    coded = 0
+    coded = failed = 0
     import os as _os
 
     n_threads = args.decode_threads if args.decode_threads > 0 else min(_os.cpu_count() or 4, 16)
@@ -197,9 +197,19 @@ def cmd_batch(args) -> int:
             # Host decode is the bulk bottleneck (device encode ~0.1 ms per
             # image); the native pthread pool decodes each chunk in parallel.
             images = imageio.load_jpeg_batch(
-                [src / n for n in names], n_threads=n_threads
+                [src / n for n in names], n_threads=n_threads, errors="none"
             )
             for name, img in zip(names, images):
+                if img is None:
+                    # One corrupt file must not abort the job: record the
+                    # failure in the manifest (so re-runs skip it too) and
+                    # keep going.  SURVEY.md §5: the reference's only error
+                    # handling is print-and-exit; this path is the recovery
+                    # story it lacks.
+                    mf.write(json.dumps({"file": name, "error": "decode_failed"}) + "\n")
+                    mf.flush()
+                    failed += 1
+                    continue
                 x, (h, w) = pad_to_blocks(jnp.asarray(img, jnp.float32))
                 c = p.encode(x, cfg)
                 # Full input name in the output avoids a.jpg/a.jpeg collisions.
@@ -209,7 +219,10 @@ def cmd_batch(args) -> int:
                 mf.write(json.dumps(rec) + "\n")
                 mf.flush()
                 coded += 1
-    print(json.dumps({"encoded": coded, "skipped": skipped, "total": len(files), "manifest": str(manifest)}))
+    print(json.dumps({
+        "encoded": coded, "skipped": skipped, "failed": failed,
+        "total": len(files), "manifest": str(manifest),
+    }))
     return 0
 
 

@@ -130,20 +130,34 @@ def load_jpeg(path: str, force_gray: bool = True) -> np.ndarray:
     return np.asarray(img)
 
 
-def load_jpeg_batch(paths, n_threads: int = 0, force_gray: bool = True) -> list:
+def load_jpeg_batch(
+    paths, n_threads: int = 0, force_gray: bool = True, errors: str = "raise"
+) -> list:
     """Decode many JPEGs in parallel via the C pthread pool.
 
     The data-loader path: device time is ~0.1 ms/image, so host decode
     dominates bulk encoding — the native pool decodes with true parallelism
     (one libjpeg context per thread, no GIL).  Returns a list of (H, W)
     uint8 arrays in input order.  n_threads=0 = one per CPU (capped at 16).
-    Raises on the first failed file.  Falls back to sequential load_jpeg
-    when the native codec is unavailable.
+    errors="raise" (default) raises on the first failed file;
+    errors="none" returns None at failed positions — the bulk-encoder mode,
+    where one corrupt file must not abort a million-image job.  Falls back
+    to sequential load_jpeg when the native codec is unavailable.
     """
+    if errors not in ("raise", "none"):
+        raise ValueError(f"errors must be 'raise' or 'none', got {errors!r}")
     paths = [str(p) for p in paths]
     lib = _load_native()
     if lib is None or not paths:
-        return [load_jpeg(p, force_gray) for p in paths]
+        out = []
+        for p_ in paths:
+            try:
+                out.append(load_jpeg(p_, force_gray))
+            except Exception:
+                if errors == "raise":
+                    raise
+                out.append(None)
+        return out
     if n_threads <= 0:
         n_threads = min(os.cpu_count() or 4, 16)
 
@@ -158,7 +172,7 @@ def load_jpeg_batch(paths, n_threads: int = 0, force_gray: bool = True) -> list:
     lib.tpudct_jpeg_decode_batch(
         names, n, n_threads, outs, ws, hs, chs, rcs, 1 if force_gray else 0
     )
-    images = []
+    images = [None] * n
     err = None
     try:
         for i in range(n):
@@ -170,12 +184,12 @@ def load_jpeg_batch(paths, n_threads: int = 0, force_gray: bool = True) -> list:
             cnt = hs[i] * ws[i] * chs[i]
             arr = np.ctypeslib.as_array(outs[i], shape=(cnt,)).copy()
             shape = (hs[i], ws[i]) if chs[i] == 1 else (hs[i], ws[i], chs[i])
-            images.append(arr.reshape(shape))
+            images[i] = arr.reshape(shape)
     finally:
         for i in range(n):
             if outs[i]:
                 lib.tpudct_free(outs[i])
-    if err is not None:
+    if err is not None and errors == "raise":
         raise err
     return images
 
