@@ -29,8 +29,8 @@ def zonal_mask_np(k, bs=BLOCK_SIZE):
     return (u + v < k).astype(np.float64)
 
 
-def golden_dct(img, q_scale=1.0, retain_k=None, dtype=np.float64):
-    t = T.astype(dtype)
+def golden_dct(img, q_scale=1.0, retain_k=None, dtype=np.float64, t=None):
+    t = (T if t is None else t).astype(dtype)
     q = Q.astype(dtype) * q_scale
     h, w = img.shape
     xb = blockify_np(img.astype(dtype)) - 128.0
@@ -39,8 +39,8 @@ def golden_dct(img, q_scale=1.0, retain_k=None, dtype=np.float64):
     return deblockify_np(cb, h, w)
 
 
-def golden_idct(coeffs, q_scale=1.0, dtype=np.float64):
-    t = T.astype(dtype)
+def golden_idct(coeffs, q_scale=1.0, dtype=np.float64, t=None):
+    t = (T if t is None else t).astype(dtype)
     q = Q.astype(dtype) * q_scale
     h, w = coeffs.shape
     yb = blockify_np(coeffs.astype(dtype)) * q
@@ -48,7 +48,7 @@ def golden_idct(coeffs, q_scale=1.0, dtype=np.float64):
     return deblockify_np(xb, h, w)
 
 
-def golden_roundtrip(img, q_scale=1.0, retain_k=None):
-    c = golden_dct(img, q_scale, retain_k)
-    r = golden_idct(c, q_scale)
+def golden_roundtrip(img, q_scale=1.0, retain_k=None, t=None):
+    c = golden_dct(img, q_scale, retain_k, t=t)
+    r = golden_idct(c, q_scale, t=t)
     return c, np.clip(np.trunc(r), 0, 255).astype(np.uint8)

@@ -1,0 +1,91 @@
+"""Transform registry tests (beyond parity: the reference hardcodes one
+transform in 9 translation units; the framework is transform-pluggable)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from tpudct import CodecConfig, get_pipeline
+from tpudct.constants import TRANSFORMS, get_transform
+from tests.golden import golden_roundtrip
+
+
+def test_registry_orthogonality():
+    for name, tr in TRANSFORMS.items():
+        err = np.abs(tr.t.astype(np.float64) @ tr.t.T.astype(np.float64) - np.eye(8)).max()
+        assert err < 1e-6, name
+        if tr.has_integer_core:
+            # T = diag(d) @ Ts must hold exactly
+            np.testing.assert_allclose(
+                tr.d[:, None] * tr.ts.astype(np.float32), tr.t, atol=1e-6
+            )
+
+
+def test_unknown_transform_rejected():
+    with pytest.raises(ValueError):
+        get_transform("fft")
+
+
+@pytest.mark.parametrize("transform", ["haweel", "rdct", "dct"])
+@pytest.mark.parametrize("name", ["hp", "batched"])
+def test_roundtrip_matches_golden_per_transform(rng, transform, name):
+    img = rng.integers(0, 256, (128, 256)).astype(np.float32)
+    cfg = CodecConfig(transform=transform)
+    c, r = get_pipeline(name).roundtrip(jnp.asarray(img), cfg)
+    gc, gr = golden_roundtrip(img, t=get_transform(transform).t)
+    c = np.asarray(c)
+    assert np.abs(c - gc).max() <= 1.0, (name, transform)
+    assert int((c != gc).sum()) <= max(4, c.size // 100)
+    assert np.abs(np.asarray(r).astype(int) - gr.astype(int)).max() <= 64
+
+
+def test_fast_requires_integer_core(rng):
+    img = rng.integers(0, 256, (64, 128)).astype(np.float32)
+    with pytest.raises(ValueError):
+        get_pipeline("fast").dct(jnp.asarray(img), CodecConfig(transform="dct"))
+    # rdct has a {0,+-1} core: the int8 path must work
+    c, r = get_pipeline("fast").roundtrip(jnp.asarray(img), CodecConfig(transform="rdct"))
+    gc, _ = golden_roundtrip(img, t=get_transform("rdct").t)
+    assert np.abs(np.asarray(c) - gc).max() <= 1.0
+
+
+def test_exact_dct_beats_approximations(rng):
+    # The exact DCT-II must compact energy at least as well as the
+    # approximations on a smooth image (the reason approximations exist is
+    # speed, not quality).
+    x = np.linspace(0, 255, 128)[:, None] + np.linspace(0, 64, 128)[None, :]
+    img = x.astype(np.float32)
+    mses = {}
+    for t in ("dct", "haweel", "rdct"):
+        _, r = get_pipeline("hp").roundtrip(jnp.asarray(img), CodecConfig(transform=t, retain_k=6))
+        mses[t] = ((np.asarray(r).astype(float) - img) ** 2).mean()
+    assert mses["dct"] <= mses["haweel"] * 1.05 and mses["dct"] <= mses["rdct"] * 1.05
+
+
+def test_tdc_records_transform(tmp_path, rng):
+    from tpudct.utils import serialize
+
+    c = rng.integers(-50, 50, (64, 64)).astype(np.float32)
+    path = tmp_path / "x.tdc"
+    serialize.save_coefficients(path, c, transform="rdct")
+    back, qs, k, tname = serialize.load_coefficients(path, with_transform=True)
+    assert tname == "rdct"
+    np.testing.assert_array_equal(back, c)
+
+
+def test_tdc_v2_backcompat(tmp_path, rng):
+    # Hand-build a v2 stream; it must load with transform defaulting haweel.
+    import struct, zlib
+
+    c = rng.integers(-50, 50, (16, 16)).astype(np.int16)
+    payload = zlib.compress(c.tobytes(), 6)
+    header = struct.pack("<4sIIIIfiI", b"TDC2", 16, 16, 0, 0, 1.0, -1, len(payload))
+    p = tmp_path / "old.tdc"
+    p.write_bytes(header + payload)
+    from tpudct.utils import serialize
+
+    back, qs, k, (h, w), tname = serialize.load_coefficients(
+        p, with_orig_shape=True, with_transform=True
+    )
+    assert tname == "haweel" and (h, w) == (16, 16)
+    np.testing.assert_array_equal(back, c.astype(np.float32))

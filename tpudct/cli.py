@@ -29,6 +29,7 @@ def _cfg_from(args) -> "CodecConfig":
     return CodecConfig(
         q_scale=args.q_scale,
         retain_k=args.k,
+        transform=getattr(args, "transform", "haweel"),
     )
 
 
@@ -36,6 +37,8 @@ def _add_codec_flags(sp):
     sp.add_argument("--pipeline", default="hp", help="cublas|batched|cublas2|fast|hp")
     sp.add_argument("--q-scale", type=float, default=1.0, dest="q_scale")
     sp.add_argument("--k", type=int, default=None, help="zonal retention: keep u+v < k")
+    sp.add_argument("--transform", default="haweel",
+                    help="8x8 transform: haweel (reference) | rdct (rounded-DCT approx) | dct (exact DCT-II)")
 
 
 def _print_corner(label: str, a, n: int = 8):
@@ -72,7 +75,8 @@ def cmd_run(args) -> int:
     imageio.save_jpeg(args.output, rec_u8, quality=args.quality)
     if args.coeffs:
         n = serialize.save_coefficients(
-            args.coeffs, np.asarray(c), cfg.q_scale, cfg.retain_k, orig_shape=(h, w)
+            args.coeffs, np.asarray(c), cfg.q_scale, cfg.retain_k,
+            orig_shape=(h, w), transform=cfg.transform,
         )
         print(f"coefficients -> {args.coeffs} ({n} bytes)")
     rep = metrics.quality_report(img, rec_u8, np.asarray(c))
@@ -92,7 +96,7 @@ def cmd_encode(args) -> int:
     cfg = _cfg_from(args)
     x, (h, w) = pad_to_blocks(jnp.asarray(img, jnp.float32))
     c = get_pipeline(args.pipeline).encode(x, cfg)
-    n = serialize.save_coefficients(args.output, np.asarray(c), cfg.q_scale, cfg.retain_k, orig_shape=(h, w))
+    n = serialize.save_coefficients(args.output, np.asarray(c), cfg.q_scale, cfg.retain_k, orig_shape=(h, w), transform=cfg.transform)
     print(json.dumps({"bytes": n, "raw_bytes": img.size, "factor_vs_raw": img.size / n}))
     return 0
 
@@ -106,8 +110,12 @@ def cmd_decode(args) -> int:
 
     from tpudct.ops.transform import to_uint8
 
-    coeffs, q_scale, _k, (h, w) = serialize.load_coefficients(args.input, with_orig_shape=True)
-    rec = get_pipeline(args.pipeline).idct(jnp.asarray(coeffs), CodecConfig(q_scale=q_scale))
+    coeffs, q_scale, _k, (h, w), transform = serialize.load_coefficients(
+        args.input, with_orig_shape=True, with_transform=True
+    )
+    rec = get_pipeline(args.pipeline).idct(
+        jnp.asarray(coeffs), CodecConfig(q_scale=q_scale, transform=transform)
+    )
     rec_u8 = np.asarray(to_uint8(rec))[:h, :w]
     imageio.save_jpeg(args.output, rec_u8, quality=args.quality)
     print(f"decoded {args.input} -> {args.output}")
@@ -214,7 +222,7 @@ def cmd_batch(args) -> int:
                 c = p.encode(x, cfg)
                 # Full input name in the output avoids a.jpg/a.jpeg collisions.
                 out = dst / (name + ".tdc")
-                n = serialize.save_coefficients(out, np.asarray(c), cfg.q_scale, cfg.retain_k, orig_shape=(h, w))
+                n = serialize.save_coefficients(out, np.asarray(c), cfg.q_scale, cfg.retain_k, orig_shape=(h, w), transform=cfg.transform)
                 rec = {"file": name, "tdc": out.name, "bytes": n, "shape": [h, w]}
                 mf.write(json.dumps(rec) + "\n")
                 mf.flush()

@@ -20,6 +20,13 @@ class CodecConfig:
 
     Attributes:
       block_size: transform block edge. The Haweel T is 8x8, so 8.
+      transform: which 8x8 transform to run (constants.TRANSFORMS).
+        "haweel" (default) = the reference's exact matrix; "rdct" = the
+        derived rounded-DCT {0,+-1} approximation (PAPERS.md family);
+        "dct" = the exact DCT-II (quality ceiling; f32 paths only — no
+        integer core exists, so `fast` rejects it and hp uses its f32
+        kernel with "highest" decode). Beyond parity: the reference
+        hardcodes one transform in 9 translation units.
       q_scale: multiplier applied to the JPEG luminance table Q (1.0 = the
         reference's "Standard Q" column, README.md:67-69).
       retain_k: optional zonal coefficient retention. Keeps coefficient
@@ -59,6 +66,7 @@ class CodecConfig:
     """
 
     block_size: int = 8
+    transform: str = "haweel"
     q_scale: float = 1.0
     retain_k: Optional[int] = None
     interpret: bool = False

@@ -90,18 +90,20 @@ def derive_T(dtype=np.float32) -> np.ndarray:
     return (ts / haweel_row_norms()[:, None]).astype(dtype)
 
 
-def block_diag_Ts(num_blocks: int) -> np.ndarray:
-    """Block-diagonal expansion of the int8 integer core Ts (one builder for
-    the hp Pallas kernels, the fast pipeline's MXU einsum, and benchmarks)."""
+def block_diag_Ts(num_blocks: int, ts: np.ndarray | None = None) -> np.ndarray:
+    """Block-diagonal expansion of an int8 integer core (default: Haweel Ts).
+    One builder for the hp Pallas kernels, the fast pipeline's MXU einsum,
+    and benchmarks."""
+    ts = HAWEEL_TS if ts is None else ts
     n = BLOCK_SIZE * num_blocks
     out = np.zeros((n, n), np.int8)
     for b in range(num_blocks):
         s = b * BLOCK_SIZE
-        out[s : s + BLOCK_SIZE, s : s + BLOCK_SIZE] = HAWEEL_TS
+        out[s : s + BLOCK_SIZE, s : s + BLOCK_SIZE] = ts
     return out
 
 
-def block_diag_T(num_blocks: int, transpose: bool = False, dtype=np.float32) -> np.ndarray:
+def block_diag_T(num_blocks: int, transpose: bool = False, dtype=np.float32, t: np.ndarray | None = None) -> np.ndarray:
     """Block-diagonal expansion of T: the TPU analog of `upgrade_T_matrix`
     (utils_kernels.cu:60-69), sized for lane tiles rather than whole images.
 
@@ -110,7 +112,8 @@ def block_diag_T(num_blocks: int, transpose: bool = False, dtype=np.float32) -> 
     ``BDT @ X @ BDT.T`` applies ``T @ Xb @ T.T`` to every block — two
     MXU-native matmuls for 256 DCT blocks.
     """
-    t = T.T if transpose else T
+    t = T if t is None else t
+    t = t.T if transpose else t
     n = BLOCK_SIZE * num_blocks
     out = np.zeros((n, n), dtype=dtype)
     for b in range(num_blocks):
@@ -125,3 +128,83 @@ def tiled_Q(rows: int, cols: int, scale: float = 1.0, dtype=np.float32) -> np.nd
     (utils_kernels.cu:34-44)."""
     assert rows % BLOCK_SIZE == 0 and cols % BLOCK_SIZE == 0
     return np.tile(Q * np.float32(scale), (rows // BLOCK_SIZE, cols // BLOCK_SIZE)).astype(dtype)
+
+
+# ---------------------------------------------------------------------------
+# Transform registry (beyond-parity: the reference supports only the Haweel
+# matrix; the framework is transform-pluggable)
+# ---------------------------------------------------------------------------
+
+import dataclasses
+from typing import Optional
+
+
+def _exact_dct8(dtype=np.float64) -> np.ndarray:
+    """The exact 8-point DCT-II matrix (orthonormal)."""
+    k = np.arange(8)[:, None].astype(np.float64)
+    n = np.arange(8)[None, :].astype(np.float64)
+    c = np.cos((2 * n + 1) * k * np.pi / 16.0)
+    c *= np.where(k == 0, np.sqrt(1.0 / 8.0), np.sqrt(2.0 / 8.0))
+    return c.astype(dtype)
+
+
+def _rdct_core() -> np.ndarray:
+    """round(2 * DCT8): a {0, +-1} integer core with exactly orthogonal rows
+    (the rounded-DCT family of approximations, cf. PAPERS.md: Cintra/Bayer
+    line of work).  Derived, not hardcoded — the registry test asserts the
+    orthogonality that makes T = diag(1/row_norms) @ Ts an exact-inverse
+    transform, same structure as the Haweel factorization."""
+    ts = np.round(2.0 * _exact_dct8()).astype(np.int8)
+    g = ts.astype(np.int64) @ ts.astype(np.int64).T
+    assert (g == np.diag(np.diag(g))).all(), "rdct rows must be orthogonal"
+    return ts
+
+
+@dataclasses.dataclass(frozen=True)
+class Transform:
+    """One 8x8 blockwise transform: orthogonal T (f32), optional integer
+    core Ts with T = diag(d) @ Ts (enables the int8 MXU paths and the
+    bf16-exact butterfly decode), and d = reciprocal row norms."""
+
+    name: str
+    t: np.ndarray
+    ts: Optional[np.ndarray]  # int8 {small ints} or None (no integer core)
+    d: Optional[np.ndarray]  # 1/row_norms, None iff ts is None
+
+    @property
+    def has_integer_core(self) -> bool:
+        return self.ts is not None
+
+
+def _norm_t(ts: np.ndarray) -> tuple:
+    norms = np.sqrt((ts.astype(np.float64) ** 2).sum(axis=1))
+    d = (1.0 / norms).astype(np.float32)
+    t = (ts.astype(np.float64) / norms[:, None]).astype(np.float32)
+    return t, d
+
+
+def _build_transforms() -> dict:
+    rd_t, rd_d = _norm_t(_rdct_core())
+    return {
+        # Reference parity: the exact float literals from main.cu:135-143.
+        "haweel": Transform(
+            "haweel", T, HAWEEL_TS, (1.0 / haweel_row_norms()).astype(np.float32)
+        ),
+        # Derived rounded-DCT approximation ({0,+-1} core, 0 multiplies).
+        "rdct": Transform("rdct", rd_t, _rdct_core(), rd_d),
+        # Exact DCT-II: the quality ceiling; no integer core (irrational
+        # entries), so it runs on the f32 MXU paths only.
+        "dct": Transform("dct", _exact_dct8(np.float32), None, None),
+    }
+
+
+TRANSFORMS = _build_transforms()
+
+
+def get_transform(name: str) -> Transform:
+    try:
+        return TRANSFORMS[name]
+    except KeyError:
+        raise ValueError(
+            f"unknown transform {name!r}; available: {sorted(TRANSFORMS)}"
+        ) from None

@@ -88,16 +88,26 @@ from tpudct.constants import (
     Q,
     block_diag_T,
     block_diag_Ts,
+    get_transform,
     haweel_row_norms,
 )
 
 LANE = 128
 _HIGHEST = jax.lax.Precision.HIGHEST
 
-# Max |quantized coefficient| at q_scale=1 (see module docstring); used to
-# gate the int8-coefficient variants.
-_ROW_ABS = np.abs(HAWEEL_TS).sum(axis=1) / haweel_row_norms()  # sum|T_i| per row
-_MAX_COEFF = float((np.outer(_ROW_ABS, _ROW_ABS) * 128.0 / Q).max())  # ~97.2
+@functools.lru_cache(maxsize=8)
+def _max_coeff(transform: str = "haweel") -> float:
+    """Max |quantized coefficient| at q_scale=1 (see module docstring);
+    gates the int8-coefficient variants.  inf when the transform has no
+    integer core (the u8 paths then never engage)."""
+    tr = get_transform(transform)
+    if not tr.has_integer_core:
+        return float("inf")
+    row_abs = np.abs(tr.ts.astype(np.float64)).sum(axis=1) * tr.d  # sum|T_i| per row
+    return float((np.outer(row_abs, row_abs) * 128.0 / Q).max())  # haweel: ~97.2
+
+
+_MAX_COEFF = _max_coeff("haweel")
 
 
 def supports(h: int, w: int) -> bool:
@@ -105,13 +115,13 @@ def supports(h: int, w: int) -> bool:
     return h % BLOCK_SIZE == 0 and w % LANE == 0 and h >= BLOCK_SIZE and w >= LANE
 
 
-def supports_u8(h: int, w: int, q_scale: float = 1.0) -> bool:
-    """u8/int8 variants additionally need 32-row tiles (int8 sublane min)
-    and coefficients that fit int8."""
+def supports_u8(h: int, w: int, q_scale: float = 1.0, transform: str = "haweel") -> bool:
+    """u8/int8 variants additionally need 32-row tiles (int8 sublane min),
+    an integer-core transform, and coefficients that fit int8."""
     return (
         h % 32 == 0
         and w % LANE == 0
-        and _MAX_COEFF / q_scale <= 127.0
+        and _max_coeff(transform) / q_scale <= 127.0
     )
 
 
@@ -137,40 +147,48 @@ _block_diag_ts = block_diag_Ts
 
 
 @functools.lru_cache(maxsize=32)
-def _consts_f32(br: int, q_scale: float):
-    bdt = block_diag_T(br // BLOCK_SIZE).astype(np.float32)
-    bdl = block_diag_T(LANE // BLOCK_SIZE).astype(np.float32)
+def _consts_f32(br: int, q_scale: float, transform: str = "haweel"):
+    t = get_transform(transform).t
+    bdt = block_diag_T(br // BLOCK_SIZE, t=t).astype(np.float32)
+    bdl = block_diag_T(LANE // BLOCK_SIZE, t=t).astype(np.float32)
     qt = np.tile(Q * np.float32(q_scale), (br // BLOCK_SIZE, LANE // BLOCK_SIZE)).astype(np.float32)
     return bdt, bdl, qt
 
 
 @functools.lru_cache(maxsize=32)
-def _consts_bf(br: int, q_scale: float):
+def _consts_bf(br: int, q_scale: float, transform: str = "haweel"):
     """Butterfly-inverse consts: dequant scale Q·q_scale·outer(d,d) tiled,
     plus the lane-sized int8 block-diag Ts for the exact bf16 lane matmul.
 
     X = Tᵀ·Y·T with T = diag(d)·Ts means X = Tsᵀ·(Y ⊙ ddᵀ)·Ts, so the row
     norms ride the elementwise dequant multiply and the transform proper is
-    integer-patterned (Ts ∈ {0,±1,±2} — exact in bf16)."""
-    d = 1.0 / haweel_row_norms()
+    integer-patterned (Ts ∈ {0,±1,±2} — exact in bf16).  Requires an
+    integer-core transform; callers gate on Transform.has_integer_core."""
+    tr = get_transform(transform)
+    if not tr.has_integer_core:
+        raise ValueError(f"butterfly decode needs an integer core; {transform!r} has none")
+    d = tr.d.astype(np.float64)
     q8 = Q * np.float64(q_scale) * np.outer(d, d)
     qdd = np.tile(q8, (br // BLOCK_SIZE, LANE // BLOCK_SIZE)).astype(np.float32)
     # Butterfly weight planes: wts[r, k] = Ts[k][r % 8] — the coefficient of
     # block-row k in output row r, laid out full-height so the sublane
     # transform is 8 broadcast-FMA ops with no shuffle traffic.
-    wts = np.tile(HAWEEL_TS.T.astype(np.float32), (br // BLOCK_SIZE, 1))
-    return qdd, _block_diag_ts(LANE // BLOCK_SIZE), wts
+    wts = np.tile(tr.ts.T.astype(np.float32), (br // BLOCK_SIZE, 1))
+    return qdd, block_diag_Ts(LANE // BLOCK_SIZE, tr.ts), wts
 
 
 @functools.lru_cache(maxsize=32)
-def _consts_int(br: int, q_scale: float, retain_k):
+def _consts_int(br: int, q_scale: float, retain_k, transform: str = "haweel"):
     """int8 block-diag Ts operands + fused f32 quant scale (row norms, 1/Q,
     q_scale and the zonal retention mask all folded into one multiplier)."""
     from tpudct.ops.quant import retention_mask
 
-    bdts = _block_diag_ts(br // BLOCK_SIZE)
-    bdts_l = _block_diag_ts(LANE // BLOCK_SIZE)
-    d = 1.0 / haweel_row_norms()
+    tr = get_transform(transform)
+    if not tr.has_integer_core:
+        raise ValueError(f"int core requested but {transform!r} has none")
+    bdts = block_diag_Ts(br // BLOCK_SIZE, tr.ts)
+    bdts_l = block_diag_Ts(LANE // BLOCK_SIZE, tr.ts)
+    d = tr.d.astype(np.float64)
     scale8 = np.outer(d, d) / (Q * q_scale) * retention_mask(retain_k)
     scale = np.tile(scale8, (br // BLOCK_SIZE, LANE // BLOCK_SIZE)).astype(np.float32)
     return bdts, bdts_l, scale
@@ -437,7 +455,7 @@ def _jit(*names):
     return functools.partial(jax.jit, static_argnames=names)
 
 
-@_jit("q_scale", "band_rows", "tile_cols", "interpret", "int_core")
+@_jit("q_scale", "band_rows", "tile_cols", "interpret", "int_core", "transform")
 def hp_dct(
     image,
     q_scale: float = 1.0,
@@ -445,6 +463,7 @@ def hp_dct(
     tile_cols: int = 1024,
     interpret: bool = False,
     int_core: bool = True,
+    transform: str = "haweel",
 ):
     """(H, W) f32 image -> (H, W) f32 quantized coefficients, one fused kernel.
 
@@ -455,17 +474,17 @@ def hp_dct(
     h, w = image.shape
     br, tc = _geometry(h, w, band_rows, tile_cols)
     if int_core:
-        consts = _consts_int(br, q_scale, None)
+        consts = _consts_int(br, q_scale, None, transform)
         kern = _k_dct_int
     else:
-        consts = _consts_f32(br, q_scale)
+        consts = _consts_f32(br, q_scale, transform)
         kern = _k_dct_f32
     return _call(kern, h, w, br, tc, consts, [jnp.float32], interpret, {0: 0})(
         image, *consts
     )
 
 
-@_jit("q_scale", "band_rows", "tile_cols", "interpret", "decode_precision")
+@_jit("q_scale", "band_rows", "tile_cols", "interpret", "decode_precision", "transform")
 def hp_idct(
     coeffs,
     q_scale: float = 1.0,
@@ -473,22 +492,23 @@ def hp_idct(
     tile_cols: int = 1024,
     interpret: bool = False,
     decode_precision: str = "butterfly",
+    transform: str = "haweel",
 ):
     """(H, W) f32 quantized coefficients -> (H, W) f32 reconstruction."""
     h, w = coeffs.shape
     br, tc = _geometry(h, w, band_rows, tile_cols)
     if _prec(decode_precision) == "butterfly":
-        consts = _consts_bf(br, q_scale)
+        consts = _consts_bf(br, q_scale, transform)
         kern = _k_idct_bf
     else:
-        consts = _consts_f32(br, q_scale)
+        consts = _consts_f32(br, q_scale, transform)
         kern = functools.partial(_k_idct, precision=decode_precision)
     return _call(kern, h, w, br, tc, consts, [jnp.float32], interpret, {0: 0})(
         coeffs, *consts
     )
 
 
-@_jit("q_scale", "retain_k", "band_rows", "tile_cols", "interpret", "int_core", "decode_precision")
+@_jit("q_scale", "retain_k", "band_rows", "tile_cols", "interpret", "int_core", "decode_precision", "transform")
 def hp_roundtrip(
     image,
     q_scale: float = 1.0,
@@ -498,6 +518,7 @@ def hp_roundtrip(
     interpret: bool = False,
     int_core: bool = True,
     decode_precision: str = "butterfly",
+    transform: str = "haweel",
 ):
     """Fully fused codec pass: f32 image -> (f32 coefficients, f32 recon).
 
@@ -511,22 +532,22 @@ def hp_roundtrip(
     br, tc = _geometry(h, w, band_rows, tile_cols)
     butterfly = _prec(decode_precision) == "butterfly"
     if int_core:
-        iconsts = _consts_int(br, q_scale, retain_k)
+        iconsts = _consts_int(br, q_scale, retain_k, transform)
         if butterfly:
             # qdd + weight planes extra: iconsts already carries the Ts.
-            qdd, _, wts = _consts_bf(br, q_scale)
+            qdd, _, wts = _consts_bf(br, q_scale, transform)
             consts = (*iconsts, qdd, wts)
             kern = _k_rt_int_bf
         else:
-            consts = (*iconsts, *_consts_f32(br, q_scale))
+            consts = (*iconsts, *_consts_f32(br, q_scale, transform))
             kern = functools.partial(_k_rt_int, precision=decode_precision)
     else:
-        fconsts = _consts_f32(br, q_scale)
+        fconsts = _consts_f32(br, q_scale, transform)
         mask = np.tile(
             retention_mask(retain_k), (br // BLOCK_SIZE, LANE // BLOCK_SIZE)
         ).astype(np.float32)
         if butterfly:
-            consts = (*fconsts, mask, *_consts_bf(br, q_scale))
+            consts = (*fconsts, mask, *_consts_bf(br, q_scale, transform))
             kern = _k_rt_f32_bf
         else:
             consts = (*fconsts, mask)
@@ -536,7 +557,7 @@ def hp_roundtrip(
     )(image, *consts)
 
 
-@_jit("q_scale", "retain_k", "band_rows", "tile_cols", "interpret")
+@_jit("q_scale", "retain_k", "band_rows", "tile_cols", "interpret", "transform")
 def hp_encode_u8(
     image_u8,
     q_scale: float = 1.0,
@@ -544,6 +565,7 @@ def hp_encode_u8(
     band_rows: int = 256,
     tile_cols: int = 1024,
     interpret: bool = False,
+    transform: str = "haweel",
 ):
     """(H, W) uint8 image -> (H, W) int8 quantized coefficients.
 
@@ -551,13 +573,13 @@ def hp_encode_u8(
     supports_u8 holds (coefficients provably fit int8)."""
     h, w = image_u8.shape
     br, tc = _geometry(h, w, band_rows, tile_cols, row_align=32)
-    consts = _consts_int(br, q_scale, retain_k)
+    consts = _consts_int(br, q_scale, retain_k, transform)
     return _call(_k_encode_u8, h, w, br, tc, consts, [jnp.int8], interpret)(
         image_u8, *consts
     )
 
 
-@_jit("q_scale", "band_rows", "tile_cols", "interpret", "decode_precision")
+@_jit("q_scale", "band_rows", "tile_cols", "interpret", "decode_precision", "transform")
 def hp_decode_u8(
     coeffs_i8,
     q_scale: float = 1.0,
@@ -565,23 +587,24 @@ def hp_decode_u8(
     tile_cols: int = 1024,
     interpret: bool = False,
     decode_precision: str = "butterfly",
+    transform: str = "haweel",
 ):
     """(H, W) int8 coefficients -> (H, W) uint8 reconstruction (fused
     dequant + inverse + unshift + clamp + cast)."""
     h, w = coeffs_i8.shape
     br, tc = _geometry(h, w, band_rows, tile_cols, row_align=32)
     if _prec(decode_precision) == "butterfly":
-        consts = _consts_bf(br, q_scale)
+        consts = _consts_bf(br, q_scale, transform)
         kern = _k_decode_u8_bf
     else:
-        consts = _consts_f32(br, q_scale)
+        consts = _consts_f32(br, q_scale, transform)
         kern = functools.partial(_k_decode_u8, precision=decode_precision)
     return _call(kern, h, w, br, tc, consts, [jnp.uint8], interpret)(
         coeffs_i8, *consts
     )
 
 
-@_jit("q_scale", "retain_k", "band_rows", "tile_cols", "interpret", "decode_precision")
+@_jit("q_scale", "retain_k", "band_rows", "tile_cols", "interpret", "decode_precision", "transform")
 def hp_roundtrip_u8(
     image_u8,
     q_scale: float = 1.0,
@@ -590,19 +613,20 @@ def hp_roundtrip_u8(
     tile_cols: int = 1024,
     interpret: bool = False,
     decode_precision: str = "butterfly",
+    transform: str = "haweel",
 ):
     """Fully fused u8-native codec pass: uint8 image -> (int8 coefficients,
     uint8 reconstruction).  192 MB total HBM traffic at 8192^2 vs 768 MB
     for the f32-staged separate-phase flow; image aliased to recon."""
     h, w = image_u8.shape
     br, tc = _geometry(h, w, band_rows, tile_cols, row_align=32)
-    iconsts = _consts_int(br, q_scale, retain_k)
+    iconsts = _consts_int(br, q_scale, retain_k, transform)
     if _prec(decode_precision) == "butterfly":
-        qdd, _, wts = _consts_bf(br, q_scale)
+        qdd, _, wts = _consts_bf(br, q_scale, transform)
         consts = (*iconsts, qdd, wts)
         kern = _k_rt_u8_bf
     else:
-        consts = (*iconsts, *_consts_f32(br, q_scale))
+        consts = (*iconsts, *_consts_f32(br, q_scale, transform))
         kern = functools.partial(_k_rt_u8, precision=decode_precision)
     return _call(
         kern, h, w, br, tc, consts,

@@ -21,10 +21,14 @@ class BatchedPipeline(Pipeline):
     name = "batched"
 
     def dct(self, image, cfg: CodecConfig):
-        return quantize(dct2_blocks(level_shift(image)), cfg.q_scale)
+        return quantize(
+            dct2_blocks(level_shift(image), transform=cfg.transform), cfg.q_scale
+        )
 
     def idct(self, coeffs, cfg: CodecConfig):
-        return level_unshift(idct2_blocks(dequantize(coeffs, cfg.q_scale)))
+        return level_unshift(
+            idct2_blocks(dequantize(coeffs, cfg.q_scale), transform=cfg.transform)
+        )
 
 
 register(BatchedPipeline(), "cublas2")

@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 
 from tpudct.config import CodecConfig
-from tpudct.constants import Q, T
+from tpudct.constants import Q, get_transform
 from tpudct.models.base import Pipeline, register
 from tpudct.ops.blocks import blockify, deblockify
 from tpudct.ops.rounding import round_half_away
@@ -27,7 +27,7 @@ class CublasLikePipeline(Pipeline):
 
     def dct(self, image, cfg: CodecConfig):
         h, w = image.shape
-        t = jnp.asarray(T, image.dtype)
+        t = jnp.asarray(get_transform(cfg.transform).t, image.dtype)
         q = jnp.asarray(Q, image.dtype) * jnp.asarray(cfg.q_scale, image.dtype)
         xb = blockify(level_shift(image))
 
@@ -44,7 +44,7 @@ class CublasLikePipeline(Pipeline):
 
     def idct(self, coeffs, cfg: CodecConfig):
         h, w = coeffs.shape
-        t = jnp.asarray(T, coeffs.dtype)
+        t = jnp.asarray(get_transform(cfg.transform).t, coeffs.dtype)
         q = jnp.asarray(Q, coeffs.dtype) * jnp.asarray(cfg.q_scale, coeffs.dtype)
         cb = blockify(coeffs)
 

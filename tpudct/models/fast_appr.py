@@ -20,21 +20,27 @@ import numpy as np
 import jax.numpy as jnp
 
 from tpudct.config import CodecConfig
-from tpudct.constants import BLOCK_SIZE, Q, block_diag_Ts, haweel_integer_core, haweel_row_norms
+from tpudct.constants import BLOCK_SIZE, Q, block_diag_Ts, get_transform
 from tpudct.models.base import Pipeline, register
 from tpudct.ops.blocks import as_block_grid, from_block_grid
 from tpudct.ops.rounding import round_half_away
 from tpudct.ops.transform import level_unshift
 
-_TS = haweel_integer_core()  # int8 {0,+-1,+-2}
-_D = (1.0 / haweel_row_norms()).astype(np.float32)  # reciprocal row norms
 _LANE = 128
 
 
-# (128, 128) int8 block-diag Ts — the MXU-shaped contraction operand
-# (K=8 einsums map poorly onto the 128x128 systolic array; K=128 with the
-# block-diagonal layout is identical math and ~12x faster at 8192²).
-_BDTS = block_diag_Ts(_LANE // BLOCK_SIZE)
+def _core(cfg: CodecConfig):
+    """(Ts, d, lane-sized block-diag Ts) for the configured transform.
+
+    The fast pipeline IS the integer-core strategy: transforms without one
+    (exact "dct") are rejected — use `batched`/`hp` for those."""
+    tr = get_transform(cfg.transform)
+    if not tr.has_integer_core:
+        raise ValueError(
+            f"transform {tr.name!r} has no integer core; the fast pipeline "
+            "requires one (use 'batched' or 'hp')"
+        )
+    return tr.ts, tr.d, block_diag_Ts(_LANE // BLOCK_SIZE, tr.ts)
 
 
 class FastApprPipeline(Pipeline):
@@ -42,12 +48,13 @@ class FastApprPipeline(Pipeline):
 
     def dct(self, image, cfg: CodecConfig):
         h, w = image.shape
+        _ts, _d, _bdts = _core(cfg)
         # Fold D-scaling into quantization: Y/Q = core * (d_i d_l / Q_il).
-        d = jnp.asarray(_D, image.dtype)
+        d = jnp.asarray(_d, image.dtype)
         q = jnp.asarray(Q, image.dtype) * jnp.asarray(cfg.q_scale, image.dtype)
         scale8 = (d[:, None] * d[None, :]) / q
         if h % _LANE == 0 and w % _LANE == 0:
-            ts = jnp.asarray(_BDTS, jnp.int8)
+            ts = jnp.asarray(_bdts, jnp.int8)
             g = image.reshape(h // _LANE, _LANE, w // _LANE, _LANE)
             g = (g.astype(jnp.int32) - 128).astype(jnp.int8)
             core = jnp.einsum(
@@ -56,7 +63,7 @@ class FastApprPipeline(Pipeline):
             scale = jnp.tile(scale8, (_LANE // BLOCK_SIZE, _LANE // BLOCK_SIZE))
             y = core.astype(image.dtype) * scale.reshape(1, _LANE, 1, _LANE)
             return round_half_away(y.reshape(h, w))
-        ts = jnp.asarray(_TS, jnp.int8)
+        ts = jnp.asarray(_ts, jnp.int8)
         # Level shift in integer domain: u8 pixel - 128 always fits int8.
         g = (as_block_grid(image).astype(jnp.int32) - 128).astype(jnp.int8)
         core = jnp.einsum(
@@ -69,17 +76,18 @@ class FastApprPipeline(Pipeline):
         # Inverse is not integer (coeffs * Q * d scaling is float); use the
         # factored form X = Ts^T @ (D Y D * Q) @ Ts for the same MXU path.
         h, w = coeffs.shape
-        d = jnp.asarray(_D, coeffs.dtype)
+        _ts, _d, _bdts = _core(cfg)
+        d = jnp.asarray(_d, coeffs.dtype)
         q = jnp.asarray(Q, coeffs.dtype) * jnp.asarray(cfg.q_scale, coeffs.dtype)
         scale8 = (d[:, None] * d[None, :]) * q
         if h % _LANE == 0 and w % _LANE == 0:
-            ts = jnp.asarray(_BDTS.astype(np.float32), coeffs.dtype)
+            ts = jnp.asarray(_bdts.astype(np.float32), coeffs.dtype)
             scale = jnp.tile(scale8, (_LANE // BLOCK_SIZE, _LANE // BLOCK_SIZE))
             g = coeffs.reshape(h // _LANE, _LANE, w // _LANE, _LANE)
             g = g * scale.reshape(1, _LANE, 1, _LANE)
             x = jnp.einsum("ji,ajbk,kl->aibl", ts, g, ts, precision="highest")
             return level_unshift(x.reshape(h, w))
-        ts = jnp.asarray(_TS.astype(np.float32), coeffs.dtype)
+        ts = jnp.asarray(_ts.astype(np.float32), coeffs.dtype)
         g = as_block_grid(coeffs) * scale8.reshape(1, BLOCK_SIZE, 1, BLOCK_SIZE)
         # Ts entries are small integers — exactly representable in bf16 — but
         # the scaled coefficients are not; keep full f32 (see transform.py).

@@ -25,6 +25,27 @@ def _interpret(cfg: CodecConfig) -> bool:
     return cfg.interpret or jax.default_backend() != "tpu"
 
 
+def _int_core(cfg: CodecConfig) -> bool:
+    """exact_int_core, demoted when the transform has no integer core
+    (e.g. the exact 'dct' — f32 kernels only)."""
+    from tpudct.constants import get_transform
+
+    return cfg.exact_int_core and get_transform(cfg.transform).has_integer_core
+
+
+def _decode_prec(cfg: CodecConfig) -> str:
+    """butterfly needs the integer core's bf16-exact Ts; transforms without
+    one decode at 'highest' (the reference-faithful f32 tier)."""
+    from tpudct.constants import get_transform
+
+    if (
+        cfg.decode_precision == "butterfly"
+        and not get_transform(cfg.transform).has_integer_core
+    ):
+        return "highest"
+    return cfg.decode_precision
+
+
 class HpApprPipeline(Pipeline):
     name = "hp"
 
@@ -38,7 +59,8 @@ class HpApprPipeline(Pipeline):
             band_rows=cfg.band_rows,
             tile_cols=cfg.tile_cols,
             interpret=_interpret(cfg),
-            int_core=cfg.exact_int_core,
+            int_core=_int_core(cfg),
+            transform=cfg.transform,
         )
 
     def idct(self, coeffs, cfg: CodecConfig):
@@ -51,7 +73,8 @@ class HpApprPipeline(Pipeline):
             band_rows=cfg.band_rows,
             tile_cols=cfg.tile_cols,
             interpret=_interpret(cfg),
-            decode_precision=cfg.decode_precision,
+            decode_precision=_decode_prec(cfg),
+            transform=cfg.transform,
         )
 
     def roundtrip(self, image, cfg: CodecConfig):
@@ -68,8 +91,9 @@ class HpApprPipeline(Pipeline):
             band_rows=cfg.band_rows,
             tile_cols=cfg.tile_cols,
             interpret=_interpret(cfg),
-            int_core=cfg.exact_int_core,
-            decode_precision=cfg.decode_precision,
+            int_core=_int_core(cfg),
+            decode_precision=_decode_prec(cfg),
+            transform=cfg.transform,
         )
         return c, to_uint8(r)
 
@@ -79,14 +103,16 @@ class HpApprPipeline(Pipeline):
     def encode_u8(self, image_u8, cfg: CodecConfig):
         """uint8 image -> int8 coefficient map (4x less HBM traffic)."""
         h, w = image_u8.shape
-        if not hp_pallas.supports_u8(h, w, cfg.q_scale):
+        if not hp_pallas.supports_u8(h, w, cfg.q_scale, cfg.transform):
             raise ValueError(
-                f"u8 path needs h%32==0, w%128==0 and q_scale>={hp_pallas._MAX_COEFF/127.0:.2f} (got {h}x{w}, q_scale={cfg.q_scale})"
+                f"u8 path needs h%32==0, w%128==0, an integer-core transform and "
+                f"q_scale>={hp_pallas._max_coeff(cfg.transform)/127.0:.2f} "
+                f"(got {h}x{w}, q_scale={cfg.q_scale}, transform={cfg.transform})"
             )
         return hp_pallas.hp_encode_u8(
             image_u8, q_scale=cfg.q_scale, retain_k=cfg.retain_k,
             band_rows=cfg.band_rows, tile_cols=cfg.tile_cols,
-            interpret=_interpret(cfg),
+            interpret=_interpret(cfg), transform=cfg.transform,
         )
 
     def decode_u8(self, coeffs_i8, cfg: CodecConfig):
@@ -101,19 +127,21 @@ class HpApprPipeline(Pipeline):
             coeffs_i8, q_scale=cfg.q_scale,
             band_rows=cfg.band_rows, tile_cols=cfg.tile_cols,
             interpret=_interpret(cfg),
-            decode_precision=cfg.decode_precision,
+            decode_precision=_decode_prec(cfg),
+            transform=cfg.transform,
         )
 
     def roundtrip_u8(self, image_u8, cfg: CodecConfig):
         """Fully fused u8-native pass: uint8 -> (int8 coeffs, uint8 recon)."""
         h, w = image_u8.shape
-        if hp_pallas._MAX_COEFF / cfg.q_scale > 127.0:
-            # int8 coefficients would wrap around — refuse rather than
-            # silently corrupt (use the f32 roundtrip for q_scale < ~0.77).
+        if hp_pallas._max_coeff(cfg.transform) / cfg.q_scale > 127.0:
+            # int8 coefficients would wrap around (or the transform has no
+            # integer core) — refuse rather than silently corrupt.
             raise ValueError(
-                f"q_scale={cfg.q_scale} overflows int8 coefficients; use roundtrip()"
+                f"q_scale={cfg.q_scale} with transform={cfg.transform} does not "
+                "fit int8 coefficients; use roundtrip()"
             )
-        if not hp_pallas.supports_u8(h, w, cfg.q_scale):
+        if not hp_pallas.supports_u8(h, w, cfg.q_scale, cfg.transform):
             import jax.numpy as jnp
 
             c, r = self.roundtrip(jnp.asarray(image_u8, jnp.float32), cfg)
@@ -122,7 +150,8 @@ class HpApprPipeline(Pipeline):
             image_u8, q_scale=cfg.q_scale, retain_k=cfg.retain_k,
             band_rows=cfg.band_rows, tile_cols=cfg.tile_cols,
             interpret=_interpret(cfg),
-            decode_precision=cfg.decode_precision,
+            decode_precision=_decode_prec(cfg),
+            transform=cfg.transform,
         )
 
 

@@ -19,16 +19,16 @@ import functools
 import jax.numpy as jnp
 import numpy as np
 
-from tpudct.constants import LEVEL_SHIFT, T, block_diag_T
+from tpudct.constants import LEVEL_SHIFT, T, block_diag_T, get_transform
 from tpudct.ops.blocks import as_block_grid, from_block_grid
 
 _LANE = 128
 
 
-@functools.lru_cache(maxsize=2)
-def _bdt_lane() -> np.ndarray:
+@functools.lru_cache(maxsize=8)
+def _bdt_lane(transform: str = "haweel") -> np.ndarray:
     """(128, 128) block-diag T: 16 blocks per MXU-shaped contraction."""
-    return block_diag_T(_LANE // 8).astype(np.float32)
+    return block_diag_T(_LANE // 8, t=get_transform(transform).t).astype(np.float32)
 
 
 def level_shift(x):
@@ -74,10 +74,13 @@ def _lane_transform(x, bdt_np, inverse: bool):
     return y.reshape(h, w)
 
 
-def dct2_blocks(x, t=None):
+def dct2_blocks(x, t=None, transform: str = "haweel"):
     """Forward blockwise transform on an (H, W) image (no level shift/quant).
 
     Y[bi, i, bj, l] = sum_{j,k} T[i,j] X[bi, j, bj, k] T[l,k]
+
+    `transform` selects a registry entry (constants.TRANSFORMS); an explicit
+    `t` array overrides it (and takes the 8-wide fallback path).
 
     When the image tiles by 128 in both dims, the contraction runs at lane
     width with blockdiag_16(T) — identical math (the zeros contribute
@@ -92,20 +95,20 @@ def dct2_blocks(x, t=None):
     # to corrupt quantizer decisions. The reference computes in true f32.
     h, w = x.shape
     if t is None and h % _LANE == 0 and w % _LANE == 0:
-        return _lane_transform(x, _bdt_lane(), inverse=False)
-    t = T if t is None else t
+        return _lane_transform(x, _bdt_lane(transform), inverse=False)
+    t = get_transform(transform).t if t is None else t
     t = jnp.asarray(t, x.dtype)
     g = as_block_grid(x)
     y = jnp.einsum("ij,ajbk,lk->aibl", t, g, t, precision="highest")
     return from_block_grid(y)
 
 
-def idct2_blocks(y, t=None):
+def idct2_blocks(y, t=None, transform: str = "haweel"):
     """Inverse blockwise transform: X_b = T.T @ Y_b @ T."""
     h, w = y.shape
     if t is None and h % _LANE == 0 and w % _LANE == 0:
-        return _lane_transform(y, _bdt_lane(), inverse=True)
-    t = T if t is None else t
+        return _lane_transform(y, _bdt_lane(transform), inverse=True)
+    t = get_transform(transform).t if t is None else t
     t = jnp.asarray(t, y.dtype)
     g = as_block_grid(y)
     x = jnp.einsum("ji,ajbk,kl->aibl", t, g, t, precision="highest")
