@@ -194,18 +194,27 @@ def sweep(
     return [bench_pipeline(n, s, cfg, **kw) for s in sizes for n in pipelines]
 
 
-def accuracy_table(image: np.ndarray, pipeline: str = "hp", ks=(6, 7, 8, 9, 10, None)) -> list:
+def accuracy_table(
+    image: np.ndarray,
+    pipeline: str = "hp",
+    ks=(6, 7, 8, 9, 10, None),
+    cfg_base: Optional[CodecConfig] = None,
+) -> list:
     """The README accuracy-table reproduction (README.md:62-69): PEEN / MSE /
-    compression factor across the retained-coefficient sweep."""
+    compression factor across the retained-coefficient sweep.  cfg_base
+    carries transform/q_scale; retain_k sweeps over it."""
+    import dataclasses
+
     from tpudct.utils.metrics import quality_report
 
     from tpudct.ops.padding import pad_to_blocks, crop
 
+    cfg_base = cfg_base or CodecConfig()
     p = get_pipeline(pipeline)
     x, (h, w) = pad_to_blocks(jnp.asarray(image, jnp.float32))
     rows = []
     for k in ks:
-        cfg = CodecConfig(retain_k=k)
+        cfg = dataclasses.replace(cfg_base, retain_k=k)
         c, rec = p.roundtrip(x, cfg)
         rep = quality_report(
             image.astype(np.uint8), np.asarray(crop(rec, h, w)), np.asarray(c)

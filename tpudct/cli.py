@@ -156,7 +156,7 @@ def cmd_table(args) -> int:
     from tpudct.utils import imageio
 
     img = imageio.load_jpeg(args.input)
-    for row in accuracy_table(img, args.pipeline):
+    for row in accuracy_table(img, args.pipeline, cfg_base=_cfg_from(args)):
         print(json.dumps(row))
     return 0
 
@@ -305,7 +305,7 @@ def build_parser() -> argparse.ArgumentParser:
     sp.set_defaults(fn=cmd_sweep)
 
     sp = sub.add_parser("table", help="PEEN/MSE/compression k-sweep (README.md:62-69)")
-    sp.add_argument("--pipeline", default="hp")
+    _add_codec_flags(sp)
     sp.add_argument("input")
     sp.set_defaults(fn=cmd_table)
 

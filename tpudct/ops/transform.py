@@ -19,7 +19,7 @@ import functools
 import jax.numpy as jnp
 import numpy as np
 
-from tpudct.constants import LEVEL_SHIFT, T, block_diag_T, get_transform
+from tpudct.constants import LEVEL_SHIFT, block_diag_T, get_transform
 from tpudct.ops.blocks import as_block_grid, from_block_grid
 
 _LANE = 128
