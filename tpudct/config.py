@@ -62,7 +62,8 @@ class CodecConfig:
         puts two MXU-shaped (128, 128) sub-tiles through each matmul —
         measured fastest across kernels at 8192^2 on v5e).
       tile_cols: lane columns per Pallas grid step (multiple of 128;
-        (256, 1024) measured fastest at 8192^2 on v5e).
+        (256, 2048) measured fastest at 8192^2 on v5e — the u8 roundtrip
+        runs 0.884 ms vs 0.911 at 1024; f32 kernels neutral).
     """
 
     block_size: int = 8
@@ -73,7 +74,7 @@ class CodecConfig:
     exact_int_core: bool = True
     decode_precision: str = "butterfly"
     band_rows: int = 256
-    tile_cols: int = 1024
+    tile_cols: int = 2048
 
     @property
     def lane_blocks(self) -> int:

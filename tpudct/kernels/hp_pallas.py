@@ -460,7 +460,7 @@ def hp_dct(
     image,
     q_scale: float = 1.0,
     band_rows: int = 256,
-    tile_cols: int = 1024,
+    tile_cols: int = 2048,
     interpret: bool = False,
     int_core: bool = True,
     transform: str = "haweel",
@@ -489,7 +489,7 @@ def hp_idct(
     coeffs,
     q_scale: float = 1.0,
     band_rows: int = 256,
-    tile_cols: int = 1024,
+    tile_cols: int = 2048,
     interpret: bool = False,
     decode_precision: str = "butterfly",
     transform: str = "haweel",
@@ -514,7 +514,7 @@ def hp_roundtrip(
     q_scale: float = 1.0,
     retain_k=None,
     band_rows: int = 256,
-    tile_cols: int = 1024,
+    tile_cols: int = 2048,
     interpret: bool = False,
     int_core: bool = True,
     decode_precision: str = "butterfly",
@@ -563,7 +563,7 @@ def hp_encode_u8(
     q_scale: float = 1.0,
     retain_k=None,
     band_rows: int = 256,
-    tile_cols: int = 1024,
+    tile_cols: int = 2048,
     interpret: bool = False,
     transform: str = "haweel",
 ):
@@ -584,7 +584,7 @@ def hp_decode_u8(
     coeffs_i8,
     q_scale: float = 1.0,
     band_rows: int = 256,
-    tile_cols: int = 1024,
+    tile_cols: int = 2048,
     interpret: bool = False,
     decode_precision: str = "butterfly",
     transform: str = "haweel",
@@ -610,7 +610,7 @@ def hp_roundtrip_u8(
     q_scale: float = 1.0,
     retain_k=None,
     band_rows: int = 256,
-    tile_cols: int = 1024,
+    tile_cols: int = 2048,
     interpret: bool = False,
     decode_precision: str = "butterfly",
     transform: str = "haweel",
