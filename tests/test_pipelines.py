@@ -120,3 +120,19 @@ def test_roundtrip_padded(rng):
     _, r_aligned = p.roundtrip(jnp.asarray(img[:56, :96]), CFG)
     mse_a = float(((np.asarray(r_aligned).astype(np.float64) - img[:56, :96]) ** 2).mean())
     assert abs(mse - mse_a) < 0.35 * max(mse_a, 1.0)  # padding shouldn't wreck quality
+
+
+def test_roundtrip_channels(rng):
+    # (H, W, C) color pass: channels coded independently via the batch axis.
+    import jax.numpy as jnp
+
+    img = rng.integers(0, 256, (64, 128, 3)).astype(np.float32)
+    p = get_pipeline("hp")
+    c, r = p.roundtrip_channels(jnp.asarray(img), CodecConfig())
+    assert np.asarray(c).shape == (3, 64, 128)
+    assert np.asarray(r).shape == (64, 128, 3) and np.asarray(r).dtype == np.uint8
+    # each channel must equal the single-plane result
+    for ch in range(3):
+        c1, r1 = p.roundtrip(jnp.asarray(img[:, :, ch]), CodecConfig())
+        np.testing.assert_array_equal(np.asarray(c)[ch], np.asarray(c1))
+        np.testing.assert_array_equal(np.asarray(r)[:, :, ch], np.asarray(r1))

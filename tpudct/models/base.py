@@ -67,6 +67,21 @@ class Pipeline(abc.ABC):
         c, r = self.roundtrip(images.reshape(b * h, w), cfg)
         return c.reshape(b, h, w), r.reshape(b, h, w)
 
+    def roundtrip_channels(self, image_hwc, cfg: CodecConfig):
+        """(H, W, C) multi-channel pass (beyond parity: the reference forces
+        grayscale at load, utils.cu:70-72).
+
+        Channels are coded independently — they ride the batch axis as
+        extra rows (see roundtrip_batch), one kernel launch for all C
+        planes.  Returns ((C, H, W) coefficients, (H, W, C) uint8 recon).
+        """
+        import jax.numpy as jnp
+
+        h, w, ch = image_hwc.shape
+        planes = jnp.moveaxis(image_hwc, -1, 0)  # (C, H, W)
+        c, r = self.roundtrip_batch(planes, cfg)
+        return c, jnp.moveaxis(r, 0, -1)
+
     def roundtrip_padded(self, image, cfg: CodecConfig):
         """Arbitrary-size pass: edge-pad to block multiples, crop back.
 
