@@ -49,3 +49,13 @@ def test_constant_image_is_lossless_dc():
     for name in ("hp", "fast", "batched"):
         c, r = get_pipeline(name).roundtrip(jnp.asarray(img), CodecConfig(retain_k=1))
         assert np.abs(np.asarray(r).astype(float) - 200.0).max() <= 8.0, name
+
+
+def test_uint8_input_does_not_wrap():
+    # uint8 pixel 5 must level-shift to -123, not wrap to 133 (mod 256).
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (64, 128)).astype(np.uint8)
+    for name in ("hp", "fast", "batched"):
+        c, r = get_pipeline(name).roundtrip(jnp.asarray(img), CodecConfig())
+        gc, gr = golden_roundtrip(img.astype(np.float32))
+        assert np.abs(np.asarray(c) - gc).max() <= 1.0, name

@@ -71,3 +71,16 @@ def test_serialized_decode_end_to_end(tmp_path, rng):
     _, direct = get_pipeline("batched").roundtrip(jnp.asarray(img), cfg)
     md = float(metrics.mse(img, np.asarray(direct)))
     assert abs(m - md) / md < 0.05
+
+
+def test_truncated_tdc_raises_value_error(rng, tmp_path):
+    # A stream cut mid-payload must surface the module's own ValueError,
+    # not a raw zlib.error (the bulk-encoder recovery catches ValueError).
+    import pytest
+
+    from tpudct.utils import serialize
+
+    c = rng.integers(-40, 40, (32, 32)).astype(np.float32)
+    data = serialize.coefficients_to_bytes(c)
+    with pytest.raises(ValueError):
+        serialize.bytes_to_coefficients(data[: len(data) - 10])

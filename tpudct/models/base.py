@@ -46,7 +46,14 @@ class Pipeline(abc.ABC):
     # ---- shared drivers -------------------------------------------------
 
     def encode(self, image, cfg: CodecConfig):
-        """dct + optional zonal retention (the README k-sweep)."""
+        """dct + optional zonal retention (the README k-sweep).
+
+        Integer images are coerced to f32 (uint8 would wrap at the level
+        shift); pipelines with integer-native paths re-narrow internally."""
+        import jax.numpy as jnp
+
+        if not jnp.issubdtype(image.dtype, jnp.floating):
+            image = image.astype(jnp.float32)
         return apply_retention(self.dct(image, cfg), cfg.retain_k)
 
     def roundtrip(self, image, cfg: CodecConfig):

@@ -50,6 +50,10 @@ class HpApprPipeline(Pipeline):
     name = "hp"
 
     def dct(self, image, cfg: CodecConfig):
+        import jax.numpy as jnp
+
+        if not jnp.issubdtype(image.dtype, jnp.floating):
+            image = image.astype(jnp.float32)
         h, w = image.shape
         if not hp_pallas.supports(h, w):
             return _batched.dct(image, cfg)
@@ -79,8 +83,12 @@ class HpApprPipeline(Pipeline):
 
     def roundtrip(self, image, cfg: CodecConfig):
         """Single fully fused kernel when supported (see hp_pallas)."""
+        import jax.numpy as jnp
+
         from tpudct.ops.transform import to_uint8
 
+        if not jnp.issubdtype(image.dtype, jnp.floating):
+            image = image.astype(jnp.float32)
         h, w = image.shape
         if not hp_pallas.supports(h, w):
             return super().roundtrip(image, cfg)

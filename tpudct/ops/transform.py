@@ -32,7 +32,12 @@ def _bdt_lane(transform: str = "haweel") -> np.ndarray:
 
 
 def level_shift(x):
-    """x - 128 (sub_matrix_scalar, utils_kernels.cu:8-18)."""
+    """x - 128 (sub_matrix_scalar, utils_kernels.cu:8-18).
+
+    Integer inputs are coerced to f32 first: a uint8 pixel 5 would
+    otherwise wrap to 133 (mod-256) and silently corrupt coefficients."""
+    if not jnp.issubdtype(x.dtype, jnp.floating):
+        x = x.astype(jnp.float32)
     return x - jnp.asarray(LEVEL_SHIFT, x.dtype)
 
 

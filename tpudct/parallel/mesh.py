@@ -22,9 +22,17 @@ def distributed_init(coordinator: Optional[str] = None, **kw) -> None:
             jax.distributed.initialize(coordinator_address=coordinator, **kw)
         else:
             jax.distributed.initialize(**kw)
-    except (RuntimeError, ValueError):
-        # Already initialized, or single-process environment.
-        pass
+    except RuntimeError as e:
+        if "already" in str(e).lower():
+            return  # double-init: harmless
+        if coordinator is not None or kw:
+            # The caller explicitly asked for a cluster: a silent fallback
+            # to single-host would run N divergent jobs.  Fail fast.
+            raise
+        # Bare best-effort probe on a single-process environment.
+    except ValueError:
+        if coordinator is not None or kw:
+            raise
 
 
 def band_mesh(n_devices: Optional[int] = None, devices: Optional[Sequence] = None) -> Mesh:

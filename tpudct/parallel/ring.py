@@ -80,11 +80,12 @@ def _ring_all_gather_kernel(
     lax.fori_loop(0, num_devices - 1, step, 0)
 
 
-def ring_all_gather(x_sharded, mesh, interpret: bool = False):
-    """Band-sharded (H, W) array -> fully replicated (H, W) on every device,
-    gathered hop-by-hop over the ring (num_devices-1 RDMA steps)."""
+@functools.lru_cache(maxsize=32)
+def _ring_fn(mesh, h: int, w: int, dtype, interpret: bool):
+    """Build + jit the ring collective once per (mesh, shape, dtype) — a
+    fresh closure per call would re-trace and recompile the Pallas kernel
+    (20-40 s first compile) on every invocation."""
     n = mesh.shape[BAND_AXIS]
-    h, w = x_sharded.shape
     band_rows = h // n
 
     kernel = functools.partial(
@@ -93,7 +94,7 @@ def ring_all_gather(x_sharded, mesh, interpret: bool = False):
     )
     call = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((h, w), x_sharded.dtype),
+        out_shape=jax.ShapeDtypeStruct((h, w), dtype),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
@@ -111,4 +112,11 @@ def ring_all_gather(x_sharded, mesh, interpret: bool = False):
         out_specs=jax.sharding.PartitionSpec(),
         check_vma=False,
     )
-    return jax.jit(fn)(x_sharded)
+    return jax.jit(fn)
+
+
+def ring_all_gather(x_sharded, mesh, interpret: bool = False):
+    """Band-sharded (H, W) array -> fully replicated (H, W) on every device,
+    gathered hop-by-hop over the ring (num_devices-1 RDMA steps)."""
+    h, w = x_sharded.shape
+    return _ring_fn(mesh, h, w, x_sharded.dtype, interpret)(x_sharded)

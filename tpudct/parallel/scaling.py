@@ -58,6 +58,8 @@ def scaling_table(
     total = len(jax.devices())
     if device_counts is None:
         device_counts = [n for n in (1, 2, 4, 8, 16, 32, 64) if n <= total]
+    # ascending: efficiency is defined relative to the SMALLEST count
+    device_counts = sorted({int(n) for n in device_counts})
 
     img = synthetic_image(size)
     rows = []

@@ -24,19 +24,37 @@ from tpudct.parallel.mesh import BAND_AXIS, COL_AXIS, band_spec, grid_spec
 
 
 def shard_image(x, mesh: Mesh):
-    """Place an (H, W) image as row-bands across the mesh."""
+    """Place an (H, W) image as row-bands across the mesh.
+
+    Single-host meshes take jax.device_put.  On a multi-host mesh (after
+    distributed_init) the sharding is not fully addressable: each process
+    must pass ITS OWN row-slab of the global image, assembled with
+    make_array_from_process_local_data."""
     n = mesh.shape[BAND_AXIS]
-    h = x.shape[0]
-    if (h // n) % 8 or h % n:
-        raise ValueError(
-            f"height {h} must split into {n} bands of 8-row multiples"
-        )
-    return jax.device_put(x, NamedSharding(mesh, band_spec()))
+    sh = NamedSharding(mesh, band_spec())
+    if sh.is_fully_addressable:
+        h = x.shape[0]
+        if (h // n) % 8 or h % n:
+            raise ValueError(
+                f"height {h} must split into {n} bands of 8-row multiples"
+            )
+        return jax.device_put(x, sh)
+    import numpy as _np
+
+    return jax.make_array_from_process_local_data(sh, _np.asarray(x))
 
 
 def gather(x):
-    """Reassemble a band-sharded array on the host (output path only)."""
-    return jax.device_get(x)
+    """Reassemble a band-sharded array on the host (output path only).
+
+    Multi-host global arrays gather across processes first."""
+    if getattr(x, "is_fully_addressable", True):
+        return jax.device_get(x)
+    from jax.experimental import multihost_utils
+
+    import numpy as _np
+
+    return _np.asarray(multihost_utils.process_allgather(x, tiled=True))
 
 
 def sharded_roundtrip(pipeline: Pipeline, cfg: CodecConfig, mesh: Mesh):

@@ -56,7 +56,15 @@ def _load_native() -> Optional[ctypes.CDLL]:
                 ["make", "-C", str(_CSRC), "-B"],
                 check=True, capture_output=True, timeout=120,
             )
-            lib = ctypes.CDLL(str(_LIB_PATH))
+            # dlopen caches by path/inode while the first handle is alive
+            # (cc -o rewrites in place), so load the rebuilt file through a
+            # unique temp copy to guarantee a fresh mapping.
+            import shutil
+            import tempfile
+
+            with tempfile.NamedTemporaryFile(suffix=".so", delete=False) as tmp:
+                shutil.copy2(_LIB_PATH, tmp.name)
+            lib = ctypes.CDLL(tmp.name)
             if not hasattr(lib, "tpudct_jpeg_decode_batch"):
                 return None
     except (OSError, subprocess.SubprocessError):
@@ -221,6 +229,8 @@ def save_jpeg(path: str, image: np.ndarray, quality: int = 100) -> None:
 def encode_jpeg_bytes(image: np.ndarray, quality: int = 100) -> bytes:
     """Encode to an in-memory JPEG (for compressed-size measurement)."""
     image = np.ascontiguousarray(image, dtype=np.uint8)
+    if image.ndim != 2:
+        raise ValueError(f"expected (H, W) grayscale, got {image.shape}")
     lib = _load_native()
     if lib is not None:
         h, w = image.shape

@@ -74,6 +74,8 @@ def bytes_to_coefficients(
         transform = "haweel"
     else:
         raise ValueError("not a .tdc coefficient stream")
+    if len(data) < hsize + psize:
+        raise ValueError("truncated .tdc coefficient stream")
     raw = zlib.decompress(data[hsize : hsize + psize])
     coeffs = np.frombuffer(raw, dtype=np.int16).reshape(h, w).astype(np.float32)
     out = (coeffs, float(q_scale), (None if retain_k < 0 else retain_k))

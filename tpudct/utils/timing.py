@@ -68,11 +68,15 @@ def device_time_ms(
     """
     if k_pair is not None:
         k1, k2 = k_pair
+        if k2 <= k1:
+            raise ValueError(f"k_pair must be increasing, got {k_pair}")
         t1 = _best_wall(_chain(op, k1), example, reps)
         t2 = _best_wall(_chain(op, k2), example, reps)
         return max((t2 - t1) / (k2 - k1), 0.0) * 1e3
 
     k1 = 8
+    if max_k <= k1:
+        raise ValueError(f"max_k must exceed {k1}, got {max_k}")
     t1 = _best_wall(_chain(op, k1), example, reps)
     k2 = 64
     while k2 <= max_k:
