@@ -37,7 +37,7 @@ def test_quality_report_keys(rng):
     rec = img.copy()
     c = np.zeros((64, 64), np.float32)
     rep = metrics.quality_report(img, rec, c)
-    assert set(rep) == {"mse", "psnr_db", "peen_pct", "compression_factor"}
+    assert set(rep) == {"mse", "psnr_db", "peen_pct", "ssim", "compression_factor"}
 
 
 def test_serialize_roundtrip(tmp_path, rng):
@@ -84,3 +84,16 @@ def test_truncated_tdc_raises_value_error(rng, tmp_path):
     data = serialize.coefficients_to_bytes(c)
     with pytest.raises(ValueError):
         serialize.bytes_to_coefficients(data[: len(data) - 10])
+
+
+def test_ssim_bounds(rng):
+    from tpudct.utils.metrics import ssim
+
+    x = rng.integers(0, 256, (64, 64)).astype(np.float32)
+    assert abs(float(ssim(x, x)) - 1.0) < 1e-6
+    noisy = np.clip(x + rng.normal(0, 25, x.shape), 0, 255).astype(np.float32)
+    v = float(ssim(x, noisy))
+    assert 0.0 < v < 1.0
+    # more distortion -> lower ssim
+    worse = np.clip(x + rng.normal(0, 80, x.shape), 0, 255).astype(np.float32)
+    assert float(ssim(x, worse)) < v

@@ -33,6 +33,42 @@ def synthetic_image(size: int, seed: int = 42) -> np.ndarray:
     return rng.integers(0, 256, size=(size, size)).astype(np.float32)
 
 
+def structured_image(size: int = 512, seed: int = 7) -> np.ndarray:
+    """Deterministic circuit-board-like test image: traces, pads, packages.
+
+    The reference's accuracy table used a 'Circuit' image that is not in
+    its repo (README.md:62-69); this generator provides a reproducible
+    stand-in with similar content statistics (long straight edges, flat
+    regions, sharp transitions) so the PEEN/MSE/compression sweep is
+    reproducible by anyone without external assets."""
+    rng = np.random.default_rng(seed)
+    img = np.full((size, size), 40.0, np.float32)  # dark substrate
+    # horizontal/vertical traces
+    for _ in range(size // 16):
+        y = int(rng.integers(0, size))
+        t = int(rng.integers(1, 4))
+        img[y : y + t, int(rng.integers(0, size // 2)) :] = 180.0
+        x = int(rng.integers(0, size))
+        img[int(rng.integers(0, size // 2)) :, x : x + t] = 170.0
+    # IC packages (dark rectangles with bright pads)
+    for _ in range(size // 64):
+        y, x = rng.integers(0, size - 80, size=2)
+        h, w = rng.integers(30, 80, size=2)
+        img[y : y + h, x : x + w] = 15.0
+        for px in range(int(x) + 4, int(x + w) - 4, 8):
+            img[y - 3 : y, px : px + 4] = 230.0
+            img[y + h : y + h + 3, px : px + 4] = 230.0
+    # solder pads (bright disks)
+    yy, xx = np.mgrid[0:size, 0:size]
+    for _ in range(size // 32):
+        cy, cx = rng.integers(0, size, size=2)
+        r = int(rng.integers(3, 9))
+        img[(yy - cy) ** 2 + (xx - cx) ** 2 <= r * r] = 255.0
+    # mild sensor noise
+    img = img + rng.normal(0.0, 2.0, img.shape)
+    return np.clip(np.round(img), 0, 255).astype(np.float32)
+
+
 def bench_pipeline(
     name: str,
     size: int,

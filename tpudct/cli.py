@@ -10,7 +10,7 @@ argv contract at main_cublass.cu:41-44) and its four benchmark drivers
   python -m tpudct decode coeffs.tdc output.jpg
   python -m tpudct bench  --size 1024 --pipelines hp,fast
   python -m tpudct sweep
-  python -m tpudct table  input.jpg        # PEEN/MSE/compression k-sweep
+  python -m tpudct table  [input.jpg]      # PEEN/MSE/compression k-sweep
   python -m tpudct info
 """
 
@@ -152,10 +152,16 @@ def cmd_sweep(args) -> int:
 
 
 def cmd_table(args) -> int:
-    from tpudct.benchmark import accuracy_table
-    from tpudct.utils import imageio
+    from tpudct.benchmark import accuracy_table, structured_image
 
-    img = imageio.load_jpeg(args.input)
+    if args.input is None:
+        # Reproducible stand-in for the reference's 'Circuit' test image
+        # (README.md:62-69), which is not shipped in its repo.
+        img = structured_image()
+    else:
+        from tpudct.utils import imageio
+
+        img = imageio.load_jpeg(args.input)
     for row in accuracy_table(img, args.pipeline, cfg_base=_cfg_from(args)):
         print(json.dumps(row))
     return 0
@@ -306,7 +312,8 @@ def build_parser() -> argparse.ArgumentParser:
 
     sp = sub.add_parser("table", help="PEEN/MSE/compression k-sweep (README.md:62-69)")
     _add_codec_flags(sp)
-    sp.add_argument("input")
+    sp.add_argument("input", nargs="?", default=None,
+                    help="JPEG input; default: built-in circuit-board image")
     sp.set_defaults(fn=cmd_table)
 
     sp = sub.add_parser("batch", help="bulk encode a directory to .tdc, resumable via manifest")

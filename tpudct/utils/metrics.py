@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import zlib
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -44,6 +45,31 @@ def peen(x, y):
     xf = jnp.asarray(x, jnp.float32)
     d = xf - jnp.asarray(y, jnp.float32)
     return 100.0 * jnp.sum(d * d) / jnp.sum(xf * xf)
+
+
+def ssim(x, y, data_range: float = 255.0, win: int = 8):
+    """Mean structural similarity (Wang et al. 2004), uniform 8x8 windows.
+
+    Beyond the reference's metric set; standard constants K1=0.01, K2=0.03.
+    Uniform (not Gaussian) windows keep it jit-friendly and match the
+    codec's own 8x8 block structure."""
+    xf = jnp.asarray(x, jnp.float32)
+    yf = jnp.asarray(y, jnp.float32)
+    k = jnp.ones((win, win), jnp.float32) / (win * win)
+
+    def blur(a):
+        return jax.scipy.signal.convolve2d(a, k, mode="valid")
+
+    mx, my = blur(xf), blur(yf)
+    mxx, myy, mxy = blur(xf * xf), blur(yf * yf), blur(xf * yf)
+    vx = mxx - mx * mx
+    vy = myy - my * my
+    cxy = mxy - mx * my
+    c1 = (0.01 * data_range) ** 2
+    c2 = (0.03 * data_range) ** 2
+    num = (2 * mx * my + c1) * (2 * cxy + c2)
+    den = (mx * mx + my * my + c1) * (vx + vy + c2)
+    return jnp.mean(num / den)
 
 
 def _zlib_size(data: bytes, level: int = 6) -> int:
@@ -81,5 +107,6 @@ def quality_report(image_u8, recon_u8, coeffs) -> dict:
         "mse": float(mse(img, rec)),
         "psnr_db": float(psnr(img, rec)),
         "peen_pct": float(peen(img, rec)),
+        "ssim": float(ssim(img, rec)),
         "compression_factor": compression_factor(img, np.asarray(coeffs)),
     }
