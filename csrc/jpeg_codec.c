@@ -87,26 +87,29 @@ int tpudct_jpeg_decode(const char *filename, unsigned char **out, int *w,
 
 static int encode_common(struct jpeg_compress_struct *cinfo,
                          const unsigned char *data, int w, int h,
-                         int quality) {
+                         int channels, int quality) {
     cinfo->image_width = (JDIMENSION)w;
     cinfo->image_height = (JDIMENSION)h;
-    cinfo->input_components = 1;
-    cinfo->in_color_space = JCS_GRAYSCALE;
+    cinfo->input_components = channels;
+    cinfo->in_color_space = channels == 3 ? JCS_RGB : JCS_GRAYSCALE;
     jpeg_set_defaults(cinfo);
     jpeg_set_quality(cinfo, quality, TRUE);
     jpeg_start_compress(cinfo, TRUE);
+    size_t stride = (size_t)w * (size_t)channels;
     while (cinfo->next_scanline < cinfo->image_height) {
-        const unsigned char *row = data + (size_t)cinfo->next_scanline * (size_t)w;
+        const unsigned char *row = data + (size_t)cinfo->next_scanline * stride;
         jpeg_write_scanlines(cinfo, (JSAMPARRAY)&row, 1);
     }
     jpeg_finish_compress(cinfo);
     return 0;
 }
 
-/* Encode a grayscale buffer to `filename` at `quality` (0-100).  0 on
- * success (mirror of save_grayscale_jpeg, utils.cu:98-147). */
-int tpudct_jpeg_encode(const char *filename, const unsigned char *data, int w,
-                       int h, int quality) {
+/* Encode a grayscale (channels=1) or interleaved-RGB (channels=3) buffer
+ * to `filename` at `quality` (0-100).  0 on success (generalization of
+ * save_grayscale_jpeg, utils.cu:98-147 — the reference has no color
+ * output path at all, utils.cu:70-72). */
+int tpudct_jpeg_encode_ch(const char *filename, const unsigned char *data,
+                          int w, int h, int channels, int quality) {
     struct jpeg_compress_struct cinfo;
     struct tpudct_err_mgr jerr;
     FILE *outfile = fopen(filename, "wb");
@@ -122,10 +125,16 @@ int tpudct_jpeg_encode(const char *filename, const unsigned char *data, int w,
 
     jpeg_create_compress(&cinfo);
     jpeg_stdio_dest(&cinfo, outfile);
-    encode_common(&cinfo, data, w, h, quality);
+    encode_common(&cinfo, data, w, h, channels, quality);
     jpeg_destroy_compress(&cinfo);
     fclose(outfile);
     return 0;
+}
+
+/* Back-compat grayscale entry point. */
+int tpudct_jpeg_encode(const char *filename, const unsigned char *data, int w,
+                       int h, int quality) {
+    return tpudct_jpeg_encode_ch(filename, data, w, h, 1, quality);
 }
 
 /* Encode to a malloc'd memory buffer; fills *out and *out_size.  Used for
@@ -149,7 +158,7 @@ int tpudct_jpeg_encode_mem(const unsigned char *data, int w, int h,
 
     jpeg_create_compress(&cinfo);
     jpeg_mem_dest(&cinfo, out, out_size);
-    encode_common(&cinfo, data, w, h, quality);
+    encode_common(&cinfo, data, w, h, 1, quality);
     jpeg_destroy_compress(&cinfo);
     return 0;
 }

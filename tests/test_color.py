@@ -1,0 +1,256 @@
+"""Color extension tests: YCbCr conversion, 4:2:0 resampling, the chroma
+quantization table, the color codec driver, .tdcc serialization and the
+CLI surface.  Beyond reference parity: the reference collapses RGB to
+luminance at load (utils.cu:70-72) and has no color path at all."""
+
+import dataclasses
+import json
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpudct import CodecConfig, get_pipeline
+from tpudct.models.color import decode_color, encode_color, roundtrip_color
+from tpudct.utils import color, serialize
+
+
+def _smooth_rgb(h=128, w=128):
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    return np.stack(
+        [128 + 100 * np.sin(yy / 20), 128 + 100 * np.cos(xx / 25), (yy + xx) / 3],
+        axis=-1,
+    ).astype(np.float32)
+
+
+def _psnr(a, b):
+    mse = ((np.asarray(a, np.float64) - np.asarray(b, np.float64)) ** 2).mean()
+    return 10 * np.log10(255.0**2 / mse)
+
+
+# ---- color space ----------------------------------------------------------
+
+
+def test_ycbcr_inverse_identity(rng):
+    rgb = rng.uniform(0, 255, (32, 48, 3)).astype(np.float32)
+    y, cb, cr = color.rgb_to_ycbcr(rgb)
+    back = np.asarray(color.ycbcr_to_rgb(y, cb, cr))
+    assert np.abs(back - rgb).max() < 1e-3
+
+
+def test_ycbcr_known_points():
+    # Full-range JFIF: black -> (0,128,128), white -> (255,128,128),
+    # pure red luma = 0.299*255.
+    s = lambda a: float(np.asarray(a).reshape(()))
+    y, cb, cr = color.rgb_to_ycbcr(np.zeros((1, 1, 3), np.float32))
+    assert s(y) == 0.0 and abs(s(cb) - 128) < 1e-4 and abs(s(cr) - 128) < 1e-4
+    y, cb, cr = color.rgb_to_ycbcr(np.full((1, 1, 3), 255.0, np.float32))
+    assert abs(s(y) - 255.0) < 1e-3
+    red = np.zeros((1, 1, 3), np.float32)
+    red[..., 0] = 255.0
+    y, _cb, cr = color.rgb_to_ycbcr(red)
+    assert abs(s(y) - 0.299 * 255) < 1e-3
+    # Pure red maps to Cr = 128 + 0.5*255 = 255.5 pre-clamp (ITU-T T.871
+    # leaves clamping to the 8-bit cast; the codec clamps at output).
+    assert abs(s(cr) - 255.5) < 1e-3
+
+
+def test_downsample_upsample_shapes():
+    for h, w in ((16, 16), (17, 16), (16, 17), (15, 13)):
+        x = np.arange(h * w, dtype=np.float32).reshape(h, w)
+        d = np.asarray(color.downsample_420(x))
+        assert d.shape == ((h + 1) // 2, (w + 1) // 2)
+        u = np.asarray(color.upsample_420(d, h, w))
+        assert u.shape == (h, w)
+
+
+def test_downsample_is_2x2_mean():
+    x = np.array([[0.0, 4.0], [8.0, 12.0]], np.float32)
+    assert float(color.downsample_420(x)[0, 0]) == 6.0
+
+
+# ---- chroma quantization table --------------------------------------------
+
+
+def test_chroma_table_coarser_than_luma(rng):
+    img = rng.integers(0, 256, (64, 64)).astype(np.float32)
+    x = jnp.asarray(img)
+    for name in ("batched", "fast", "hp"):
+        p = get_pipeline(name)
+        _, rl = p.roundtrip(x, CodecConfig(interpret=True))
+        _, rc = p.roundtrip(x, CodecConfig(interpret=True, q_table="chroma"))
+        ml = ((np.asarray(rl).astype(float) - img) ** 2).mean()
+        mc = ((np.asarray(rc).astype(float) - img) ** 2).mean()
+        assert mc > ml, (name, ml, mc)
+
+
+def test_unknown_q_table_raises():
+    from tpudct.constants import get_q_table
+
+    with pytest.raises(KeyError):
+        get_q_table("nope")
+
+
+def test_u8_kernel_path_honors_q_table(rng):
+    """The fused u8 kernels must quantize against QC when asked — a silent
+    fall-through to Q would decode color streams wrongly."""
+    img = rng.integers(0, 256, (64, 128)).astype(np.uint8)
+    p = get_pipeline("hp")
+    cl = CodecConfig(interpret=True)
+    cc = CodecConfig(interpret=True, q_table="chroma")
+    c_l, _ = p.roundtrip_u8(jnp.asarray(img), cl)
+    c_c, _ = p.roundtrip_u8(jnp.asarray(img), cc)
+    assert not np.array_equal(np.asarray(c_l), np.asarray(c_c))
+
+
+# ---- codec driver ----------------------------------------------------------
+
+
+@pytest.mark.parametrize("pipeline", ["batched", "hp"])
+@pytest.mark.parametrize("subsample", [True, False])
+def test_color_roundtrip_quality(pipeline, subsample):
+    rgb = _smooth_rgb()
+    p = get_pipeline(pipeline)
+    cfg = CodecConfig(interpret=True)
+    planes, meta, rec = roundtrip_color(p, jnp.asarray(rgb), cfg, subsample=subsample)
+    rec = np.asarray(rec)
+    assert rec.dtype == np.uint8 and rec.shape == rgb.shape
+    assert _psnr(rec, rgb) > (30 if subsample else 33)
+    ch, cw = meta["chroma_shape"]
+    assert np.asarray(planes["cb"]).shape[0] >= ch
+
+
+def test_color_444_beats_420_on_chroma_detail():
+    rgb = _smooth_rgb()
+    p = get_pipeline("batched")
+    cfg = CodecConfig(interpret=True)
+    _, _, r420 = roundtrip_color(p, jnp.asarray(rgb), cfg, subsample=True)
+    _, _, r444 = roundtrip_color(p, jnp.asarray(rgb), cfg, subsample=False)
+    assert _psnr(r444, rgb) > _psnr(r420, rgb)
+
+
+def test_color_odd_sizes():
+    rgb = _smooth_rgb(67, 93)
+    p = get_pipeline("batched")
+    planes, meta, rec = roundtrip_color(p, jnp.asarray(rgb), CodecConfig(interpret=True))
+    assert np.asarray(rec).shape == (67, 93, 3)
+    assert meta["chroma_shape"] == (34, 47)
+
+
+def test_color_cross_pipeline_agreement():
+    """Same color math through different compute strategies: identical up
+    to the documented .5-tie equivalence class.  A coefficient tie flip
+    (+-1, e.g. against a chroma Q entry of 99) spreads over its 8x8 block
+    at the IDCT, so agreement is asserted as 'almost all pixels equal-ish,
+    none wildly off' rather than bitwise."""
+    rgb = _smooth_rgb()
+    cfg = CodecConfig(interpret=True)
+    pa, _, ra = roundtrip_color(get_pipeline("batched"), jnp.asarray(rgb), cfg)
+    pb, _, rb = roundtrip_color(get_pipeline("hp"), jnp.asarray(rgb), cfg)
+    for k in ("y", "cb", "cr"):
+        cdiff = np.abs(np.asarray(pa[k]) - np.asarray(pb[k]))
+        assert cdiff.max() <= 1.0, k            # only .5-tie flips
+        assert (cdiff > 0).mean() < 0.02, k     # and they are rare
+    # Each flipped coefficient perturbs its whole 8x8 block a little at
+    # the IDCT; pixel output stays close in aggregate.
+    diff = np.abs(np.asarray(ra).astype(int) - np.asarray(rb).astype(int))
+    assert diff.mean() < 1.0 and diff.max() <= 32
+
+
+def test_color_retention_sweep_monotone():
+    rgb = _smooth_rgb()
+    p = get_pipeline("batched")
+    prev = None
+    for k in (6, 8, 10, None):
+        cfg = CodecConfig(interpret=True, retain_k=k)
+        _, _, rec = roundtrip_color(p, jnp.asarray(rgb), cfg)
+        q = _psnr(rec, rgb)
+        assert prev is None or q >= prev - 0.05, (k, q, prev)
+        prev = q
+
+
+# ---- serialization ---------------------------------------------------------
+
+
+def test_tdcc_roundtrip(tmp_path):
+    rgb = _smooth_rgb(72, 88)
+    p = get_pipeline("batched")
+    cfg = CodecConfig(interpret=True, retain_k=8)
+    planes, meta = encode_color(p, jnp.asarray(rgb), cfg)
+    f = tmp_path / "c.tdcc"
+    n = serialize.save_color(
+        f, {k: np.asarray(v) for k, v in planes.items()}, meta,
+        cfg.q_scale, cfg.retain_k, cfg.transform,
+    )
+    assert n == f.stat().st_size
+    planes2, meta2 = serialize.load_color(f)
+    assert meta2["orig_shape"] == (72, 88)
+    assert meta2["retain_k"] == 8 and meta2["transform"] == "haweel"
+    for k in planes:
+        assert np.array_equal(np.asarray(planes[k]), planes2[k])
+    rec = decode_color(p, planes2, meta2, cfg)
+    assert _psnr(rec, rgb) > 30
+
+
+def test_tdcc_truncated_raises(tmp_path):
+    rgb = _smooth_rgb(40, 40)
+    p = get_pipeline("batched")
+    cfg = CodecConfig(interpret=True)
+    planes, meta = encode_color(p, jnp.asarray(rgb), cfg)
+    data = serialize.color_to_bytes(
+        {k: np.asarray(v) for k, v in planes.items()}, meta
+    )
+    with pytest.raises(ValueError):
+        serialize.bytes_to_color(data[: len(data) - 8])
+    with pytest.raises(ValueError):
+        serialize.bytes_to_color(b"JUNK" + data[4:])
+
+
+def test_gray_tdc_not_color():
+    data = serialize.coefficients_to_bytes(np.zeros((8, 8), np.float32))
+    assert not serialize.is_color_stream(data)
+
+
+# ---- CLI -------------------------------------------------------------------
+
+
+def test_cli_color_run_encode_decode(tmp_path, capsys):
+    from tpudct.cli import main
+    from tpudct.utils import imageio
+
+    rgb = _smooth_rgb(64, 64).astype(np.uint8)
+    src = tmp_path / "in.jpg"
+    imageio.save_jpeg(src, rgb, quality=98)
+
+    out = tmp_path / "out.jpg"
+    tdcc = tmp_path / "c.tdcc"
+    rc = main(["run", "--color", "--pipeline", "batched", str(src), str(out),
+               "--coeffs", str(tdcc)])
+    assert rc == 0 and out.exists() and tdcc.exists()
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["color"] is True and rep["psnr_db"] > 25
+
+    back = imageio.load_jpeg(out, force_gray=False)
+    assert back.shape == (64, 64, 3)
+
+    dec = tmp_path / "dec.jpg"
+    assert main(["decode", str(tdcc), str(dec)]) == 0
+    img = imageio.load_jpeg(dec, force_gray=False)
+    assert img.shape == (64, 64, 3)
+    assert _psnr(img, rgb) > 22  # JPEG re-encode on top of the codec pass
+
+
+def test_cli_color_no_subsample(tmp_path, capsys):
+    from tpudct.cli import main
+    from tpudct.utils import imageio
+
+    rgb = _smooth_rgb(56, 56).astype(np.uint8)
+    src = tmp_path / "in.jpg"
+    imageio.save_jpeg(src, rgb, quality=98)
+    tdcc = tmp_path / "c.tdcc"
+    assert main(["encode", "--color", "--no-subsample", str(src), str(tdcc)]) == 0
+    rep = json.loads(capsys.readouterr().out.strip())
+    assert rep["color"] is True
+    _planes, meta = serialize.load_color(tdcc)
+    assert meta["subsample"] is False
+    assert meta["chroma_shape"] == (56, 56)

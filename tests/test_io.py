@@ -59,9 +59,14 @@ def test_decode_missing_file_raises(tmp_path):
         imageio.load_jpeg(tmp_path / "nope.jpg")
 
 
-def test_save_rejects_rgb(tmp_path):
+def test_save_accepts_rgb_rejects_other_shapes(tmp_path):
+    p = tmp_path / "x.jpg"
+    imageio.save_jpeg(p, np.zeros((8, 8, 3), np.uint8))
+    assert imageio.load_jpeg(p, force_gray=False).shape == (8, 8, 3)
     with pytest.raises(ValueError):
-        imageio.save_jpeg(tmp_path / "x.jpg", np.zeros((4, 4, 3), np.uint8))
+        imageio.save_jpeg(tmp_path / "y.jpg", np.zeros((4, 4, 4), np.uint8))
+    with pytest.raises(ValueError):
+        imageio.save_jpeg(tmp_path / "z.jpg", np.zeros((4,), np.uint8))
 
 
 def test_load_jpeg_batch_matches_sequential(tmp_path, rng):

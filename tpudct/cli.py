@@ -41,6 +41,13 @@ def _add_codec_flags(sp):
                     help="8x8 transform: haweel (reference) | rdct (rounded-DCT approx) | dct (exact DCT-II)")
 
 
+def _add_color_flags(sp):
+    sp.add_argument("--color", action="store_true",
+                    help="code in color (YCbCr, chroma table QC; the reference is grayscale-only)")
+    sp.add_argument("--no-subsample", action="store_true",
+                    help="with --color: keep chroma at full resolution (4:4:4 instead of 4:2:0)")
+
+
 def _print_corner(label: str, a, n: int = 8):
     """Stage-corner printing, the reference's manual verification aid
     (main_cublass.cu:63-70, 121-128, ...)."""
@@ -58,10 +65,35 @@ def cmd_run(args) -> int:
 
     from tpudct.ops.padding import crop, pad_to_blocks
 
-    img = imageio.load_jpeg(args.input)
-    h, w = img.shape
     cfg = _cfg_from(args)
     p = get_pipeline(args.pipeline)
+    if args.color:
+        from tpudct.models.color import roundtrip_color
+
+        rgb = imageio.load_jpeg(args.input, force_gray=False)
+        if rgb.ndim == 2:
+            rgb = np.stack([rgb] * 3, axis=-1)
+        planes, meta, rec = roundtrip_color(
+            p, jnp.asarray(rgb, jnp.float32), cfg,
+            subsample=not args.no_subsample,
+        )
+        rec_u8 = np.asarray(rec)
+        imageio.save_jpeg(args.output, rec_u8, quality=args.quality)
+        if args.coeffs:
+            n = serialize.save_color(
+                args.coeffs, {k: np.asarray(v) for k, v in planes.items()},
+                meta, cfg.q_scale, cfg.retain_k, cfg.transform,
+            )
+            print(f"coefficients -> {args.coeffs} ({n} bytes)")
+        mse = float(((rec_u8.astype(np.float64) - rgb) ** 2).mean())
+        print(json.dumps({
+            "pipeline": p.name, "shape": list(rgb.shape), "color": True,
+            "subsample": meta["subsample"], "mse": mse,
+            "psnr_db": 10 * np.log10(255.0 ** 2 / mse) if mse else float("inf"),
+        }))
+        return 0
+    img = imageio.load_jpeg(args.input)
+    h, w = img.shape
     x, _ = pad_to_blocks(jnp.asarray(img, jnp.float32))
     if args.corners:
         _print_corner("input", img)
@@ -92,8 +124,24 @@ def cmd_encode(args) -> int:
 
     from tpudct.ops.padding import pad_to_blocks
 
-    img = imageio.load_jpeg(args.input)
     cfg = _cfg_from(args)
+    if args.color:
+        from tpudct.models.color import encode_color
+
+        rgb = imageio.load_jpeg(args.input, force_gray=False)
+        if rgb.ndim == 2:
+            rgb = np.stack([rgb] * 3, axis=-1)
+        planes, meta = encode_color(
+            get_pipeline(args.pipeline), jnp.asarray(rgb, jnp.float32), cfg,
+            subsample=not args.no_subsample,
+        )
+        n = serialize.save_color(
+            args.output, {k: np.asarray(v) for k, v in planes.items()},
+            meta, cfg.q_scale, cfg.retain_k, cfg.transform,
+        )
+        print(json.dumps({"bytes": n, "raw_bytes": int(rgb.size), "factor_vs_raw": rgb.size / n, "color": True}))
+        return 0
+    img = imageio.load_jpeg(args.input)
     x, (h, w) = pad_to_blocks(jnp.asarray(img, jnp.float32))
     c = get_pipeline(args.pipeline).encode(x, cfg)
     n = serialize.save_coefficients(args.output, np.asarray(c), cfg.q_scale, cfg.retain_k, orig_shape=(h, w), transform=cfg.transform)
@@ -110,6 +158,19 @@ def cmd_decode(args) -> int:
 
     from tpudct.ops.transform import to_uint8
 
+    with open(args.input, "rb") as f:
+        head = f.read(4)
+    if serialize.is_color_stream(head):
+        from tpudct.models.color import decode_color
+
+        planes, meta = serialize.load_color(args.input)
+        rec = decode_color(
+            get_pipeline(args.pipeline), planes, meta,
+            CodecConfig(q_scale=meta["q_scale"], transform=meta["transform"]),
+        )
+        imageio.save_jpeg(args.output, np.asarray(rec), quality=args.quality)
+        print(f"decoded {args.input} (color) -> {args.output}")
+        return 0
     coeffs, q_scale, _k, (h, w), transform = serialize.load_coefficients(
         args.input, with_orig_shape=True, with_transform=True
     )
@@ -278,12 +339,14 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--quality", type=int, default=100, help="output JPEG quality (ref: 100)")
     sp.add_argument("--coeffs", default=None, help="also write the .tdc coefficient file")
     sp.add_argument("--corners", action="store_true", help="print stage corners like the reference drivers")
+    _add_color_flags(sp)
     sp.set_defaults(fn=cmd_run)
 
-    sp = sub.add_parser("encode", help="image -> .tdc coefficient file")
+    sp = sub.add_parser("encode", help="image -> .tdc (gray) / .tdcc (color) coefficient file")
     _add_codec_flags(sp)
     sp.add_argument("input")
     sp.add_argument("output")
+    _add_color_flags(sp)
     sp.set_defaults(fn=cmd_encode)
 
     sp = sub.add_parser("decode", help=".tdc coefficient file -> image")

@@ -29,6 +29,9 @@ class CodecConfig:
         hardcodes one transform in 9 translation units.
       q_scale: multiplier applied to the JPEG luminance table Q (1.0 = the
         reference's "Standard Q" column, README.md:67-69).
+      q_table: which base quantization table to scale: "luma" (default;
+        the reference's only table) or "chroma" (ITU-T T.81 Table K.2,
+        used by the color extension for Cb/Cr planes).
       retain_k: optional zonal coefficient retention. Keeps coefficient
         (u, v) iff u + v < retain_k (anti-diagonal / zonal mask), the codec
         analog of the README's k=6..10 sweep (README.md:62-69; the reference
@@ -69,6 +72,7 @@ class CodecConfig:
     block_size: int = 8
     transform: str = "haweel"
     q_scale: float = 1.0
+    q_table: str = "luma"
     retain_k: Optional[int] = None
     interpret: bool = False
     exact_int_core: bool = True

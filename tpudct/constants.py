@@ -67,6 +67,37 @@ Q = np.array(
     dtype=np.float32,
 )
 
+QC = np.array(
+    [
+        [17, 18, 24, 47, 99, 99, 99, 99],
+        [18, 21, 26, 66, 99, 99, 99, 99],
+        [24, 26, 56, 99, 99, 99, 99, 99],
+        [47, 66, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+    ],
+    dtype=np.float32,
+)
+"""Standard JPEG chrominance quantization table (ITU-T T.81 Table K.2).
+
+The reference is grayscale-only (utils.cu:70-72 forces luminance) and
+carries only the luminance table; the color extension quantizes Cb/Cr
+blocks against this table, exactly as baseline JPEG does."""
+
+Q_TABLES = {"luma": Q, "chroma": QC}
+
+
+def get_q_table(name: str) -> np.ndarray:
+    try:
+        return Q_TABLES[name]
+    except KeyError:
+        raise KeyError(
+            f"unknown quantization table {name!r}; available: {sorted(Q_TABLES)}"
+        ) from None
+
+
 LEVEL_SHIFT = 128.0  # sub_matrix_scalar / add_matrix_scalar operand (utils_kernels.cu:8-31)
 
 

@@ -88,6 +88,7 @@ from tpudct.constants import (
     Q,
     block_diag_T,
     block_diag_Ts,
+    get_q_table,
     get_transform,
     haweel_row_norms,
 )
@@ -96,7 +97,7 @@ LANE = 128
 _HIGHEST = jax.lax.Precision.HIGHEST
 
 @functools.lru_cache(maxsize=8)
-def _max_coeff(transform: str = "haweel") -> float:
+def _max_coeff(transform: str = "haweel", q_table: str = "luma") -> float:
     """Max |quantized coefficient| at q_scale=1 (see module docstring);
     gates the int8-coefficient variants.  inf when the transform has no
     integer core (the u8 paths then never engage)."""
@@ -104,7 +105,7 @@ def _max_coeff(transform: str = "haweel") -> float:
     if not tr.has_integer_core:
         return float("inf")
     row_abs = np.abs(tr.ts.astype(np.float64)).sum(axis=1) * tr.d  # sum|T_i| per row
-    return float((np.outer(row_abs, row_abs) * 128.0 / Q).max())  # haweel: ~97.2
+    return float((np.outer(row_abs, row_abs) * 128.0 / get_q_table(q_table)).max())  # haweel/luma: ~97.2
 
 
 _MAX_COEFF = _max_coeff("haweel")
@@ -115,13 +116,13 @@ def supports(h: int, w: int) -> bool:
     return h % BLOCK_SIZE == 0 and w % LANE == 0 and h >= BLOCK_SIZE and w >= LANE
 
 
-def supports_u8(h: int, w: int, q_scale: float = 1.0, transform: str = "haweel") -> bool:
+def supports_u8(h: int, w: int, q_scale: float = 1.0, transform: str = "haweel", q_table: str = "luma") -> bool:
     """u8/int8 variants additionally need 32-row tiles (int8 sublane min),
     an integer-core transform, and coefficients that fit int8."""
     return (
         h % 32 == 0
         and w % LANE == 0
-        and _max_coeff(transform) / q_scale <= 127.0
+        and _max_coeff(transform, q_table) / q_scale <= 127.0
     )
 
 
@@ -147,16 +148,16 @@ _block_diag_ts = block_diag_Ts
 
 
 @functools.lru_cache(maxsize=32)
-def _consts_f32(br: int, q_scale: float, transform: str = "haweel"):
+def _consts_f32(br: int, q_scale: float, transform: str = "haweel", q_table: str = "luma"):
     t = get_transform(transform).t
     bdt = block_diag_T(br // BLOCK_SIZE, t=t).astype(np.float32)
     bdl = block_diag_T(LANE // BLOCK_SIZE, t=t).astype(np.float32)
-    qt = np.tile(Q * np.float32(q_scale), (br // BLOCK_SIZE, LANE // BLOCK_SIZE)).astype(np.float32)
+    qt = np.tile(get_q_table(q_table) * np.float32(q_scale), (br // BLOCK_SIZE, LANE // BLOCK_SIZE)).astype(np.float32)
     return bdt, bdl, qt
 
 
 @functools.lru_cache(maxsize=32)
-def _consts_bf(br: int, q_scale: float, transform: str = "haweel"):
+def _consts_bf(br: int, q_scale: float, transform: str = "haweel", q_table: str = "luma"):
     """Butterfly-inverse consts: dequant scale Q·q_scale·outer(d,d) tiled,
     plus the lane-sized int8 block-diag Ts for the exact bf16 lane matmul.
 
@@ -168,7 +169,7 @@ def _consts_bf(br: int, q_scale: float, transform: str = "haweel"):
     if not tr.has_integer_core:
         raise ValueError(f"butterfly decode needs an integer core; {transform!r} has none")
     d = tr.d.astype(np.float64)
-    q8 = Q * np.float64(q_scale) * np.outer(d, d)
+    q8 = get_q_table(q_table) * np.float64(q_scale) * np.outer(d, d)
     qdd = np.tile(q8, (br // BLOCK_SIZE, LANE // BLOCK_SIZE)).astype(np.float32)
     # Butterfly weight planes: wts[r, k] = Ts[k][r % 8] — the coefficient of
     # block-row k in output row r, laid out full-height so the sublane
@@ -178,7 +179,7 @@ def _consts_bf(br: int, q_scale: float, transform: str = "haweel"):
 
 
 @functools.lru_cache(maxsize=32)
-def _consts_int(br: int, q_scale: float, retain_k, transform: str = "haweel"):
+def _consts_int(br: int, q_scale: float, retain_k, transform: str = "haweel", q_table: str = "luma"):
     """int8 block-diag Ts operands + fused f32 quant scale (row norms, 1/Q,
     q_scale and the zonal retention mask all folded into one multiplier)."""
     from tpudct.ops.quant import retention_mask
@@ -189,7 +190,7 @@ def _consts_int(br: int, q_scale: float, retain_k, transform: str = "haweel"):
     bdts = block_diag_Ts(br // BLOCK_SIZE, tr.ts)
     bdts_l = block_diag_Ts(LANE // BLOCK_SIZE, tr.ts)
     d = tr.d.astype(np.float64)
-    scale8 = np.outer(d, d) / (Q * q_scale) * retention_mask(retain_k)
+    scale8 = np.outer(d, d) / (get_q_table(q_table) * q_scale) * retention_mask(retain_k)
     scale = np.tile(scale8, (br // BLOCK_SIZE, LANE // BLOCK_SIZE)).astype(np.float32)
     return bdts, bdts_l, scale
 
@@ -455,10 +456,11 @@ def _jit(*names):
     return functools.partial(jax.jit, static_argnames=names)
 
 
-@_jit("q_scale", "band_rows", "tile_cols", "interpret", "int_core", "transform")
+@_jit("q_scale", "q_table", "band_rows", "tile_cols", "interpret", "int_core", "transform")
 def hp_dct(
     image,
     q_scale: float = 1.0,
+    q_table: str = "luma",
     band_rows: int = 256,
     tile_cols: int = 2048,
     interpret: bool = False,
@@ -474,20 +476,21 @@ def hp_dct(
     h, w = image.shape
     br, tc = _geometry(h, w, band_rows, tile_cols)
     if int_core:
-        consts = _consts_int(br, q_scale, None, transform)
+        consts = _consts_int(br, q_scale, None, transform, q_table)
         kern = _k_dct_int
     else:
-        consts = _consts_f32(br, q_scale, transform)
+        consts = _consts_f32(br, q_scale, transform, q_table)
         kern = _k_dct_f32
     return _call(kern, h, w, br, tc, consts, [jnp.float32], interpret, {0: 0})(
         image, *consts
     )
 
 
-@_jit("q_scale", "band_rows", "tile_cols", "interpret", "decode_precision", "transform")
+@_jit("q_scale", "q_table", "band_rows", "tile_cols", "interpret", "decode_precision", "transform")
 def hp_idct(
     coeffs,
     q_scale: float = 1.0,
+    q_table: str = "luma",
     band_rows: int = 256,
     tile_cols: int = 2048,
     interpret: bool = False,
@@ -498,20 +501,21 @@ def hp_idct(
     h, w = coeffs.shape
     br, tc = _geometry(h, w, band_rows, tile_cols)
     if _prec(decode_precision) == "butterfly":
-        consts = _consts_bf(br, q_scale, transform)
+        consts = _consts_bf(br, q_scale, transform, q_table)
         kern = _k_idct_bf
     else:
-        consts = _consts_f32(br, q_scale, transform)
+        consts = _consts_f32(br, q_scale, transform, q_table)
         kern = functools.partial(_k_idct, precision=decode_precision)
     return _call(kern, h, w, br, tc, consts, [jnp.float32], interpret, {0: 0})(
         coeffs, *consts
     )
 
 
-@_jit("q_scale", "retain_k", "band_rows", "tile_cols", "interpret", "int_core", "decode_precision", "transform")
+@_jit("q_scale", "q_table", "retain_k", "band_rows", "tile_cols", "interpret", "int_core", "decode_precision", "transform")
 def hp_roundtrip(
     image,
     q_scale: float = 1.0,
+    q_table: str = "luma",
     retain_k=None,
     band_rows: int = 256,
     tile_cols: int = 2048,
@@ -532,22 +536,22 @@ def hp_roundtrip(
     br, tc = _geometry(h, w, band_rows, tile_cols)
     butterfly = _prec(decode_precision) == "butterfly"
     if int_core:
-        iconsts = _consts_int(br, q_scale, retain_k, transform)
+        iconsts = _consts_int(br, q_scale, retain_k, transform, q_table)
         if butterfly:
             # qdd + weight planes extra: iconsts already carries the Ts.
-            qdd, _, wts = _consts_bf(br, q_scale, transform)
+            qdd, _, wts = _consts_bf(br, q_scale, transform, q_table)
             consts = (*iconsts, qdd, wts)
             kern = _k_rt_int_bf
         else:
-            consts = (*iconsts, *_consts_f32(br, q_scale, transform))
+            consts = (*iconsts, *_consts_f32(br, q_scale, transform, q_table))
             kern = functools.partial(_k_rt_int, precision=decode_precision)
     else:
-        fconsts = _consts_f32(br, q_scale, transform)
+        fconsts = _consts_f32(br, q_scale, transform, q_table)
         mask = np.tile(
             retention_mask(retain_k), (br // BLOCK_SIZE, LANE // BLOCK_SIZE)
         ).astype(np.float32)
         if butterfly:
-            consts = (*fconsts, mask, *_consts_bf(br, q_scale, transform))
+            consts = (*fconsts, mask, *_consts_bf(br, q_scale, transform, q_table))
             kern = _k_rt_f32_bf
         else:
             consts = (*fconsts, mask)
@@ -557,10 +561,11 @@ def hp_roundtrip(
     )(image, *consts)
 
 
-@_jit("q_scale", "retain_k", "band_rows", "tile_cols", "interpret", "transform")
+@_jit("q_scale", "q_table", "retain_k", "band_rows", "tile_cols", "interpret", "transform")
 def hp_encode_u8(
     image_u8,
     q_scale: float = 1.0,
+    q_table: str = "luma",
     retain_k=None,
     band_rows: int = 256,
     tile_cols: int = 2048,
@@ -573,16 +578,17 @@ def hp_encode_u8(
     supports_u8 holds (coefficients provably fit int8)."""
     h, w = image_u8.shape
     br, tc = _geometry(h, w, band_rows, tile_cols, row_align=32)
-    consts = _consts_int(br, q_scale, retain_k, transform)
+    consts = _consts_int(br, q_scale, retain_k, transform, q_table)
     return _call(_k_encode_u8, h, w, br, tc, consts, [jnp.int8], interpret)(
         image_u8, *consts
     )
 
 
-@_jit("q_scale", "band_rows", "tile_cols", "interpret", "decode_precision", "transform")
+@_jit("q_scale", "q_table", "band_rows", "tile_cols", "interpret", "decode_precision", "transform")
 def hp_decode_u8(
     coeffs_i8,
     q_scale: float = 1.0,
+    q_table: str = "luma",
     band_rows: int = 256,
     tile_cols: int = 2048,
     interpret: bool = False,
@@ -594,20 +600,21 @@ def hp_decode_u8(
     h, w = coeffs_i8.shape
     br, tc = _geometry(h, w, band_rows, tile_cols, row_align=32)
     if _prec(decode_precision) == "butterfly":
-        consts = _consts_bf(br, q_scale, transform)
+        consts = _consts_bf(br, q_scale, transform, q_table)
         kern = _k_decode_u8_bf
     else:
-        consts = _consts_f32(br, q_scale, transform)
+        consts = _consts_f32(br, q_scale, transform, q_table)
         kern = functools.partial(_k_decode_u8, precision=decode_precision)
     return _call(kern, h, w, br, tc, consts, [jnp.uint8], interpret)(
         coeffs_i8, *consts
     )
 
 
-@_jit("q_scale", "retain_k", "band_rows", "tile_cols", "interpret", "decode_precision", "transform")
+@_jit("q_scale", "q_table", "retain_k", "band_rows", "tile_cols", "interpret", "decode_precision", "transform")
 def hp_roundtrip_u8(
     image_u8,
     q_scale: float = 1.0,
+    q_table: str = "luma",
     retain_k=None,
     band_rows: int = 256,
     tile_cols: int = 2048,
@@ -620,13 +627,13 @@ def hp_roundtrip_u8(
     for the f32-staged separate-phase flow; image aliased to recon."""
     h, w = image_u8.shape
     br, tc = _geometry(h, w, band_rows, tile_cols, row_align=32)
-    iconsts = _consts_int(br, q_scale, retain_k, transform)
+    iconsts = _consts_int(br, q_scale, retain_k, transform, q_table)
     if _prec(decode_precision) == "butterfly":
-        qdd, _, wts = _consts_bf(br, q_scale, transform)
+        qdd, _, wts = _consts_bf(br, q_scale, transform, q_table)
         consts = (*iconsts, qdd, wts)
         kern = _k_rt_u8_bf
     else:
-        consts = (*iconsts, *_consts_f32(br, q_scale, transform))
+        consts = (*iconsts, *_consts_f32(br, q_scale, transform, q_table))
         kern = functools.partial(_k_rt_u8, precision=decode_precision)
     return _call(
         kern, h, w, br, tc, consts,

@@ -22,12 +22,15 @@ class BatchedPipeline(Pipeline):
 
     def dct(self, image, cfg: CodecConfig):
         return quantize(
-            dct2_blocks(level_shift(image), transform=cfg.transform), cfg.q_scale
+            dct2_blocks(level_shift(image), transform=cfg.transform),
+            cfg.q_scale, cfg.q_table
         )
 
     def idct(self, coeffs, cfg: CodecConfig):
         return level_unshift(
-            idct2_blocks(dequantize(coeffs, cfg.q_scale), transform=cfg.transform)
+            idct2_blocks(
+                dequantize(coeffs, cfg.q_scale, cfg.q_table), transform=cfg.transform
+            )
         )
 
 

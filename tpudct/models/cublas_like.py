@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 
 from tpudct.config import CodecConfig
-from tpudct.constants import Q, get_transform
+from tpudct.constants import get_q_table, get_transform
 from tpudct.models.base import Pipeline, register
 from tpudct.ops.blocks import blockify, deblockify
 from tpudct.ops.rounding import round_half_away
@@ -28,7 +28,7 @@ class CublasLikePipeline(Pipeline):
     def dct(self, image, cfg: CodecConfig):
         h, w = image.shape
         t = jnp.asarray(get_transform(cfg.transform).t, image.dtype)
-        q = jnp.asarray(Q, image.dtype) * jnp.asarray(cfg.q_scale, image.dtype)
+        q = jnp.asarray(get_q_table(cfg.q_table), image.dtype) * jnp.asarray(cfg.q_scale, image.dtype)
         xb = blockify(level_shift(image))
 
         dot = lambda a, b: jax.lax.dot(a, b, precision=jax.lax.Precision.HIGHEST)
@@ -45,7 +45,7 @@ class CublasLikePipeline(Pipeline):
     def idct(self, coeffs, cfg: CodecConfig):
         h, w = coeffs.shape
         t = jnp.asarray(get_transform(cfg.transform).t, coeffs.dtype)
-        q = jnp.asarray(Q, coeffs.dtype) * jnp.asarray(cfg.q_scale, coeffs.dtype)
+        q = jnp.asarray(get_q_table(cfg.q_table), coeffs.dtype) * jnp.asarray(cfg.q_scale, coeffs.dtype)
         cb = blockify(coeffs)
 
         dot = lambda a, b: jax.lax.dot(a, b, precision=jax.lax.Precision.HIGHEST)

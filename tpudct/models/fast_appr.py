@@ -20,7 +20,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from tpudct.config import CodecConfig
-from tpudct.constants import BLOCK_SIZE, Q, block_diag_Ts, get_transform
+from tpudct.constants import BLOCK_SIZE, block_diag_Ts, get_q_table, get_transform
 from tpudct.models.base import Pipeline, register
 from tpudct.ops.blocks import as_block_grid, from_block_grid
 from tpudct.ops.rounding import round_half_away
@@ -51,7 +51,7 @@ class FastApprPipeline(Pipeline):
         _ts, _d, _bdts = _core(cfg)
         # Fold D-scaling into quantization: Y/Q = core * (d_i d_l / Q_il).
         d = jnp.asarray(_d, image.dtype)
-        q = jnp.asarray(Q, image.dtype) * jnp.asarray(cfg.q_scale, image.dtype)
+        q = jnp.asarray(get_q_table(cfg.q_table), image.dtype) * jnp.asarray(cfg.q_scale, image.dtype)
         scale8 = (d[:, None] * d[None, :]) / q
         if h % _LANE == 0 and w % _LANE == 0:
             ts = jnp.asarray(_bdts, jnp.int8)
@@ -78,7 +78,7 @@ class FastApprPipeline(Pipeline):
         h, w = coeffs.shape
         _ts, _d, _bdts = _core(cfg)
         d = jnp.asarray(_d, coeffs.dtype)
-        q = jnp.asarray(Q, coeffs.dtype) * jnp.asarray(cfg.q_scale, coeffs.dtype)
+        q = jnp.asarray(get_q_table(cfg.q_table), coeffs.dtype) * jnp.asarray(cfg.q_scale, coeffs.dtype)
         scale8 = (d[:, None] * d[None, :]) * q
         if h % _LANE == 0 and w % _LANE == 0:
             ts = jnp.asarray(_bdts.astype(np.float32), coeffs.dtype)

@@ -60,6 +60,7 @@ class HpApprPipeline(Pipeline):
         return hp_pallas.hp_dct(
             image,
             q_scale=cfg.q_scale,
+            q_table=cfg.q_table,
             band_rows=cfg.band_rows,
             tile_cols=cfg.tile_cols,
             interpret=_interpret(cfg),
@@ -74,6 +75,7 @@ class HpApprPipeline(Pipeline):
         return hp_pallas.hp_idct(
             coeffs,
             q_scale=cfg.q_scale,
+            q_table=cfg.q_table,
             band_rows=cfg.band_rows,
             tile_cols=cfg.tile_cols,
             interpret=_interpret(cfg),
@@ -95,6 +97,7 @@ class HpApprPipeline(Pipeline):
         c, r = hp_pallas.hp_roundtrip(
             image,
             q_scale=cfg.q_scale,
+            q_table=cfg.q_table,
             retain_k=cfg.retain_k,
             band_rows=cfg.band_rows,
             tile_cols=cfg.tile_cols,
@@ -111,14 +114,14 @@ class HpApprPipeline(Pipeline):
     def encode_u8(self, image_u8, cfg: CodecConfig):
         """uint8 image -> int8 coefficient map (4x less HBM traffic)."""
         h, w = image_u8.shape
-        if not hp_pallas.supports_u8(h, w, cfg.q_scale, cfg.transform):
+        if not hp_pallas.supports_u8(h, w, cfg.q_scale, cfg.transform, cfg.q_table):
             raise ValueError(
                 f"u8 path needs h%32==0, w%128==0, an integer-core transform and "
-                f"q_scale>={hp_pallas._max_coeff(cfg.transform)/127.0:.2f} "
+                f"q_scale>={hp_pallas._max_coeff(cfg.transform, cfg.q_table)/127.0:.2f} "
                 f"(got {h}x{w}, q_scale={cfg.q_scale}, transform={cfg.transform})"
             )
         return hp_pallas.hp_encode_u8(
-            image_u8, q_scale=cfg.q_scale, retain_k=cfg.retain_k,
+            image_u8, q_scale=cfg.q_scale, q_table=cfg.q_table, retain_k=cfg.retain_k,
             band_rows=cfg.band_rows, tile_cols=cfg.tile_cols,
             interpret=_interpret(cfg), transform=cfg.transform,
         )
@@ -132,7 +135,7 @@ class HpApprPipeline(Pipeline):
                 "use idct() + to_uint8 for other shapes"
             )
         return hp_pallas.hp_decode_u8(
-            coeffs_i8, q_scale=cfg.q_scale,
+            coeffs_i8, q_scale=cfg.q_scale, q_table=cfg.q_table,
             band_rows=cfg.band_rows, tile_cols=cfg.tile_cols,
             interpret=_interpret(cfg),
             decode_precision=_decode_prec(cfg),
@@ -142,20 +145,20 @@ class HpApprPipeline(Pipeline):
     def roundtrip_u8(self, image_u8, cfg: CodecConfig):
         """Fully fused u8-native pass: uint8 -> (int8 coeffs, uint8 recon)."""
         h, w = image_u8.shape
-        if hp_pallas._max_coeff(cfg.transform) / cfg.q_scale > 127.0:
+        if hp_pallas._max_coeff(cfg.transform, cfg.q_table) / cfg.q_scale > 127.0:
             # int8 coefficients would wrap around (or the transform has no
             # integer core) — refuse rather than silently corrupt.
             raise ValueError(
                 f"q_scale={cfg.q_scale} with transform={cfg.transform} does not "
                 "fit int8 coefficients; use roundtrip()"
             )
-        if not hp_pallas.supports_u8(h, w, cfg.q_scale, cfg.transform):
+        if not hp_pallas.supports_u8(h, w, cfg.q_scale, cfg.transform, cfg.q_table):
             import jax.numpy as jnp
 
             c, r = self.roundtrip(jnp.asarray(image_u8, jnp.float32), cfg)
             return c.astype(jnp.int8), r
         return hp_pallas.hp_roundtrip_u8(
-            image_u8, q_scale=cfg.q_scale, retain_k=cfg.retain_k,
+            image_u8, q_scale=cfg.q_scale, q_table=cfg.q_table, retain_k=cfg.retain_k,
             band_rows=cfg.band_rows, tile_cols=cfg.tile_cols,
             interpret=_interpret(cfg),
             decode_precision=_decode_prec(cfg),

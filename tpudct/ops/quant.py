@@ -20,12 +20,12 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
-from tpudct.constants import BLOCK_SIZE, Q
+from tpudct.constants import BLOCK_SIZE, Q, get_q_table
 from tpudct.ops.rounding import round_half_away
 
 
-def _q_for(x, q_scale: float):
-    return jnp.asarray(Q * np.float32(q_scale), x.dtype)
+def _q_for(x, q_scale: float, q_table: str = "luma"):
+    return jnp.asarray(get_q_table(q_table) * np.float32(q_scale), x.dtype)
 
 
 def _rowwise(x, tile8x8, op):
@@ -41,15 +41,15 @@ def _rowwise(x, tile8x8, op):
     return op(g, row).reshape(h, w)
 
 
-def quantize(y, q_scale: float = 1.0):
+def quantize(y, q_scale: float = 1.0, q_table: str = "luma"):
     """round_half_away(Y / Q) with Q broadcast per 8x8 block position."""
-    q = _q_for(y, q_scale)
+    q = _q_for(y, q_scale, q_table)
     return _rowwise(y, q, lambda g, row: round_half_away(g / row))
 
 
-def dequantize(c, q_scale: float = 1.0):
+def dequantize(c, q_scale: float = 1.0, q_table: str = "luma"):
     """C * Q, exact inverse scaling of :func:`quantize`'s division."""
-    q = _q_for(c, q_scale)
+    q = _q_for(c, q_scale, q_table)
     return _rowwise(c, q, lambda g, row: g * row)
 
 

@@ -1,4 +1,4 @@
-"""Grayscale JPEG I/O.
+"""JPEG I/O (grayscale + interleaved RGB).
 
 Primary path: the native C codec (csrc/jpeg_codec.c, libjpeg via ctypes) —
 the TPU-framework equivalent of the reference's host utils
@@ -50,8 +50,8 @@ def _load_native() -> Optional[ctypes.CDLL]:
         return None
     try:
         lib = ctypes.CDLL(str(_LIB_PATH))
-        if not hasattr(lib, "tpudct_jpeg_decode_batch"):
-            # Stale prebuilt library from pre-batch sources: rebuild once.
+        if not hasattr(lib, "tpudct_jpeg_encode_ch"):
+            # Stale prebuilt library from older sources: rebuild once.
             subprocess.run(
                 ["make", "-C", str(_CSRC), "-B"],
                 check=True, capture_output=True, timeout=120,
@@ -65,7 +65,7 @@ def _load_native() -> Optional[ctypes.CDLL]:
             with tempfile.NamedTemporaryFile(suffix=".so", delete=False) as tmp:
                 shutil.copy2(_LIB_PATH, tmp.name)
             lib = ctypes.CDLL(tmp.name)
-            if not hasattr(lib, "tpudct_jpeg_decode_batch"):
+            if not hasattr(lib, "tpudct_jpeg_encode_ch"):
                 return None
     except (OSError, subprocess.SubprocessError):
         return None
@@ -80,6 +80,11 @@ def _load_native() -> Optional[ctypes.CDLL]:
         ctypes.c_char_p, u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int
     ]
     lib.tpudct_jpeg_encode.restype = ctypes.c_int
+    lib.tpudct_jpeg_encode_ch.argtypes = [
+        ctypes.c_char_p, u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int,
+    ]
+    lib.tpudct_jpeg_encode_ch.restype = ctypes.c_int
     lib.tpudct_jpeg_encode_mem.argtypes = [
         u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.POINTER(u8p), ctypes.POINTER(ctypes.c_ulong),
@@ -203,27 +208,36 @@ def load_jpeg_batch(
 
 
 def save_jpeg(path: str, image: np.ndarray, quality: int = 100) -> None:
-    """Encode a (H, W) uint8 grayscale array to a JPEG file.
+    """Encode a (H, W) grayscale or (H, W, 3) RGB uint8 array to a JPEG file.
 
     quality=100 matches the reference drivers' output setting
-    (main_cublass.cu:152).
+    (main_cublass.cu:152).  The RGB form serves the color extension — the
+    reference has no color output path at all (utils.cu:70-72 forces
+    grayscale at load).
     """
     image = np.ascontiguousarray(image, dtype=np.uint8)
-    if image.ndim != 2:
-        raise ValueError(f"expected (H, W) grayscale, got {image.shape}")
+    if image.ndim == 2:
+        ch = 1
+    elif image.ndim == 3 and image.shape[2] == 3:
+        ch = 3
+    else:
+        raise ValueError(f"expected (H, W) grayscale or (H, W, 3) RGB, got {image.shape}")
     lib = _load_native()
     if lib is not None:
-        h, w = image.shape
-        rc = lib.tpudct_jpeg_encode(
+        h, w = image.shape[:2]
+        rc = lib.tpudct_jpeg_encode_ch(
             str(path).encode(),
-            image.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)), w, h, quality,
+            image.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)), w, h, ch,
+            quality,
         )
         if rc != 0:
             raise IOError(f"native JPEG encode failed (rc={rc}) for {path}")
         return
     from PIL import Image
 
-    Image.fromarray(image, mode="L").save(path, format="JPEG", quality=quality)
+    Image.fromarray(image, mode="L" if ch == 1 else "RGB").save(
+        path, format="JPEG", quality=quality
+    )
 
 
 def encode_jpeg_bytes(image: np.ndarray, quality: int = 100) -> bytes:
