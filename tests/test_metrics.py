@@ -97,3 +97,70 @@ def test_ssim_bounds(rng):
     # more distortion -> lower ssim
     worse = np.clip(x + rng.normal(0, 80, x.shape), 0, 255).astype(np.float32)
     assert float(ssim(x, worse)) < v
+
+
+# ---- spectral entropy codec (v4 .tdc streams) ------------------------------
+
+
+def test_spectral_pack_unpack_exact(rng):
+    from tpudct.utils.serialize import _spectral_pack, _spectral_unpack
+
+    c = rng.integers(-100, 100, (64, 128)).astype(np.int16)
+    np.testing.assert_array_equal(_spectral_unpack(_spectral_pack(c), 64, 128), c)
+
+
+def test_spectral_escape_paths_exact(rng):
+    """Wide AC values / overflowing DC deltas flip the escape flags and
+    still roundtrip bit-exactly."""
+    from tpudct.utils.serialize import _spectral_pack, _spectral_unpack
+
+    c = rng.integers(-3000, 3000, (32, 32)).astype(np.int16)  # AC > int8
+    np.testing.assert_array_equal(_spectral_unpack(_spectral_pack(c), 32, 32), c)
+    c = np.zeros((16, 16), np.int16)
+    c[0::8, 0::8] = [[-30000, 30000], [30000, -30000]]  # DC delta > int16
+    np.testing.assert_array_equal(_spectral_unpack(_spectral_pack(c), 16, 16), c)
+
+
+def test_spectral_smaller_than_raw_on_real_coefficients(rng):
+    from tpudct import CodecConfig, get_pipeline
+    import jax.numpy as jnp
+
+    from tpudct.benchmark import synthetic_image
+
+    img = synthetic_image(512)
+    c = np.asarray(get_pipeline("batched").encode(jnp.asarray(img), CodecConfig()))
+    spectral = serialize.coefficients_to_bytes(c, codec="spectral")
+    raw = serialize.coefficients_to_bytes(c, codec="raw")
+    assert len(spectral) < 0.8 * len(raw)
+    for blob in (spectral, raw):
+        back, _q, _k = serialize.bytes_to_coefficients(blob)
+        np.testing.assert_array_equal(back, c.astype(np.float32))
+
+
+def test_legacy_v3_stream_still_loads(rng):
+    """Pre-q_table streams (TDC3, raw int16 payload) must keep decoding."""
+    import struct
+    import zlib
+
+    c = rng.integers(-50, 50, (16, 24)).astype(np.int16)
+    payload = zlib.compress(c.tobytes(), 6)
+    blob = struct.pack(
+        "<4sIIIIfi8sI", b"TDC3", 16, 24, 10, 20, 1.5, 8, b"haweel\x00\x00",
+        len(payload),
+    ) + payload
+    back, q, k, (oh, ow), tname = serialize.bytes_to_coefficients(
+        blob, with_orig_shape=True, with_transform=True
+    )
+    np.testing.assert_array_equal(back, c.astype(np.float32))
+    assert (q, k, oh, ow, tname) == (1.5, 8, 10, 20, "haweel")
+
+
+def test_unknown_codec_rejected(rng):
+    c = rng.integers(-5, 5, (8, 8)).astype(np.float32)
+    with pytest.raises(ValueError):
+        serialize.coefficients_to_bytes(c, codec="huffman")
+    blob = bytearray(serialize.coefficients_to_bytes(c))
+    # corrupt the codec byte (offset: 4+4*4+4+4+8+8 = 44)
+    blob[44] = 77
+    with pytest.raises(ValueError):
+        serialize.bytes_to_coefficients(bytes(blob))

@@ -80,12 +80,14 @@ def compression_factor(image_u8: np.ndarray, coeffs: np.ndarray, level: int = 6)
     """Losslessly-entropy-coded size ratio: raw image vs coefficient stream.
 
     Coefficients are integers after quantization (utils_kernels.cu:42);
-    they are serialized as int16 (max |coeff| ~ 1024/10 << 32767) before
-    entropy coding, mirroring tpudct.utils.serialize's on-disk format.
-    """
+    the denominator is the spectral-codec payload exactly as serialize's
+    on-disk .tdc format stores it (DC delta + zig-zag AC planes, zlib), so
+    the reported factor is what a user actually gets on disk."""
+    from tpudct.utils.serialize import _spectral_pack
+
     img = np.ascontiguousarray(image_u8, dtype=np.uint8)
     c = np.ascontiguousarray(np.asarray(coeffs), dtype=np.int16)
-    return _zlib_size(img.tobytes(), level) / _zlib_size(c.tobytes(), level)
+    return _zlib_size(img.tobytes(), level) / _zlib_size(_spectral_pack(c), level)
 
 
 def jpeg_compression_factor(image_u8: np.ndarray, recon_u8: np.ndarray, quality: int = 100) -> float:
