@@ -138,3 +138,14 @@ def test_batch_skips_corrupt_files(tmp_path, rng, capsys):
     rc = main(["batch", str(src), str(dst)])
     rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rc == 0 and rep["encoded"] == 0 and rep["skipped"] == 3
+
+
+def test_profile_writes_trace(tmp_path, capsys):
+    out = tmp_path / "trace"
+    rc = main(["profile", "--pipeline", "batched", "--size", "64",
+               "--reps", "1", "--out", str(out)])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip())
+    assert rep["trace_dir"] == str(out)
+    # jax.profiler writes plugins/profile/<run>/ under the log dir
+    assert any(out.rglob("*.xplane.pb")) or any(out.rglob("*.trace.json*"))

@@ -254,3 +254,85 @@ def test_cli_color_no_subsample(tmp_path, capsys):
     _planes, meta = serialize.load_color(tdcc)
     assert meta["subsample"] is False
     assert meta["chroma_shape"] == (56, 56)
+
+
+# ---- fused Pallas color kernels ---------------------------------------------
+
+
+def test_color_pallas_kernels_match_xla(rng):
+    from tpudct.kernels import color_pallas
+
+    rgb = rng.integers(0, 256, (3, 128, 256)).astype(np.uint8)
+    x = jnp.asarray(rgb)
+    y1, cb1, cr1 = color_pallas.color_split_420_u8(x, interpret=True)
+    y2, cb2, cr2 = color.ycbcr_split_420_u8(x)
+    # pool-then-transform vs transform-then-pool: identical up to f32
+    # rounding order (documented .5-tie class) -> at most +-1, rare.
+    for a, b, n in ((y1, y2, "y"), (cb1, cb2, "cb"), (cr1, cr2, "cr")):
+        d = np.abs(np.asarray(a).astype(int) - np.asarray(b).astype(int))
+        assert d.max() <= 1 and (d > 0).mean() < 0.01, n
+    m1 = color_pallas.color_merge_420_u8(y1, cb1, cr1, interpret=True)
+    m2 = color.ycbcr_merge_420_u8(y1, cb1, cr1, 128, 256)
+    d = np.abs(np.asarray(m1).astype(int) - np.asarray(m2).astype(int))
+    assert d.max() <= 1 and (d > 0).mean() < 0.01
+
+
+def test_u8_color_roundtrip_quality_and_agreement():
+    from tpudct.models.color import roundtrip_color_u8, supports_color_u8
+
+    rgb = _smooth_rgb(128, 256).astype(np.uint8)
+    p = get_pipeline("hp")
+    cfg = CodecConfig(interpret=True)
+    assert supports_color_u8(p, cfg, 128, 256)
+    planes, meta, rec = roundtrip_color_u8(p, jnp.asarray(rgb), cfg)
+    rec = np.asarray(rec)
+    assert rec.shape == (128, 256, 3) and rec.dtype == np.uint8
+    assert _psnr(rec, rgb) > 30
+    for k in ("y", "cb", "cr"):
+        assert np.asarray(planes[k]).dtype == np.int8
+    # Agrees with the f32 path: the u8 path quantizes YCbCr planes to u8
+    # pre-codec (like a real JPEG encoder), so small plane-level diffs
+    # propagate — bounded, not bitwise.
+    _, _, recf = roundtrip_color(p, jnp.asarray(rgb, jnp.float32), cfg)
+    d = np.abs(np.asarray(recf).astype(int) - rec.astype(int))
+    assert d.mean() < 2.0
+
+
+def test_u8_color_planar_and_interleaved_agree():
+    from tpudct.models.color import roundtrip_color_u8
+
+    rgb = _smooth_rgb(64, 256).astype(np.uint8)
+    p = get_pipeline("hp")
+    cfg = CodecConfig(interpret=True)
+    _, _, r1 = roundtrip_color_u8(p, jnp.asarray(rgb), cfg)
+    _, _, r2 = roundtrip_color_u8(p, jnp.moveaxis(jnp.asarray(rgb), -1, 0), cfg)
+    np.testing.assert_array_equal(np.asarray(r1), np.asarray(r2))
+
+
+def test_u8_color_rejects_unsupported():
+    from tpudct.models.color import encode_color_u8
+
+    p = get_pipeline("hp")
+    cfg = CodecConfig(interpret=True)
+    with pytest.raises(ValueError):
+        encode_color_u8(p, jnp.zeros((100, 100, 3), jnp.uint8), cfg)  # misaligned
+    with pytest.raises(ValueError):
+        encode_color_u8(p, jnp.zeros((64, 256, 3), jnp.float32), cfg)  # not u8
+    batched = get_pipeline("batched")
+    with pytest.raises(ValueError):
+        encode_color_u8(batched, jnp.zeros((64, 256, 3), jnp.uint8), cfg)
+
+
+def test_u8_color_tdcc_serializes():
+    from tpudct.models.color import decode_color_u8, encode_color_u8
+
+    rgb = _smooth_rgb(64, 256).astype(np.uint8)
+    p = get_pipeline("hp")
+    cfg = CodecConfig(interpret=True)
+    planes, meta = encode_color_u8(p, jnp.asarray(rgb), cfg)
+    data = serialize.color_to_bytes(
+        {k: np.asarray(v) for k, v in planes.items()}, meta
+    )
+    planes2, meta2 = serialize.bytes_to_color(data)
+    rec = decode_color_u8(p, planes2, meta2, cfg)
+    assert _psnr(np.asarray(rec), rgb) > 30

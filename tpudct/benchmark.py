@@ -180,6 +180,66 @@ def bench_serving_throughput(
     }
 
 
+def bench_color(
+    size: int = 2048,
+    pipeline: str = "hp",
+    cfg: Optional[CodecConfig] = None,
+    subsample: bool = True,
+    k_pair=None,
+    reps: int = 5,
+) -> dict:
+    """Full color codec pass (RGB -> YCbCr -> 3-plane codec -> RGB u8).
+
+    No reference analog (it forces grayscale at load, utils.cu:70-72).
+    Uses the u8-native planar path (models/color.py, 4x less HBM traffic)
+    when the pipeline and geometry support it; chains planar u8 to avoid
+    timing the one-off interleave boundary."""
+    from tpudct.models.color import (
+        decode_color_u8,
+        encode_color_u8,
+        roundtrip_color,
+        supports_color_u8,
+    )
+
+    cfg = cfg or CodecConfig()
+    p = get_pipeline(pipeline)
+    if subsample and supports_color_u8(p, cfg, size, size):
+        rgb8 = jnp.asarray(
+            np.stack(
+                [synthetic_image(size, seed=s) for s in (1, 2, 3)], axis=0
+            ).astype(np.uint8)
+        )
+
+        def fn(v):
+            planes, meta = encode_color_u8(p, v, cfg)
+            out = decode_color_u8(p, planes, meta, cfg)
+            return jnp.moveaxis(out, -1, 0)  # chain planar
+
+        path = "u8-planar"
+        ms = device_time_ms(fn, rgb8, k_pair=k_pair, reps=reps)
+    else:
+        rgb = jnp.asarray(
+            np.stack([synthetic_image(size, seed=s) for s in (1, 2, 3)], axis=-1)
+        )
+
+        def fn(v):
+            return roundtrip_color(p, v, cfg, subsample=subsample)[2].astype(
+                jnp.float32
+            )
+
+        path = "f32"
+        ms = device_time_ms(fn, rgb, k_pair=k_pair, reps=reps)
+    return {
+        "pipeline": f"{pipeline}-color",
+        "path": path,
+        "size": size,
+        "subsample": subsample,
+        "rgb_ms": ms,
+        "mpix_per_s": size * size / ms / 1e3 if ms > 0 else None,
+        "backend": jax.default_backend(),
+    }
+
+
 def bench_cpu_numpy(size: int, cfg: Optional[CodecConfig] = None, reps: int = 3) -> dict:
     """Host-CPU baseline: the codec as vectorized numpy f32 on this host.
 

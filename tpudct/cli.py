@@ -200,6 +200,13 @@ def cmd_bench(args) -> int:
         from tpudct.benchmark import bench_cpu_numpy
 
         print(json.dumps(bench_cpu_numpy(args.size, _cfg_from(args), reps=args.reps)))
+    if args.color:
+        from tpudct.benchmark import bench_color
+
+        print(json.dumps(bench_color(
+            args.size, args.pipelines.split(",")[0].strip(), _cfg_from(args),
+            reps=args.reps,
+        )))
     return 0
 
 
@@ -312,6 +319,36 @@ def cmd_scale(args) -> int:
     return 0
 
 
+def cmd_profile(args) -> int:
+    """Per-kernel device trace of a codec pass (SURVEY.md §5: the TPU
+    analog of the reference's cudaEvent phase pairs is slope timing
+    [utils.timing] PLUS a jax.profiler timeline; this exposes the latter).
+    The trace directory opens in TensorBoard / Perfetto."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpudct.benchmark import synthetic_image
+    from tpudct.models import get_pipeline
+    from tpudct.utils import profiling
+
+    cfg = _cfg_from(args)
+    p = get_pipeline(args.pipeline)
+    x = jnp.asarray(synthetic_image(args.size))
+    f = p.jit_roundtrip(cfg)
+    jax.block_until_ready(f(x))  # compile outside the trace window
+    with profiling.trace(args.out):
+        with profiling.annotate(f"{p.name}-roundtrip-{args.size}"):
+            r = None
+            for _ in range(args.reps):
+                r = f(x)
+            jax.block_until_ready(r)
+    print(json.dumps({
+        "trace_dir": args.out, "pipeline": p.name, "size": args.size,
+        "reps": args.reps,
+    }))
+    return 0
+
+
 def cmd_info(_args) -> int:
     import jax
 
@@ -364,6 +401,7 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--fused", action="store_true", help="also time the single-kernel roundtrip")
     sp.add_argument("--batch", type=int, default=0, help="also time serving throughput for a batch of N images")
     sp.add_argument("--cpu", action="store_true", help="also time the host-CPU numpy baseline (reference CPU column analog)")
+    sp.add_argument("--color", action="store_true", help="also time the full RGB color codec pass")
     sp.set_defaults(fn=cmd_bench)
 
     sp = sub.add_parser("sweep", help="size x pipeline benchmark table (README.md:45-60)")
@@ -393,6 +431,13 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--devices", default=None, help="comma list, default powers of 2 up to available")
     sp.add_argument("--reps", type=int, default=3)
     sp.set_defaults(fn=cmd_scale)
+
+    sp = sub.add_parser("profile", help="capture a per-kernel device trace (TensorBoard/Perfetto)")
+    _add_codec_flags(sp)
+    sp.add_argument("--size", type=int, default=2048)
+    sp.add_argument("--reps", type=int, default=3)
+    sp.add_argument("--out", default="/tmp/tpudct-trace", help="trace output directory")
+    sp.set_defaults(fn=cmd_profile)
 
     sp = sub.add_parser("info", help="environment / backend report")
     sp.set_defaults(fn=cmd_info)

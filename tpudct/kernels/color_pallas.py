@@ -1,0 +1,224 @@
+"""Fused Pallas color kernels: YCbCr split/merge with MXU 2x2 resampling.
+
+The color extension's conversion + 4:2:0 resampling is pure HBM-bound
+elementwise work, but XLA's lowerings for the resampling step are
+catastrophic at production sizes on TPU (measured at 8192² on v5e):
+``jnp.repeat`` interleave lowers to a 342 ms gather; a
+``broadcast_to(..., (H/2, 2, W/2, 2))`` form pads the trailing 2-wide dims
+to full (8, 128) tiles — a 64x memory expansion that OOMs the chip.  These
+kernels do the whole stage in one VMEM pass per tile:
+
+  split:  (3, H, W) u8 RGB -> y (H, W) u8 + cb, cr (H/2, W/2) u8
+  merge:  y + cb + cr -> (3, H, W) u8 RGB
+
+Mosaic cannot lower stride-2 vector slices, and regroup reshapes on
+computed vector values measured ~3 ms/plane of relayout at 8192² — so the
+2x2 resampling maps onto the MXU, where it is both fast and EXACT:
+
+* split pooling: the 2x2 mean commutes with the affine RGB->YCbCr map, so
+  the kernel pools the level-shifted u8 INTEGERS on the int8 MXU
+  (``P_l @ (c-128) @ P_r`` with 0/1-valued int8 matrices, int32
+  accumulation — each output sums exactly 4 integer products: exact), then
+  color-transforms the pooled RGB.  Equivalent to utils/color.py's
+  transform-then-pool order up to f32 rounding order (the same .5-tie
+  equivalence class as the codec itself);
+* merge upsample: lanes via one bf16 MXU dot against a 1.0-valued
+  replication matrix (u8-valued integers are bf16-exact; one product per
+  output — exact), rows via a broadcast-reshape (which, unlike the regroup
+  form, lowers cleanly).
+
+No reference analog: the reference is grayscale-only (utils.cu:70-72).
+Measured at 8192² on v5e: split+merge pair 17.0 (XLA) -> 2.3 ms at the
+default (512, 256) geometry — split ~0.95, merge ~1.4, each at its own
+measured component floor; see benchmarks/RESULTS_v5e.md.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpudct.utils.color import _KB, _KG, _KR
+
+_HIGHEST = jax.lax.Precision.HIGHEST
+LANE = 128
+
+
+def supports(h: int, w: int, band_rows: int = 512, tile_cols: int = 256) -> bool:
+    """Tiles must hold whole 2x2 pools and int8-friendly sublane counts."""
+    return h % 64 == 0 and w % 256 == 0
+
+
+def _geometry(h: int, w: int, band_rows: int, tile_cols: int):
+    br = min(band_rows, h)
+    br -= br % 64
+    tc = min(tile_cols, w)
+    tc -= tc % 256
+    while h % br:
+        br -= 64
+    while w % tc:
+        tc -= 256
+    return br, tc
+
+
+@functools.lru_cache(maxsize=16)
+def _pool_mats(br: int, tc: int):
+    """0/1-valued int8 pooling matrices: PL (br/2, br), PL[i, 2i] =
+    PL[i, 2i+1] = 1; PR (tc, tc/2) the transpose pattern."""
+    plm = np.zeros((br // 2, br), np.int8)
+    plm[np.arange(br // 2), 2 * np.arange(br // 2)] = 1
+    plm[np.arange(br // 2), 2 * np.arange(br // 2) + 1] = 1
+    prm = np.zeros((tc, tc // 2), np.int8)
+    prm[2 * np.arange(tc // 2), np.arange(tc // 2)] = 1
+    prm[2 * np.arange(tc // 2) + 1, np.arange(tc // 2)] = 1
+    return plm, prm
+
+
+@functools.lru_cache(maxsize=16)
+def _up_mat(tc: int):
+    """1.0-valued replication matrix UR (tc/2, tc): UR[j, 2j] = UR[j, 2j+1] = 1."""
+    ur = np.zeros((tc // 2, tc), np.float32)
+    ur[np.arange(tc // 2), 2 * np.arange(tc // 2)] = 1.0
+    ur[np.arange(tc // 2), 2 * np.arange(tc // 2) + 1] = 1.0
+    return ur
+
+
+def _round_away(z):
+    return jnp.sign(z) * jnp.floor(jnp.abs(z) + 0.5)
+
+
+def _to_u8(z):
+    # via int32: Mosaic has no direct f32 <-> uint8 lowering
+    return jnp.clip(_round_away(z), 0.0, 255.0).astype(jnp.int32).astype(jnp.uint8)
+
+
+def _f32(u8_val):
+    return u8_val.astype(jnp.int32).astype(jnp.float32)
+
+
+def _k_split(rgb_ref, pl_ref, pr_ref, y_ref, cb_ref, cr_ref):
+    r = _f32(rgb_ref[0])
+    g = _f32(rgb_ref[1])
+    b = _f32(rgb_ref[2])
+    y = _KR * r + _KG * g + _KB * b
+    y_ref[...] = _to_u8(y)
+
+    # Exact integer 2x2 pooling on the MXU (level shift keeps the u8 range
+    # inside int8), THEN the color transform on the pooled quarter-res
+    # planes — the affine map commutes with the mean (module docstring).
+    # Rows pool as an int8 dot; the intermediate row sums are integers in
+    # [-256, 254] — bf16-exact — so the lane dot against the 0/1 matrix is
+    # exact in one bf16 pass (Mosaic cannot chain i32 @ i8 dots directly).
+    def pool(ch_f32):
+        c8 = (ch_f32 - 128.0).astype(jnp.int32).astype(jnp.int8)
+        rows = jax.lax.dot(pl_ref[...], c8, preferred_element_type=jnp.int32)
+        quad = jax.lax.dot(
+            rows.astype(jnp.float32).astype(jnp.bfloat16),
+            pr_ref[...].astype(jnp.int32).astype(jnp.float32).astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
+        return quad * 0.25 + 128.0
+
+    rp, gp, bp = pool(r), pool(g), pool(b)
+    yp = _KR * rp + _KG * gp + _KB * bp
+    cb_ref[...] = _to_u8(128.0 + (bp - yp) * (0.5 / (1.0 - _KB)))
+    cr_ref[...] = _to_u8(128.0 + (rp - yp) * (0.5 / (1.0 - _KR)))
+
+
+def _k_merge(y_ref, cb_ref, cr_ref, ur_ref, o_ref):
+    y = _f32(y_ref[...])
+
+    # Nearest-neighbor 2x2 replication: lanes via one bf16 MXU dot
+    # (u8-valued integers are bf16-exact; one product per output), rows
+    # via the free sublane broadcast-reshape.
+    def up(c_u8):
+        c = _f32(c_u8).astype(jnp.bfloat16)  # u8 -> bf16 must route via i32/f32
+        wide = jax.lax.dot(c, ur_ref[...].astype(jnp.bfloat16),
+                           preferred_element_type=jnp.float32)
+        h2, w = wide.shape
+        return jnp.broadcast_to(wide[:, None, :], (h2, 2, w)).reshape(2 * h2, w)
+
+    cbc = up(cb_ref[...]) - 128.0
+    crc = up(cr_ref[...]) - 128.0
+    r = y + (2.0 - 2.0 * _KR) * crc
+    b = y + (2.0 - 2.0 * _KB) * cbc
+    g = (y - _KR * r - _KB * b) / _KG
+    o_ref[0] = _to_u8(r)
+    o_ref[1] = _to_u8(g)
+    o_ref[2] = _to_u8(b)
+
+
+def _jit(*names):
+    return functools.partial(jax.jit, static_argnames=names)
+
+
+@_jit("band_rows", "tile_cols", "interpret")
+def color_split_420_u8(
+    rgb_planar_u8,
+    band_rows: int = 512,
+    tile_cols: int = 256,
+    interpret: bool = False,
+):
+    """(3, H, W) u8 RGB -> (y (H, W), cb, cr (H/2, W/2)) u8, one kernel."""
+    _c, h, w = rgb_planar_u8.shape
+    br, tc = _geometry(h, w, band_rows, tile_cols)
+    grid = (h // br, w // tc)
+    full = pl.BlockSpec((br, tc), lambda i, j: (i, j), memory_space=pltpu.VMEM)
+    half = pl.BlockSpec((br // 2, tc // 2), lambda i, j: (i, j),
+                        memory_space=pltpu.VMEM)
+    plm, prm = _pool_mats(br, tc)
+    const = lambda a: pl.BlockSpec(a.shape, lambda i, j: (0, 0),
+                                   memory_space=pltpu.VMEM)
+    fn = pl.pallas_call(
+        _k_split,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((3, br, tc), lambda i, j: (0, i, j),
+                         memory_space=pltpu.VMEM),
+            const(plm), const(prm),
+        ],
+        out_specs=(full, half, half),
+        out_shape=(
+            jax.ShapeDtypeStruct((h, w), jnp.uint8),
+            jax.ShapeDtypeStruct((h // 2, w // 2), jnp.uint8),
+            jax.ShapeDtypeStruct((h // 2, w // 2), jnp.uint8),
+        ),
+        interpret=interpret,
+    )
+    return fn(rgb_planar_u8, plm, prm)
+
+
+@_jit("band_rows", "tile_cols", "interpret")
+def color_merge_420_u8(
+    y_u8,
+    cb_u8,
+    cr_u8,
+    band_rows: int = 512,
+    tile_cols: int = 256,
+    interpret: bool = False,
+):
+    """(y (H, W), cb, cr (H/2, W/2)) u8 -> (3, H, W) u8 RGB, one kernel."""
+    h, w = y_u8.shape
+    br, tc = _geometry(h, w, band_rows, tile_cols)
+    urm = _up_mat(tc)
+    grid = (h // br, w // tc)
+    full = pl.BlockSpec((br, tc), lambda i, j: (i, j), memory_space=pltpu.VMEM)
+    half = pl.BlockSpec((br // 2, tc // 2), lambda i, j: (i, j),
+                        memory_space=pltpu.VMEM)
+    const = lambda a: pl.BlockSpec(a.shape, lambda i, j: (0, 0),
+                                   memory_space=pltpu.VMEM)
+    fn = pl.pallas_call(
+        _k_merge,
+        grid=grid,
+        in_specs=[full, half, half, const(urm)],
+        out_specs=pl.BlockSpec((3, br, tc), lambda i, j: (0, i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((3, h, w), jnp.uint8),
+        interpret=interpret,
+    )
+    return fn(y_u8, cb_u8, cr_u8, urm)

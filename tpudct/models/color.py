@@ -20,6 +20,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
 
 from tpudct.config import CodecConfig
@@ -101,3 +102,87 @@ def roundtrip_color(
     """Full color pass: returns (coefficient planes, meta, RGB u8 recon)."""
     planes, meta = encode_color(p, rgb, cfg, subsample=subsample)
     return planes, meta, decode_color(p, planes, meta, cfg)
+
+
+# ---- u8-native fast path ----------------------------------------------------
+
+
+def _planar_u8(rgb):
+    """Accept (H, W, 3) interleaved or (3, H, W) planar uint8; return planar."""
+    rgb = jnp.asarray(rgb)
+    if rgb.dtype != jnp.uint8:
+        raise ValueError(f"u8 color path needs uint8 input, got {rgb.dtype}")
+    if rgb.ndim != 3:
+        raise ValueError(f"expected a 3-channel image, got shape {rgb.shape}")
+    if rgb.shape[0] == 3 and rgb.shape[-1] != 3:
+        return rgb
+    if rgb.shape[-1] == 3:
+        return jnp.moveaxis(rgb, -1, 0)
+    raise ValueError(f"expected 3 channels, got shape {rgb.shape}")
+
+
+def supports_color_u8(p: Pipeline, cfg: CodecConfig, h: int, w: int) -> bool:
+    """Gate for the fused u8 color path: the pipeline must expose the
+    u8-native codec (hp), all three planes must meet the int8 kernel's
+    tiling (chroma: (H/2, W/2) stacked -> H rows x W/2 lanes), and the
+    coefficients must fit int8 against BOTH quantization tables."""
+    from tpudct.kernels import hp_pallas
+
+    return (
+        hasattr(p, "encode_u8")
+        and h % 64 == 0
+        and w % 256 == 0
+        and hp_pallas.supports_u8(h, w, cfg.q_scale, cfg.transform, "luma")
+        and hp_pallas.supports_u8(h, w // 2, cfg.q_scale, cfg.transform, "chroma")
+    )
+
+
+def encode_color_u8(p: Pipeline, rgb_u8, cfg: CodecConfig, subsample: bool = True):
+    """u8-native color encode: uint8 RGB -> int8 coefficient planes.
+
+    4x less HBM traffic than the f32 path end-to-end (u8 color split +
+    the codec's fused int8 kernels); requires :func:`supports_color_u8`.
+    Chroma planes stack vertically through ONE kernel launch."""
+    x = _planar_u8(rgb_u8)
+    _c, h, w = x.shape
+    if not supports_color_u8(p, cfg, h, w) or not subsample:
+        raise ValueError(
+            f"u8 color path unsupported for {h}x{w} subsample={subsample} "
+            "(needs hp pipeline, H%64==0, W%256==0, int8-safe q_scale); "
+            "use encode_color"
+        )
+    from tpudct.kernels import color_pallas
+
+    interp = cfg.interpret or jax.default_backend() != "tpu"
+    y, cb, cr = color_pallas.color_split_420_u8(x, interpret=interp)
+    cy = p.encode_u8(y, cfg)
+    cc = p.encode_u8(jnp.concatenate([cb, cr], axis=0), _chroma_cfg(cfg))
+    ph = cb.shape[0]
+    meta = {"orig_shape": (h, w), "chroma_shape": (h // 2, w // 2), "subsample": True}
+    return {"y": cy, "cb": cc[:ph], "cr": cc[ph:]}, meta
+
+
+def decode_color_u8(p: Pipeline, planes: dict, meta: dict, cfg: CodecConfig):
+    """Inverse of :func:`encode_color_u8` -> (H, W, 3) uint8 interleaved."""
+    h, w = meta["orig_shape"]
+    y = p.decode_u8(jnp.asarray(planes["y"], jnp.int8), cfg)
+    cc = p.decode_u8(
+        jnp.concatenate(
+            [jnp.asarray(planes["cb"], jnp.int8),
+             jnp.asarray(planes["cr"], jnp.int8)], axis=0
+        ),
+        _chroma_cfg(cfg),
+    )
+    from tpudct.kernels import color_pallas
+
+    interp = cfg.interpret or jax.default_backend() != "tpu"
+    ph = planes["cb"].shape[0]
+    rgb = color_pallas.color_merge_420_u8(y, cc[:ph], cc[ph:], interpret=interp)
+    return jnp.moveaxis(rgb, 0, -1)
+
+
+def roundtrip_color_u8(p: Pipeline, rgb_u8, cfg: CodecConfig):
+    """Fused u8 color pass: uint8 RGB -> (int8 coefficient planes, meta,
+    uint8 RGB reconstruction).  Always 4:2:0."""
+    planes, meta = encode_color_u8(p, rgb_u8, cfg, subsample=True)
+    return planes, meta, decode_color_u8(p, planes, meta, cfg)
