@@ -68,15 +68,24 @@ def cmd_run(args) -> int:
     cfg = _cfg_from(args)
     p = get_pipeline(args.pipeline)
     if args.color:
-        from tpudct.models.color import roundtrip_color
+        from tpudct.models.color import (
+            roundtrip_color,
+            roundtrip_color_u8,
+            supports_color_u8,
+        )
 
         rgb = imageio.load_jpeg(args.input, force_gray=False)
         if rgb.ndim == 2:
             rgb = np.stack([rgb] * 3, axis=-1)
-        planes, meta, rec = roundtrip_color(
-            p, jnp.asarray(rgb, jnp.float32), cfg,
-            subsample=not args.no_subsample,
-        )
+        h, w = rgb.shape[:2]
+        if not args.no_subsample and supports_color_u8(p, cfg, h, w):
+            # Fused u8 path: Pallas color kernels + int8 codec kernels.
+            planes, meta, rec = roundtrip_color_u8(p, jnp.asarray(rgb), cfg)
+        else:
+            planes, meta, rec = roundtrip_color(
+                p, jnp.asarray(rgb, jnp.float32), cfg,
+                subsample=not args.no_subsample,
+            )
         rec_u8 = np.asarray(rec)
         imageio.save_jpeg(args.output, rec_u8, quality=args.quality)
         if args.coeffs:
@@ -126,15 +135,24 @@ def cmd_encode(args) -> int:
 
     cfg = _cfg_from(args)
     if args.color:
-        from tpudct.models.color import encode_color
+        from tpudct.models.color import (
+            encode_color,
+            encode_color_u8,
+            supports_color_u8,
+        )
 
         rgb = imageio.load_jpeg(args.input, force_gray=False)
         if rgb.ndim == 2:
             rgb = np.stack([rgb] * 3, axis=-1)
-        planes, meta = encode_color(
-            get_pipeline(args.pipeline), jnp.asarray(rgb, jnp.float32), cfg,
-            subsample=not args.no_subsample,
-        )
+        p = get_pipeline(args.pipeline)
+        h, w = rgb.shape[:2]
+        if not args.no_subsample and supports_color_u8(p, cfg, h, w):
+            planes, meta = encode_color_u8(p, jnp.asarray(rgb), cfg)
+        else:
+            planes, meta = encode_color(
+                p, jnp.asarray(rgb, jnp.float32), cfg,
+                subsample=not args.no_subsample,
+            )
         n = serialize.save_color(
             args.output, {k: np.asarray(v) for k, v in planes.items()},
             meta, cfg.q_scale, cfg.retain_k, cfg.transform,
@@ -161,13 +179,20 @@ def cmd_decode(args) -> int:
     with open(args.input, "rb") as f:
         head = f.read(4)
     if serialize.is_color_stream(head):
-        from tpudct.models.color import decode_color
+        from tpudct.models.color import (
+            decode_color,
+            decode_color_u8,
+            supports_color_u8,
+        )
 
         planes, meta = serialize.load_color(args.input)
-        rec = decode_color(
-            get_pipeline(args.pipeline), planes, meta,
-            CodecConfig(q_scale=meta["q_scale"], transform=meta["transform"]),
-        )
+        p = get_pipeline(args.pipeline)
+        cfg = CodecConfig(q_scale=meta["q_scale"], transform=meta["transform"])
+        h, w = meta["orig_shape"]
+        if meta["subsample"] and supports_color_u8(p, cfg, h, w):
+            rec = decode_color_u8(p, planes, meta, cfg)
+        else:
+            rec = decode_color(p, planes, meta, cfg)
         imageio.save_jpeg(args.output, np.asarray(rec), quality=args.quality)
         print(f"decoded {args.input} (color) -> {args.output}")
         return 0
