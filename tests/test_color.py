@@ -336,3 +336,35 @@ def test_u8_color_tdcc_serializes():
     planes2, meta2 = serialize.bytes_to_color(data)
     rec = decode_color_u8(p, planes2, meta2, cfg)
     assert _psnr(np.asarray(rec), rgb) > 30
+
+
+def test_color_kernels_reject_misaligned_shapes():
+    from tpudct.kernels import color_pallas
+
+    assert not color_pallas.supports(32, 256)
+    assert not color_pallas.supports(64, 320)
+    with pytest.raises(ValueError):
+        color_pallas.color_split_420_u8(jnp.zeros((3, 32, 256), jnp.uint8),
+                                        interpret=True)
+    with pytest.raises(ValueError):
+        color_pallas.color_merge_420_u8(
+            jnp.zeros((64, 320), jnp.uint8),
+            jnp.zeros((32, 160), jnp.uint8),
+            jnp.zeros((32, 160), jnp.uint8), interpret=True)
+
+
+def test_tdcc_inconsistent_plane_headers_rejected():
+    from tpudct.utils.serialize import (
+        _HEADERC, _MAGICC, bytes_to_color, coefficients_to_bytes,
+    )
+    import struct
+
+    c = np.zeros((8, 8), np.float32)
+    y = coefficients_to_bytes(c, transform="haweel", q_table="luma")
+    cb = coefficients_to_bytes(c, transform="haweel", q_table="chroma")
+    cr = coefficients_to_bytes(c, transform="dct", q_table="chroma")  # divergent
+    blob = struct.pack(_HEADERC, _MAGICC, 3, 1)
+    for plane in (y, cb, cr):
+        blob += struct.pack("<I", len(plane)) + plane
+    with pytest.raises(ValueError):
+        bytes_to_color(blob)

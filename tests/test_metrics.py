@@ -164,3 +164,30 @@ def test_unknown_codec_rejected(rng):
     blob[44] = 77
     with pytest.raises(ValueError):
         serialize.bytes_to_coefficients(bytes(blob))
+
+
+def test_zigzag_matches_itu_t81_prefix():
+    from tpudct.utils.serialize import zigzag_order
+
+    # ITU-T T.81 Figure 5, first 10 positions.
+    assert zigzag_order()[:10] == [
+        (0, 0), (0, 1), (1, 0), (2, 0), (1, 1),
+        (0, 2), (0, 3), (1, 2), (2, 1), (3, 0),
+    ]
+
+
+def test_spectral_int16_min_roundtrips():
+    # np.abs(int16 -32768) wraps; the fit check must widen first.
+    from tpudct.utils.serialize import _spectral_pack, _spectral_unpack
+
+    c = np.zeros((8, 16), np.int16)
+    c[0, 9] = -32768  # an AC position
+    np.testing.assert_array_equal(_spectral_unpack(_spectral_pack(c), 8, 16), c)
+
+
+def test_structured_image_small_sizes():
+    from tpudct.benchmark import structured_image
+
+    for s in (64, 72, 80, 96):
+        img = structured_image(s)
+        assert img.shape == (s, s) and img.dtype == np.float32

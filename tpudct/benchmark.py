@@ -50,9 +50,11 @@ def structured_image(size: int = 512, seed: int = 7) -> np.ndarray:
         img[y : y + t, int(rng.integers(0, size // 2)) :] = 180.0
         x = int(rng.integers(0, size))
         img[int(rng.integers(0, size // 2)) :, x : x + t] = 170.0
-    # IC packages (dark rectangles with bright pads)
-    for _ in range(size // 64):
-        y, x = rng.integers(0, size - 80, size=2)
+    # IC packages (dark rectangles with bright pads); skipped below the
+    # smallest size the geometry fits (rng.integers needs high > 0 and the
+    # pad strips need 3 rows above the package).
+    for _ in range(size // 64 if size > 83 else 0):
+        y, x = rng.integers(3, size - 80, size=2)
         h, w = rng.integers(30, 80, size=2)
         img[y : y + h, x : x + w] = 15.0
         for px in range(int(x) + 4, int(x + w) - 4, 8):

@@ -43,18 +43,22 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from tpudct.ops.rounding import round_half_away
 from tpudct.utils.color import _KB, _KG, _KR
 
-_HIGHEST = jax.lax.Precision.HIGHEST
 LANE = 128
 
 
-def supports(h: int, w: int, band_rows: int = 512, tile_cols: int = 256) -> bool:
+def supports(h: int, w: int) -> bool:
     """Tiles must hold whole 2x2 pools and int8-friendly sublane counts."""
     return h % 64 == 0 and w % 256 == 0
 
 
 def _geometry(h: int, w: int, band_rows: int, tile_cols: int):
+    if not supports(h, w):
+        raise ValueError(
+            f"color kernels need H % 64 == 0 and W % 256 == 0, got {h}x{w}"
+        )
     br = min(band_rows, h)
     br -= br % 64
     tc = min(tile_cols, w)
@@ -88,13 +92,9 @@ def _up_mat(tc: int):
     return ur
 
 
-def _round_away(z):
-    return jnp.sign(z) * jnp.floor(jnp.abs(z) + 0.5)
-
-
 def _to_u8(z):
     # via int32: Mosaic has no direct f32 <-> uint8 lowering
-    return jnp.clip(_round_away(z), 0.0, 255.0).astype(jnp.int32).astype(jnp.uint8)
+    return jnp.clip(round_half_away(z), 0.0, 255.0).astype(jnp.int32).astype(jnp.uint8)
 
 
 def _f32(u8_val):

@@ -85,7 +85,6 @@ from tpudct.constants import (
     BLOCK_SIZE,
     HAWEEL_TS,
     LEVEL_SHIFT,
-    Q,
     block_diag_T,
     block_diag_Ts,
     get_q_table,

@@ -32,16 +32,21 @@ def shard_image(x, mesh: Mesh):
     make_array_from_process_local_data."""
     n = mesh.shape[BAND_AXIS]
     sh = NamedSharding(mesh, band_spec())
-    if sh.is_fully_addressable:
-        h = x.shape[0]
+
+    def check(h):
         if (h // n) % 8 or h % n:
             raise ValueError(
                 f"height {h} must split into {n} bands of 8-row multiples"
             )
+
+    if sh.is_fully_addressable:
+        check(x.shape[0])
         return jax.device_put(x, sh)
     import numpy as _np
 
-    return jax.make_array_from_process_local_data(sh, _np.asarray(x))
+    g = jax.make_array_from_process_local_data(sh, _np.asarray(x))
+    check(g.shape[0])  # validate the GLOBAL height, same as single-host
+    return g
 
 
 def gather(x):

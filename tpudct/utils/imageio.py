@@ -64,7 +64,11 @@ def _load_native() -> Optional[ctypes.CDLL]:
 
             with tempfile.NamedTemporaryFile(suffix=".so", delete=False) as tmp:
                 shutil.copy2(_LIB_PATH, tmp.name)
-            lib = ctypes.CDLL(tmp.name)
+            try:
+                lib = ctypes.CDLL(tmp.name)
+            finally:
+                # The mapping survives the unlink on Linux; don't leak /tmp copies.
+                os.unlink(tmp.name)
             if not hasattr(lib, "tpudct_jpeg_encode_ch"):
                 return None
     except (OSError, subprocess.SubprocessError):

@@ -67,10 +67,11 @@ _BS = 8
 
 def zigzag_order():
     """The 64 (u, v) block positions in JPEG zig-zag scan order (ITU-T
-    T.81 Figure 5): anti-diagonals, alternating direction."""
+    T.81 Figure 5): anti-diagonals, alternating direction — (0,0), (0,1),
+    (1,0), (2,0), (1,1), (0,2), ..."""
     return sorted(
         ((u, v) for u in range(_BS) for v in range(_BS)),
-        key=lambda t: (t[0] + t[1], t[1] if (t[0] + t[1]) % 2 else t[0]),
+        key=lambda t: (t[0] + t[1], t[0] if (t[0] + t[1]) % 2 else t[1]),
     )
 
 
@@ -88,13 +89,14 @@ def _spectral_pack(c: np.ndarray) -> bytes:
     dc = b[0, 0].astype(np.int32).ravel()
     dcd = np.diff(dc, prepend=np.int32(0))
     flags = 0
-    if np.abs(dcd).max(initial=0) < 32768:
+    if np.abs(dcd.astype(np.int64)).max(initial=0) < 32768:
         dc_bytes = dcd.astype(np.int16).tobytes()
     else:  # delta overflows int16 (extreme q_scale): store DC raw
         flags |= _DCRAW
         dc_bytes = dc.astype(np.int16).tobytes()
     ac = np.concatenate([b[u, v].ravel() for (u, v) in _ZIGZAG[1:]])
-    if np.abs(ac).max(initial=0) < 128:
+    # int32 view for the bound checks: np.abs(int16 -32768) wraps negative.
+    if np.abs(ac.astype(np.int32)).max(initial=0) < 128:
         ac_bytes = ac.astype(np.int8).tobytes()
     else:
         flags |= _AC16
@@ -306,8 +308,10 @@ def bytes_to_color(data: bytes) -> tuple:
         off += blen
         parsed.append(plane)
     y, cb, cr = parsed
-    if (y["transform"] != cb["transform"] or y["q_scale"] != cb["q_scale"]
-            or cb["orig_shape"] != cr["orig_shape"]):
+    same = lambda k: y[k] == cb[k] == cr[k]
+    if not (same("transform") and same("q_scale") and same("retain_k")
+            and cb["orig_shape"] == cr["orig_shape"]
+            and cb["q_table"] == cr["q_table"]):
         raise ValueError("inconsistent .tdcc plane headers")
     planes = {"y": y["coeffs"], "cb": cb["coeffs"], "cr": cr["coeffs"]}
     meta = {
