@@ -149,3 +149,54 @@ def test_grid_mesh_validates(image256):
         shard_image_grid(jnp.zeros((256, 40)), mesh)  # 40/4=10: not 8-multiple
     with pytest.raises(ValueError):
         grid_mesh((4, 4))  # needs 16 devices on the 8-device mesh
+
+
+def test_sharded_color_step_matches_single_device():
+    """Band-parallel color == single-device color: bands align to even rows
+    so 4:2:0 pooling is band-local and blockwise coding identical."""
+    import dataclasses
+
+    import jax
+
+    from tpudct.models.color import decode_color, encode_color
+    from tpudct.parallel import band_mesh, shard_rgb, sharded_color_step
+
+    mesh = band_mesh()
+    n = mesh.shape["band"]
+    h, w = 16 * n * 2, 128
+    rng = np.random.default_rng(11)
+    rgb = rng.integers(0, 256, (3, h, w), dtype=np.uint8)
+
+    cfg = CodecConfig(interpret=True)
+    p = get_pipeline("hp")
+    step = sharded_color_step(p, cfg, mesh)
+    rec, metrics = step(shard_rgb(jnp.asarray(rgb), mesh))
+    rec = np.asarray(jax.device_get(rec))
+    assert rec.shape == (3, h, w) and rec.dtype == np.uint8
+    assert float(metrics["mse"]) > 0.0
+
+    # single-device reference: same split/codec/merge math
+    from tpudct.utils.color import ycbcr_merge_420_u8, ycbcr_split_420_u8
+
+    y, cb, cr = ycbcr_split_420_u8(jnp.asarray(rgb))
+    _c, ry = p.roundtrip(jnp.asarray(y, jnp.float32), cfg)
+    ccfg = dataclasses.replace(cfg, q_table="chroma")
+    _c2, rc = p.roundtrip(jnp.concatenate([cb, cr], 0).astype(jnp.float32), ccfg)
+    ph = cb.shape[0]
+    ref = np.asarray(ycbcr_merge_420_u8(ry, rc[:ph], rc[ph:], h, w))
+    np.testing.assert_array_equal(rec, ref)
+
+    # metrics agree with a host-side recompute
+    mse_host = ((rgb.astype(np.float64) - rec.astype(np.float64)) ** 2).mean()
+    assert abs(float(metrics["mse"]) - mse_host) / mse_host < 1e-5
+
+
+def test_shard_rgb_rejects_misaligned():
+    from tpudct.parallel import band_mesh, shard_rgb
+
+    mesh = band_mesh()
+    n = mesh.shape["band"]
+    with pytest.raises(ValueError):
+        shard_rgb(jnp.zeros((3, 8 * n, 128), jnp.uint8), mesh)  # 8-row bands
+    with pytest.raises(ValueError):
+        shard_rgb(jnp.zeros((3, 16 * n, 120), jnp.uint8), mesh)  # width % 16

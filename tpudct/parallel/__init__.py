@@ -14,6 +14,8 @@ from tpudct.parallel.mesh import band_mesh, band_spec, distributed_init, grid_me
 from tpudct.parallel.sharding import (
     shard_image,
     shard_image_grid,
+    shard_rgb,
+    sharded_color_step,
     sharded_roundtrip,
     sharded_codec_step,
     sharded_codec_step_grid,
@@ -29,6 +31,8 @@ __all__ = [
     "grid_spec",
     "shard_image",
     "shard_image_grid",
+    "shard_rgb",
+    "sharded_color_step",
     "sharded_roundtrip",
     "sharded_codec_step",
     "sharded_codec_step_grid",
