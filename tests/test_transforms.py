@@ -26,7 +26,7 @@ def test_unknown_transform_rejected():
         get_transform("fft")
 
 
-@pytest.mark.parametrize("transform", ["haweel", "rdct", "dct"])
+@pytest.mark.parametrize("transform", ["haweel", "rdct", "wht", "dct"])
 @pytest.mark.parametrize("name", ["hp", "batched"])
 def test_roundtrip_matches_golden_per_transform(rng, transform, name):
     img = rng.integers(0, 256, (128, 256)).astype(np.float32)
@@ -89,3 +89,27 @@ def test_tdc_v2_backcompat(tmp_path, rng):
     )
     assert tname == "haweel" and (h, w) == (16, 16)
     np.testing.assert_array_equal(back, c.astype(np.float32))
+
+
+def test_wht_core_is_sequency_ordered_hadamard():
+    tr = get_transform("wht")
+    ts = tr.ts.astype(np.int64)
+    # +-1 entries, exactly orthogonal, rows in increasing sequency order.
+    assert set(np.unique(ts)) == {-1, 1}
+    np.testing.assert_array_equal(ts @ ts.T, 8 * np.eye(8, dtype=np.int64))
+    seq = (np.diff(ts, axis=1) != 0).sum(axis=1)
+    assert list(seq) == list(range(8))
+
+
+def test_wht_runs_every_integer_path(rng):
+    img = rng.integers(0, 256, (64, 128)).astype(np.uint8)
+    cfg = CodecConfig(interpret=True, transform="wht")
+    # int8 MXU einsum path
+    cf, rf = get_pipeline("fast").roundtrip(jnp.asarray(img, jnp.float32), cfg)
+    # fused u8 Pallas kernels incl. butterfly decode
+    cu, ru = get_pipeline("hp").roundtrip_u8(jnp.asarray(img), cfg)
+    for r in (rf, ru):
+        mse = ((np.asarray(r).astype(float) - img) ** 2).mean()
+        assert mse < 600  # lossy but sane on noise at standard Q
+    d = np.abs(np.asarray(cf) - np.asarray(cu).astype(np.float32))
+    assert d.max() <= 1.0 and (d > 0).mean() < 0.01  # .5-tie class only

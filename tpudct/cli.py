@@ -38,7 +38,7 @@ def _add_codec_flags(sp):
     sp.add_argument("--q-scale", type=float, default=1.0, dest="q_scale")
     sp.add_argument("--k", type=int, default=None, help="zonal retention: keep u+v < k")
     sp.add_argument("--transform", default="haweel",
-                    help="8x8 transform: haweel (reference) | rdct (rounded-DCT approx) | dct (exact DCT-II)")
+                    help="8x8 transform: haweel (reference) | rdct (rounded-DCT approx) | wht (Walsh-Hadamard) | dct (exact DCT-II)")
 
 
 def _add_color_flags(sp):

@@ -191,6 +191,23 @@ def _rdct_core() -> np.ndarray:
     return ts
 
 
+def _wht_core() -> np.ndarray:
+    """Sequency-ordered 8x8 Walsh-Hadamard: a {+-1} integer core with
+    exactly orthogonal rows (H @ H.T = 8I by construction — Kronecker
+    H2^(x3), rows sorted by sign-change count so low indices are low
+    "frequency" and the zonal retention / zig-zag semantics carry over).
+    Fully multiplierless; beyond the reference's single hardcoded
+    transform.  Derived, not hardcoded."""
+    h = np.array([[1]], np.int64)
+    for _ in range(3):
+        h = np.block([[h, h], [h, -h]])
+    sequency = (np.diff(h, axis=1) != 0).sum(axis=1)
+    ts = h[np.argsort(sequency, kind="stable")].astype(np.int8)
+    g = ts.astype(np.int64) @ ts.astype(np.int64).T
+    assert (g == 8 * np.eye(8, dtype=np.int64)).all()
+    return ts
+
+
 @dataclasses.dataclass(frozen=True)
 class Transform:
     """One 8x8 blockwise transform: orthogonal T (f32), optional integer
@@ -216,6 +233,7 @@ def _norm_t(ts: np.ndarray) -> tuple:
 
 def _build_transforms() -> dict:
     rd_t, rd_d = _norm_t(_rdct_core())
+    wh_t, wh_d = _norm_t(_wht_core())
     return {
         # Reference parity: the exact float literals from main.cu:135-143.
         "haweel": Transform(
@@ -223,6 +241,9 @@ def _build_transforms() -> dict:
         ),
         # Derived rounded-DCT approximation ({0,+-1} core, 0 multiplies).
         "rdct": Transform("rdct", rd_t, _rdct_core(), rd_d),
+        # Sequency-ordered Walsh-Hadamard ({+-1} core, 0 multiplies) — the
+        # cheapest member of the family; runs on every integer path.
+        "wht": Transform("wht", wh_t, _wht_core(), wh_d),
         # Exact DCT-II: the quality ceiling; no integer core (irrational
         # entries), so it runs on the f32 MXU paths only.
         "dct": Transform("dct", _exact_dct8(np.float32), None, None),
