@@ -149,3 +149,13 @@ def test_profile_writes_trace(tmp_path, capsys):
     assert rep["trace_dir"] == str(out)
     # jax.profiler writes plugins/profile/<run>/ under the log dir
     assert any(out.rglob("*.xplane.pb")) or any(out.rglob("*.trace.json*"))
+
+
+def test_table_color_default_input(capsys):
+    rc = main(["table", "--color", "--pipeline", "batched"])
+    assert rc == 0
+    rows = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert len(rows) == 6 and rows[-1]["k"] == "std"
+    psnrs = [r["psnr_db"] for r in rows]
+    assert psnrs == sorted(psnrs)  # monotone in k
+    assert all(r["compression_factor"] > 1 for r in rows)

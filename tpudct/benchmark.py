@@ -292,6 +292,44 @@ def sweep(
     return [bench_pipeline(n, s, cfg, **kw) for s in sizes for n in pipelines]
 
 
+def accuracy_table_color(
+    rgb: np.ndarray,
+    pipeline: str = "hp",
+    ks=(6, 7, 8, 9, 10, None),
+    cfg_base: Optional[CodecConfig] = None,
+    subsample: bool = True,
+) -> list:
+    """Color variant of :func:`accuracy_table`: RGB PSNR + on-disk .tdcc
+    compression factor across the retained-coefficient sweep."""
+    import dataclasses
+    import zlib
+
+    from tpudct.models.color import encode_color, decode_color
+    from tpudct.utils.serialize import color_to_bytes
+
+    cfg_base = cfg_base or CodecConfig()
+    p = get_pipeline(pipeline)
+    x = jnp.asarray(rgb, jnp.float32)
+    raw = len(zlib.compress(np.ascontiguousarray(rgb, np.uint8).tobytes(), 6))
+    rows = []
+    for k in ks:
+        cfg = dataclasses.replace(cfg_base, retain_k=k)
+        planes, meta = encode_color(p, x, cfg, subsample=subsample)
+        rec = np.asarray(decode_color(p, planes, meta, cfg))
+        mse = float(((rec.astype(np.float64) - np.asarray(rgb, np.float64)) ** 2).mean())
+        blob = color_to_bytes(
+            {n: np.asarray(v) for n, v in planes.items()}, meta,
+            cfg.q_scale, cfg.retain_k, cfg.transform,
+        )
+        rows.append({
+            "mse": mse,
+            "psnr_db": 10 * np.log10(255.0**2 / mse) if mse else float("inf"),
+            "compression_factor": raw / len(blob),
+            "k": "std" if k is None else k,
+        })
+    return rows
+
+
 def accuracy_table(
     image: np.ndarray,
     pipeline: str = "hp",

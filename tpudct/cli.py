@@ -245,17 +245,33 @@ def cmd_sweep(args) -> int:
 
 
 def cmd_table(args) -> int:
-    from tpudct.benchmark import accuracy_table, structured_image
+    from tpudct.benchmark import accuracy_table, accuracy_table_color, structured_image
 
-    if args.input is None:
-        # Reproducible stand-in for the reference's 'Circuit' test image
-        # (README.md:62-69), which is not shipped in its repo.
-        img = structured_image()
+    if args.color:
+        if args.input is None:
+            g = structured_image()
+            img = np.stack([g, np.roll(g, 2, 0), np.roll(g, 4, 1)], -1)
+        else:
+            from tpudct.utils import imageio
+
+            img = imageio.load_jpeg(args.input, force_gray=False)
+            if img.ndim == 2:
+                img = np.stack([img] * 3, axis=-1)
+        rows = accuracy_table_color(
+            img, args.pipeline, cfg_base=_cfg_from(args),
+            subsample=not args.no_subsample,
+        )
     else:
-        from tpudct.utils import imageio
+        if args.input is None:
+            # Reproducible stand-in for the reference's 'Circuit' test image
+            # (README.md:62-69), which is not shipped in its repo.
+            img = structured_image()
+        else:
+            from tpudct.utils import imageio
 
-        img = imageio.load_jpeg(args.input)
-    for row in accuracy_table(img, args.pipeline, cfg_base=_cfg_from(args)):
+            img = imageio.load_jpeg(args.input)
+        rows = accuracy_table(img, args.pipeline, cfg_base=_cfg_from(args))
+    for row in rows:
         print(json.dumps(row))
     return 0
 
@@ -440,6 +456,7 @@ def build_parser() -> argparse.ArgumentParser:
     _add_codec_flags(sp)
     sp.add_argument("input", nargs="?", default=None,
                     help="JPEG input; default: built-in circuit-board image")
+    _add_color_flags(sp)
     sp.set_defaults(fn=cmd_table)
 
     sp = sub.add_parser("batch", help="bulk encode a directory to .tdc, resumable via manifest")
