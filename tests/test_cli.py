@@ -159,3 +159,20 @@ def test_table_color_default_input(capsys):
     psnrs = [r["psnr_db"] for r in rows]
     assert psnrs == sorted(psnrs)  # monotone in k
     assert all(r["compression_factor"] > 1 for r in rows)
+
+
+def test_batch_color(tmp_path, rng):
+    src = tmp_path / "in"
+    dst = tmp_path / "out"
+    src.mkdir()
+    for i in range(3):
+        rgb = rng.integers(0, 256, (48, 48, 3)).astype(np.uint8)
+        imageio.save_jpeg(src / f"im{i}.jpg", rgb, quality=95)
+    rc = main(["batch", "--color", "--pipeline", "batched", str(src), str(dst)])
+    assert rc == 0
+    outs = sorted(q.name for q in dst.iterdir() if q.suffix == ".tdcc")
+    assert len(outs) == 3
+    # decode one back through the CLI
+    dec = tmp_path / "dec.jpg"
+    assert main(["decode", str(dst / outs[0]), str(dec)]) == 0
+    assert imageio.load_jpeg(dec, force_gray=False).shape == (48, 48, 3)

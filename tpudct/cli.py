@@ -306,6 +306,9 @@ def cmd_batch(args) -> int:
 
     cfg = _cfg_from(args)
     p = get_pipeline(args.pipeline)
+    if args.color:
+        from tpudct.models.color import encode_color
+
     files = sorted(q.name for q in src.iterdir() if q.suffix.lower() in (".jpg", ".jpeg"))
     todo = [name for name in files if name not in done]
     skipped = len(files) - len(todo)
@@ -320,7 +323,8 @@ def cmd_batch(args) -> int:
             # Host decode is the bulk bottleneck (device encode ~0.1 ms per
             # image); the native pthread pool decodes each chunk in parallel.
             images = imageio.load_jpeg_batch(
-                [src / n for n in names], n_threads=n_threads, errors="none"
+                [src / n for n in names], n_threads=n_threads, errors="none",
+                force_gray=not args.color,
             )
             for name, img in zip(names, images):
                 if img is None:
@@ -332,6 +336,25 @@ def cmd_batch(args) -> int:
                     mf.write(json.dumps({"file": name, "error": "decode_failed"}) + "\n")
                     mf.flush()
                     failed += 1
+                    continue
+                if args.color:
+                    if img.ndim == 2:
+                        img = np.stack([img] * 3, axis=-1)
+                    h, w = img.shape[:2]
+                    planes, meta = encode_color(
+                        p, jnp.asarray(img, jnp.float32), cfg,
+                        subsample=not args.no_subsample,
+                    )
+                    out = dst / (name + ".tdcc")
+                    n = serialize.save_color(
+                        out, {k: np.asarray(v) for k, v in planes.items()},
+                        meta, cfg.q_scale, cfg.retain_k, cfg.transform,
+                    )
+                    rec = {"file": name, "tdc": out.name, "bytes": n,
+                           "shape": [h, w, 3]}
+                    mf.write(json.dumps(rec) + "\n")
+                    mf.flush()
+                    coded += 1
                     continue
                 x, (h, w) = pad_to_blocks(jnp.asarray(img, jnp.float32))
                 c = p.encode(x, cfg)
@@ -459,8 +482,9 @@ def build_parser() -> argparse.ArgumentParser:
     _add_color_flags(sp)
     sp.set_defaults(fn=cmd_table)
 
-    sp = sub.add_parser("batch", help="bulk encode a directory to .tdc, resumable via manifest")
+    sp = sub.add_parser("batch", help="bulk encode a directory to .tdc/.tdcc, resumable via manifest")
     _add_codec_flags(sp)
+    _add_color_flags(sp)
     sp.add_argument("input_dir")
     sp.add_argument("output_dir")
     sp.add_argument("--decode-threads", type=int, default=8,
