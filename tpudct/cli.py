@@ -48,6 +48,16 @@ def _add_color_flags(sp):
                     help="with --color: keep chroma at full resolution (4:4:4 instead of 4:2:0)")
 
 
+def _load_rgb(path) -> "np.ndarray":
+    """Load a JPEG as (H, W, 3) uint8, promoting grayscale to 3 channels."""
+    from tpudct.utils import imageio
+
+    rgb = imageio.load_jpeg(path, force_gray=False)
+    if rgb.ndim == 2:
+        rgb = np.stack([rgb] * 3, axis=-1)
+    return rgb
+
+
 def _print_corner(label: str, a, n: int = 8):
     """Stage-corner printing, the reference's manual verification aid
     (main_cublass.cu:63-70, 121-128, ...)."""
@@ -68,30 +78,20 @@ def cmd_run(args) -> int:
     cfg = _cfg_from(args)
     p = get_pipeline(args.pipeline)
     if args.color:
-        from tpudct.models.color import (
-            roundtrip_color,
-            roundtrip_color_u8,
-            supports_color_u8,
-        )
+        from tpudct.models.color import roundtrip_color_auto
 
-        rgb = imageio.load_jpeg(args.input, force_gray=False)
-        if rgb.ndim == 2:
-            rgb = np.stack([rgb] * 3, axis=-1)
-        h, w = rgb.shape[:2]
-        if not args.no_subsample and supports_color_u8(p, cfg, h, w):
-            # Fused u8 path: Pallas color kernels + int8 codec kernels.
-            planes, meta, rec = roundtrip_color_u8(p, jnp.asarray(rgb), cfg)
-        else:
-            planes, meta, rec = roundtrip_color(
-                p, jnp.asarray(rgb, jnp.float32), cfg,
-                subsample=not args.no_subsample,
-            )
+        rgb = _load_rgb(args.input)
+        # Dispatches to the fused u8 path (Pallas color kernels + int8
+        # codec kernels) when the geometry allows it.
+        planes, meta, rec = roundtrip_color_auto(
+            p, jnp.asarray(rgb), cfg, subsample=not args.no_subsample
+        )
         rec_u8 = np.asarray(rec)
         imageio.save_jpeg(args.output, rec_u8, quality=args.quality)
         if args.coeffs:
             n = serialize.save_color(
-                args.coeffs, {k: np.asarray(v) for k, v in planes.items()},
-                meta, cfg.q_scale, cfg.retain_k, cfg.transform,
+                args.coeffs, planes, meta,
+                cfg.q_scale, cfg.retain_k, cfg.transform,
             )
             print(f"coefficients -> {args.coeffs} ({n} bytes)")
         mse = float(((rec_u8.astype(np.float64) - rgb) ** 2).mean())
@@ -135,27 +135,15 @@ def cmd_encode(args) -> int:
 
     cfg = _cfg_from(args)
     if args.color:
-        from tpudct.models.color import (
-            encode_color,
-            encode_color_u8,
-            supports_color_u8,
-        )
+        from tpudct.models.color import encode_color_auto
 
-        rgb = imageio.load_jpeg(args.input, force_gray=False)
-        if rgb.ndim == 2:
-            rgb = np.stack([rgb] * 3, axis=-1)
-        p = get_pipeline(args.pipeline)
-        h, w = rgb.shape[:2]
-        if not args.no_subsample and supports_color_u8(p, cfg, h, w):
-            planes, meta = encode_color_u8(p, jnp.asarray(rgb), cfg)
-        else:
-            planes, meta = encode_color(
-                p, jnp.asarray(rgb, jnp.float32), cfg,
-                subsample=not args.no_subsample,
-            )
+        rgb = _load_rgb(args.input)
+        planes, meta = encode_color_auto(
+            get_pipeline(args.pipeline), jnp.asarray(rgb), cfg,
+            subsample=not args.no_subsample,
+        )
         n = serialize.save_color(
-            args.output, {k: np.asarray(v) for k, v in planes.items()},
-            meta, cfg.q_scale, cfg.retain_k, cfg.transform,
+            args.output, planes, meta, cfg.q_scale, cfg.retain_k, cfg.transform,
         )
         print(json.dumps({"bytes": n, "raw_bytes": int(rgb.size), "factor_vs_raw": rgb.size / n, "color": True}))
         return 0
@@ -179,20 +167,13 @@ def cmd_decode(args) -> int:
     with open(args.input, "rb") as f:
         head = f.read(4)
     if serialize.is_color_stream(head):
-        from tpudct.models.color import (
-            decode_color,
-            decode_color_u8,
-            supports_color_u8,
-        )
+        from tpudct.models.color import decode_color_auto
 
         planes, meta = serialize.load_color(args.input)
-        p = get_pipeline(args.pipeline)
-        cfg = CodecConfig(q_scale=meta["q_scale"], transform=meta["transform"])
-        h, w = meta["orig_shape"]
-        if meta["subsample"] and supports_color_u8(p, cfg, h, w):
-            rec = decode_color_u8(p, planes, meta, cfg)
-        else:
-            rec = decode_color(p, planes, meta, cfg)
+        rec = decode_color_auto(
+            get_pipeline(args.pipeline), planes, meta,
+            CodecConfig(q_scale=meta["q_scale"], transform=meta["transform"]),
+        )
         imageio.save_jpeg(args.output, np.asarray(rec), quality=args.quality)
         print(f"decoded {args.input} (color) -> {args.output}")
         return 0
@@ -252,11 +233,7 @@ def cmd_table(args) -> int:
             g = structured_image()
             img = np.stack([g, np.roll(g, 2, 0), np.roll(g, 4, 1)], -1)
         else:
-            from tpudct.utils import imageio
-
-            img = imageio.load_jpeg(args.input, force_gray=False)
-            if img.ndim == 2:
-                img = np.stack([img] * 3, axis=-1)
+            img = _load_rgb(args.input)
         rows = accuracy_table_color(
             img, args.pipeline, cfg_base=_cfg_from(args),
             subsample=not args.no_subsample,
@@ -307,7 +284,7 @@ def cmd_batch(args) -> int:
     cfg = _cfg_from(args)
     p = get_pipeline(args.pipeline)
     if args.color:
-        from tpudct.models.color import encode_color
+        from tpudct.models.color import encode_color_auto
 
     files = sorted(q.name for q in src.iterdir() if q.suffix.lower() in (".jpg", ".jpeg"))
     todo = [name for name in files if name not in done]
@@ -341,14 +318,14 @@ def cmd_batch(args) -> int:
                     if img.ndim == 2:
                         img = np.stack([img] * 3, axis=-1)
                     h, w = img.shape[:2]
-                    planes, meta = encode_color(
-                        p, jnp.asarray(img, jnp.float32), cfg,
+                    planes, meta = encode_color_auto(
+                        p, jnp.asarray(img), cfg,
                         subsample=not args.no_subsample,
                     )
                     out = dst / (name + ".tdcc")
                     n = serialize.save_color(
-                        out, {k: np.asarray(v) for k, v in planes.items()},
-                        meta, cfg.q_scale, cfg.retain_k, cfg.transform,
+                        out, planes, meta, cfg.q_scale, cfg.retain_k,
+                        cfg.transform,
                     )
                     rec = {"file": name, "tdc": out.name, "bytes": n,
                            "shape": [h, w, 3]}

@@ -46,7 +46,6 @@ from jax.experimental.pallas import tpu as pltpu
 from tpudct.ops.rounding import round_half_away
 from tpudct.utils.color import _KB, _KG, _KR
 
-LANE = 128
 
 
 def supports(h: int, w: int) -> bool:

@@ -186,3 +186,37 @@ def roundtrip_color_u8(p: Pipeline, rgb_u8, cfg: CodecConfig):
     uint8 RGB reconstruction).  Always 4:2:0."""
     planes, meta = encode_color_u8(p, rgb_u8, cfg, subsample=True)
     return planes, meta, decode_color_u8(p, planes, meta, cfg)
+
+
+# ---- auto-dispatch (the canonical entry points for callers with u8 data) ----
+
+
+def _u8_eligible(p: Pipeline, rgb, cfg: CodecConfig, subsample: bool) -> bool:
+    rgb = jnp.asarray(rgb)
+    if rgb.dtype != jnp.uint8 or not subsample or rgb.ndim != 3:
+        return False
+    h, w = (rgb.shape[1], rgb.shape[2]) if rgb.shape[0] == 3 else rgb.shape[:2]
+    return supports_color_u8(p, cfg, h, w)
+
+
+def encode_color_auto(p: Pipeline, rgb, cfg: CodecConfig, subsample: bool = True):
+    """Encode through the fused u8 path when the input/geometry allow it,
+    else the general f32 path.  The single dispatch point for the CLI and
+    any caller holding u8 pixels."""
+    if _u8_eligible(p, rgb, cfg, subsample):
+        return encode_color_u8(p, rgb, cfg)
+    return encode_color(p, jnp.asarray(rgb, jnp.float32), cfg, subsample=subsample)
+
+
+def decode_color_auto(p: Pipeline, planes: dict, meta: dict, cfg: CodecConfig):
+    """Decode through the fused u8 path when the stream geometry allows it."""
+    h, w = meta["orig_shape"]
+    if meta["subsample"] and supports_color_u8(p, cfg, h, w):
+        return decode_color_u8(p, planes, meta, cfg)
+    return decode_color(p, planes, meta, cfg)
+
+
+def roundtrip_color_auto(p: Pipeline, rgb, cfg: CodecConfig, subsample: bool = True):
+    """encode_color_auto + decode_color_auto; returns (planes, meta, rgb u8)."""
+    planes, meta = encode_color_auto(p, rgb, cfg, subsample=subsample)
+    return planes, meta, decode_color_auto(p, planes, meta, cfg)
