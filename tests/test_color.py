@@ -368,3 +368,39 @@ def test_tdcc_inconsistent_plane_headers_rejected():
         blob += struct.pack("<I", len(plane)) + plane
     with pytest.raises(ValueError):
         bytes_to_color(blob)
+
+
+def test_color_auto_dispatch_handles_both_layouts():
+    """Auto dispatch must never misread planar (3, H, W) as interleaved on
+    the f32 fallback, and must keep encode/decode on the same path."""
+    from tpudct.models.color import (
+        decode_color_auto,
+        encode_color_auto,
+        roundtrip_color_auto,
+    )
+
+    rgb = _smooth_rgb(64, 200).astype(np.uint8)  # 200 % 256 != 0 -> f32 path
+    planar = np.moveaxis(rgb, -1, 0)
+    p = get_pipeline("hp")
+    cfg = CodecConfig(interpret=True)
+    pi, mi = encode_color_auto(p, jnp.asarray(rgb), cfg)
+    pp, mp = encode_color_auto(p, jnp.asarray(planar), cfg)
+    assert mi["orig_shape"] == mp["orig_shape"] == (64, 200)
+    for k in pi:
+        np.testing.assert_array_equal(np.asarray(pi[k]), np.asarray(pp[k]))
+    rec = decode_color_auto(p, pi, mi, cfg)
+    assert _psnr(np.asarray(rec), rgb) > 28
+
+    # aligned geometry, f32 dtype: must take the f32 path end-to-end (no
+    # int8 cast of f32-path planes)
+    big = np.clip(_smooth_rgb(64, 256) * 2.0, -50, 400)  # out-of-range f32
+    _pl, _m, r = roundtrip_color_auto(p, jnp.asarray(big, jnp.float32), cfg)
+    assert np.asarray(r).dtype == np.uint8  # no wraparound crash/garbage path
+
+
+def test_ssim_tiny_image_no_nan(rng):
+    from tpudct.utils.metrics import ssim
+
+    x = rng.integers(0, 256, (4, 5)).astype(np.float32)
+    v = float(ssim(x, x))
+    assert abs(v - 1.0) < 1e-6

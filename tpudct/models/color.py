@@ -22,6 +22,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from tpudct.config import CodecConfig
 from tpudct.models.base import Pipeline
@@ -107,18 +108,36 @@ def roundtrip_color(
 # ---- u8-native fast path ----------------------------------------------------
 
 
+def _layout(rgb) -> tuple:
+    """Classify a 3-channel image's layout WITHOUT converting/transferring it.
+
+    Returns ("planar" | "interleaved", h, w).  Ambiguous (3, W, 3) arrays
+    classify as interleaved (channels-last wins), matching every producer
+    in this codebase."""
+    shape = tuple(rgb.shape)
+    if len(shape) != 3:
+        raise ValueError(f"expected a 3-channel image, got shape {shape}")
+    if shape[-1] == 3:
+        return "interleaved", shape[0], shape[1]
+    if shape[0] == 3:
+        return "planar", shape[1], shape[2]
+    raise ValueError(f"expected 3 channels, got shape {shape}")
+
+
 def _planar_u8(rgb):
     """Accept (H, W, 3) interleaved or (3, H, W) planar uint8; return planar."""
+    layout, _h, _w = _layout(rgb)
     rgb = jnp.asarray(rgb)
     if rgb.dtype != jnp.uint8:
         raise ValueError(f"u8 color path needs uint8 input, got {rgb.dtype}")
-    if rgb.ndim != 3:
-        raise ValueError(f"expected a 3-channel image, got shape {rgb.shape}")
-    if rgb.shape[0] == 3 and rgb.shape[-1] != 3:
-        return rgb
-    if rgb.shape[-1] == 3:
-        return jnp.moveaxis(rgb, -1, 0)
-    raise ValueError(f"expected 3 channels, got shape {rgb.shape}")
+    return rgb if layout == "planar" else jnp.moveaxis(rgb, -1, 0)
+
+
+def _interleaved_f32(rgb):
+    """Accept either layout; return (H, W, 3) f32 for the general path."""
+    layout, _h, _w = _layout(rgb)
+    rgb = jnp.asarray(rgb, jnp.float32)
+    return rgb if layout == "interleaved" else jnp.moveaxis(rgb, 0, -1)
 
 
 def supports_color_u8(p: Pipeline, cfg: CodecConfig, h: int, w: int) -> bool:
@@ -192,24 +211,32 @@ def roundtrip_color_u8(p: Pipeline, rgb_u8, cfg: CodecConfig):
 
 
 def _u8_eligible(p: Pipeline, rgb, cfg: CodecConfig, subsample: bool) -> bool:
-    rgb = jnp.asarray(rgb)
-    if rgb.dtype != jnp.uint8 or not subsample or rgb.ndim != 3:
+    # Inspect dtype/shape without jnp.asarray: that would device-transfer a
+    # numpy input just to look at metadata (and again on the real path).
+    if np.dtype(rgb.dtype) != np.uint8 or not subsample:
         return False
-    h, w = (rgb.shape[1], rgb.shape[2]) if rgb.shape[0] == 3 else rgb.shape[:2]
+    try:
+        _layout_name, h, w = _layout(rgb)
+    except ValueError:
+        return False
     return supports_color_u8(p, cfg, h, w)
 
 
 def encode_color_auto(p: Pipeline, rgb, cfg: CodecConfig, subsample: bool = True):
     """Encode through the fused u8 path when the input/geometry allow it,
     else the general f32 path.  The single dispatch point for the CLI and
-    any caller holding u8 pixels."""
+    any caller holding u8 pixels; accepts either (H, W, 3) or (3, H, W)."""
     if _u8_eligible(p, rgb, cfg, subsample):
         return encode_color_u8(p, rgb, cfg)
-    return encode_color(p, jnp.asarray(rgb, jnp.float32), cfg, subsample=subsample)
+    return encode_color(p, _interleaved_f32(rgb), cfg, subsample=subsample)
 
 
 def decode_color_auto(p: Pipeline, planes: dict, meta: dict, cfg: CodecConfig):
-    """Decode through the fused u8 path when the stream geometry allows it."""
+    """Decode through the fused u8 path when the stream geometry allows it.
+
+    Safe for streams from EITHER encode path: stored coefficients are
+    integers that provably fit int8 whenever supports_color_u8 holds for
+    the stream's cfg (the same bound the u8 encoder is gated on)."""
     h, w = meta["orig_shape"]
     if meta["subsample"] and supports_color_u8(p, cfg, h, w):
         return decode_color_u8(p, planes, meta, cfg)
@@ -217,6 +244,12 @@ def decode_color_auto(p: Pipeline, planes: dict, meta: dict, cfg: CodecConfig):
 
 
 def roundtrip_color_auto(p: Pipeline, rgb, cfg: CodecConfig, subsample: bool = True):
-    """encode_color_auto + decode_color_auto; returns (planes, meta, rgb u8)."""
-    planes, meta = encode_color_auto(p, rgb, cfg, subsample=subsample)
-    return planes, meta, decode_color_auto(p, planes, meta, cfg)
+    """Path-consistent roundtrip: the decode uses the SAME path the encode
+    chose (mixing them is unsafe in-memory — f32-path planes from
+    out-of-[0,255] pixels can exceed int8).  Returns (planes, meta, rgb u8
+    interleaved)."""
+    if _u8_eligible(p, rgb, cfg, subsample):
+        return roundtrip_color_u8(p, rgb, cfg)
+    x = _interleaved_f32(rgb)
+    planes, meta = encode_color(p, x, cfg, subsample=subsample)
+    return planes, meta, decode_color(p, planes, meta, cfg)

@@ -189,15 +189,27 @@ def shard_rgb(x, mesh: Mesh):
     must be multiples of 16 so the 4:2:0 chroma planes land on whole 8-row
     blocks (band-local pooling halves the rows)."""
     n = mesh.shape[BAND_AXIS]
-    _c, h, w = x.shape
-    if h % n or (h // n) % 16:
-        raise ValueError(
-            f"height {h} must split into {n} bands of 16-row multiples "
-            "(4:2:0 chroma needs whole 8-row blocks per band)"
-        )
-    if w % 16:
-        raise ValueError(f"width {w} must be a multiple of 16 (chroma blocks)")
-    return jax.device_put(x, NamedSharding(mesh, rgb_band_spec()))
+    sh = NamedSharding(mesh, rgb_band_spec())
+
+    def check(h, w):
+        if h % n or (h // n) % 16:
+            raise ValueError(
+                f"height {h} must split into {n} bands of 16-row multiples "
+                "(4:2:0 chroma needs whole 8-row blocks per band)"
+            )
+        if w % 16:
+            raise ValueError(f"width {w} must be a multiple of 16 (chroma blocks)")
+
+    if sh.is_fully_addressable:
+        check(x.shape[1], x.shape[2])
+        return jax.device_put(x, sh)
+    import numpy as _np
+
+    # Multi-host: each process passes its own row-slab (same contract as
+    # shard_image); validate the assembled GLOBAL shape.
+    g = jax.make_array_from_process_local_data(sh, _np.asarray(x))
+    check(g.shape[1], g.shape[2])
+    return g
 
 
 def sharded_color_step(pipeline: Pipeline, cfg: CodecConfig, mesh: Mesh):

@@ -55,6 +55,9 @@ def ssim(x, y, data_range: float = 255.0, win: int = 8):
     codec's own 8x8 block structure."""
     xf = jnp.asarray(x, jnp.float32)
     yf = jnp.asarray(y, jnp.float32)
+    # Images smaller than the window would make the valid-mode convolution
+    # empty (mean -> NaN); clamp to global statistics instead.
+    win = max(1, min(win, xf.shape[0], xf.shape[1]))
     k = jnp.ones((win, win), jnp.float32) / (win * win)
 
     def blur(a):
