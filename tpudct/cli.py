@@ -396,12 +396,16 @@ def cmd_info(_args) -> int:
     import tpudct
     from tpudct.utils.imageio import native_backend_available
 
+    from tpudct.constants import Q_TABLES, TRANSFORMS
+
     print(json.dumps({
         "version": tpudct.__version__,
         "backend": jax.default_backend(),
         "devices": [str(d) for d in jax.devices()],
         "native_jpeg": native_backend_available(),
         "pipelines": tpudct.available_pipelines(),
+        "transforms": sorted(TRANSFORMS),
+        "q_tables": sorted(Q_TABLES),
     }))
     return 0
 
