@@ -43,3 +43,15 @@ def test_accuracy_table_shape(image256):
 
     rows = accuracy_table(image256, "batched", ks=(6, None))
     assert len(rows) == 2 and rows[0]["k"] == 6 and rows[1]["k"] == "std"
+
+
+def test_bench_color_serving_smoke():
+    from tpudct.benchmark import bench_color_serving
+
+    row = bench_color_serving(256, 2, reps=1, k_pair=(1, 2))
+    assert row["images_per_s"] > 0 and row["batch"] == 2
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        bench_color_serving(100, 2)  # misaligned

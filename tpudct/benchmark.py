@@ -242,6 +242,55 @@ def bench_color(
     }
 
 
+def bench_color_serving(
+    size: int = 1024,
+    batch: int = 8,
+    cfg: Optional[CodecConfig] = None,
+    k_pair=None,
+    reps: int = 5,
+) -> dict:
+    """Color serving tier: a batch of B RGB frames per device pass.
+
+    Blocks are independent and 4:2:0 pooling is 2-row local, so a batch
+    stacks as taller planes — (3, B*S, S) rides the same fused color path
+    as one image (cf. bench_serving_throughput for grayscale)."""
+    from tpudct.models.color import (
+        decode_color_u8,
+        encode_color_u8,
+        supports_color_u8,
+    )
+
+    cfg = cfg or CodecConfig()
+    p = get_pipeline("hp")
+    h = batch * size
+    if not supports_color_u8(p, cfg, h, size):
+        raise ValueError(
+            f"color serving path needs (B*S) % 64 == 0, S % 256 == 0 and an "
+            f"int8-safe q_scale; got B={batch}, S={size}"
+        )
+    rgb8 = jnp.asarray(
+        np.stack(
+            [synthetic_image(size, seed=s).reshape(size, size) for s in (1, 2, 3)],
+            axis=0,
+        ).astype(np.uint8).repeat(batch, axis=1)
+    )
+
+    def fn(v):
+        planes, meta = encode_color_u8(p, v, cfg)
+        return jnp.moveaxis(decode_color_u8(p, planes, meta, cfg), -1, 0)
+
+    ms = device_time_ms(fn, rgb8, k_pair=k_pair, reps=reps)
+    return {
+        "pipeline": "hp-color-serving",
+        "size": size,
+        "batch": batch,
+        "batch_ms": ms,
+        "images_per_s": batch / ms * 1e3 if ms > 0 else None,
+        "mpix_per_s": batch * size * size / ms / 1e3 if ms > 0 else None,
+        "backend": jax.default_backend(),
+    }
+
+
 def bench_cpu_numpy(size: int, cfg: Optional[CodecConfig] = None, reps: int = 3) -> dict:
     """Host-CPU baseline: the codec as vectorized numpy f32 on this host.
 

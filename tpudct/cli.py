@@ -213,6 +213,12 @@ def cmd_bench(args) -> int:
             args.size, args.pipelines.split(",")[0].strip(), _cfg_from(args),
             reps=args.reps,
         )))
+        if args.batch:
+            from tpudct.benchmark import bench_color_serving
+
+            print(json.dumps(bench_color_serving(
+                args.size, args.batch, _cfg_from(args), reps=args.reps,
+            )))
     return 0
 
 
