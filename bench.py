@@ -46,7 +46,9 @@ def main() -> int:
     # back to the f32 separate-phase pair where the u8 path is unsupported.
     from tpudct.kernels import hp_pallas
 
-    if jax.default_backend() == "tpu" and hp_pallas.supports_u8(size, size):
+    if jax.default_backend() == "tpu" and hp_pallas.supports_u8(
+        size, size, cfg.q_scale, cfg.transform, cfg.q_table
+    ):
         xu8 = jnp.asarray(img.astype("uint8"))
         pair_ms = device_time_ms(
             lambda v: p.roundtrip_u8(v, cfg)[1], xu8, reps=5

@@ -7,11 +7,17 @@ Explores the replacement for the f32-HIGHEST (12 bf16-emulation-pass) inverse:
   D. 'high' bf16x3 tier (6 passes, ~0.2 gray error)     [reference point]
   E. 'highest' (12 passes)                              [reference point]
 
-Run on the real TPU: python benchmarks/inv_formulations.py [size]
+Run on the real TPU from the repo root:
+    python benchmarks/inv_formulations.py [size]
+(a sys.path bootstrap below makes script-mode work; `python - <<EOF` from
+the repo root works too, per CLAUDE.md.)
 """
 
 import functools
+import pathlib
 import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 import jax
 import jax.numpy as jnp

@@ -25,18 +25,18 @@ _lib: Optional[ctypes.CDLL] = None
 _lib_tried = False
 
 
-def _build_native() -> bool:
-    if _LIB_PATH.exists():
-        return True
+def _build_native(force: bool = False) -> bool:
+    """Build (or freshen) the shared library.  `make` owns the staleness
+    check — a fresh .so makes this a no-op, an edited jpeg_codec.c rebuilds
+    (the .so is a build artifact, not tracked in git)."""
     if not (_CSRC / "jpeg_codec.c").exists():
-        return False
-    try:
-        subprocess.run(
-            ["make", "-C", str(_CSRC)], check=True, capture_output=True, timeout=120
-        )
         return _LIB_PATH.exists()
+    try:
+        cmd = ["make", "-C", str(_CSRC)] + (["-B"] if force else [])
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
     except Exception:
-        return False
+        pass  # no toolchain: fall through to whatever .so already exists
+    return _LIB_PATH.exists()
 
 
 def _load_native() -> Optional[ctypes.CDLL]:
@@ -49,7 +49,14 @@ def _load_native() -> Optional[ctypes.CDLL]:
     if not _build_native():
         return None
     try:
-        lib = ctypes.CDLL(str(_LIB_PATH))
+        try:
+            lib = ctypes.CDLL(str(_LIB_PATH))
+        except OSError:
+            # e.g. a binary built against a different libjpeg soname:
+            # force one rebuild from source before giving up.
+            if not _build_native(force=True):
+                return None
+            lib = ctypes.CDLL(str(_LIB_PATH))
         if not hasattr(lib, "tpudct_jpeg_encode_ch"):
             # Stale prebuilt library from older sources: rebuild once.
             subprocess.run(
