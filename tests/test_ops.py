@@ -90,3 +90,16 @@ def test_padding_roundtrip(rng):
     y = jnp.zeros((64, 64))
     p2, _ = pad_to_blocks(y)
     assert p2 is y
+
+
+def test_q_scale_for_quality_ijg_mapping():
+    from tpudct.ops.quant import q_scale_for_quality
+
+    assert q_scale_for_quality(50) == 1.0   # the reference's standard table
+    assert q_scale_for_quality(10) == 5.0
+    assert q_scale_for_quality(100) == 0.01  # floored: never a zero table
+    assert q_scale_for_quality(75) == 0.5
+    assert q_scale_for_quality(-3) == q_scale_for_quality(1) == 50.0
+    # monotone: higher quality -> smaller scale
+    scales = [q_scale_for_quality(q) for q in range(1, 101)]
+    assert all(a >= b for a, b in zip(scales, scales[1:]))

@@ -26,8 +26,13 @@ import numpy as np
 def _cfg_from(args) -> "CodecConfig":
     from tpudct.config import CodecConfig
 
+    q_scale = args.q_scale
+    if getattr(args, "jpeg_quality", None) is not None:
+        from tpudct.ops.quant import q_scale_for_quality
+
+        q_scale = q_scale_for_quality(args.jpeg_quality)
     return CodecConfig(
-        q_scale=args.q_scale,
+        q_scale=q_scale,
         retain_k=args.k,
         transform=getattr(args, "transform", "haweel"),
     )
@@ -36,6 +41,8 @@ def _cfg_from(args) -> "CodecConfig":
 def _add_codec_flags(sp):
     sp.add_argument("--pipeline", default="hp", help="cublas|batched|cublas2|fast|hp")
     sp.add_argument("--q-scale", type=float, default=1.0, dest="q_scale")
+    sp.add_argument("--jpeg-quality", type=int, default=None, dest="jpeg_quality",
+                    help="IJG quality 1-100 -> table scale (overrides --q-scale; 50 = standard table)")
     sp.add_argument("--k", type=int, default=None, help="zonal retention: keep u+v < k")
     sp.add_argument("--transform", default="haweel",
                     help="8x8 transform: haweel (reference) | rdct (rounded-DCT approx) | wht (Walsh-Hadamard) | dct (exact DCT-II)")

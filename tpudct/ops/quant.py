@@ -53,6 +53,23 @@ def dequantize(c, q_scale: float = 1.0, q_table: str = "luma"):
     return _rowwise(c, q, lambda g, row: g * row)
 
 
+def q_scale_for_quality(quality: int) -> float:
+    """IJG libjpeg quality (1..100) -> quantization-table scale factor.
+
+    The standard mapping from jcparam.c (jpeg_quality_scaling): scale =
+    5000/q for q < 50 else 200 - 2q, divided by 100 — so quality 50 is the
+    unscaled table (q_scale == 1.0, the reference's 'Standard Q'), higher
+    quality divides it, lower multiplies.  Beyond parity: the reference has
+    no quality knob at all (hardcoded table).
+
+    libjpeg clamps each SCALED TABLE ENTRY to >= 1 rather than the scale
+    itself; with a scalar scale the equivalent guard is a floor that keeps
+    quality=100 from producing a zero table (division by zero at
+    quantization) — 0.01 == one IJG step below quality 100."""
+    q = min(100, max(1, int(quality)))
+    return max((5000.0 / q if q < 50 else 200.0 - 2.0 * q) / 100.0, 0.01)
+
+
 def retention_mask(k: int | None, bs: int = BLOCK_SIZE) -> np.ndarray:
     """Zonal mask: keep coefficient (u, v) iff u + v < k. k=None keeps all."""
     if k is None:
