@@ -59,3 +59,61 @@ def test_uint8_input_does_not_wrap():
         c, r = get_pipeline(name).roundtrip(jnp.asarray(img), CodecConfig())
         gc, gr = golden_roundtrip(img.astype(np.float32))
         assert np.abs(np.asarray(c) - gc).max() <= 1.0, name
+
+
+# ---- color-path fuzz --------------------------------------------------------
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_random_color_roundtrip_and_serialize(seed):
+    """Random sizes (odd allowed) x pipelines x configs through the full
+    color path: encode -> .tdcc bytes -> parse -> decode.  Guards padding,
+    4:2:0 odd-dimension handling, the q_table threading and the spectral
+    entropy codec in one sweep."""
+    from tpudct.models.color import decode_color, encode_color
+    from tpudct.utils import serialize
+
+    rng = np.random.default_rng(300 + seed)
+    h = int(rng.integers(17, 180))
+    w = int(rng.integers(17, 180))
+    k = [None, 6, 8][seed % 3]
+    sub = bool(seed % 2)
+    name = ["hp", "batched", "fast"][seed % 3]
+    rgb = rng.integers(0, 256, (h, w, 3)).astype(np.float32)
+
+    cfg = CodecConfig(interpret=True, retain_k=k)
+    p = get_pipeline(name)
+    planes, meta = encode_color(p, jnp.asarray(rgb), cfg, subsample=sub)
+    blob = serialize.color_to_bytes(
+        {n: np.asarray(v) for n, v in planes.items()}, meta,
+        cfg.q_scale, cfg.retain_k, cfg.transform,
+    )
+    planes2, meta2 = serialize.bytes_to_color(blob)
+    assert meta2["orig_shape"] == (h, w) and meta2["subsample"] == sub
+    rec = np.asarray(decode_color(p, planes2, meta2, cfg))
+    assert rec.shape == (h, w, 3) and rec.dtype == np.uint8
+    # Lossy but sane: uniform-noise chroma is unrecoverable under 4:2:0 +
+    # zonal retention, so bound against the input's own variance — the
+    # codec must always beat predicting the mean.
+    mse = ((rec.astype(np.float64) - rgb) ** 2).mean()
+    var = ((rgb - rgb.mean()) ** 2).mean()
+    assert mse < 0.95 * var, (seed, name, h, w, k, sub, mse, var)
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_random_u8_color_auto_path(seed):
+    """Aligned random geometries through the auto dispatch (u8 kernels when
+    eligible) in both layouts."""
+    from tpudct.models.color import roundtrip_color_auto, supports_color_u8
+
+    rng = np.random.default_rng(400 + seed)
+    h = 64 * int(rng.integers(1, 4))
+    w = 256 * int(rng.integers(1, 3))
+    rgb = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    p = get_pipeline("hp")
+    cfg = CodecConfig(interpret=True)
+    assert supports_color_u8(p, cfg, h, w)
+    pi, mi, r1 = roundtrip_color_auto(p, jnp.asarray(rgb), cfg)
+    _pp, _mp, r2 = roundtrip_color_auto(p, jnp.moveaxis(jnp.asarray(rgb), -1, 0), cfg)
+    np.testing.assert_array_equal(np.asarray(r1), np.asarray(r2))
+    assert np.asarray(pi["y"]).dtype == np.int8
