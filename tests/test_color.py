@@ -404,3 +404,47 @@ def test_ssim_tiny_image_no_nan(rng):
     x = rng.integers(0, 256, (4, 5)).astype(np.float32)
     v = float(ssim(x, x))
     assert abs(v - 1.0) < 1e-6
+
+
+def test_color_codec_owns_table_assignment():
+    """A caller-set cfg.q_table must not leak into the color planes: Y is
+    always coded against Q (luma), chroma against QC — matching what the
+    .tdcc headers record (they hardcode the convention)."""
+    rgb = _smooth_rgb(64, 64)
+    p = get_pipeline("batched")
+    a = encode_color(p, jnp.asarray(rgb), CodecConfig(interpret=True))
+    b = encode_color(p, jnp.asarray(rgb), CodecConfig(interpret=True, q_table="chroma"))
+    for k in ("y", "cb", "cr"):
+        np.testing.assert_array_equal(np.asarray(a[0][k]), np.asarray(b[0][k]))
+
+
+def test_tdcc_rejects_wrong_table_convention():
+    import struct
+
+    from tpudct.utils.serialize import _HEADERC, _MAGICC, bytes_to_color
+
+    c = np.zeros((8, 8), np.float32)
+    y = serialize.coefficients_to_bytes(c, q_table="chroma")  # wrong for Y
+    ch = serialize.coefficients_to_bytes(c, q_table="chroma")
+    blob = struct.pack(_HEADERC, _MAGICC, 3, 1)
+    for plane in (y, ch, ch):
+        blob += struct.pack("<I", len(plane)) + plane
+    with pytest.raises(ValueError):
+        bytes_to_color(blob)
+
+
+def test_decode_auto_rejects_wide_coefficients():
+    """Streams whose coefficients exceed int8 (out-of-range f32 input) must
+    take the f32 decode, not wrap through the int8 cast."""
+    from tpudct.models.color import decode_color_auto, encode_color
+
+    # constant 800 gray: Y DC = round(8*(800-128)/16) = 336, far past int8.
+    # Encode with the pure-f32 `batched` pipeline (hp's exact int8 core is
+    # documented as u8-domain-only and would wrap the out-of-range input).
+    big = np.full((64, 256, 3), 800.0, np.float32)
+    p = get_pipeline("batched")
+    cfg = CodecConfig(interpret=True)
+    planes, meta = encode_color(p, jnp.asarray(big), cfg)
+    assert max(np.abs(np.asarray(v)).max() for v in planes.values()) > 127
+    rec = decode_color_auto(p, planes, meta, cfg)  # must not wrap
+    assert np.asarray(rec).shape == (64, 256, 3)

@@ -44,7 +44,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from tpudct.ops.rounding import round_half_away
-from tpudct.utils.color import _KB, _KG, _KR
+from tpudct.utils.color import rgb_from_ycbcr_planes, ycbcr_from_rgb_planes
 
 
 
@@ -54,9 +54,14 @@ def supports(h: int, w: int) -> bool:
 
 
 def _geometry(h: int, w: int, band_rows: int, tile_cols: int):
-    if not supports(h, w):
+    if h <= 0 or w <= 0 or not supports(h, w):
         raise ValueError(
-            f"color kernels need H % 64 == 0 and W % 256 == 0, got {h}x{w}"
+            f"color kernels need H % 64 == 0 and W % 256 == 0 (H, W > 0), got {h}x{w}"
+        )
+    if band_rows < 64 or tile_cols < 256:
+        raise ValueError(
+            f"color kernels need band_rows >= 64 and tile_cols >= 256, "
+            f"got ({band_rows}, {tile_cols})"
         )
     br = min(band_rows, h)
     br -= br % 64
@@ -73,12 +78,12 @@ def _geometry(h: int, w: int, band_rows: int, tile_cols: int):
 def _pool_mats(br: int, tc: int):
     """0/1-valued int8 pooling matrices: PL (br/2, br), PL[i, 2i] =
     PL[i, 2i+1] = 1; PR (tc, tc/2) the transpose pattern."""
-    plm = np.zeros((br // 2, br), np.int8)
+    plm = np.zeros((br // 2, br), np.int8)  # int8: left dot runs on the int MXU
     plm[np.arange(br // 2), 2 * np.arange(br // 2)] = 1
     plm[np.arange(br // 2), 2 * np.arange(br // 2) + 1] = 1
-    prm = np.zeros((tc, tc // 2), np.int8)
-    prm[2 * np.arange(tc // 2), np.arange(tc // 2)] = 1
-    prm[2 * np.arange(tc // 2) + 1, np.arange(tc // 2)] = 1
+    prm = np.zeros((tc, tc // 2), np.float32)  # f32: consumed as bf16 directly
+    prm[2 * np.arange(tc // 2), np.arange(tc // 2)] = 1.0
+    prm[2 * np.arange(tc // 2) + 1, np.arange(tc // 2)] = 1.0
     return plm, prm
 
 
@@ -104,7 +109,7 @@ def _k_split(rgb_ref, pl_ref, pr_ref, y_ref, cb_ref, cr_ref):
     r = _f32(rgb_ref[0])
     g = _f32(rgb_ref[1])
     b = _f32(rgb_ref[2])
-    y = _KR * r + _KG * g + _KB * b
+    y, _cb_full, _cr_full = ycbcr_from_rgb_planes(r, g, b)
     y_ref[...] = _to_u8(y)
 
     # Exact integer 2x2 pooling on the MXU (level shift keeps the u8 range
@@ -113,20 +118,20 @@ def _k_split(rgb_ref, pl_ref, pr_ref, y_ref, cb_ref, cr_ref):
     # Rows pool as an int8 dot; the intermediate row sums are integers in
     # [-256, 254] — bf16-exact — so the lane dot against the 0/1 matrix is
     # exact in one bf16 pass (Mosaic cannot chain i32 @ i8 dots directly).
+    pr_bf = pr_ref[...].astype(jnp.bfloat16)
+
     def pool(ch_f32):
         c8 = (ch_f32 - 128.0).astype(jnp.int32).astype(jnp.int8)
         rows = jax.lax.dot(pl_ref[...], c8, preferred_element_type=jnp.int32)
         quad = jax.lax.dot(
-            rows.astype(jnp.float32).astype(jnp.bfloat16),
-            pr_ref[...].astype(jnp.int32).astype(jnp.float32).astype(jnp.bfloat16),
+            rows.astype(jnp.float32).astype(jnp.bfloat16), pr_bf,
             preferred_element_type=jnp.float32,
         )
         return quad * 0.25 + 128.0
 
-    rp, gp, bp = pool(r), pool(g), pool(b)
-    yp = _KR * rp + _KG * gp + _KB * bp
-    cb_ref[...] = _to_u8(128.0 + (bp - yp) * (0.5 / (1.0 - _KB)))
-    cr_ref[...] = _to_u8(128.0 + (rp - yp) * (0.5 / (1.0 - _KR)))
+    _yp, cbp, crp = ycbcr_from_rgb_planes(pool(r), pool(g), pool(b))
+    cb_ref[...] = _to_u8(cbp)
+    cr_ref[...] = _to_u8(crp)
 
 
 def _k_merge(y_ref, cb_ref, cr_ref, ur_ref, o_ref):
@@ -142,11 +147,7 @@ def _k_merge(y_ref, cb_ref, cr_ref, ur_ref, o_ref):
         h2, w = wide.shape
         return jnp.broadcast_to(wide[:, None, :], (h2, 2, w)).reshape(2 * h2, w)
 
-    cbc = up(cb_ref[...]) - 128.0
-    crc = up(cr_ref[...]) - 128.0
-    r = y + (2.0 - 2.0 * _KR) * crc
-    b = y + (2.0 - 2.0 * _KB) * cbc
-    g = (y - _KR * r - _KB * b) / _KG
+    r, g, b = rgb_from_ycbcr_planes(y, up(cb_ref[...]), up(cr_ref[...]))
     o_ref[0] = _to_u8(r)
     o_ref[1] = _to_u8(g)
     o_ref[2] = _to_u8(b)

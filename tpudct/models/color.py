@@ -38,6 +38,13 @@ from tpudct.utils.color import (
 PLANES = ("y", "cb", "cr")
 
 
+def _luma_cfg(cfg: CodecConfig) -> CodecConfig:
+    """The color codec OWNS table assignment (Y vs Q, Cb/Cr vs QC) — a
+    caller-set cfg.q_table is normalized away so the serialized headers
+    (which hardcode the luma/chroma convention) always match the math."""
+    return dataclasses.replace(cfg, q_table="luma")
+
+
 def _chroma_cfg(cfg: CodecConfig) -> CodecConfig:
     return dataclasses.replace(cfg, q_table="chroma")
 
@@ -57,7 +64,7 @@ def encode_color(
     ch, cw = cb.shape
 
     yp, _ = pad_to_blocks(y)
-    cy = p.encode(yp, cfg)
+    cy = p.encode(yp, _luma_cfg(cfg))
 
     ccfg = _chroma_cfg(cfg)
     cbp, _ = pad_to_blocks(cb)
@@ -77,7 +84,7 @@ def decode_color(p: Pipeline, planes: dict, meta: dict, cfg: CodecConfig):
     h, w = meta["orig_shape"]
     ch, cw = meta["chroma_shape"]
 
-    y = crop(p.idct(jnp.asarray(planes["y"], jnp.float32), cfg), h, w)
+    y = crop(p.idct(jnp.asarray(planes["y"], jnp.float32), _luma_cfg(cfg)), h, w)
 
     ccfg = _chroma_cfg(cfg)
     cc = p.idct(
@@ -174,7 +181,7 @@ def encode_color_u8(p: Pipeline, rgb_u8, cfg: CodecConfig, subsample: bool = Tru
 
     interp = cfg.interpret or jax.default_backend() != "tpu"
     y, cb, cr = color_pallas.color_split_420_u8(x, interpret=interp)
-    cy = p.encode_u8(y, cfg)
+    cy = p.encode_u8(y, _luma_cfg(cfg))
     cc = p.encode_u8(jnp.concatenate([cb, cr], axis=0), _chroma_cfg(cfg))
     ph = cb.shape[0]
     meta = {"orig_shape": (h, w), "chroma_shape": (h // 2, w // 2), "subsample": True}
@@ -184,7 +191,13 @@ def encode_color_u8(p: Pipeline, rgb_u8, cfg: CodecConfig, subsample: bool = Tru
 def decode_color_u8(p: Pipeline, planes: dict, meta: dict, cfg: CodecConfig):
     """Inverse of :func:`encode_color_u8` -> (H, W, 3) uint8 interleaved."""
     h, w = meta["orig_shape"]
-    y = p.decode_u8(jnp.asarray(planes["y"], jnp.int8), cfg)
+    if tuple(jnp.asarray(planes["y"]).shape) != (h, w):
+        raise ValueError(
+            f"u8 decode expects unpadded planes: y is "
+            f"{jnp.asarray(planes['y']).shape}, orig_shape {(h, w)}; "
+            "use decode_color for padded streams"
+        )
+    y = p.decode_u8(jnp.asarray(planes["y"], jnp.int8), _luma_cfg(cfg))
     cc = p.decode_u8(
         jnp.concatenate(
             [jnp.asarray(planes["cb"], jnp.int8),
@@ -213,7 +226,8 @@ def roundtrip_color_u8(p: Pipeline, rgb_u8, cfg: CodecConfig):
 def _u8_eligible(p: Pipeline, rgb, cfg: CodecConfig, subsample: bool) -> bool:
     # Inspect dtype/shape without jnp.asarray: that would device-transfer a
     # numpy input just to look at metadata (and again on the real path).
-    if np.dtype(rgb.dtype) != np.uint8 or not subsample:
+    dt = getattr(rgb, "dtype", None)  # nested lists etc. -> f32 path
+    if dt is None or np.dtype(dt) != np.uint8 or not subsample:
         return False
     try:
         _layout_name, h, w = _layout(rgb)
@@ -234,11 +248,17 @@ def encode_color_auto(p: Pipeline, rgb, cfg: CodecConfig, subsample: bool = True
 def decode_color_auto(p: Pipeline, planes: dict, meta: dict, cfg: CodecConfig):
     """Decode through the fused u8 path when the stream geometry allows it.
 
-    Safe for streams from EITHER encode path: stored coefficients are
-    integers that provably fit int8 whenever supports_color_u8 holds for
-    the stream's cfg (the same bound the u8 encoder is gated on)."""
+    Safe for streams from EITHER encode path: besides the geometry/q_scale
+    gate, the ACTUAL plane values are checked against int8 — the f32 path
+    accepts out-of-[0,255] pixels whose coefficients can exceed the
+    theoretical u8-pixel bound, and casting those would wrap."""
     h, w = meta["orig_shape"]
-    if meta["subsample"] and supports_color_u8(p, cfg, h, w):
+    if (
+        meta["subsample"]
+        and supports_color_u8(p, cfg, h, w)
+        and tuple(np.asarray(planes["y"]).shape) == (h, w)
+        and all(np.abs(np.asarray(v)).max(initial=0) <= 127 for v in planes.values())
+    ):
         return decode_color_u8(p, planes, meta, cfg)
     return decode_color(p, planes, meta, cfg)
 

@@ -225,11 +225,12 @@ def sharded_color_step(pipeline: Pipeline, cfg: CodecConfig, mesh: Mesh):
 
     from tpudct.utils import color as _color
 
+    lcfg = dataclasses.replace(cfg, q_table="luma")
     ccfg = dataclasses.replace(cfg, q_table="chroma")
 
     def band_fn(x):  # (3, hb, W) u8
         y, cb, cr = _color.ycbcr_split_420_u8(x)
-        _cy, ry = pipeline.roundtrip(jnp.asarray(y, jnp.float32), cfg)
+        _cy, ry = pipeline.roundtrip(jnp.asarray(y, jnp.float32), lcfg)
         _cc, rc = pipeline.roundtrip(
             jnp.concatenate([cb, cr], axis=0).astype(jnp.float32), ccfg
         )

@@ -24,6 +24,27 @@ import jax.numpy as jnp
 _KR, _KG, _KB = 0.299, 0.587, 0.114
 
 
+def ycbcr_from_rgb_planes(r, g, b):
+    """Plane-wise BT.601 forward transform (f32 in, f32 out, unclamped).
+
+    The ONE copy of the affine equations — the interleaved API, the u8
+    planar helpers and the Pallas color kernels all call this, so a
+    formula change can never desynchronize them."""
+    y = _KR * r + _KG * g + _KB * b
+    cb = 128.0 + (b - y) * (0.5 / (1.0 - _KB))
+    cr = 128.0 + (r - y) * (0.5 / (1.0 - _KR))
+    return y, cb, cr
+
+
+def rgb_from_ycbcr_planes(y, cb, cr):
+    """Plane-wise BT.601 inverse transform (f32 in, f32 out, unclamped)."""
+    cbc, crc = cb - 128.0, cr - 128.0
+    r = y + (2.0 - 2.0 * _KR) * crc
+    b = y + (2.0 - 2.0 * _KB) * cbc
+    g = (y - _KR * r - _KB * b) / _KG
+    return r, g, b
+
+
 def rgb_to_ycbcr(rgb):
     """(H, W, 3) RGB (any float/int dtype, 0..255) -> (y, cb, cr) f32 planes.
 
@@ -31,11 +52,7 @@ def rgb_to_ycbcr(rgb):
     128 — so every plane feeds the codec's existing level-shift (-128)
     unchanged."""
     x = jnp.asarray(rgb, jnp.float32)
-    r, g, b = x[..., 0], x[..., 1], x[..., 2]
-    y = _KR * r + _KG * g + _KB * b
-    cb = 128.0 + (b - y) * (0.5 / (1.0 - _KB))
-    cr = 128.0 + (r - y) * (0.5 / (1.0 - _KR))
-    return y, cb, cr
+    return ycbcr_from_rgb_planes(x[..., 0], x[..., 1], x[..., 2])
 
 
 def ycbcr_to_rgb(y, cb, cr):
@@ -43,12 +60,11 @@ def ycbcr_to_rgb(y, cb, cr):
 
     Callers clamp/cast (ops.transform.to_uint8 semantics) after
     reconstruction, matching the codec's own output stage."""
-    y = jnp.asarray(y, jnp.float32)
-    cbc = jnp.asarray(cb, jnp.float32) - 128.0
-    crc = jnp.asarray(cr, jnp.float32) - 128.0
-    r = y + (2.0 - 2.0 * _KR) * crc
-    b = y + (2.0 - 2.0 * _KB) * cbc
-    g = (y - _KR * r - _KB * b) / _KG
+    r, g, b = rgb_from_ycbcr_planes(
+        jnp.asarray(y, jnp.float32),
+        jnp.asarray(cb, jnp.float32),
+        jnp.asarray(cr, jnp.float32),
+    )
     return jnp.stack([r, g, b], axis=-1)
 
 
@@ -97,12 +113,11 @@ def ycbcr_split_420_u8(rgb_planar_u8, subsample: bool = True):
     anyway; models/color.py gates and falls back)."""
     from tpudct.ops.rounding import round_half_away
 
-    r = rgb_planar_u8[0].astype(jnp.float32)
-    g = rgb_planar_u8[1].astype(jnp.float32)
-    b = rgb_planar_u8[2].astype(jnp.float32)
-    y = _KR * r + _KG * g + _KB * b
-    cb = 128.0 + (b - y) * (0.5 / (1.0 - _KB))
-    cr = 128.0 + (r - y) * (0.5 / (1.0 - _KR))
+    y, cb, cr = ycbcr_from_rgb_planes(
+        rgb_planar_u8[0].astype(jnp.float32),
+        rgb_planar_u8[1].astype(jnp.float32),
+        rgb_planar_u8[2].astype(jnp.float32),
+    )
     to_u8 = lambda v: jnp.clip(round_half_away(v), 0.0, 255.0).astype(jnp.uint8)
     if subsample:
         cb, cr = downsample_420(cb), downsample_420(cr)
@@ -121,9 +136,6 @@ def ycbcr_merge_420_u8(y_u8, cb_u8, cr_u8, h: int, w: int, subsample: bool = Tru
         cb, cr = upsample_420(cb, h, w), upsample_420(cr, h, w)
     else:
         cb, cr = cb[:h, :w], cr[:h, :w]
-    cbc, crc = cb - 128.0, cr - 128.0
-    r = y + (2.0 - 2.0 * _KR) * crc
-    b = y + (2.0 - 2.0 * _KB) * cbc
-    g = (y - _KR * r - _KB * b) / _KG
+    r, g, b = rgb_from_ycbcr_planes(y, cb, cr)
     rgb = jnp.stack([r, g, b], axis=0)
     return jnp.clip(round_half_away(rgb), 0.0, 255.0).astype(jnp.uint8)

@@ -310,9 +310,15 @@ def bytes_to_color(data: bytes) -> tuple:
     y, cb, cr = parsed
     same = lambda k: y[k] == cb[k] == cr[k]
     if not (same("transform") and same("q_scale") and same("retain_k")
-            and cb["orig_shape"] == cr["orig_shape"]
-            and cb["q_table"] == cr["q_table"]):
+            and cb["orig_shape"] == cr["orig_shape"]):
         raise ValueError("inconsistent .tdcc plane headers")
+    if y["q_table"] != "luma" or cb["q_table"] != "chroma" or cr["q_table"] != "chroma":
+        # decode_color hardcodes the luma/chroma convention; anything else
+        # would silently dequantize against the wrong tables.
+        raise ValueError(
+            ".tdcc plane q_tables must be (luma, chroma, chroma), got "
+            f"({y['q_table']}, {cb['q_table']}, {cr['q_table']})"
+        )
     planes = {"y": y["coeffs"], "cb": cb["coeffs"], "cr": cr["coeffs"]}
     meta = {
         "orig_shape": y["orig_shape"],
@@ -327,10 +333,11 @@ def bytes_to_color(data: bytes) -> tuple:
 
 def save_color(
     path: str, planes: dict, meta: dict, q_scale: float = 1.0, retain_k=None,
-    transform: str = "haweel",
+    transform: str = "haweel", level: int = 6, codec: str = "spectral",
 ) -> int:
     """Write a .tdcc file; returns bytes written (the measurable payload)."""
-    data = color_to_bytes(planes, meta, q_scale, retain_k, transform)
+    data = color_to_bytes(planes, meta, q_scale, retain_k, transform,
+                          level=level, codec=codec)
     with open(path, "wb") as f:
         f.write(data)
     return len(data)
