@@ -110,11 +110,21 @@ def cmd_run(args) -> int:
         return 0
     img = imageio.load_jpeg(args.input)
     h, w = img.shape
-    x, _ = pad_to_blocks(jnp.asarray(img, jnp.float32))
     if args.corners:
         _print_corner("input", img)
-    # One fused kernel pass (the flagship hp_roundtrip path when supported).
-    c, rec = p.roundtrip(x, cfg)
+    # One fused kernel pass; the u8-native kernels (int8 coefficients, 4x
+    # less HBM traffic) engage whenever the geometry and cfg allow.
+    from tpudct.kernels import hp_pallas
+
+    if hasattr(p, "roundtrip_u8") and hp_pallas.supports_u8(
+        *pad_to_blocks(jnp.asarray(img))[0].shape,
+        cfg.q_scale, cfg.transform, cfg.q_table,
+    ):
+        xu8, _ = pad_to_blocks(jnp.asarray(img, jnp.uint8))
+        c, rec = p.roundtrip_u8(xu8, cfg)
+    else:
+        x, _ = pad_to_blocks(jnp.asarray(img, jnp.float32))
+        c, rec = p.roundtrip(x, cfg)
     if args.corners:
         _print_corner("DCT+quant", c)
     rec_u8 = np.asarray(crop(rec, h, w))
@@ -187,10 +197,21 @@ def cmd_decode(args) -> int:
     coeffs, q_scale, _k, (h, w), transform = serialize.load_coefficients(
         args.input, with_orig_shape=True, with_transform=True
     )
-    rec = get_pipeline(args.pipeline).idct(
-        jnp.asarray(coeffs), CodecConfig(q_scale=q_scale, transform=transform)
-    )
-    rec_u8 = np.asarray(to_uint8(rec))[:h, :w]
+    p = get_pipeline(args.pipeline)
+    cfg = CodecConfig(q_scale=q_scale, transform=transform)
+    from tpudct.kernels import hp_pallas
+
+    if (
+        hasattr(p, "decode_u8")
+        and hp_pallas.supports_u8(*coeffs.shape, q_scale, transform)
+        and np.abs(coeffs).max(initial=0) <= 127
+    ):
+        rec_u8 = np.asarray(
+            p.decode_u8(jnp.asarray(coeffs, jnp.int8), cfg)
+        )[:h, :w]
+    else:
+        rec = p.idct(jnp.asarray(coeffs), cfg)
+        rec_u8 = np.asarray(to_uint8(rec))[:h, :w]
     imageio.save_jpeg(args.output, rec_u8, quality=args.quality)
     print(f"decoded {args.input} -> {args.output}")
     return 0
