@@ -176,3 +176,20 @@ def test_batch_color(tmp_path, rng):
     dec = tmp_path / "dec.jpg"
     assert main(["decode", str(dst / outs[0]), str(dec)]) == 0
     assert imageio.load_jpeg(dec, force_gray=False).shape == (48, 48, 3)
+
+
+def test_run_decode_consistent_u8_and_f32_paths(tmp_path, rng):
+    """run's reconstruction and decode-from-.tdc must agree byte-for-byte
+    on both the u8-eligible (aligned) and fallback (misaligned) paths."""
+    for size in (128, 100):
+        img = rng.integers(0, 256, (size, size)).astype(np.uint8)
+        src = tmp_path / f"in{size}.jpg"
+        imageio.save_jpeg(src, img, quality=95)
+        out = tmp_path / f"out{size}.png.jpg"
+        tdc = tmp_path / f"c{size}.tdc"
+        assert main(["run", str(src), str(out), "--coeffs", str(tdc)]) == 0
+        dec = tmp_path / f"dec{size}.jpg"
+        assert main(["decode", str(tdc), str(dec)]) == 0
+        a = imageio.load_jpeg(out)
+        b = imageio.load_jpeg(dec)
+        np.testing.assert_array_equal(a, b)
