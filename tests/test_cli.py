@@ -24,7 +24,11 @@ def test_run(tmp_path, jpg, capsys):
     assert rc == 0
     assert out.exists()
     captured = capsys.readouterr().out
-    assert "input (top-left 8x8)" in captured
+    # All four reference stage corners (main_cublass.cu:63-70, 121-128,
+    # 142-149, 160-167) and the per-phase ms lines (main_newAppr.cu:283-287).
+    for label in ("input", "DCT+quant", "IDCT", "u8"):
+        assert f"{label} (top-left 8x8)" in captured
+    assert "DCT (64,64):" in captured and "IDCT (64,64):" in captured
     rep = json.loads(captured.strip().splitlines()[-1])
     assert rep["pipeline"] == "batched" and rep["mse"] >= 0
 
@@ -64,6 +68,29 @@ def test_bench_serving_batch(capsys):
     srv = rows[-1]
     assert srv["pipeline"] == "hp-serving" and srv["batch"] == 2
     assert srv["images_per_s"] > 0
+
+
+def test_bench_serving_f32_fallback_for_float_transform(capsys):
+    # `bench --batch N --transform dct` must take the documented f32
+    # fallback (the exact DCT has no integer core), not raise.
+    rc = main(["bench", "--size", "128", "--pipelines", "hp",
+               "--batch", "2", "--transform", "dct", "--reps", "1"])
+    assert rc == 0
+    rows = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    srv = rows[-1]
+    assert srv["pipeline"] == "hp-serving"
+    assert srv["path"] == "f32-fallback" and srv["transform"] == "dct"
+
+
+def test_bench_fused_honors_transform(capsys):
+    # `bench --fused --transform rdct` must time rdct, not silently haweel.
+    rc = main(["bench", "--size", "128", "--pipelines", "hp",
+               "--fused", "--transform", "rdct", "--reps", "1"])
+    assert rc == 0
+    rows = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    fused = rows[-1]
+    assert fused["pipeline"] == "hp-fused" and fused["transform"] == "rdct"
+    assert fused["roundtrip_ms"] >= 0
 
 
 def test_table(jpg, capsys):

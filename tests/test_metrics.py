@@ -32,6 +32,15 @@ def test_compression_factor_increases_with_truncation(rng):
     assert factors[0] > 1.0  # quantization alone must win over raw
 
 
+def test_compression_factor_non_block_aligned(rng):
+    # quality_report is public API: a non-8-multiple coefficient map must
+    # fall back to the raw-stream denominator, not raise from a reshape.
+    img = rng.integers(0, 256, (60, 60)).astype(np.uint8)
+    c = rng.integers(-50, 50, (60, 60)).astype(np.int16)
+    f = metrics.compression_factor(img, c)
+    assert np.isfinite(f) and f > 0
+
+
 def test_quality_report_keys(rng):
     img = rng.integers(0, 256, size=(64, 64)).astype(np.uint8)
     rec = img.copy()
@@ -53,6 +62,47 @@ def test_serialize_roundtrip(tmp_path, rng):
 def test_serialize_rejects_garbage(tmp_path):
     with pytest.raises(ValueError):
         serialize.bytes_to_coefficients(b"JUNKJUNKJUNKJUNKJUNKJUNKJUNK")
+
+
+def test_serialize_rejects_int16_overflow():
+    # The round-1 silent-corruption repro: 40000.0 narrowed to -25536.
+    # Must raise, never wrap (reachable via encode --q-scale 0.001).
+    c = np.zeros((8, 8), np.float32)
+    c[0, 0] = 40000.0
+    with pytest.raises(ValueError, match="int16"):
+        serialize.coefficients_to_bytes(c)
+    # Boundary values still round-trip exactly.
+    c[0, 0] = 32767.0
+    c[0, 1] = -32767.0
+    back, _, _ = serialize.bytes_to_coefficients(serialize.coefficients_to_bytes(c))
+    np.testing.assert_array_equal(back, c)
+
+
+def test_extreme_q_scale_encode_serialize_decode():
+    """Fuzz extreme q_scale x transform through encode -> bytes -> decode:
+    every coefficient either serializes exactly or raises — no silent
+    corruption anywhere in the chain."""
+    import jax.numpy as jnp
+
+    from tpudct import CodecConfig, get_pipeline
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (64, 64)).astype(np.float32)
+    p = get_pipeline("batched")
+    for transform in ("haweel", "dct"):
+        for qs in (0.001, 0.01, 0.25, 64.0):
+            cfg = CodecConfig(q_scale=qs, transform=transform)
+            c = np.asarray(p.encode(jnp.asarray(img), cfg))
+            try:
+                blob = serialize.coefficients_to_bytes(
+                    c, q_scale=qs, transform=transform
+                )
+            except ValueError:
+                assert np.abs(c).max() > 32767.0, (transform, qs)
+                continue
+            back, q_out, _ = serialize.bytes_to_coefficients(blob)
+            np.testing.assert_array_equal(back, c)
+            assert q_out == np.float32(qs)
 
 
 def test_serialized_decode_end_to_end(tmp_path, rng):

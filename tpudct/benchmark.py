@@ -115,15 +115,21 @@ def bench_fused_roundtrip(size: int, cfg: Optional[CodecConfig] = None, k_pair=N
     """The flagship single-kernel roundtrip (hp_roundtrip): image -> coeffs
     + reconstruction in ONE pass — a capability the reference lacks."""
     from tpudct.kernels import hp_pallas
+    from tpudct.models.hp_appr import _decode_prec, _int_core
 
     cfg = cfg or CodecConfig()
     x = jnp.asarray(synthetic_image(size))
     interpret = jax.default_backend() != "tpu"
 
     def rt(v):
+        # Full config threads through — `bench --fused --transform rdct`
+        # must time rdct, with the same int-core/decode-tier demotions the
+        # hp pipeline applies (models/hp_appr.py).
         c, r = hp_pallas.hp_roundtrip(
-            v, q_scale=cfg.q_scale, retain_k=cfg.retain_k,
+            v, q_scale=cfg.q_scale, q_table=cfg.q_table, retain_k=cfg.retain_k,
             band_rows=cfg.band_rows, tile_cols=cfg.tile_cols, interpret=interpret,
+            int_core=_int_core(cfg), decode_precision=_decode_prec(cfg),
+            transform=cfg.transform,
         )
         # Chain on the reconstruction (same shape/dtype as the input).
         return r
@@ -131,6 +137,7 @@ def bench_fused_roundtrip(size: int, cfg: Optional[CodecConfig] = None, k_pair=N
     ms = device_time_ms(rt, x, k_pair=k_pair, reps=reps)
     return {
         "pipeline": "hp-fused",
+        "transform": cfg.transform,
         "size": size,
         "roundtrip_ms": ms,
         "mpix_per_s": size * size / ms / 1e3 if ms > 0 else None,
@@ -157,7 +164,7 @@ def bench_serving_throughput(
     rng = np.random.default_rng(42)
     tall = rng.integers(0, 256, size=(batch * size, size), dtype=np.uint8)
     p = get_pipeline("hp")
-    if hp_pallas.supports_u8(batch * size, size, cfg.q_scale):
+    if hp_pallas.supports_u8(batch * size, size, cfg.q_scale, cfg.transform, cfg.q_table):
         x = jnp.asarray(tall)
         # roundtrip_u8 owns the shape gating; returns a chainable u8 recon.
         fn = lambda v: p.roundtrip_u8(v, cfg)[1]
@@ -173,6 +180,7 @@ def bench_serving_throughput(
     return {
         "pipeline": "hp-serving",
         "path": path,
+        "transform": cfg.transform,
         "size": size,
         "batch": batch,
         "batch_ms": ms,

@@ -111,25 +111,43 @@ def cmd_run(args) -> int:
     img = imageio.load_jpeg(args.input)
     h, w = img.shape
     if args.corners:
-        _print_corner("input", img)
-    # One fused kernel pass; the u8-native kernels (int8 coefficients, 4x
-    # less HBM traffic) engage whenever the geometry and cfg allow.
-    from tpudct.kernels import hp_pallas
+        # Reference-literal staged verbosity: corners after load, after
+        # DCT+quant, after IDCT (f32), and after u8 conversion
+        # (main_cublass.cu:63-70, 121-128, 142-149, 160-167) plus
+        # per-phase `DCT (w,h): ms` lines (main_newAppr.cu:283-287).
+        # Wall times here include dispatch/transfer (~24 ms relay floor on
+        # this setup); `bench` owns the pure device-time protocol.
+        import time
 
-    if hasattr(p, "roundtrip_u8") and hp_pallas.supports_u8(
-        *pad_to_blocks(jnp.asarray(img))[0].shape,
-        cfg.q_scale, cfg.transform, cfg.q_table,
-    ):
-        xu8, _ = pad_to_blocks(jnp.asarray(img, jnp.uint8))
-        c, rec = p.roundtrip_u8(xu8, cfg)
-    else:
+        from tpudct.ops.transform import to_uint8
+
+        _print_corner("input", img)
         x, _ = pad_to_blocks(jnp.asarray(img, jnp.float32))
-        c, rec = p.roundtrip(x, cfg)
-    if args.corners:
+        t0 = time.perf_counter()
+        c = np.asarray(p.dct(x, cfg))
+        print(f"DCT ({w},{h}): {(time.perf_counter() - t0) * 1e3:.3f} ms")
         _print_corner("DCT+quant", c)
-    rec_u8 = np.asarray(crop(rec, h, w))
-    if args.corners:
-        _print_corner("IDCT", rec_u8)
+        t0 = time.perf_counter()
+        rec_f = np.asarray(p.idct(jnp.asarray(c), cfg))
+        print(f"IDCT ({w},{h}): {(time.perf_counter() - t0) * 1e3:.3f} ms")
+        _print_corner("IDCT", crop(rec_f, h, w))
+        rec_u8 = np.asarray(crop(to_uint8(jnp.asarray(rec_f)), h, w))
+        _print_corner("u8", rec_u8)
+    else:
+        # One fused kernel pass; the u8-native kernels (int8 coefficients,
+        # 4x less HBM traffic) engage whenever the geometry and cfg allow.
+        from tpudct.kernels import hp_pallas
+
+        if hasattr(p, "roundtrip_u8") and hp_pallas.supports_u8(
+            *pad_to_blocks(jnp.asarray(img))[0].shape,
+            cfg.q_scale, cfg.transform, cfg.q_table,
+        ):
+            xu8, _ = pad_to_blocks(jnp.asarray(img, jnp.uint8))
+            c, rec = p.roundtrip_u8(xu8, cfg)
+        else:
+            x, _ = pad_to_blocks(jnp.asarray(img, jnp.float32))
+            c, rec = p.roundtrip(x, cfg)
+        rec_u8 = np.asarray(crop(rec, h, w))
     imageio.save_jpeg(args.output, rec_u8, quality=args.quality)
     if args.coeffs:
         n = serialize.save_coefficients(
@@ -454,7 +472,8 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("output")
     sp.add_argument("--quality", type=int, default=100, help="output JPEG quality (ref: 100)")
     sp.add_argument("--coeffs", default=None, help="also write the .tdc coefficient file")
-    sp.add_argument("--corners", action="store_true", help="print stage corners like the reference drivers")
+    sp.add_argument("--corners", action="store_true",
+                    help="reference-driver verbosity: 4 stage corners + per-phase ms (staged, not fused)")
     _add_color_flags(sp)
     sp.set_defaults(fn=cmd_run)
 

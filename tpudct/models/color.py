@@ -252,12 +252,22 @@ def decode_color_auto(p: Pipeline, planes: dict, meta: dict, cfg: CodecConfig):
     gate, the ACTUAL plane values are checked against int8 — the f32 path
     accepts out-of-[0,255] pixels whose coefficients can exceed the
     theoretical u8-pixel bound, and casting those would wrap."""
+    def _fits_i8(v) -> bool:
+        # int8/narrow-int streams are in-range by construction — checking
+        # the dtype avoids a full device->host transfer per plane for
+        # in-memory serving callers holding device arrays.  Only float
+        # planes (the f32 encode path) need the value scan.
+        dt = np.dtype(getattr(v, "dtype", np.float32))
+        if dt in (np.dtype(np.int8), np.dtype(np.uint8)):
+            return True
+        return bool(np.abs(np.asarray(v)).max(initial=0) <= 127)
+
     h, w = meta["orig_shape"]
     if (
         meta["subsample"]
         and supports_color_u8(p, cfg, h, w)
-        and tuple(np.asarray(planes["y"]).shape) == (h, w)
-        and all(np.abs(np.asarray(v)).max(initial=0) <= 127 for v in planes.values())
+        and tuple(planes["y"].shape) == (h, w)
+        and all(_fits_i8(v) for v in planes.values())
     ):
         return decode_color_u8(p, planes, meta, cfg)
     return decode_color(p, planes, meta, cfg)

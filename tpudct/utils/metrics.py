@@ -90,7 +90,14 @@ def compression_factor(image_u8: np.ndarray, coeffs: np.ndarray, level: int = 6)
 
     img = np.ascontiguousarray(image_u8, dtype=np.uint8)
     c = np.ascontiguousarray(np.asarray(coeffs), dtype=np.int16)
-    return _zlib_size(img.tobytes(), level) / _zlib_size(_spectral_pack(c), level)
+    if c.ndim == 2 and c.shape[0] % 8 == 0 and c.shape[1] % 8 == 0:
+        payload = _spectral_pack(c)
+    else:
+        # Non-block-aligned maps can't ride the spectral reorder (it
+        # reshapes into 8x8 blocks); fall back to the raw-stream size so
+        # quality_report stays usable on arbitrary shapes.
+        payload = c.tobytes()
+    return _zlib_size(img.tobytes(), level) / _zlib_size(payload, level)
 
 
 def jpeg_compression_factor(image_u8: np.ndarray, recon_u8: np.ndarray, quality: int = 100) -> float:

@@ -157,7 +157,20 @@ def coefficients_to_bytes(
     orig_shape=None, transform: str = "haweel", q_table: str = "luma",
     codec: str = "spectral",
 ) -> bytes:
-    c = np.ascontiguousarray(np.asarray(coeffs), dtype=np.int16)
+    cf = np.asarray(coeffs)
+    if cf.ndim != 2:
+        raise ValueError(f"expected a 2-D coefficient map, got shape {cf.shape}")
+    # The container narrows to int16.  Quantized coefficients fit for every
+    # sane config (|c| <= ~97/q_scale for the shipped transforms), but an
+    # extreme q_scale (e.g. 0.001) CAN overflow — narrowing silently would
+    # round-trip 40000.0 as -25536.0.  Refuse instead of corrupting.
+    amax = float(np.abs(cf).max(initial=0.0))
+    if amax > 32767.0:
+        raise ValueError(
+            f"coefficient magnitude {amax:.1f} exceeds the .tdc int16 range "
+            "(32767); raise q_scale or store the float map yourself"
+        )
+    c = np.ascontiguousarray(cf, dtype=np.int16)
     h, w = c.shape
     if h % _BS or w % _BS:
         raise ValueError(f"coefficient map {h}x{w} is not block-aligned")
