@@ -1,0 +1,147 @@
+"""Multi-host execution test: 2 real processes x 4 virtual CPU devices.
+
+SURVEY.md §7 M6 demands host-count-agnostic operation; this spawns an
+actual 2-process `jax.distributed.initialize` cluster (gloo collectives
+over localhost DCN) and drives the branches that are dead code on a
+single process:
+
+  * `shard_image` / `shard_rgb` non-addressable path
+    (make_array_from_process_local_data from per-process row slabs)
+  * cross-process psum inside `sharded_codec_step` / `sharded_color_step`
+  * `gather`'s `process_allgather` path
+
+and asserts the assembled results are IDENTICAL to a single-process run
+of the same image — the codec cannot tell how many hosts it runs on.
+The reference has no analog (single process, single GPU; SURVEY.md §2
+row 20).
+"""
+
+import json
+import os
+import pathlib
+import socket
+import subprocess
+import sys
+
+import numpy as np
+
+_REPO = pathlib.Path(__file__).resolve().parent.parent
+
+_WORKER = r"""
+import json, sys
+import jax
+
+# Must pin CPU before any backend init (the env's sitecustomize
+# force-registers the TPU plugin; two processes grabbing one chip would
+# also deadlock).
+jax.config.update("jax_platforms", "cpu")
+pid, nproc, port, out = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3], sys.argv[4]
+jax.distributed.initialize(
+    coordinator_address=f"localhost:{port}", num_processes=nproc, process_id=pid
+)
+import numpy as np
+
+sys.path.insert(0, sys.argv[5])
+from tpudct import CodecConfig, get_pipeline
+from tpudct.parallel.mesh import band_mesh
+from tpudct.parallel.sharding import (
+    gather, shard_image, shard_rgb, sharded_codec_step, sharded_color_step,
+)
+
+assert len(jax.devices()) == 4 * nproc and len(jax.local_devices()) == 4
+mesh = band_mesh()
+p = get_pipeline("batched")
+cfg = CodecConfig()
+
+# ---- grayscale: each process passes only ITS row slab -----------------------
+img = np.random.default_rng(42).integers(0, 256, (64, 64)).astype(np.float32)
+slab = img[pid * (64 // nproc) : (pid + 1) * (64 // nproc)]
+x = shard_image(slab, mesh)
+assert not x.is_fully_addressable and x.shape == (64, 64)
+(c, r), m = sharded_codec_step(p, cfg, mesh)(x)
+rec = gather(r)
+coeffs = gather(c)
+
+# ---- color: (3, H, W) planar slabs, 16-row bands for 4:2:0 ------------------
+rgb = np.random.default_rng(7).integers(0, 256, (3, 128, 64)).astype(np.uint8)
+cslab = rgb[:, pid * (128 // nproc) : (pid + 1) * (128 // nproc)]
+xc = shard_rgb(cslab, mesh)
+assert not xc.is_fully_addressable and xc.shape == (3, 128, 64)
+rgb_rec, mc = sharded_color_step(p, cfg, mesh)(xc)
+rgb_full = gather(rgb_rec)
+
+if pid == 0:
+    json.dump(
+        {
+            "mse": float(m["mse"]),
+            "rec_sha": __import__("hashlib").sha256(
+                np.ascontiguousarray(rec).tobytes()
+            ).hexdigest(),
+            "coeff_sum": float(np.asarray(coeffs, np.float64).sum()),
+            "color_mse": float(mc["mse"]),
+            "rgb_sha": __import__("hashlib").sha256(
+                np.ascontiguousarray(rgb_full).tobytes()
+            ).hexdigest(),
+        },
+        open(out, "w"),
+    )
+"""
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def test_two_process_cluster_matches_single_process(tmp_path):
+    port = _free_port()
+    script = tmp_path / "worker.py"
+    script.write_text(_WORKER)
+    out = tmp_path / "result.json"
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    # A fresh interpreter must not inherit this process's pytest/JAX state.
+    env.pop("PYTEST_CURRENT_TEST", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), str(i), "2", str(port), str(out), str(_REPO)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for i in range(2)
+    ]
+    logs = []
+    for pr in procs:
+        stdout, _ = pr.communicate(timeout=300)
+        logs.append(stdout)
+    assert all(pr.returncode == 0 for pr in procs), "\n".join(logs)
+    got = json.loads(out.read_text())
+
+    # Single-process truth on the SAME images (this process: 8-device mesh).
+    import hashlib
+
+    import jax.numpy as jnp
+
+    from tpudct import CodecConfig, get_pipeline
+    from tpudct.parallel.mesh import band_mesh
+    from tpudct.parallel.sharding import (
+        gather, shard_image, shard_rgb, sharded_codec_step, sharded_color_step,
+    )
+
+    mesh = band_mesh()
+    p = get_pipeline("batched")
+    cfg = CodecConfig()
+    img = np.random.default_rng(42).integers(0, 256, (64, 64)).astype(np.float32)
+    (c, r), m = sharded_codec_step(p, cfg, mesh)(shard_image(jnp.asarray(img), mesh))
+    assert got["rec_sha"] == hashlib.sha256(
+        np.ascontiguousarray(gather(r)).tobytes()
+    ).hexdigest()
+    assert got["coeff_sum"] == float(np.asarray(gather(c), np.float64).sum())
+    np.testing.assert_allclose(got["mse"], float(m["mse"]), rtol=1e-6)
+
+    rgb = np.random.default_rng(7).integers(0, 256, (3, 128, 64)).astype(np.uint8)
+    rgb_rec, mc = sharded_color_step(p, cfg, mesh)(shard_rgb(jnp.asarray(rgb), mesh))
+    assert got["rgb_sha"] == hashlib.sha256(
+        np.ascontiguousarray(gather(rgb_rec)).tobytes()
+    ).hexdigest()
+    np.testing.assert_allclose(got["color_mse"], float(mc["mse"]), rtol=1e-6)
