@@ -21,6 +21,74 @@ import json
 import sys
 
 
+def correctness_gate(p, cfg, size: int = 512) -> dict:
+    """On-chip correctness gate, run BEFORE any timing: one 512^2 image
+    through the COMPILED (non-interpret) kernels on the real backend,
+    asserted against the float64 golden model.
+
+    This is the automated version of the reference's manual stage-corner
+    eyeball (main_cublass.cu:121-128): a wrong-but-fast compiled kernel
+    must fail the benchmark loudly, never get timed.  Tolerances are the
+    documented equivalence class (tests/test_pipelines.py): coefficients
+    match the golden except exact .5-quantizer ties (+-1 on <=0.5% of
+    entries); reconstruction differs only where a tie flipped (bounded by
+    ~Q/2 through one block's inverse).
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tests.golden import golden_roundtrip
+    from tpudct.benchmark import synthetic_image
+    from tpudct.kernels import hp_pallas
+
+    img = synthetic_image(size)
+    gc, gr = golden_roundtrip(img)
+    u8_path = jax.default_backend() == "tpu" and hp_pallas.supports_u8(
+        size, size, cfg.q_scale, cfg.transform, cfg.q_table
+    )
+    if u8_path:
+        c, r = p.roundtrip_u8(jnp.asarray(img.astype("uint8")), cfg)
+    else:
+        c, r = p.roundtrip(jnp.asarray(img), cfg)
+    c = np.asarray(c).astype(np.float64)
+    r = np.asarray(r)
+    cdiff = np.abs(c - gc)
+    ties = int((cdiff > 0).sum())
+    assert cdiff.max() <= 1.0, (
+        f"coefficient error {cdiff.max()} exceeds the +-1 tie class"
+    )
+    assert ties <= max(4, int(c.size * 0.005)), (
+        f"{ties} coefficient mismatches (> 0.5% of {c.size}): not ties"
+    )
+    rdiff = np.abs(r.astype(np.int64) - gr.astype(np.int64))
+    assert r.dtype == np.uint8, f"reconstruction dtype {r.dtype}"
+    # Per-block tie-flip bound: a flipped coefficient (u,v) moves any pixel
+    # of its block by at most max|T_u| * max|T_l| * Q[u,v] <= 0.5 * Q[u,v];
+    # multiple ties in one block stack additively, truncation adds 1.
+    from tpudct.constants import get_q_table
+
+    q8 = get_q_table(cfg.q_table) * cfg.q_scale
+    nb = size // 8
+    cd_blocks = cdiff.reshape(nb, 8, nb, 8)
+    bound = 0.5 * np.einsum("aibj,ij->ab", cd_blocks, q8) + 1.0
+    rd_blocks = rdiff.reshape(nb, 8, nb, 8).max(axis=(1, 3))
+    worst = (rd_blocks - bound).max()
+    assert worst <= 0, (
+        f"reconstruction error exceeds the per-block tie-flip bound by {worst}"
+    )
+    mse = float(((r.astype(np.float64) - img) ** 2).mean())
+    gmse = float(((gr.astype(np.float64) - img) ** 2).mean())
+    assert abs(mse - gmse) <= 0.02 * gmse + 1e-9, (
+        f"MSE {mse} vs golden {gmse}: quality drifted >2%"
+    )
+    return {
+        "gate": "pass", "size": size, "path": "u8" if u8_path else "f32",
+        "coeff_ties": ties, "recon_max_diff": int(rdiff.max()),
+        "mse": mse, "golden_mse": gmse,
+    }
+
+
 def main() -> int:
     size = 8192
     baseline_pair_ms = 2 * 14.70  # T4 HpApprDCT DCT + IDCT phases, README.md:55
@@ -39,6 +107,17 @@ def main() -> int:
     # 12-pass f32 emulation).  See tpudct/kernels/hp_pallas.py.
     cfg = CodecConfig()
     p = get_pipeline("hp")
+
+    # Correctness first: never time garbage.  Exits nonzero on a wrong
+    # compiled kernel; the gate report goes to stderr so stdout stays the
+    # contract's single JSON line.
+    try:
+        gate = correctness_gate(p, cfg)
+    except AssertionError as e:
+        print(json.dumps({"error": f"correctness gate failed: {e}"}))
+        return 1
+    print(json.dumps(gate), file=sys.stderr)
+
     img = synthetic_image(size)
 
     # Headline: the fully fused u8-native codec pass (uint8 image in HBM ->

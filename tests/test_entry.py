@@ -38,6 +38,35 @@ def test_benchmark_harness_small():
     assert row["size"] == 64 and row["pipeline"] == "batched"
 
 
+def test_bench_correctness_gate_passes_and_catches_wrong_kernels():
+    """bench.py's pre-timing gate: passes on the real pipelines, fails
+    loudly on a wrong-but-plausible kernel (the automated stage-corner
+    check, main_cublass.cu:121-128)."""
+    import pytest
+
+    from bench import correctness_gate
+    from tpudct import CodecConfig, get_pipeline
+
+    p = get_pipeline("hp")
+    rep = correctness_gate(p, CodecConfig(), size=128)
+    assert rep["gate"] == "pass" and rep["coeff_ties"] <= 128 * 128 * 0.005 + 4
+
+    class WrongPipeline:
+        """Coefficients off by one quant step everywhere — the kind of
+        subtle miscompile the tolerance class must NOT absorb."""
+
+        def roundtrip(self, image, cfg):
+            c, r = p.roundtrip(image, cfg)
+            return c + 1.0, r
+
+        def roundtrip_u8(self, image_u8, cfg):
+            c, r = p.roundtrip_u8(image_u8, cfg)
+            return c + 1, r
+
+    with pytest.raises(AssertionError):
+        correctness_gate(WrongPipeline(), CodecConfig(), size=128)
+
+
 def test_accuracy_table_shape(image256):
     from tpudct.benchmark import accuracy_table
 

@@ -124,6 +124,29 @@ def test_ring_all_gather_interpret(image256):
     np.testing.assert_array_equal(np.asarray(full), image256)
 
 
+def test_ring_decode_gather_overlap(image256):
+    """Decode-while-gathering ring (parallel/ring.py): the overlapped
+    in-kernel decode must be bitwise identical to hp_decode_u8 on the
+    gathered coefficient map, and the gathered map itself replicated."""
+    import jax
+
+    from tpudct.kernels.hp_pallas import hp_encode_u8, hp_decode_u8
+    from tpudct.parallel import band_mesh, shard_image
+    from tpudct.parallel.ring import ring_decode_gather
+
+    coeffs = hp_encode_u8(
+        jnp.asarray(image256, jnp.uint8), interpret=True
+    )
+    mesh = band_mesh()
+    cs = jax.device_put(
+        coeffs, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("band", None))
+    )
+    crep, rec = ring_decode_gather(cs, mesh, interpret=True)
+    np.testing.assert_array_equal(np.asarray(crep), np.asarray(coeffs))
+    ref = hp_decode_u8(coeffs, interpret=True)
+    np.testing.assert_array_equal(np.asarray(rec), np.asarray(ref))
+
+
 def test_grid_mesh_2d(image256):
     """2-D (band, col) mesh: zero halo in both axes, psum over both."""
     from tpudct.parallel import grid_mesh, shard_image_grid, sharded_codec_step_grid
@@ -200,3 +223,47 @@ def test_shard_rgb_rejects_misaligned():
         shard_rgb(jnp.zeros((3, 8 * n, 128), jnp.uint8), mesh)  # 8-row bands
     with pytest.raises(ValueError):
         shard_rgb(jnp.zeros((3, 16 * n, 120), jnp.uint8), mesh)  # width % 16
+
+
+def test_sharded_color_step_grid_matches_band_mesh():
+    """Color over the 2-D (band, col) mesh == the band-mesh result: 16-row
+    AND 16-col tile alignment keeps 4:2:0 pooling and chroma blocks
+    tile-local in both dimensions."""
+    from tpudct.parallel import (
+        band_mesh, grid_mesh, shard_rgb, shard_rgb_grid,
+        sharded_color_step, sharded_color_step_grid,
+    )
+
+    gmesh = grid_mesh()  # 8 devices -> (4, 2)
+    nb, nc = gmesh.shape["band"], gmesh.shape["col"]
+    # h satisfies BOTH meshes: 16-row bands on the 8-device band mesh and
+    # 16-row multiples per grid band.  w keeps every tile's CHROMA width a
+    # 128-multiple (w / nc / 2) on both meshes, so all planes ride the same
+    # Pallas dispatch path — byte-identity is only guaranteed within one
+    # compute strategy (coefficient .5-ties differ across strategies).
+    h, w = 16 * 8, 256 * nc
+    rng = np.random.default_rng(23)
+    rgb = rng.integers(0, 256, (3, h, w), dtype=np.uint8)
+    cfg = CodecConfig(interpret=True)
+    p = get_pipeline("hp")
+
+    rec_g, m_g = sharded_color_step_grid(p, cfg, gmesh)(
+        shard_rgb_grid(jnp.asarray(rgb), gmesh)
+    )
+    rec_b, m_b = sharded_color_step(p, cfg, band_mesh())(
+        shard_rgb(jnp.asarray(rgb), band_mesh())
+    )
+    np.testing.assert_array_equal(gather(rec_g), gather(rec_b))
+    np.testing.assert_allclose(float(m_g["mse"]), float(m_b["mse"]), rtol=1e-6)
+
+
+def test_shard_rgb_grid_rejects_misaligned():
+    from tpudct.parallel import grid_mesh, shard_rgb_grid
+
+    mesh = grid_mesh((2, 4))
+    with pytest.raises(ValueError):
+        # 2 bands of 8 rows: not 16-row multiples
+        shard_rgb_grid(jnp.zeros((3, 16, 128), jnp.uint8), mesh)
+    with pytest.raises(ValueError):
+        # 4 col tiles of 8: not 16-col multiples
+        shard_rgb_grid(jnp.zeros((3, 32, 32), jnp.uint8), mesh)

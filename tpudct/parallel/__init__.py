@@ -15,7 +15,9 @@ from tpudct.parallel.sharding import (
     shard_image,
     shard_image_grid,
     shard_rgb,
+    shard_rgb_grid,
     sharded_color_step,
+    sharded_color_step_grid,
     sharded_roundtrip,
     sharded_codec_step,
     sharded_codec_step_grid,
@@ -32,7 +34,9 @@ __all__ = [
     "shard_image",
     "shard_image_grid",
     "shard_rgb",
+    "shard_rgb_grid",
     "sharded_color_step",
+    "sharded_color_step_grid",
     "sharded_roundtrip",
     "sharded_codec_step",
     "sharded_codec_step_grid",

@@ -26,6 +26,26 @@ from jax.experimental.pallas import tpu as pltpu
 from tpudct.parallel.mesh import BAND_AXIS, band_spec
 
 
+def _neighbor_barrier(my_id, num_devices: int):
+    """Barrier with both ring neighbors before the first RDMA: without it a
+    fast device could push into a neighbor that hasn't entered the kernel
+    yet (the race the collective_id/barrier pairing prevents).  Callers skip
+    it in interpret mode: get_barrier_semaphore has no interpret lowering
+    (and interpret execution is synchronous anyway).  At num_devices == 1
+    both neighbors are self — the lowering still compiles and executes,
+    which is exactly what the single-chip hardware smoke test exercises."""
+    barrier = pltpu.get_barrier_semaphore()
+    left = lax.rem(my_id - 1 + num_devices, num_devices)
+    right = lax.rem(my_id + 1, num_devices)
+    pltpu.semaphore_signal(
+        barrier, inc=1, device_id=left, device_id_type=pltpu.DeviceIdType.LOGICAL
+    )
+    pltpu.semaphore_signal(
+        barrier, inc=1, device_id=right, device_id_type=pltpu.DeviceIdType.LOGICAL
+    )
+    pltpu.semaphore_wait(barrier, 2)
+
+
 def _ring_all_gather_kernel(
     band_ref, out_ref, local_sem, send_sem, recv_sem,
     *, num_devices: int, band_rows: int, use_barrier: bool
@@ -42,22 +62,8 @@ def _ring_all_gather_kernel(
     local.start()
     local.wait()
 
-    if num_devices > 1 and use_barrier:
-        # Barrier with both neighbors before the first RDMA: without it a
-        # fast device could push into a neighbor that hasn't entered the
-        # kernel yet (the race the collective_id/barrier pairing prevents).
-        # Skipped in interpret mode: get_barrier_semaphore has no interpret
-        # lowering (and interpret execution is synchronous anyway).
-        barrier = pltpu.get_barrier_semaphore()
-        left = lax.rem(my_id - 1 + num_devices, num_devices)
-        right_n = lax.rem(my_id + 1, num_devices)
-        pltpu.semaphore_signal(
-            barrier, inc=1, device_id=left, device_id_type=pltpu.DeviceIdType.LOGICAL
-        )
-        pltpu.semaphore_signal(
-            barrier, inc=1, device_id=right_n, device_id_type=pltpu.DeviceIdType.LOGICAL
-        )
-        pltpu.semaphore_wait(barrier, 2)
+    if use_barrier:
+        _neighbor_barrier(my_id, num_devices)
 
     def step(i, _):
         # At step i we forward the band that originated i hops to our left;
@@ -120,3 +126,153 @@ def ring_all_gather(x_sharded, mesh, interpret: bool = False):
     gathered hop-by-hop over the ring (num_devices-1 RDMA steps)."""
     h, w = x_sharded.shape
     return _ring_fn(mesh, h, w, x_sharded.dtype, interpret)(x_sharded)
+
+
+# ---- compute/communication overlap: decode-while-gathering -------------------
+
+
+def _ring_decode_kernel(
+    coeff_ref, qdd_ref, ts_ref, wts_ref, crep_ref, out_ref,
+    band_vmem, res_vmem, local_sem, send_sem, recv_sem, out_sem,
+    *, num_devices: int, band_rows: int, use_barrier: bool
+):
+    """Ring all-gather of int8 coefficient bands with the DECODE of each
+    already-held band overlapping the in-flight RDMA hop.
+
+    Schedule per device (the overlap promised at the top of this module):
+      hop i: START forwarding band (my_id - i) to the right neighbor,
+             THEN decode that same band (dequant + inverse + u8, pure
+             MXU/VPU work on data already local) while the DMA flies,
+             THEN wait the hop.  After n-1 hops one band remains undecoded
+             (the one received last) — decode it tail-end.
+    Communication cost is identical to :func:`ring_all_gather` on the same
+    payload; the decode rides for free underneath it."""
+    import jax.numpy as jnp
+
+    from tpudct.kernels.hp_pallas import _inv_tile_bf, _to_u8
+
+    my_id = lax.axis_index(BAND_AXIS)
+
+    def slot(d):
+        return pl.ds(d * band_rows, band_rows)
+
+    # Place our own coefficient band into the replicated coefficient output.
+    local = pltpu.make_async_copy(coeff_ref, crep_ref.at[slot(my_id), :], local_sem)
+    local.start()
+    local.wait()
+
+    if use_barrier:
+        _neighbor_barrier(my_id, num_devices)
+
+    def decode_band(src):
+        """crep[src band] (HBM, i8) -> out[src band] (HBM, u8)."""
+        fetch = pltpu.make_async_copy(crep_ref.at[slot(src), :], band_vmem, local_sem)
+        fetch.start()
+        fetch.wait()
+        # i8 -> f32 via i32 (Mosaic has no direct narrow-int<->float cast).
+        c = band_vmem[:].astype(jnp.int32).astype(jnp.float32)
+        res_vmem[:] = _to_u8(_inv_tile_bf(c, qdd_ref[:], ts_ref[:], wts_ref[:]))
+        put = pltpu.make_async_copy(res_vmem, out_ref.at[slot(src), :], out_sem)
+        put.start()
+        put.wait()
+
+    def step(i, _):
+        src = lax.rem(my_id - i + num_devices, num_devices)
+        right = lax.rem(my_id + 1, num_devices)
+        copy = pltpu.make_async_remote_copy(
+            src_ref=crep_ref.at[slot(src), :],
+            dst_ref=crep_ref.at[slot(src), :],
+            send_sem=send_sem,
+            recv_sem=recv_sem,
+            device_id=right,
+            device_id_type=pltpu.DeviceIdType.LOGICAL,
+        )
+        copy.start()
+        decode_band(src)  # compute overlaps the in-flight RDMA
+        copy.wait()
+        return 0
+
+    lax.fori_loop(0, num_devices - 1, step, 0)
+    # The band received on the final hop is the only one not yet decoded.
+    decode_band(lax.rem(my_id + 1, num_devices))
+
+
+@functools.lru_cache(maxsize=16)
+def _ring_decode_builder(
+    mesh, h: int, w: int, q_scale: float, transform: str, q_table: str,
+    interpret: bool,
+):
+    import jax.numpy as jnp
+
+    from tpudct.kernels.hp_pallas import _consts_bf
+
+    n = mesh.shape[BAND_AXIS]
+    band_rows = h // n
+    if band_rows * n != h or band_rows % 8 or w % 128:
+        raise ValueError(
+            f"ring decode needs h split into {n} 8-row-multiple bands and "
+            f"w % 128 == 0, got {h}x{w}"
+        )
+    qdd, ts, wts = _consts_bf(band_rows, q_scale, transform, q_table)
+    kernel = functools.partial(
+        _ring_decode_kernel, num_devices=n, band_rows=band_rows,
+        use_barrier=not interpret,
+    )
+    call = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((h, w), jnp.int8),   # replicated coefficients
+            jax.ShapeDtypeStruct((h, w), jnp.uint8),  # replicated reconstruction
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((band_rows, w), jnp.int8),
+            pltpu.VMEM((band_rows, w), jnp.uint8),
+            pltpu.SemaphoreType.DMA,  # local placement / fetches
+            pltpu.SemaphoreType.DMA,  # ring send
+            pltpu.SemaphoreType.DMA,  # ring recv
+            pltpu.SemaphoreType.DMA,  # result put
+        ],
+        compiler_params=pltpu.CompilerParams(collective_id=8),
+        interpret=interpret,
+    )
+
+    def wrapped(x):
+        return call(x, jnp.asarray(qdd), jnp.asarray(ts), jnp.asarray(wts))
+
+    fn = jax.shard_map(
+        wrapped,
+        mesh=mesh,
+        in_specs=band_spec(),
+        out_specs=(
+            jax.sharding.PartitionSpec(),
+            jax.sharding.PartitionSpec(),
+        ),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+def ring_decode_gather(coeffs_sharded, mesh, q_scale: float = 1.0,
+                       transform: str = "haweel", q_table: str = "luma",
+                       interpret: bool = False):
+    """Band-sharded (H, W) int8 coefficients -> (replicated int8
+    coefficients, replicated uint8 reconstruction), with each device's
+    decode work hidden under the ring hops.
+
+    The butterfly decode tier (kernels/hp_pallas._inv_tile_bf) runs
+    in-kernel, so results are bitwise identical to hp_decode_u8 on the
+    gathered map."""
+    h, w = coeffs_sharded.shape
+    return _ring_decode_builder(
+        mesh, h, w, float(q_scale), transform, q_table, interpret
+    )(coeffs_sharded)

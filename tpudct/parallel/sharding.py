@@ -252,3 +252,78 @@ def sharded_color_step(pipeline: Pipeline, cfg: CodecConfig, mesh: Mesh):
         out_specs=(rgb_band_spec(), P()), check_vma=False,
     )
     return jax.jit(fn)
+
+
+def rgb_grid_spec() -> P:
+    """(3, H, W) planar RGB on a 2-D mesh: rows over 'band', cols over
+    'col', channels replicated."""
+    return P(None, BAND_AXIS, COL_AXIS)
+
+
+def shard_rgb_grid(x, mesh: Mesh):
+    """Place a (3, H, W) planar u8 RGB image as a 2-D tile grid.
+
+    4:2:0 pooling is 2x2-local, so tiles need 16-row AND 16-col alignment
+    (each tile's chroma must land on whole 8x8 blocks; cf. shard_rgb's
+    16-row constraint, now in both dimensions)."""
+    nb, nc = mesh.shape[BAND_AXIS], mesh.shape[COL_AXIS]
+    _c, h, w = x.shape
+
+    def check(h, w):
+        if h % nb or (h // nb) % 16:
+            raise ValueError(
+                f"height {h} must split into {nb} bands of 16-row multiples"
+            )
+        if w % nc or (w // nc) % 16:
+            raise ValueError(
+                f"width {w} must split into {nc} tiles of 16-col multiples"
+            )
+
+    sh = NamedSharding(mesh, rgb_grid_spec())
+    if sh.is_fully_addressable:
+        check(h, w)
+        return jax.device_put(x, sh)
+    import numpy as _np
+
+    g = jax.make_array_from_process_local_data(sh, _np.asarray(x))
+    check(g.shape[1], g.shape[2])
+    return g
+
+
+def sharded_color_step_grid(pipeline: Pipeline, cfg: CodecConfig, mesh: Mesh):
+    """2-D-mesh variant of :func:`sharded_color_step`: per-tile YCbCr split
+    + 4:2:0 + luma/chroma codec, RGB quality metrics psum'd over BOTH axes.
+    Zero halo in both dimensions (blocks AND 2x2 chroma pools are local to
+    16-aligned tiles)."""
+    import dataclasses
+
+    from tpudct.utils import color as _color
+
+    lcfg = dataclasses.replace(cfg, q_table="luma")
+    ccfg = dataclasses.replace(cfg, q_table="chroma")
+    axes = (BAND_AXIS, COL_AXIS)
+
+    def tile_fn(x):  # (3, hb, wb) u8
+        y, cb, cr = _color.ycbcr_split_420_u8(x)
+        _cy, ry = pipeline.roundtrip(jnp.asarray(y, jnp.float32), lcfg)
+        _cc, rc = pipeline.roundtrip(
+            jnp.concatenate([cb, cr], axis=0).astype(jnp.float32), ccfg
+        )
+        ph = cb.shape[0]
+        hb, wb = y.shape
+        rgb = _color.ycbcr_merge_420_u8(ry, rc[:ph], rc[ph:], hb, wb)
+        xf = jnp.asarray(x, jnp.float32)
+        d = xf - jnp.asarray(rgb, jnp.float32)
+        err = jax.lax.psum(jnp.sum(d * d), axes)
+        count = jax.lax.psum(jnp.asarray(x.size, jnp.float32), axes)
+        metrics = {
+            "mse": err / count,
+            "psnr_db": 10.0 * jnp.log10(255.0**2 * count / jnp.maximum(err, 1e-30)),
+        }
+        return rgb, metrics
+
+    fn = jax.shard_map(
+        tile_fn, mesh=mesh, in_specs=rgb_grid_spec(),
+        out_specs=(rgb_grid_spec(), P()), check_vma=False,
+    )
+    return jax.jit(fn)
