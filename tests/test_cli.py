@@ -102,6 +102,24 @@ def test_table(jpg, capsys):
     assert rows[0]["peen_pct"] >= rows[-1]["peen_pct"]
 
 
+def test_table_photo_ballpark_parity(capsys):
+    """Photographic-statistics content at standard Q must land in the
+    reference's published MSE range (Circuit image: 17.67 at std,
+    up to 79.99 at k=6 — /root/reference README.md:68).  The harsh
+    circuit-board stand-in (MSE ~345) shows content parity; this row shows
+    NUMERIC ballpark parity on photograph statistics."""
+    rc = main(["table", "--pipeline", "hp", "--image", "photo"])
+    assert rc == 0
+    rows = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    std = next(r for r in rows if r["k"] == "std")
+    k6 = next(r for r in rows if r["k"] == 6)
+    assert 10.0 <= std["mse"] <= 80.0, std
+    assert k6["mse"] >= std["mse"]
+    assert k6["mse"] <= 120.0, k6
+    mses = [r["mse"] for r in rows]
+    assert mses == sorted(mses, reverse=True)  # monotone in k
+
+
 def test_info(capsys):
     assert main(["info"]) == 0
     rep = json.loads(capsys.readouterr().out.strip())

@@ -278,11 +278,14 @@ def cmd_sweep(args) -> int:
 
 
 def cmd_table(args) -> int:
-    from tpudct.benchmark import accuracy_table, accuracy_table_color, structured_image
+    from tpudct.benchmark import (
+        accuracy_table, accuracy_table_color, photographic_image, structured_image,
+    )
 
+    gen = photographic_image if args.image == "photo" else structured_image
     if args.color:
         if args.input is None:
-            g = structured_image()
+            g = gen()
             img = np.stack([g, np.roll(g, 2, 0), np.roll(g, 4, 1)], -1)
         else:
             img = _load_rgb(args.input)
@@ -292,9 +295,12 @@ def cmd_table(args) -> int:
         )
     else:
         if args.input is None:
-            # Reproducible stand-in for the reference's 'Circuit' test image
-            # (README.md:62-69), which is not shipped in its repo.
-            img = structured_image()
+            # Reproducible stand-ins for the reference's 'Circuit' test
+            # image (README.md:62-69), which is not shipped in its repo:
+            # 'circuit' matches the CONTENT (harsh edge statistics),
+            # 'photo' matches the photographic STATISTICS (standard-Q MSE
+            # in the published ~18-80 range).
+            img = gen()
         else:
             from tpudct.utils import imageio
 
@@ -512,7 +518,9 @@ def build_parser() -> argparse.ArgumentParser:
     sp = sub.add_parser("table", help="PEEN/MSE/compression k-sweep (README.md:62-69)")
     _add_codec_flags(sp)
     sp.add_argument("input", nargs="?", default=None,
-                    help="JPEG input; default: built-in circuit-board image")
+                    help="JPEG input; default: built-in generated image (see --image)")
+    sp.add_argument("--image", choices=("circuit", "photo"), default="circuit",
+                    help="built-in generator when no input is given: circuit-board content analog | photographic-statistics analog")
     _add_color_flags(sp)
     sp.set_defaults(fn=cmd_table)
 
