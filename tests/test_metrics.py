@@ -78,6 +78,66 @@ def test_serialize_rejects_int16_overflow():
     np.testing.assert_array_equal(back, c)
 
 
+def test_huffman_codec_roundtrip_and_auto(rng):
+    """JPEG-grade Huffman entropy stage (utils/entropy.py): bit-exact
+    through the container, native and pure-Python decoders agree, and
+    'auto' never stores a larger payload than spectral+zlib."""
+    import zlib
+
+    from tpudct.utils import entropy
+
+    c = rng.integers(-90, 90, (64, 64)).astype(np.float32)
+    c[rng.random((64, 64)) < 0.8] = 0.0  # sparse, like real coefficients
+
+    blob = serialize.coefficients_to_bytes(c, codec="huffman")
+    back, _, _ = serialize.bytes_to_coefficients(blob)
+    np.testing.assert_array_equal(back, c)
+
+    if entropy.native_entropy_available():
+        stream = entropy.huff_encode(c.astype(np.int16))
+        np.testing.assert_array_equal(
+            entropy._py_decode(stream, 64, 64),
+            entropy.huff_decode(stream, 64, 64),
+        )
+
+    auto = serialize.coefficients_to_bytes(c, codec="auto")
+    spec = serialize.coefficients_to_bytes(c, codec="spectral")
+    assert len(auto) <= len(spec)
+    back_a, _, _ = serialize.bytes_to_coefficients(auto)
+    np.testing.assert_array_equal(back_a, c)
+
+
+def test_huffman_codec_extreme_values():
+    # Full int16 range: AC size category 15, DC delta size up to 17.
+    c = np.zeros((16, 24), np.float32)
+    c[0, 0] = 32767.0
+    c[8, 8] = -32767.0
+    c[0, 9] = 255.0
+    c[7, 23] = -1.0
+    blob = serialize.coefficients_to_bytes(c, codec="huffman")
+    back, _, _ = serialize.bytes_to_coefficients(blob)
+    np.testing.assert_array_equal(back, c)
+
+    from tpudct.utils import entropy
+
+    stream = entropy.huff_encode(c.astype(np.int16))
+    np.testing.assert_array_equal(entropy._py_decode(stream, 16, 24), c)
+
+
+def test_huffman_truncated_raises():
+    c = np.arange(64, dtype=np.float32).reshape(8, 8)
+    blob = serialize.coefficients_to_bytes(c, codec="huffman")
+    with pytest.raises(ValueError):
+        serialize.bytes_to_coefficients(blob[:-3])
+    # A bitstream claiming more bits than the payload carries must raise
+    # from the decoder itself (native -4 / python EOF), not mis-decode.
+    from tpudct.utils import entropy
+
+    stream = bytearray(entropy.huff_encode(c.astype(np.int16)))
+    with pytest.raises(ValueError):
+        entropy.huff_decode(bytes(stream[:-2]), 8, 8)
+
+
 def test_extreme_q_scale_encode_serialize_decode():
     """Fuzz extreme q_scale x transform through encode -> bytes -> decode:
     every coefficient either serializes exactly or raises — no silent
@@ -208,7 +268,7 @@ def test_legacy_v3_stream_still_loads(rng):
 def test_unknown_codec_rejected(rng):
     c = rng.integers(-5, 5, (8, 8)).astype(np.float32)
     with pytest.raises(ValueError):
-        serialize.coefficients_to_bytes(c, codec="huffman")
+        serialize.coefficients_to_bytes(c, codec="arithmetic")
     blob = bytearray(serialize.coefficients_to_bytes(c))
     # corrupt the codec byte (offset: 4+4*4+4+4+8+8 = 44)
     blob[44] = 77

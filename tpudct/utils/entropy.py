@@ -1,0 +1,186 @@
+"""JPEG-grade Huffman entropy stage for coefficient maps (.tdc codec 2).
+
+Native path: csrc/entropy.c (optimal canonical Huffman + per-block
+zig-zag (run,size) coding, the ITU-T T.81 §F / §K.2 scheme libjpeg runs
+under -optimize), loaded through the same shared library as the JPEG
+codec.  Encoding requires the native library; decoding falls back to a
+pure-Python bit reader so .tdc files written with this codec stay
+readable on toolchain-less hosts (slow, but correct — asserted equal to
+the native decoder in tests).
+
+The reference has no entropy stage at all (its storage model is a
+libjpeg re-encode of the RECONSTRUCTION, utils.cu:98-147; the actual
+compressed payload never leaves device memory — SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+import ctypes
+from typing import Optional
+
+import numpy as np
+
+_ZZ = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], np.int64)
+
+
+def _lib() -> Optional[ctypes.CDLL]:
+    from tpudct.utils.imageio import _load_native
+
+    lib = _load_native()
+    if lib is None or not hasattr(lib, "tpudct_huff_encode"):
+        return None
+    if not getattr(lib, "_tpudct_huff_configured", False):
+        lib.tpudct_huff_encode.restype = ctypes.c_long
+        lib.tpudct_huff_encode.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_long,
+        ]
+        lib.tpudct_huff_decode.restype = ctypes.c_int
+        lib.tpudct_huff_decode.argtypes = [
+            ctypes.c_void_p, ctypes.c_long, ctypes.c_int, ctypes.c_int,
+            ctypes.c_void_p,
+        ]
+        lib._tpudct_huff_configured = True
+    return lib
+
+
+def native_entropy_available() -> bool:
+    return _lib() is not None
+
+
+def huff_encode(coeffs: np.ndarray) -> bytes:
+    """(H, W) int16 coefficient map -> Huffman stream.  Native-only."""
+    lib = _lib()
+    if lib is None:
+        raise RuntimeError("native entropy codec unavailable (csrc not built)")
+    c = np.ascontiguousarray(coeffs, np.int16)
+    h, w = c.shape
+    if h % 8 or w % 8:
+        raise ValueError(f"coefficient map {h}x{w} is not block-aligned")
+    # worst case: ~26 bits/AC symbol; 2 bytes/coeff + tables is generous
+    cap = int(c.size * 4 + 4096)
+    out = np.empty(cap, np.uint8)
+    n = lib.tpudct_huff_encode(
+        c.ctypes.data, h, w, out.ctypes.data, cap
+    )
+    if n < 0:
+        raise ValueError("huffman encode failed")
+    return out[:n].tobytes()
+
+
+def huff_decode(data: bytes, h: int, w: int) -> np.ndarray:
+    """Huffman stream -> (H, W) int16 coefficient map.
+
+    Uses the native decoder when available, else the Python fallback."""
+    lib = _lib()
+    if lib is not None:
+        buf = np.frombuffer(data, np.uint8)
+        out = np.empty((h, w), np.int16)
+        rc = lib.tpudct_huff_decode(
+            buf.ctypes.data, len(data), h, w, out.ctypes.data
+        )
+        if rc != 0:
+            raise ValueError(f"corrupt huffman coefficient stream ({rc})")
+        return out
+    return _py_decode(data, h, w)
+
+
+# ---- pure-Python fallback decoder -------------------------------------------
+
+
+class _Reader:
+    def __init__(self, data: bytes, nbits: int):
+        self.bits = np.unpackbits(np.frombuffer(data, np.uint8))[:nbits]
+        self.pos = 0
+
+    def bit(self) -> int:
+        if self.pos >= len(self.bits):
+            raise ValueError("corrupt huffman coefficient stream (EOF)")
+        b = int(self.bits[self.pos])
+        self.pos += 1
+        return b
+
+    def take(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+
+class _Table:
+    def __init__(self, bits, huffval):
+        self.mincode = [0] * 17
+        self.maxcode = [-1] * 17
+        self.valptr = [0] * 17
+        self.huffval = huffval
+        code = k = 0
+        for i in range(1, 17):
+            self.valptr[i] = k
+            self.mincode[i] = code
+            code += bits[i]
+            k += bits[i]
+            self.maxcode[i] = code - 1 if bits[i] else -1
+            code <<= 1
+
+    def sym(self, r: _Reader) -> int:
+        code = r.bit()
+        i = 1
+        while self.maxcode[i] < 0 or code > self.maxcode[i]:
+            i += 1
+            if i > 16:
+                raise ValueError("corrupt huffman coefficient stream (code)")
+            code = (code << 1) | r.bit()
+        return self.huffval[self.valptr[i] + code - self.mincode[i]]
+
+
+def _extend(v: int, s: int) -> int:
+    return v - (1 << s) + 1 if s and v < (1 << (s - 1)) else v
+
+
+def _py_decode(data: bytes, h: int, w: int) -> np.ndarray:
+    if h % 8 or w % 8:
+        raise ValueError(f"coefficient map {h}x{w} is not block-aligned")
+    if len(data) < 17 or data[0] != 1:
+        raise ValueError("corrupt huffman coefficient stream (header)")
+    dbits = [0] + list(data[1:17])
+    ndc = sum(dbits)
+    dval = list(data[17 : 17 + ndc])
+    abits = [0] + list(data[17 + ndc : 33 + ndc])
+    nac = sum(abits)
+    aval = list(data[33 + ndc : 33 + ndc + nac])
+    off = 33 + ndc + nac
+    if len(data) < off + 4:
+        raise ValueError("corrupt huffman coefficient stream (length)")
+    nbits = int.from_bytes(data[off : off + 4], "little")
+    r = _Reader(data[off + 4 :], nbits)
+    dct, act = _Table(dbits, dval), _Table(abits, aval)
+    out = np.zeros((h, w), np.int16)
+    prev = 0
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            s = dct.sym(r)
+            prev += _extend(r.take(s), s) if s else 0
+            out[by * 8, bx * 8] = prev
+            k = 1
+            while k < 64:
+                sym = act.sym(r)
+                if sym == 0x00:
+                    break
+                if sym == 0xF0:
+                    k += 16
+                    continue
+                k += sym >> 4
+                size = sym & 15
+                if k > 63:
+                    raise ValueError("corrupt huffman coefficient stream (run)")
+                zz = _ZZ[k]
+                out[by * 8 + (zz >> 3), bx * 8 + (zz & 7)] = _extend(
+                    r.take(size), size
+                )
+                k += 1
+    return out

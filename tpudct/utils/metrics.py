@@ -86,18 +86,18 @@ def compression_factor(image_u8: np.ndarray, coeffs: np.ndarray, level: int = 6)
     the denominator is the spectral-codec payload exactly as serialize's
     on-disk .tdc format stores it (DC delta + zig-zag AC planes, zlib), so
     the reported factor is what a user actually gets on disk."""
-    from tpudct.utils.serialize import _spectral_pack
+    from tpudct.utils.serialize import _encode_payload
 
     img = np.ascontiguousarray(image_u8, dtype=np.uint8)
     c = np.ascontiguousarray(np.asarray(coeffs), dtype=np.int16)
     if c.ndim == 2 and c.shape[0] % 8 == 0 and c.shape[1] % 8 == 0:
-        payload = _spectral_pack(c)
-    else:
-        # Non-block-aligned maps can't ride the spectral reorder (it
-        # reshapes into 8x8 blocks); fall back to the raw-stream size so
-        # quality_report stays usable on arbitrary shapes.
-        payload = c.tobytes()
-    return _zlib_size(img.tobytes(), level) / _zlib_size(payload, level)
+        # The "auto" on-disk choice (smaller of huffman / spectral+zlib) —
+        # the factor reported is what a user actually gets in a .tdc.
+        _code, payload = _encode_payload(c, "auto", level)
+        return _zlib_size(img.tobytes(), level) / len(payload)
+    # Non-block-aligned maps can't ride the block codecs; fall back to the
+    # raw-stream size so quality_report stays usable on arbitrary shapes.
+    return _zlib_size(img.tobytes(), level) / _zlib_size(c.tobytes(), level)
 
 
 def jpeg_compression_factor(image_u8: np.ndarray, recon_u8: np.ndarray, quality: int = 100) -> float:
