@@ -200,7 +200,11 @@ def _consts_int(br: int, q_scale: float, retain_k, transform: str = "haweel", q_
 
 
 def _round_away(z):
-    return jnp.sign(z) * jnp.floor(jnp.abs(z) + 0.5)
+    """round-half-away-from-zero (CUDA round(), utils_kernels.cu:42) as
+    trunc(z + copysign(0.5, z)) — identical results to
+    sign(z)*floor(|z|+0.5) for all f32 z (proven case-by-case incl. ±0),
+    two fewer VPU passes over the tile."""
+    return jnp.trunc(z + jnp.copysign(jnp.float32(0.5), z))
 
 
 def _dot_b16x3(a, b):
