@@ -53,7 +53,7 @@ def _k_enc_nosub(x_ref, a_ref, b_ref, s_ref, o_ref):
             jax.lax.dot(u1_8[:, sl], bt, preferred_element_type=jnp.int32) * 128
             + jax.lax.dot(u0_8[:, sl], bt, preferred_element_type=jnp.int32)
         )
-        cols.append(hp._round_away(core.astype(jnp.float32) * s_ref[:, sl]).astype(jnp.int8))
+        cols.append(hp._round_away(core.astype(jnp.float32) * s_ref[:]).astype(jnp.int8))
     o_ref[:] = jnp.concatenate(cols, axis=1)
 
 
@@ -62,9 +62,14 @@ def _k_enc_nolane(x_ref, a_ref, b_ref, s_ref, o_ref):
     narrowing (wrong math: isolates lane-chunk cost)."""
     x = (x_ref[:].astype(jnp.int32) - 128).astype(jnp.int8)
     u = jax.lax.dot(a_ref[:], x, preferred_element_type=jnp.int32)
-    o_ref[:] = hp._round_away(
-        u.astype(jnp.float32) * s_ref[:]
-    ).astype(jnp.int8)
+    tc = x.shape[1]
+    cols = []
+    for t in range(tc // LANE):
+        sl = slice(t * LANE, (t + 1) * LANE)
+        cols.append(
+            hp._round_away(u[:, sl].astype(jnp.float32) * s_ref[:]).astype(jnp.int8)
+        )
+    o_ref[:] = jnp.concatenate(cols, axis=1)
 
 
 def _k_enc_xor(x_ref, a_ref, b_ref, s_ref, o_ref):
@@ -90,10 +95,6 @@ def main():
     x = jnp.asarray(synthetic_image(size).astype(np.uint8))
 
     if which == "a":
-        ms = device_time_ms(
-            lambda v: hp.hp_encode_u8(v, band_rows=128).astype(jnp.uint8),
-            x, k_pair=KP, reps=2)
-        print(f"E1 encode br=128        : {ms:7.4f} ms", flush=True)
         f = _mk(_k_enc_nosub)
         ms = device_time_ms(lambda v: f(v).astype(jnp.uint8), x, k_pair=KP, reps=2)
         print(f"E2 no-sublane (lane only): {ms:7.4f} ms", flush=True)

@@ -1,11 +1,19 @@
 """Experimental u8-roundtrip kernel variants (round-2 perf push).
 
-Candidates measured against kernels/hp_pallas.hp_roundtrip_u8:
-  V1: interleaved — fwd + inv per 128-lane chunk (one loop) instead of
-      full-tile fwd then full-tile inv; gives Mosaic's scheduler
-      independent MXU (int8 fwd dots / bf16 inv dots) and VPU (round,
-      butterfly) work from the SAME loop body to overlap.
-  V2: as V1 with the sublane (first) fwd contraction also chunked.
+Findings so far (see RESULTS_v5e.md):
+  * decode_u8 (0.293 ms) sits at its 3-bf16-pass MXU floor;
+  * encode_u8 (0.480 ms) is bound by the digit-split lane path (measured
+    0.503 with the sublane dot REPLACED by elementwise — the i32<->i8
+    packing relayouts + 32 small dots ARE the cost);
+  * a butterfly-forward variant (lane-first int8 dot + sublane broadcast
+    FMA, 1/3 the MXU work) measured WORSE (0.645 encode): without heavy
+    MXU work in the same stream the butterfly's VPU cost is exposed.
+  * roundtrip (0.904) ≈ encode + decode + 0.13 — nearly serial.
+
+V-INT here interleaves forward and inverse PER 128-LANE CHUNK inside the
+roundtrip so the scheduler sees independent MXU (int8 fwd dots of chunk
+t+1, bf16 inv dots of chunk t) and VPU (round/butterfly) work in one
+window.
 
 Run from repo root:  python benchmarks/u8_variants.py [size]
 """
@@ -30,8 +38,9 @@ LANE = 128
 
 
 def _k_rt_u8_interleave(x_ref, a_ref, b_ref, s_ref, qdd_ref, w_ref, c_ref, r_ref):
-    """Per-chunk fused fwd+inv: round/butterfly (VPU) of chunk t can overlap
-    the int8/bf16 dots (MXU) of chunk t+1 in Mosaic's schedule."""
+    """hp._k_rt_u8_bf with the fwd lane chunk loop and the inv chunk loop
+    FUSED into one loop: chunk t's inverse (VPU butterfly + 3 bf16 dots)
+    sits next to chunk t+1's forward (2 int8 dots) in program order."""
     x = (x_ref[:].astype(jnp.int32) - 128).astype(jnp.int8)
     u = jax.lax.dot(a_ref[:], x, preferred_element_type=jnp.int32)
     u1 = jax.lax.shift_right_arithmetic(u + 64, 7)
@@ -46,7 +55,7 @@ def _k_rt_u8_interleave(x_ref, a_ref, b_ref, s_ref, qdd_ref, w_ref, c_ref, r_ref
             jax.lax.dot(u1_8[:, sl], bt, preferred_element_type=jnp.int32) * 128
             + jax.lax.dot(u0_8[:, sl], bt, preferred_element_type=jnp.int32)
         )
-        c = hp._round_away(core.astype(jnp.float32) * s_ref[:, sl])
+        c = hp._round_away(core.astype(jnp.float32) * s_ref[:])
         c_ref[:, sl] = c.astype(jnp.int8)
         m = c * qdd_ref[:]
         v = hp._bf8_sublane(m, w_ref[:])
@@ -55,38 +64,84 @@ def _k_rt_u8_interleave(x_ref, a_ref, b_ref, s_ref, qdd_ref, w_ref, c_ref, r_ref
         r_ref[:, sl] = hp._to_u8(d(v1) + d(v2) + d(v3) + hp.LEVEL_SHIFT)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("q_scale", "band_rows", "tile_cols")
-)
-def rt_u8_v1(image_u8, q_scale: float = 1.0, band_rows: int = 256, tile_cols: int = 2048):
+@functools.partial(jax.jit, static_argnames=("q_scale", "band_rows", "tile_cols"))
+def rt_u8_vint(image_u8, q_scale: float = 1.0, band_rows: int = 256, tile_cols: int = 2048):
     h, w = image_u8.shape
     br, tc = hp._geometry(h, w, band_rows, tile_cols, row_align=32)
-    bdts, bdts_l, scale = hp._consts_int(br, q_scale, None)
+    iconsts = hp._consts_int(br, q_scale, None)
     qdd, _, wts = hp._consts_bf(br, q_scale)
-    consts = (bdts, bdts_l, scale, qdd, wts)
+    consts = (*iconsts, qdd, wts)
     return hp._call(
         _k_rt_u8_interleave, h, w, br, tc, consts,
         [jnp.int8, jnp.uint8], False, {0: 1},
     )(image_u8, *consts)
 
 
+def _k_rt_u8_bf16digits(x_ref, a_ref, b_ref, s_ref, qdd_ref, w_ref, c_ref, r_ref):
+    """Lane contraction via exact bf16 digits instead of int8 digits:
+    w = 16*w1 + w0 with w1 in [-96, 96] and w0 in [-8, 7] — both
+    bf16-exact, so 2 bf16 MXU passes replace the 2 int8 passes WITHOUT the
+    i32->i8 1:4 packing relayouts (i32->bf16 is a 1:2 pack).  2x the MXU
+    cycles, fewer VPU relayouts — measured head-to-head."""
+    x = (x_ref[:].astype(jnp.int32) - 128).astype(jnp.int8)
+    u = jax.lax.dot(a_ref[:], x, preferred_element_type=jnp.int32)
+    u1 = jax.lax.shift_right_arithmetic(u + 8, 4)   # [-96, 96]
+    u0 = u - jax.lax.shift_left(u1, 4)              # [-8, 7]
+    u1_b, u0_b = u1.astype(jnp.bfloat16), u0.astype(jnp.bfloat16)
+    ts = b_ref[:].astype(jnp.bfloat16)
+    bt = ts.T
+    tc = x.shape[1]
+    cols = []
+    for t in range(tc // LANE):
+        sl = slice(t * LANE, (t + 1) * LANE)
+        core = (
+            jax.lax.dot(u1_b[:, sl], bt, preferred_element_type=jnp.float32) * 16.0
+            + jax.lax.dot(u0_b[:, sl], bt, preferred_element_type=jnp.float32)
+        )
+        cols.append(hp._round_away(core * s_ref[:]))
+    c = jnp.concatenate(cols, axis=1)
+    c_ref[:] = c.astype(jnp.int8)
+    r_ref[:] = hp._to_u8(hp._inv_tile_bf(c, qdd_ref[:], b_ref[:], w_ref[:]))
+
+
+@functools.partial(jax.jit, static_argnames=("q_scale", "band_rows", "tile_cols"))
+def rt_u8_vbf(image_u8, q_scale: float = 1.0, band_rows: int = 256, tile_cols: int = 2048):
+    h, w = image_u8.shape
+    br, tc = hp._geometry(h, w, band_rows, tile_cols, row_align=32)
+    iconsts = hp._consts_int(br, q_scale, None)
+    qdd, _, wts = hp._consts_bf(br, q_scale)
+    consts = (*iconsts, qdd, wts)
+    return hp._call(
+        _k_rt_u8_bf16digits, h, w, br, tc, consts,
+        [jnp.int8, jnp.uint8], False, {0: 1},
+    )(image_u8, *consts)
+
+
 def main():
     size = int(sys.argv[1]) if len(sys.argv) > 1 else 8192
+    which = sys.argv[2] if len(sys.argv) > 2 else "int"
     assert jax.default_backend() == "tpu"
     x = jnp.asarray(synthetic_image(size).astype(np.uint8))
     KP = (8, 72)
 
-    # correctness vs the shipped kernel first
-    c0, r0 = hp.hp_roundtrip_u8(x[:1024, :1024])
-    c1, r1 = rt_u8_v1(x[:1024, :1024])
-    np.testing.assert_array_equal(np.asarray(c0), np.asarray(c1))
-    np.testing.assert_array_equal(np.asarray(r0), np.asarray(r1))
-    print("V1 correctness vs shipped: OK", flush=True)
-
-    ms = device_time_ms(lambda v: rt_u8_v1(v)[1], x, k_pair=KP, reps=2)
-    print(f"V1 interleaved (256,2048): {ms:7.4f} ms", flush=True)
-    ms = device_time_ms(lambda v: rt_u8_v1(v, band_rows=128)[1], x, k_pair=KP, reps=2)
-    print(f"V1 interleaved (128,2048): {ms:7.4f} ms", flush=True)
+    if which == "int":
+        c0, r0 = hp.hp_roundtrip_u8(x[:1024, :2048])
+        c1, r1 = rt_u8_vint(x[:1024, :2048])
+        np.testing.assert_array_equal(np.asarray(c0), np.asarray(c1))
+        np.testing.assert_array_equal(np.asarray(r0), np.asarray(r1))
+        print("V-INT correctness vs shipped: OK", flush=True)
+        ms = device_time_ms(lambda v: rt_u8_vint(v)[1], x, k_pair=KP, reps=2)
+        print(f"V-INT interleaved (256,2048): {ms:7.4f} ms", flush=True)
+    elif which == "bf":
+        c0, r0 = hp.hp_roundtrip_u8(x[:1024, :2048])
+        c1, r1 = rt_u8_vbf(x[:1024, :2048])
+        np.testing.assert_array_equal(np.asarray(c0), np.asarray(c1))
+        np.testing.assert_array_equal(np.asarray(r0), np.asarray(r1))
+        print("V-BF correctness vs shipped: OK", flush=True)
+        ms = device_time_ms(lambda v: rt_u8_vbf(v)[1], x, k_pair=KP, reps=2)
+        print(f"V-BF bf16-digit lane (256,2048): {ms:7.4f} ms", flush=True)
+        ms = device_time_ms(lambda v: rt_u8_vbf(v, band_rows=128)[1], x, k_pair=KP, reps=2)
+        print(f"V-BF bf16-digit lane (128,2048): {ms:7.4f} ms", flush=True)
 
 
 if __name__ == "__main__":
