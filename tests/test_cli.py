@@ -40,6 +40,21 @@ def test_run_writes_coeffs(tmp_path, jpg):
     assert rc == 0 and tdc.exists()
 
 
+def test_encode_entropy_choices(tmp_path, jpg, capsys):
+    # every entropy stage must produce a decodable .tdc
+    outs = {}
+    for codec in ("auto", "spectral", "huffman", "raw"):
+        tdc = tmp_path / f"{codec}.tdc"
+        rc = main(["encode", "--entropy", codec, str(jpg), str(tdc)])
+        assert rc == 0, codec
+        capsys.readouterr()
+        dec = tmp_path / f"{codec}.jpg"
+        assert main(["decode", str(tdc), str(dec)]) == 0
+        outs[codec] = imageio.load_jpeg(dec)
+    for codec in ("spectral", "huffman", "raw"):
+        np.testing.assert_array_equal(outs["auto"], outs[codec])
+
+
 def test_encode_decode(tmp_path, jpg, capsys):
     tdc = tmp_path / "c.tdc"
     assert main(["encode", "--pipeline", "fast", str(jpg), str(tdc)]) == 0

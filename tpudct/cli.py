@@ -46,6 +46,9 @@ def _add_codec_flags(sp):
     sp.add_argument("--k", type=int, default=None, help="zonal retention: keep u+v < k")
     sp.add_argument("--transform", default="haweel",
                     help="8x8 transform: haweel (reference) | rdct (rounded-DCT approx) | wht (Walsh-Hadamard) | dct (exact DCT-II)")
+    sp.add_argument("--entropy", default="auto", dest="entropy",
+                    choices=("auto", "spectral", "huffman", "raw"),
+                    help=".tdc/.tdcc entropy stage: auto (default; smaller of huffman/spectral per file) | spectral (+zlib) | huffman (JPEG-grade, needs native lib) | raw (+zlib)")
 
 
 def _add_color_flags(sp):
@@ -99,6 +102,7 @@ def cmd_run(args) -> int:
             n = serialize.save_color(
                 args.coeffs, planes, meta,
                 cfg.q_scale, cfg.retain_k, cfg.transform,
+                codec=args.entropy,
             )
             print(f"coefficients -> {args.coeffs} ({n} bytes)")
         mse = float(((rec_u8.astype(np.float64) - rgb) ** 2).mean())
@@ -152,7 +156,7 @@ def cmd_run(args) -> int:
     if args.coeffs:
         n = serialize.save_coefficients(
             args.coeffs, np.asarray(c), cfg.q_scale, cfg.retain_k,
-            orig_shape=(h, w), transform=cfg.transform,
+            orig_shape=(h, w), transform=cfg.transform, codec=args.entropy,
         )
         print(f"coefficients -> {args.coeffs} ({n} bytes)")
     rep = metrics.quality_report(img, rec_u8, np.asarray(c))
@@ -179,13 +183,14 @@ def cmd_encode(args) -> int:
         )
         n = serialize.save_color(
             args.output, planes, meta, cfg.q_scale, cfg.retain_k, cfg.transform,
+            codec=args.entropy,
         )
         print(json.dumps({"bytes": n, "raw_bytes": int(rgb.size), "factor_vs_raw": rgb.size / n, "color": True}))
         return 0
     img = imageio.load_jpeg(args.input)
     x, (h, w) = pad_to_blocks(jnp.asarray(img, jnp.float32))
     c = get_pipeline(args.pipeline).encode(x, cfg)
-    n = serialize.save_coefficients(args.output, np.asarray(c), cfg.q_scale, cfg.retain_k, orig_shape=(h, w), transform=cfg.transform)
+    n = serialize.save_coefficients(args.output, np.asarray(c), cfg.q_scale, cfg.retain_k, orig_shape=(h, w), transform=cfg.transform, codec=args.entropy)
     print(json.dumps({"bytes": n, "raw_bytes": img.size, "factor_vs_raw": img.size / n}))
     return 0
 
@@ -383,7 +388,7 @@ def cmd_batch(args) -> int:
                     out = dst / (name + ".tdcc")
                     n = serialize.save_color(
                         out, planes, meta, cfg.q_scale, cfg.retain_k,
-                        cfg.transform,
+                        cfg.transform, codec=args.entropy,
                     )
                     rec = {"file": name, "tdc": out.name, "bytes": n,
                            "shape": [h, w, 3]}
@@ -395,7 +400,7 @@ def cmd_batch(args) -> int:
                 c = p.encode(x, cfg)
                 # Full input name in the output avoids a.jpg/a.jpeg collisions.
                 out = dst / (name + ".tdc")
-                n = serialize.save_coefficients(out, np.asarray(c), cfg.q_scale, cfg.retain_k, orig_shape=(h, w), transform=cfg.transform)
+                n = serialize.save_coefficients(out, np.asarray(c), cfg.q_scale, cfg.retain_k, orig_shape=(h, w), transform=cfg.transform, codec=args.entropy)
                 rec = {"file": name, "tdc": out.name, "bytes": n, "shape": [h, w]}
                 mf.write(json.dumps(rec) + "\n")
                 mf.flush()
