@@ -336,6 +336,14 @@ def _inv_tile_bf(c, qdd, ts_i8, wts):
     return jnp.concatenate(cols, axis=1) if len(cols) > 1 else cols[0]
 
 
+def _shift_u8(x_u8):
+    """Level shift for uint8 pixels as a bias flip: (x ^ 0x80) reinterpreted
+    int8 equals x - 128 in two's complement — one VPU op instead of the
+    widen-subtract-narrow chain (sub_matrix_scalar, utils_kernels.cu:8-18,
+    done in the integer domain).  Verified bit-identical on hardware."""
+    return (x_u8 ^ jnp.uint8(0x80)).astype(jnp.int8)
+
+
 def _to_u8(x):
     """clamp + C-truncation cast (convertToUnsignedChar, utils.cu:18-24).
 
@@ -393,7 +401,7 @@ def _k_rt_f32_bf(x_ref, a_ref, b_ref, q_ref, m_ref, qdd_ref, ts_ref, w_ref, c_re
 
 
 def _k_encode_u8(x_ref, a_ref, b_ref, s_ref, o_ref):
-    x = (x_ref[:].astype(jnp.int32) - 128).astype(jnp.int8)
+    x = _shift_u8(x_ref[:])
     o_ref[:] = _fwd_tile_int(x, a_ref[:], b_ref[:], s_ref[:]).astype(jnp.int8)
 
 
@@ -402,7 +410,7 @@ def _k_decode_u8(c_ref, a_ref, b_ref, q_ref, o_ref, *, precision="highest"):
 
 
 def _k_rt_u8(x_ref, a_ref, b_ref, s_ref, fa_ref, fb_ref, fq_ref, c_ref, r_ref, *, precision="highest"):
-    x = (x_ref[:].astype(jnp.int32) - 128).astype(jnp.int8)
+    x = _shift_u8(x_ref[:])
     c = _fwd_tile_int(x, a_ref[:], b_ref[:], s_ref[:])
     c_ref[:] = c.astype(jnp.int8)
     r_ref[:] = _to_u8(_inv_tile(c, fa_ref[:], fb_ref[:], fq_ref[:], precision))
@@ -413,7 +421,7 @@ def _k_decode_u8_bf(c_ref, s_ref, t_ref, w_ref, o_ref):
 
 
 def _k_rt_u8_bf(x_ref, a_ref, b_ref, s_ref, qdd_ref, w_ref, c_ref, r_ref):
-    x = (x_ref[:].astype(jnp.int32) - 128).astype(jnp.int8)
+    x = _shift_u8(x_ref[:])
     c = _fwd_tile_int(x, a_ref[:], b_ref[:], s_ref[:])
     c_ref[:] = c.astype(jnp.int8)
     r_ref[:] = _to_u8(_inv_tile_bf(c, qdd_ref[:], b_ref[:], w_ref[:]))
