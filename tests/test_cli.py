@@ -238,6 +238,36 @@ def test_batch_color(tmp_path, rng):
     assert imageio.load_jpeg(dec, force_gray=False).shape == (48, 48, 3)
 
 
+def test_decode_honors_stored_q_table(tmp_path, rng):
+    """A .tdc coded against the chroma table (library API) must decode
+    against chroma, not the luma default — the header records it."""
+    import jax.numpy as jnp
+
+    from tpudct import CodecConfig, get_pipeline
+    from tpudct.utils import serialize
+
+    img = rng.integers(0, 256, (64, 64)).astype(np.float32)
+    p = get_pipeline("batched")
+    ccfg = CodecConfig(q_table="chroma")
+    c = np.asarray(p.encode(jnp.asarray(img), ccfg))
+    blob = serialize.coefficients_to_bytes(c, q_table="chroma", orig_shape=(64, 64))
+    (tmp_path / "c.tdc").write_bytes(blob)
+    out = tmp_path / "c.jpg"
+    assert main(["decode", "--pipeline", "batched", str(tmp_path / "c.tdc"), str(out)]) == 0
+    got = imageio.load_jpeg(out).astype(np.float64)
+
+    from tpudct.ops.transform import to_uint8
+
+    want = np.asarray(to_uint8(p.idct(jnp.asarray(c), ccfg))).astype(np.float64)
+    # JPEG quality-100 re-encode is near-lossless but not exact
+    assert np.abs(got - want).max() <= 4
+    # sanity: decoding against LUMA would differ grossly
+    luma = np.asarray(
+        to_uint8(p.idct(jnp.asarray(c), CodecConfig(q_table="luma")))
+    ).astype(np.float64)
+    assert ((want - luma) ** 2).mean() > 25
+
+
 def test_run_decode_consistent_u8_and_f32_paths(tmp_path, rng):
     """run's reconstruction and decode-from-.tdc must agree byte-for-byte
     on both the u8-eligible (aligned) and fallback (misaligned) paths."""

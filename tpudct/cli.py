@@ -217,16 +217,19 @@ def cmd_decode(args) -> int:
         imageio.save_jpeg(args.output, np.asarray(rec), quality=args.quality)
         print(f"decoded {args.input} (color) -> {args.output}")
         return 0
-    coeffs, q_scale, _k, (h, w), transform = serialize.load_coefficients(
-        args.input, with_orig_shape=True, with_transform=True
+    coeffs, q_scale, _k, (h, w), transform, q_table = serialize.load_coefficients(
+        args.input, with_orig_shape=True, with_transform=True, with_q_table=True,
     )
     p = get_pipeline(args.pipeline)
-    cfg = CodecConfig(q_scale=q_scale, transform=transform)
+    # The header records which quantization table the plane was coded
+    # against (luma for every CLI-written gray .tdc; chroma possible via
+    # the library API) — dequantize against the SAME one.
+    cfg = CodecConfig(q_scale=q_scale, transform=transform, q_table=q_table)
     from tpudct.kernels import hp_pallas
 
     if (
         hasattr(p, "decode_u8")
-        and hp_pallas.supports_u8(*coeffs.shape, q_scale, transform)
+        and hp_pallas.supports_u8(*coeffs.shape, q_scale, transform, q_table)
         and np.abs(coeffs).max(initial=0) <= 127
     ):
         rec_u8 = np.asarray(

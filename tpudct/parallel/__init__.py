@@ -23,6 +23,7 @@ from tpudct.parallel.sharding import (
     sharded_codec_step_grid,
     gather,
 )
+from tpudct.parallel.ring import ring_all_gather, ring_decode_gather
 from tpudct.parallel.scaling import scaling_table
 
 __all__ = [
@@ -41,5 +42,7 @@ __all__ = [
     "sharded_codec_step",
     "sharded_codec_step_grid",
     "gather",
+    "ring_all_gather",
+    "ring_decode_gather",
     "scaling_table",
 ]

@@ -274,7 +274,8 @@ def _parse_plane(data: bytes) -> tuple:
 
 
 def bytes_to_coefficients(
-    data: bytes, with_orig_shape: bool = False, with_transform: bool = False
+    data: bytes, with_orig_shape: bool = False, with_transform: bool = False,
+    with_q_table: bool = False,
 ):
     plane, _used = _parse_plane(data)
     out = (plane["coeffs"], plane["q_scale"], plane["retain_k"])
@@ -282,6 +283,8 @@ def bytes_to_coefficients(
         out = (*out, plane["orig_shape"])
     if with_transform:
         out = (*out, plane["transform"])
+    if with_q_table:
+        out = (*out, plane["q_table"])
     return out
 
 
@@ -300,12 +303,15 @@ def save_coefficients(
 
 
 def load_coefficients(
-    path: str, with_orig_shape: bool = False, with_transform: bool = False
+    path: str, with_orig_shape: bool = False, with_transform: bool = False,
+    with_q_table: bool = False,
 ):
     """Read a .tdc file -> (float32 coefficient map, q_scale, retain_k
-    [, original (h, w)][, transform name])."""
+    [, original (h, w)][, transform name][, q_table name])."""
     with open(path, "rb") as f:
-        return bytes_to_coefficients(f.read(), with_orig_shape, with_transform)
+        return bytes_to_coefficients(
+            f.read(), with_orig_shape, with_transform, with_q_table
+        )
 
 
 # ---- color (.tdcc) containers ---------------------------------------------
