@@ -73,6 +73,19 @@ def test_hp_tile_geometry_variants(rng):
 from tpudct.kernels import hp_encode_u8, hp_decode_u8, hp_roundtrip_u8, supports_u8
 
 
+def test_geometry_clamps_to_vmem_budget():
+    """Oversized tile requests must clamp to the scoped-VMEM budget (the
+    v5e compiler's 16 MiB stack limit — a (512, 4096) u8-roundtrip tile
+    measured 30.9 MiB and failed compile) instead of surfacing an XLA
+    stack-allocation error."""
+    from tpudct.kernels.hp_pallas import _VMEM_TILE_ELEMS, _geometry
+
+    for br0, tc0 in ((512, 4096), (8192, 8192), (256, 2048)):
+        br, tc = _geometry(8192, 8192, br0, tc0)
+        assert br * tc <= _VMEM_TILE_ELEMS
+        assert 8192 % br == 0 and 8192 % tc == 0
+
+
 def test_supports_u8():
     assert supports_u8(128, 128) and supports_u8(32, 256)
     assert not supports_u8(8, 128)      # int8 tiling needs 32-row alignment

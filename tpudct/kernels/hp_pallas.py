@@ -125,6 +125,15 @@ def supports_u8(h: int, w: int, q_scale: float = 1.0, transform: str = "haweel",
     )
 
 
+# Scoped-VMEM budget per grid step (v5e compiler limit: 16 MiB; measured —
+# a (512, 4096) u8-roundtrip tile wanted 30.9 MiB and failed compile).
+# Live intermediates across the kernels bound at ~24 B/element (i32
+# transform intermediate + digit planes + f32 coefficients + consts),
+# so clamp br*tc to keep requests compiling instead of surfacing an XLA
+# stack-allocation error.
+_VMEM_TILE_ELEMS = (14 * 2**20) // 24
+
+
 def _geometry(h: int, w: int, band_rows: int, tile_cols: int, row_align: int = BLOCK_SIZE):
     if h % row_align or w % LANE:
         raise ValueError(
@@ -138,6 +147,22 @@ def _geometry(h: int, w: int, band_rows: int, tile_cols: int, row_align: int = B
         br -= row_align
     while w % tc:
         tc -= LANE
+    # clamp to the scoped-VMEM budget, shrinking the band first (the lane
+    # width is the throughput-critical dimension)
+    while br * tc > _VMEM_TILE_ELEMS and br > row_align:
+        nbr = br // 2 - (br // 2) % row_align
+        while nbr >= row_align and h % nbr:
+            nbr -= row_align
+        if nbr < row_align:
+            break
+        br = nbr
+    while br * tc > _VMEM_TILE_ELEMS and tc > LANE:
+        ntc = tc // 2 - (tc // 2) % LANE
+        while ntc >= LANE and w % ntc:
+            ntc -= LANE
+        if ntc < LANE:
+            break
+        tc = ntc
     return br, tc
 
 
