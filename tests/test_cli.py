@@ -179,6 +179,36 @@ def test_batch_resumable(tmp_path, rng, capsys):
     assert (h, w) == (64, 64)
 
 
+def test_unbatch_roundtrip_resumable(tmp_path, rng, capsys):
+    """batch -> unbatch: every .tdc/.tdcc decodes back to a JPEG; corrupt
+    streams are recorded and skipped; re-runs are idempotent."""
+    src = tmp_path / "in"
+    mid = tmp_path / "tdc"
+    out = tmp_path / "jpg"
+    src.mkdir()
+    for i in range(2):
+        imageio.save_jpeg(src / f"g{i}.jpg", rng.integers(0, 256, (48, 48)).astype(np.uint8))
+    imageio.save_jpeg(src / "c.jpg", rng.integers(0, 256, (48, 48, 3)).astype(np.uint8), quality=95)
+    assert main(["batch", "--pipeline", "batched", str(src), str(mid)]) == 0
+    capsys.readouterr()
+    (mid / "bad.tdc").write_bytes(b"TDC4 this is not a stream")
+    assert main(["unbatch", "--pipeline", "batched", str(mid), str(out)]) == 0
+    rep = json.loads(capsys.readouterr().out.strip())
+    assert rep["decoded"] == 3 and rep["failed"] == 1
+    for name in ("g0.jpg.tdc.jpg", "g1.jpg.tdc.jpg", "c.jpg.tdc.jpg"):
+        assert (out / name).exists(), name
+    # decoded gray output matches the single-file decode command
+    single = tmp_path / "single.jpg"
+    assert main(["decode", "--pipeline", "batched", str(mid / "g0.jpg.tdc"), str(single)]) == 0
+    np.testing.assert_array_equal(
+        imageio.load_jpeg(out / "g0.jpg.tdc.jpg"), imageio.load_jpeg(single)
+    )
+    # rerun: everything (including the failure record) skipped
+    assert main(["unbatch", "--pipeline", "batched", str(mid), str(out)]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["decoded"] == 0 and rep["skipped"] == 4
+
+
 def test_batch_skips_corrupt_files(tmp_path, rng, capsys):
     # A corrupt JPEG must be recorded in the manifest and skipped, not
     # abort the job (the recovery story the reference lacks, SURVEY.md §5).

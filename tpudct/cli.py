@@ -319,6 +319,83 @@ def cmd_table(args) -> int:
     return 0
 
 
+def cmd_unbatch(args) -> int:
+    """Bulk decode a directory of .tdc/.tdcc files back to JPEGs, resumably
+    (the inverse of `batch`, same manifest idempotence and corrupt-file
+    tolerance)."""
+    import pathlib
+
+    import jax.numpy as jnp
+
+    from tpudct.config import CodecConfig
+    from tpudct.models import get_pipeline
+    from tpudct.ops.transform import to_uint8
+    from tpudct.utils import imageio, serialize
+
+    src = pathlib.Path(args.input_dir)
+    dst = pathlib.Path(args.output_dir)
+    dst.mkdir(parents=True, exist_ok=True)
+    manifest = dst / "manifest.jsonl"
+    done = set()
+    if manifest.exists():
+        for line in manifest.read_text().splitlines():
+            try:
+                done.add(json.loads(line)["file"])
+            except (json.JSONDecodeError, KeyError):
+                continue
+
+    p = get_pipeline(args.pipeline)
+    files = sorted(
+        q.name for q in src.iterdir() if q.suffix.lower() in (".tdc", ".tdcc")
+    )
+    todo = [name for name in files if name not in done]
+    decoded = failed = 0
+    with open(manifest, "a") as mf:
+        for name in todo:
+            out = dst / (name + ".jpg")
+            try:
+                data = (src / name).read_bytes()
+                if serialize.is_color_stream(data[:4]):
+                    from tpudct.models.color import decode_color_auto
+
+                    planes, meta = serialize.bytes_to_color(data)
+                    rec = np.asarray(decode_color_auto(
+                        p, planes, meta,
+                        CodecConfig(q_scale=meta["q_scale"],
+                                    transform=meta["transform"]),
+                    ))
+                else:
+                    coeffs, q_scale, _k, (h, w), transform, q_table = (
+                        serialize.bytes_to_coefficients(
+                            data, with_orig_shape=True, with_transform=True,
+                            with_q_table=True,
+                        )
+                    )
+                    cfg = CodecConfig(q_scale=q_scale, transform=transform,
+                                      q_table=q_table)
+                    rec = np.asarray(
+                        to_uint8(p.idct(jnp.asarray(coeffs), cfg))
+                    )[:h, :w]
+                imageio.save_jpeg(out, rec, quality=args.quality)
+            except (ValueError, OSError) as e:
+                # One corrupt stream must not abort the job (same recovery
+                # contract as `batch`).
+                mf.write(json.dumps({"file": name, "error": str(e)}) + "\n")
+                mf.flush()
+                failed += 1
+                continue
+            mf.write(json.dumps(
+                {"file": name, "jpg": out.name, "shape": list(rec.shape)}
+            ) + "\n")
+            mf.flush()
+            decoded += 1
+    print(json.dumps({
+        "decoded": decoded, "skipped": len(files) - len(todo),
+        "failed": failed, "total": len(files), "manifest": str(manifest),
+    }))
+    return 0
+
+
 def cmd_batch(args) -> int:
     """Bulk encode a directory of JPEGs to .tdc files, resumably.
 
@@ -540,6 +617,13 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--decode-threads", type=int, default=8,
                     help="native JPEG decode pool size (0 = one per CPU)")
     sp.set_defaults(fn=cmd_batch)
+
+    sp = sub.add_parser("unbatch", help="bulk decode a directory of .tdc/.tdcc back to JPEGs, resumable")
+    sp.add_argument("--pipeline", default="hp")
+    sp.add_argument("--quality", type=int, default=100)
+    sp.add_argument("input_dir")
+    sp.add_argument("output_dir")
+    sp.set_defaults(fn=cmd_unbatch)
 
     sp = sub.add_parser("scale", help="scaling-efficiency table across device counts")
     _add_codec_flags(sp)
