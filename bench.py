@@ -94,6 +94,19 @@ def main() -> int:
     baseline_pair_ms = 2 * 14.70  # T4 HpApprDCT DCT + IDCT phases, README.md:55
 
     import jax
+
+    # Persistent compile cache: the relay's compiles run 20-40 s on a good
+    # day and minutes on a bad one (see CLAUDE.md); cache across runs so a
+    # re-run times kernels, not the compiler.
+    try:
+        import pathlib
+
+        cache = pathlib.Path.home() / ".cache" / "jax-tpudct"
+        cache.mkdir(parents=True, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", str(cache))
+    except Exception:
+        pass
+
     import jax.numpy as jnp
 
     from tpudct.benchmark import synthetic_image

@@ -117,6 +117,49 @@ def rt_u8_vbf(image_u8, q_scale: float = 1.0, band_rows: int = 256, tile_cols: i
     )(image_u8, *consts)
 
 
+def _k_rt_u8_chunkstore(x_ref, a_ref, b_ref, s_ref, qdd_ref, w_ref, c_ref, r_ref):
+    """Shipped kernel with per-chunk output stores instead of
+    concatenate-then-store: shorter register lifetimes, same math."""
+    x = hp._shift_u8(x_ref[:])
+    u = jax.lax.dot(a_ref[:], x, preferred_element_type=jnp.int32)
+    u1 = jax.lax.shift_right_arithmetic(u + 64, 7)
+    u0 = u - jax.lax.shift_left(u1, 7)
+    u1_8, u0_8 = u1.astype(jnp.int8), u0.astype(jnp.int8)
+    bt = b_ref[:].T
+    tc = x.shape[1]
+    cs = []
+    for t in range(tc // LANE):
+        sl = slice(t * LANE, (t + 1) * LANE)
+        core = (
+            jax.lax.dot(u1_8[:, sl], bt, preferred_element_type=jnp.int32) * 128
+            + jax.lax.dot(u0_8[:, sl], bt, preferred_element_type=jnp.int32)
+        )
+        c = hp._round_away(core.astype(jnp.float32) * s_ref[:])
+        c_ref[:, sl] = c.astype(jnp.int8)
+        cs.append(c)
+    ts = b_ref[:].astype(jnp.bfloat16)
+    for t in range(tc // LANE):
+        sl = slice(t * LANE, (t + 1) * LANE)
+        m = cs[t] * qdd_ref[:]
+        v = hp._bf8_sublane(m, w_ref[:])
+        v1, v2, v3 = hp._split3_bf16(v)
+        d = lambda z: jax.lax.dot(z, ts, preferred_element_type=jnp.float32)
+        r_ref[:, sl] = hp._to_u8(d(v1) + d(v2) + d(v3) + hp.LEVEL_SHIFT)
+
+
+@functools.partial(jax.jit, static_argnames=("q_scale", "band_rows", "tile_cols"))
+def rt_u8_vcs(image_u8, q_scale: float = 1.0, band_rows: int = 256, tile_cols: int = 2048):
+    h, w = image_u8.shape
+    br, tc = hp._geometry(h, w, band_rows, tile_cols, row_align=32)
+    iconsts = hp._consts_int(br, q_scale, None)
+    qdd, _, wts = hp._consts_bf(br, q_scale)
+    consts = (*iconsts, qdd, wts)
+    return hp._call(
+        _k_rt_u8_chunkstore, h, w, br, tc, consts,
+        [jnp.int8, jnp.uint8], False, {0: 1},
+    )(image_u8, *consts)
+
+
 def main():
     size = int(sys.argv[1]) if len(sys.argv) > 1 else 8192
     which = sys.argv[2] if len(sys.argv) > 2 else "int"
@@ -142,6 +185,32 @@ def main():
         print(f"V-BF bf16-digit lane (256,2048): {ms:7.4f} ms", flush=True)
         ms = device_time_ms(lambda v: rt_u8_vbf(v, band_rows=128)[1], x, k_pair=KP, reps=2)
         print(f"V-BF bf16-digit lane (128,2048): {ms:7.4f} ms", flush=True)
+    elif which == "cs":
+        # same-session alternating A/B vs the shipped kernel
+        from tpudct.utils.timing import _best_wall, _chain
+
+        c0, r0 = hp.hp_roundtrip_u8(x[:1024, :2048])
+        c1, r1 = rt_u8_vcs(x[:1024, :2048])
+        np.testing.assert_array_equal(np.asarray(c0), np.asarray(c1))
+        np.testing.assert_array_equal(np.asarray(r0), np.asarray(r1))
+        print("V-CS correctness vs shipped: OK", flush=True)
+        K1, K2 = 16, 144
+        A = (_chain(lambda v: hp.hp_roundtrip_u8(v)[1], K1),
+             _chain(lambda v: hp.hp_roundtrip_u8(v)[1], K2))
+        B = (_chain(lambda v: rt_u8_vcs(v)[1], K1),
+             _chain(lambda v: rt_u8_vcs(v)[1], K2))
+        for f1, f2 in (A, B):
+            float(f1(x)); float(f2(x))
+        res = {"shipped": [], "chunkstore": []}
+        for trial in range(4):
+            for name, (f1, f2) in (("shipped", A), ("chunkstore", B)):
+                t1 = _best_wall(f1, x, 3)
+                t2 = _best_wall(f2, x, 3)
+                ms = (t2 - t1) / (K2 - K1) * 1e3
+                res[name].append(ms)
+                print(f"trial {trial} {name}: {ms:7.4f} ms", flush=True)
+        for k, v in res.items():
+            print(f"{k}: min {min(v):.4f} med {sorted(v)[1]:.4f}", flush=True)
 
 
 if __name__ == "__main__":
