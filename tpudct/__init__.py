@@ -23,7 +23,7 @@ from tpudct.constants import BLOCK_SIZE, T, Q, haweel_integer_core, haweel_row_n
 from tpudct.config import CodecConfig
 from tpudct.models import get_pipeline, available_pipelines
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 __all__ = [
     "BLOCK_SIZE",

@@ -165,7 +165,10 @@ def _py_decode(data: bytes, h: int, w: int) -> np.ndarray:
         for bx in range(w // 8):
             s = dct.sym(r)
             prev += _extend(r.take(s), s) if s else 0
-            out[by * 8, bx * 8] = prev
+            # int16 wraparound parity with the C decoder on adversarial
+            # streams whose DC deltas accumulate out of range (numpy would
+            # raise OverflowError on a plain assignment instead).
+            out[by * 8, bx * 8] = ((prev + 32768) & 0xFFFF) - 32768
             k = 1
             while k < 64:
                 sym = act.sym(r)

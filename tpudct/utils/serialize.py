@@ -200,9 +200,9 @@ def coefficients_to_bytes(
     # extreme q_scale (e.g. 0.001) CAN overflow — narrowing silently would
     # round-trip 40000.0 as -25536.0.  Refuse instead of corrupting.
     amax = float(np.abs(cf).max(initial=0.0))
-    if amax > 32767.0:
+    if amax > 32767.0 or not np.isfinite(amax):
         raise ValueError(
-            f"coefficient magnitude {amax:.1f} exceeds the .tdc int16 range "
+            f"coefficient magnitude {amax} exceeds the .tdc int16 range "
             "(32767); raise q_scale or store the float map yourself"
         )
     c = np.ascontiguousarray(cf, dtype=np.int16)
