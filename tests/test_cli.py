@@ -135,6 +135,22 @@ def test_table_photo_ballpark_parity(capsys):
     assert mses == sorted(mses, reverse=True)  # monotone in k
 
 
+def test_curve_monotone(capsys):
+    """Rate-distortion sweep: PSNR must rise with quality for both codecs,
+    and bytes must rise with quality for the .tdc stream."""
+    rc = main(["curve", "--pipeline", "batched", "--qualities", "20,50,90"])
+    assert rc == 0
+    rows = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert [r["quality"] for r in rows] == [20, 50, 90]
+    for key in ("tdc_psnr_db", "jpeg_psnr_db", "tdc_bytes"):
+        vals = [r[key] for r in rows]
+        assert vals == sorted(vals), (key, vals)
+    # same ballpark as libjpeg across the curve (within a factor ~2.2 of
+    # its bytes at matched quality settings on the photo image)
+    for r in rows:
+        assert r["tdc_bytes"] < 2.2 * r["jpeg_bytes"], r
+
+
 def test_info(capsys):
     assert main(["info"]) == 0
     rep = json.loads(capsys.readouterr().out.strip())

@@ -447,6 +447,62 @@ def accuracy_table_color(
     return rows
 
 
+def rate_distortion_curve(
+    image: np.ndarray,
+    pipeline: str = "hp",
+    qualities=(10, 20, 30, 40, 50, 60, 70, 80, 90, 95),
+    cfg_base: Optional[CodecConfig] = None,
+    codec: str = "auto",
+) -> list:
+    """Rate-distortion sweep: on-disk .tdc bytes + PSNR per IJG quality,
+    next to libjpeg's file at the same quality setting.
+
+    The reference has no rate control at all (one hardcoded table,
+    quality-100 output JPEG); this exposes the full quality axis through
+    `q_scale_for_quality` (the jcparam.c mapping) and the round-2 entropy
+    stage, making the codec's rate-distortion behavior directly
+    comparable to libjpeg's on any image."""
+    import dataclasses
+
+    from tpudct.ops.padding import crop, pad_to_blocks
+    from tpudct.ops.quant import q_scale_for_quality
+    from tpudct.utils.imageio import encode_jpeg_bytes
+    from tpudct.utils.serialize import coefficients_to_bytes
+
+    cfg_base = cfg_base or CodecConfig()
+    p = get_pipeline(pipeline)
+    img8 = np.asarray(image, np.uint8)
+    x, (h, w) = pad_to_blocks(jnp.asarray(img8, jnp.float32))
+    rows = []
+    for q in qualities:
+        cfg = dataclasses.replace(cfg_base, q_scale=q_scale_for_quality(q))
+        c, rec = p.roundtrip(x, cfg)
+        rec8 = np.asarray(crop(rec, h, w)).astype(np.float64)
+        mse = float(((rec8 - img8) ** 2).mean())
+        blob = coefficients_to_bytes(
+            np.asarray(c), cfg.q_scale, cfg.retain_k, orig_shape=(h, w),
+            transform=cfg.transform, codec=codec,
+        )
+        jpg = encode_jpeg_bytes(img8, quality=int(q))
+        jmse = float(((_pil_decode(jpg).astype(np.float64) - img8) ** 2).mean())
+        rows.append({
+            "quality": int(q),
+            "tdc_bytes": len(blob),
+            "tdc_psnr_db": 10 * np.log10(255.0**2 / max(mse, 1e-9)),
+            "jpeg_bytes": len(jpg),
+            "jpeg_psnr_db": 10 * np.log10(255.0**2 / max(jmse, 1e-9)),
+        })
+    return rows
+
+
+def _pil_decode(data: bytes) -> np.ndarray:
+    import io
+
+    from PIL import Image
+
+    return np.asarray(Image.open(io.BytesIO(data)).convert("L"))
+
+
 def accuracy_table(
     image: np.ndarray,
     pipeline: str = "hp",

@@ -319,6 +319,27 @@ def cmd_table(args) -> int:
     return 0
 
 
+def cmd_curve(args) -> int:
+    """Rate-distortion sweep: .tdc bytes+PSNR vs libjpeg per IJG quality."""
+    from tpudct.benchmark import (
+        photographic_image, rate_distortion_curve, structured_image,
+    )
+
+    if args.input is None:
+        img = photographic_image() if args.image == "photo" else structured_image()
+    else:
+        from tpudct.utils import imageio
+
+        img = imageio.load_jpeg(args.input)
+    qs = [int(q) for q in args.qualities.split(",")]
+    for row in rate_distortion_curve(
+        img, args.pipeline, qualities=qs, cfg_base=_cfg_from(args),
+        codec=args.entropy,
+    ):
+        print(json.dumps(row))
+    return 0
+
+
 def cmd_unbatch(args) -> int:
     """Bulk decode a directory of .tdc/.tdcc files back to JPEGs, resumably
     (the inverse of `batch`, same manifest idempotence and corrupt-file
@@ -617,6 +638,14 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--decode-threads", type=int, default=8,
                     help="native JPEG decode pool size (0 = one per CPU)")
     sp.set_defaults(fn=cmd_batch)
+
+    sp = sub.add_parser("curve", help="rate-distortion sweep: .tdc vs libjpeg bytes+PSNR per quality")
+    _add_codec_flags(sp)
+    sp.add_argument("input", nargs="?", default=None,
+                    help="JPEG input; default: built-in generated image (see --image)")
+    sp.add_argument("--image", choices=("circuit", "photo"), default="photo")
+    sp.add_argument("--qualities", default="10,20,30,40,50,60,70,80,90,95")
+    sp.set_defaults(fn=cmd_curve)
 
     sp = sub.add_parser("unbatch", help="bulk decode a directory of .tdc/.tdcc back to JPEGs, resumable")
     sp.add_argument("--pipeline", default="hp")
