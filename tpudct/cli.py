@@ -11,7 +11,10 @@ argv contract at main_cublass.cu:41-44) and its four benchmark drivers
   python -m tpudct bench  --size 1024 --pipelines hp,fast
   python -m tpudct sweep
   python -m tpudct table  [input.jpg]      # PEEN/MSE/compression k-sweep
-  python -m tpudct info
+  python -m tpudct curve  [input.jpg]      # rate-distortion vs libjpeg
+  python -m tpudct batch  in/ out/         # bulk encode (resumable)
+  python -m tpudct unbatch out/ jpgs/      # bulk decode (resumable)
+  python -m tpudct scale | profile | info
 """
 
 from __future__ import annotations
