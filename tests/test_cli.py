@@ -314,6 +314,30 @@ def test_decode_honors_stored_q_table(tmp_path, rng):
     assert ((want - luma) ** 2).mean() > 25
 
 
+def test_decode_progressive_and_preview(tmp_path, jpg, capsys):
+    tdc = tmp_path / "c.tdc"
+    assert main(["encode", "--pipeline", "batched", "--entropy", "spectral",
+                 str(jpg), str(tdc)]) == 0
+    capsys.readouterr()
+    lo = tmp_path / "lo.jpg"
+    assert main(["decode", "--pipeline", "batched", "--planes", "3",
+                 str(tdc), str(lo)]) == 0
+    assert imageio.load_jpeg(lo).shape == (64, 64)
+    pv = tmp_path / "pv.jpg"
+    assert main(["decode", "--preview", str(tdc), str(pv)]) == 0
+    assert imageio.load_jpeg(pv).shape == (8, 8)  # 1/8 scale
+    # color container: preview decodes the luma plane
+    rgbjpg = tmp_path / "rgb.jpg"
+    imageio.save_jpeg(rgbjpg, np.random.default_rng(5).integers(
+        0, 256, (64, 64, 3)).astype(np.uint8), quality=95)
+    tdcc = tmp_path / "c.tdcc"
+    assert main(["encode", "--color", "--pipeline", "batched",
+                 "--entropy", "spectral", str(rgbjpg), str(tdcc)]) == 0
+    cpv = tmp_path / "cpv.jpg"
+    assert main(["decode", "--preview", str(tdcc), str(cpv)]) == 0
+    assert imageio.load_jpeg(cpv).shape == (8, 8)
+
+
 def test_run_decode_consistent_u8_and_f32_paths(tmp_path, rng):
     """run's reconstruction and decode-from-.tdc must agree byte-for-byte
     on both the u8-eligible (aligned) and fallback (misaligned) paths."""

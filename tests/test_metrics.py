@@ -138,6 +138,52 @@ def test_huffman_truncated_raises():
         entropy.huff_decode(bytes(stream[:-2]), 8, 8)
 
 
+def test_progressive_partial_decode(rng):
+    """Spectral streams decode progressively: plane prefixes give monotone
+    quality; all 64 planes equal the full decode; DC-only preview equals
+    the reconstruction's block means; and a truncated FILE still yields
+    the preview."""
+    import jax.numpy as jnp
+
+    from tpudct import CodecConfig, get_pipeline
+    from tpudct.benchmark import photographic_image
+
+    img = photographic_image(128)
+    p = get_pipeline("batched")
+    cfg = CodecConfig()
+    c = np.asarray(p.encode(jnp.asarray(img), cfg))
+    blob = serialize.coefficients_to_bytes(c, orig_shape=img.shape, codec="spectral")
+
+    full, _, _ = serialize.bytes_to_coefficients(blob)
+    p64 = serialize.partial_coefficients(blob, n_planes=64)
+    np.testing.assert_array_equal(p64["coeffs"], full)
+
+    mses = []
+    for n in (1, 4, 16, 64):
+        part = serialize.partial_coefficients(blob, n_planes=n)
+        rec = np.asarray(p.idct(jnp.asarray(part["coeffs"]), cfg))
+        mses.append(((np.clip(np.trunc(rec), 0, 255) - img) ** 2).mean())
+    assert mses[0] >= mses[1] >= mses[2] >= mses[3]
+    assert mses[3] < 0.5 * mses[0]  # AC planes carry real signal here
+
+    pv = serialize.preview_from_bytes(blob)
+    assert pv.shape == (16, 16) and pv.dtype == np.uint8
+    rec_full = np.asarray(p.idct(jnp.asarray(full), cfg))
+    means = rec_full.reshape(16, 8, 16, 8).mean(axis=(1, 3))
+    assert np.abs(pv.astype(np.float64) - means).max() <= 1.5
+
+    # a truncated download: keep only enough compressed bytes for the DC
+    # plane (half the stream is plenty here) — preview still works
+    np.testing.assert_array_equal(
+        serialize.preview_from_bytes(blob[: len(blob) // 2]), pv
+    )
+
+    with pytest.raises(ValueError):
+        serialize.partial_coefficients(
+            serialize.coefficients_to_bytes(c, codec="huffman"), 4
+        )
+
+
 def test_extreme_q_scale_encode_serialize_decode():
     """Fuzz extreme q_scale x transform through encode -> bytes -> decode:
     every coefficient either serializes exactly or raises — no silent

@@ -209,6 +209,36 @@ def cmd_decode(args) -> int:
 
     with open(args.input, "rb") as f:
         head = f.read(4)
+    if args.preview:
+        # Instant 1/8-scale thumbnail: DC-only progressive decode, host
+        # arithmetic only (for .tdcc: the luma plane).
+        data = open(args.input, "rb").read()
+        if serialize.is_color_stream(head):
+            import struct as _struct
+
+            off = _struct.calcsize(serialize._HEADERC)
+            (blen,) = _struct.unpack("<I", data[off : off + 4])
+            data = data[off + 4 : off + 4 + blen]
+        imageio.save_jpeg(
+            args.output, serialize.preview_from_bytes(data), quality=args.quality
+        )
+        print(f"preview (1/8 scale, DC-only) {args.input} -> {args.output}")
+        return 0
+    if args.planes is not None:
+        if serialize.is_color_stream(head):
+            raise ValueError("--planes applies to grayscale .tdc streams")
+        p = serialize.partial_coefficients(
+            open(args.input, "rb").read(), n_planes=args.planes
+        )
+        pipe = get_pipeline(args.pipeline)
+        cfg = CodecConfig(q_scale=p["q_scale"], transform=p["transform"],
+                          q_table=p["q_table"])
+        rec = pipe.idct(jnp.asarray(p["coeffs"]), cfg)
+        h, w = p["orig_shape"]
+        rec_u8 = np.asarray(to_uint8(rec))[:h, :w]
+        imageio.save_jpeg(args.output, rec_u8, quality=args.quality)
+        print(f"decoded {args.input} ({args.planes} spectral planes) -> {args.output}")
+        return 0
     if serialize.is_color_stream(head):
         from tpudct.models.color import decode_color_auto
 
@@ -602,6 +632,10 @@ def build_parser() -> argparse.ArgumentParser:
     sp = sub.add_parser("decode", help=".tdc coefficient file -> image")
     sp.add_argument("--pipeline", default="hp")
     sp.add_argument("--quality", type=int, default=100)
+    sp.add_argument("--planes", type=int, default=None,
+                    help="progressive decode: use only the first N zig-zag spectral planes (1-64; spectral-codec streams)")
+    sp.add_argument("--preview", action="store_true",
+                    help="1/8-scale DC-only thumbnail (no transform, no device; works on truncated downloads)")
     sp.add_argument("input")
     sp.add_argument("output")
     sp.set_defaults(fn=cmd_decode)

@@ -314,6 +314,121 @@ def load_coefficients(
         )
 
 
+# ---- progressive decode (spectral codec only) -------------------------------
+
+
+def _parse_header_v4(data: bytes) -> tuple:
+    """Parse just the v4 header -> (fields..., header size)."""
+    hsize = struct.calcsize(_HEADER4)
+    if len(data) < hsize or data[:4] != _MAGIC4:
+        raise ValueError("not a v4 .tdc coefficient stream")
+    (_m, h, w, oh, ow, q_scale, retain_k, tname, qname, code, psize) = (
+        struct.unpack(_HEADER4, data[:hsize])
+    )
+    return h, w, oh, ow, q_scale, retain_k, tname, qname, code, psize, hsize
+
+
+def partial_coefficients(data: bytes, n_planes: int = 1) -> dict:
+    """Progressive decode: reconstruct a coefficient map from only the
+    first `n_planes` zig-zag spectral planes (1 = DC only, 64 = all).
+
+    The spectral codec stores the DC plane first, then one full plane per
+    AC position in zig-zag order (the on-disk analog of JPEG progressive
+    spectral selection, ITU-T T.81 §G) — so a PREFIX of the payload is a
+    valid low-frequency approximation.  Decompression stops as soon as
+    enough bytes are available (zlib.decompressobj), which means this
+    also works on a truncated/partially-downloaded file as long as the
+    needed prefix arrived.  Spectral-codec streams only (huffman is
+    per-block interleaved; raw has no frequency ordering).
+
+    Returns the same plane dict shape as the internal parser: coeffs
+    (float32, unrequested planes zero), orig_shape, q_scale, retain_k,
+    transform, q_table, plus n_planes."""
+    (h, w, oh, ow, q_scale, retain_k, tname, qname, code, _psize, hsize) = (
+        _parse_header_v4(data)
+    )
+    if code != _CODEC_SPECTRAL:
+        raise ValueError(
+            "progressive decode needs the spectral codec (this stream uses "
+            f"codec {code}); decode it fully instead"
+        )
+    n_planes = max(1, min(int(n_planes), 64))
+    nb = (h // _BS) * (w // _BS)
+
+    d = zlib.decompressobj()
+    out = bytearray()
+    pos = hsize
+    # flags byte + DC int16 plane; AC item size depends on the flags, so
+    # fetch the first byte, then extend the budget.
+    need = 1 + 2 * nb
+    while len(out) < 1 and pos < len(data):
+        out += d.decompress(data[pos : pos + 65536])
+        pos += 65536
+    if not out:
+        raise ValueError("truncated spectral payload")
+    flags = out[0]
+    ac_item = 2 if flags & _AC16 else 1
+    need = 1 + 2 * nb + (n_planes - 1) * nb * ac_item
+    while len(out) < need and pos < len(data):
+        out += d.decompress(data[pos : pos + 65536])
+        pos += 65536
+    if len(out) < need:
+        raise ValueError(
+            f"stream holds fewer than {n_planes} spectral planes"
+        )
+    raw = bytes(out[:need])
+
+    dc_raw = np.frombuffer(raw, np.int16, count=nb, offset=1)
+    dc = (
+        dc_raw.astype(np.int32)
+        if flags & _DCRAW
+        else np.cumsum(dc_raw.astype(np.int32))
+    )
+    b = np.zeros((_BS, _BS, h // _BS, w // _BS), np.int16)
+    b[0, 0] = dc.astype(np.int16).reshape(h // _BS, w // _BS)
+    ac_dtype = np.int16 if flags & _AC16 else np.int8
+    off = 1 + 2 * nb
+    for i, (u, v) in enumerate(_ZIGZAG[1:n_planes]):
+        plane = np.frombuffer(raw, ac_dtype, count=nb, offset=off + i * nb * ac_item)
+        b[u, v] = plane.astype(np.int16).reshape(h // _BS, w // _BS)
+    coeffs = np.ascontiguousarray(b.transpose(2, 0, 3, 1).reshape(h, w))
+    transform = tname.rstrip(b"\x00").decode("ascii")
+    return {
+        "coeffs": coeffs.astype(np.float32),
+        "orig_shape": (oh or h, ow or w),
+        "q_scale": float(q_scale),
+        "retain_k": None if retain_k < 0 else retain_k,
+        "transform": transform,
+        "q_table": qname.rstrip(b"\x00").decode("ascii"),
+        "n_planes": n_planes,
+    }
+
+
+def preview_from_bytes(data: bytes) -> np.ndarray:
+    """Instant 1/8-scale thumbnail from a spectral .tdc stream: DC-only
+    decode, no transform and no device work.
+
+    For any transform whose first row is a constant vector r0·1 (every
+    shipped transform), the DC coefficient is round(r0²·Σ(x-128) /
+    (Q00·q_scale)), so the block mean is DC·Q00·q_scale/(64·r0²) + 128
+    (haweel: r0² = 1/8 → DC·Q00·q_scale/8 + 128)."""
+    from tpudct.constants import get_q_table, get_transform
+
+    p = partial_coefficients(data, n_planes=1)
+    h, w = p["coeffs"].shape
+    dc = p["coeffs"][::_BS, ::_BS]
+    tr = get_transform(p["transform"])
+    row0 = tr.t[0]
+    if not np.allclose(row0, row0[0]):
+        raise ValueError(f"transform {p['transform']!r} has no flat DC row")
+    q00 = float(get_q_table(p["q_table"])[0, 0]) * p["q_scale"]
+    mean = dc * q00 / (64.0 * float(row0[0] ** 2)) + 128.0
+    oh, ow = p["orig_shape"]
+    return np.clip(np.trunc(mean), 0, 255).astype(np.uint8)[
+        : (oh + _BS - 1) // _BS, : (ow + _BS - 1) // _BS
+    ]
+
+
 # ---- color (.tdcc) containers ---------------------------------------------
 
 
