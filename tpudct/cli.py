@@ -591,6 +591,7 @@ def cmd_info(_args) -> int:
     import jax
 
     import tpudct
+    from tpudct.utils.entropy import native_entropy_available
     from tpudct.utils.imageio import native_backend_available
 
     from tpudct.constants import Q_TABLES, TRANSFORMS
@@ -600,6 +601,7 @@ def cmd_info(_args) -> int:
         "backend": jax.default_backend(),
         "devices": [str(d) for d in jax.devices()],
         "native_jpeg": native_backend_available(),
+        "native_entropy": native_entropy_available(),
         "pipelines": tpudct.available_pipelines(),
         "transforms": sorted(TRANSFORMS),
         "q_tables": sorted(Q_TABLES),
