@@ -225,6 +225,34 @@ def test_shard_rgb_rejects_misaligned():
         shard_rgb(jnp.zeros((3, 16 * n, 120), jnp.uint8), mesh)  # width % 16
 
 
+def test_sharded_serving_step_matches_single_device():
+    """Batch data parallelism: a (B, H, W) u8 batch sharded over the mesh
+    must reproduce the single-device u8 roundtrip per image, with psum'd
+    batch metrics matching a host recompute."""
+    import jax
+
+    from tpudct.parallel import band_mesh, gather, shard_batch, sharded_serving_step
+
+    mesh = band_mesh()
+    n = mesh.shape["band"]
+    b, s = 2 * n, 128  # s=128 keeps the lane width on the real u8 kernel path
+    rng = np.random.default_rng(31)
+    batch = rng.integers(0, 256, (b, s, s), dtype=np.uint8)
+    cfg = CodecConfig(interpret=True)
+    p = get_pipeline("hp")
+    (c, r), m = sharded_serving_step(p, cfg, mesh)(shard_batch(jnp.asarray(batch), mesh))
+    r = gather(r)
+    c = gather(c)
+    assert r.shape == (b, s, s) and r.dtype == np.uint8
+    assert float(m["images"]) == b
+    # device 0 holds batch[0:2] stacked tall — must equal the single-device
+    # u8 roundtrip of the same stack (blocks are row-band independent)
+    _c1, r1 = p.roundtrip_u8(jnp.asarray(batch[:2].reshape(2 * s, s)), cfg)
+    np.testing.assert_array_equal(r[:2].reshape(2 * s, s), np.asarray(r1))
+    mse_host = ((batch.astype(np.float64) - r.astype(np.float64)) ** 2).mean()
+    assert abs(float(m["mse"]) - mse_host) / max(mse_host, 1e-9) < 1e-5
+
+
 def test_sharded_color_step_grid_matches_band_mesh():
     """Color over the 2-D (band, col) mesh == the band-mesh result: 16-row
     AND 16-col tile alignment keeps 4:2:0 pooling and chroma blocks

@@ -12,6 +12,7 @@ critical path.
 
 from tpudct.parallel.mesh import band_mesh, band_spec, distributed_init, grid_mesh, grid_spec
 from tpudct.parallel.sharding import (
+    shard_batch,
     shard_image,
     shard_image_grid,
     shard_rgb,
@@ -20,6 +21,7 @@ from tpudct.parallel.sharding import (
     sharded_color_step_grid,
     sharded_roundtrip,
     sharded_codec_step,
+    sharded_serving_step,
     sharded_codec_step_grid,
     gather,
 )
@@ -32,6 +34,7 @@ __all__ = [
     "band_spec",
     "grid_mesh",
     "grid_spec",
+    "shard_batch",
     "shard_image",
     "shard_image_grid",
     "shard_rgb",
@@ -40,6 +43,7 @@ __all__ = [
     "sharded_color_step_grid",
     "sharded_roundtrip",
     "sharded_codec_step",
+    "sharded_serving_step",
     "sharded_codec_step_grid",
     "gather",
     "ring_all_gather",

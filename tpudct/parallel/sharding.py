@@ -254,6 +254,59 @@ def sharded_color_step(pipeline: Pipeline, cfg: CodecConfig, mesh: Mesh):
     return jax.jit(fn)
 
 
+def batch_spec() -> P:
+    """(B, H, W) image batches shard on the leading batch axis."""
+    return P(BAND_AXIS, None, None)
+
+
+def shard_batch(x, mesh: Mesh):
+    """Place a (B, H, W) batch with B/n images per device."""
+    n = mesh.shape[BAND_AXIS]
+    if x.shape[0] % n:
+        raise ValueError(
+            f"batch of {x.shape[0]} images must split across {n} devices"
+        )
+    sh = NamedSharding(mesh, batch_spec())
+    if sh.is_fully_addressable:
+        return jax.device_put(x, sh)
+    import numpy as _np
+
+    return jax.make_array_from_process_local_data(sh, _np.asarray(x))
+
+
+def sharded_serving_step(pipeline: Pipeline, cfg: CodecConfig, mesh: Mesh):
+    """Serving-tier data parallelism: a (B, H, W) uint8 batch sharded over
+    the mesh, each device running its images through ONE fused u8 kernel
+    launch (batch-as-taller-image, models/base.py roundtrip_batch), with
+    batch-wide quality metrics psum'd over ICI.
+
+    This is the multi-chip composition of the single-chip serving number
+    (~75k 1024² images/s/chip): images are independent, so the only
+    collectives are the metric reductions — throughput scales with the
+    mesh.  Returns ((coeffs, recon) batch-sharded, metrics replicated)."""
+
+    def device_fn(xb):  # (B/n, H, W) u8
+        b, h, w = xb.shape
+        tall = xb.reshape(b * h, w)
+        c, r = pipeline.roundtrip_u8(tall, cfg)
+        xf = tall.astype(jnp.float32)
+        d = xf - r.astype(jnp.float32)
+        err = jax.lax.psum(jnp.sum(d * d), BAND_AXIS)
+        count = jax.lax.psum(jnp.asarray(xb.size, jnp.float32), BAND_AXIS)
+        metrics = {
+            "mse": err / count,
+            "psnr_db": 10.0 * jnp.log10(255.0**2 * count / jnp.maximum(err, 1e-30)),
+            "images": jax.lax.psum(jnp.asarray(b, jnp.float32), BAND_AXIS),
+        }
+        return (c.reshape(b, h, w), r.reshape(b, h, w)), metrics
+
+    fn = jax.shard_map(
+        device_fn, mesh=mesh, in_specs=batch_spec(),
+        out_specs=((batch_spec(), batch_spec()), P()), check_vma=False,
+    )
+    return jax.jit(fn)
+
+
 def rgb_grid_spec() -> P:
     """(3, H, W) planar RGB on a 2-D mesh: rows over 'band', cols over
     'col', channels replicated."""
