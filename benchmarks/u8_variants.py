@@ -185,6 +185,28 @@ def main():
         print(f"V-BF bf16-digit lane (256,2048): {ms:7.4f} ms", flush=True)
         ms = device_time_ms(lambda v: rt_u8_vbf(v, band_rows=128)[1], x, k_pair=KP, reps=2)
         print(f"V-BF bf16-digit lane (128,2048): {ms:7.4f} ms", flush=True)
+    elif which == "abbf":
+        # same-session alternating A/B: shipped int8-digit lane vs the
+        # bf16-digit lane (no i32->i8 packing, 2x MXU cycles)
+        from tpudct.utils.timing import _best_wall, _chain
+
+        K1, K2 = 16, 144
+        A = (_chain(lambda v: hp.hp_roundtrip_u8(v)[1], K1),
+             _chain(lambda v: hp.hp_roundtrip_u8(v)[1], K2))
+        B = (_chain(lambda v: rt_u8_vbf(v)[1], K1),
+             _chain(lambda v: rt_u8_vbf(v)[1], K2))
+        for f1, f2 in (A, B):
+            float(f1(x)); float(f2(x))
+        res = {"shipped": [], "bf16digit": []}
+        for trial in range(4):
+            for name, (f1, f2) in (("shipped", A), ("bf16digit", B)):
+                t1 = _best_wall(f1, x, 3)
+                t2 = _best_wall(f2, x, 3)
+                ms = (t2 - t1) / (K2 - K1) * 1e3
+                res[name].append(ms)
+                print(f"trial {trial} {name}: {ms:7.4f} ms", flush=True)
+        for k, v in res.items():
+            print(f"{k}: min {min(v):.4f} med {sorted(v)[1]:.4f}", flush=True)
     elif which == "cs":
         # same-session alternating A/B vs the shipped kernel
         from tpudct.utils.timing import _best_wall, _chain
