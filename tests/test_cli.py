@@ -338,6 +338,25 @@ def test_decode_progressive_and_preview(tmp_path, jpg, capsys):
     assert imageio.load_jpeg(cpv).shape == (8, 8)
 
 
+def test_decode_rows_roi(tmp_path, jpg, capsys):
+    """Region decode must equal the same rows of the full decode."""
+    tdc = tmp_path / "c.tdc"
+    assert main(["encode", "--pipeline", "batched", str(jpg), str(tdc)]) == 0
+    full = tmp_path / "full.jpg"
+    assert main(["decode", "--pipeline", "batched", str(tdc), str(full)]) == 0
+    roi = tmp_path / "roi.jpg"
+    assert main(["decode", "--pipeline", "batched", "--rows", "13:41",
+                 str(tdc), str(roi)]) == 0
+    a = imageio.load_jpeg(roi)
+    assert a.shape == (28, 64)
+    b = imageio.load_jpeg(full)[13:41]
+    # both are quality-100 re-encodes of the same pixels, but of different
+    # JPEG framings — compare loosely
+    assert np.abs(a.astype(float) - b.astype(float)).mean() < 3
+    # invalid ranges error cleanly
+    assert main(["decode", "--rows", "50:10", str(tdc), str(roi)]) == 1
+
+
 def test_run_decode_consistent_u8_and_f32_paths(tmp_path, rng):
     """run's reconstruction and decode-from-.tdc must agree byte-for-byte
     on both the u8-eligible (aligned) and fallback (misaligned) paths."""

@@ -124,6 +124,34 @@ def test_huffman_codec_extreme_values():
     np.testing.assert_array_equal(entropy._py_decode(stream, 16, 24), c)
 
 
+def test_huffman_decoder_survives_garbage(rng):
+    """Adversarial robustness: arbitrary bytes through the native C
+    decoder must produce a clean ValueError (or decode), never crash or
+    read out of bounds — this is the persistence format's attack surface."""
+    from tpudct.utils import entropy
+
+    if not entropy.native_entropy_available():
+        pytest.skip("native entropy codec unavailable")
+    c = np.zeros((16, 16), np.float32)
+    good = bytearray(entropy.huff_encode(c.astype(np.int16)))
+    for trial in range(200):
+        data = bytearray(good)
+        # mutate a few random bytes (keep version byte sometimes)
+        for _ in range(int(rng.integers(1, 8))):
+            data[int(rng.integers(0, len(data)))] = int(rng.integers(0, 256))
+        try:
+            entropy.huff_decode(bytes(data), 16, 16)
+        except ValueError:
+            pass
+    for trial in range(100):
+        n = int(rng.integers(0, 400))
+        data = bytes([1]) + rng.integers(0, 256, n, dtype=np.uint8).tobytes()
+        try:
+            entropy.huff_decode(data, 16, 16)
+        except ValueError:
+            pass
+
+
 def test_huffman_truncated_raises():
     c = np.arange(64, dtype=np.float32).reshape(8, 8)
     blob = serialize.coefficients_to_bytes(c, codec="huffman")

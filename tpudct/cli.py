@@ -258,6 +258,23 @@ def cmd_decode(args) -> int:
     # against (luma for every CLI-written gray .tdc; chroma possible via
     # the library API) — dequantize against the SAME one.
     cfg = CodecConfig(q_scale=q_scale, transform=transform, q_table=q_table)
+    if args.rows is not None:
+        # Region-of-interest decode: 8x8 blocks are independent, so only
+        # the covering block rows ride the inverse transform.
+        try:
+            a, bnd = (int(v) for v in args.rows.split(":"))
+        except Exception:
+            raise ValueError(f"--rows expects A:B, got {args.rows!r}") from None
+        a, bnd = max(0, a), min(h, bnd)
+        if bnd <= a:
+            raise ValueError(f"--rows {args.rows}: empty range for height {h}")
+        a8 = a - a % 8
+        b8 = min(coeffs.shape[0], -(-bnd // 8) * 8)
+        rec = p.idct(jnp.asarray(coeffs[a8:b8]), cfg)
+        rec_u8 = np.asarray(to_uint8(rec))[a - a8 : bnd - a8, :w]
+        imageio.save_jpeg(args.output, rec_u8, quality=args.quality)
+        print(f"decoded rows {a}:{bnd} of {args.input} -> {args.output}")
+        return 0
     from tpudct.kernels import hp_pallas
 
     if (
@@ -638,6 +655,8 @@ def build_parser() -> argparse.ArgumentParser:
                     help="progressive decode: use only the first N zig-zag spectral planes (1-64; spectral-codec streams)")
     sp.add_argument("--preview", action="store_true",
                     help="1/8-scale DC-only thumbnail (no transform, no device; works on truncated downloads)")
+    sp.add_argument("--rows", default=None,
+                    help="region decode: only image rows A:B (blocks are independent, so only covering block rows transform)")
     sp.add_argument("input")
     sp.add_argument("output")
     sp.set_defaults(fn=cmd_decode)
