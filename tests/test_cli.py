@@ -335,7 +335,7 @@ def test_decode_progressive_and_preview(tmp_path, jpg, capsys):
                  "--entropy", "spectral", str(rgbjpg), str(tdcc)]) == 0
     cpv = tmp_path / "cpv.jpg"
     assert main(["decode", "--preview", str(tdcc), str(cpv)]) == 0
-    assert imageio.load_jpeg(cpv).shape == (8, 8)
+    assert imageio.load_jpeg(cpv, force_gray=False).shape == (8, 8, 3)
 
 
 def test_decode_rows_roi(tmp_path, jpg, capsys):

@@ -212,7 +212,31 @@ def test_progressive_partial_decode(rng):
         )
 
 
-def test_extreme_q_scale_encode_serialize_decode():
+def test_color_preview_matches_downsampled_original():
+    """DC-only color thumbnail ≈ the 8x-box-downsampled original (DC IS
+    the block mean; color conversion is the only other step)."""
+    import jax.numpy as jnp
+
+    from tpudct import CodecConfig, get_pipeline
+    from tpudct.benchmark import photographic_image
+    from tpudct.models.color import encode_color
+
+    g = photographic_image(128)
+    rgb = np.stack([g, np.roll(g, 3, 0), np.roll(g, 5, 1)], -1)
+    p = get_pipeline("batched")
+    planes, meta = encode_color(p, jnp.asarray(rgb), CodecConfig())
+    blob = serialize.color_to_bytes(
+        {k: np.asarray(v) for k, v in planes.items()}, meta, codec="spectral"
+    )
+    pv = serialize.preview_color_from_bytes(blob).astype(np.float64)
+    assert pv.shape == (16, 16, 3)
+    box = rgb.reshape(16, 8, 16, 8, 3).mean(axis=(1, 3))
+    # DC quantization (Q00=16 luma / 17 chroma) + rounding bound the mean;
+    # the max is looser because each 4:2:0 chroma DC covers a 16x16 source
+    # region and upsamples nearest — sharp chroma edges (this image rolls
+    # channels) locally deviate by a few DC steps.
+    assert np.abs(pv - box).mean() < 6.0
+    assert np.abs(pv - box).max() < 40.0
     """Fuzz extreme q_scale x transform through encode -> bytes -> decode:
     every coefficient either serializes exactly or raises — no silent
     corruption anywhere in the chain."""

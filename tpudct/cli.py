@@ -211,17 +211,13 @@ def cmd_decode(args) -> int:
         head = f.read(4)
     if args.preview:
         # Instant 1/8-scale thumbnail: DC-only progressive decode, host
-        # arithmetic only (for .tdcc: the luma plane).
+        # arithmetic only (.tdcc streams preview in full color).
         data = open(args.input, "rb").read()
         if serialize.is_color_stream(head):
-            import struct as _struct
-
-            off = _struct.calcsize(serialize._HEADERC)
-            (blen,) = _struct.unpack("<I", data[off : off + 4])
-            data = data[off + 4 : off + 4 + blen]
-        imageio.save_jpeg(
-            args.output, serialize.preview_from_bytes(data), quality=args.quality
-        )
+            pv = serialize.preview_color_from_bytes(data)
+        else:
+            pv = serialize.preview_from_bytes(data)
+        imageio.save_jpeg(args.output, pv, quality=args.quality)
         print(f"preview (1/8 scale, DC-only) {args.input} -> {args.output}")
         return 0
     if args.planes is not None:

@@ -429,6 +429,41 @@ def preview_from_bytes(data: bytes) -> np.ndarray:
     ]
 
 
+def preview_color_from_bytes(data: bytes) -> np.ndarray:
+    """Instant RGB thumbnail from a spectral .tdcc stream: DC-only decode
+    of all three planes, host arithmetic only.
+
+    Returns (H/8, W/8, 3) uint8.  The Y plane previews at 1/8 scale;
+    4:2:0 chroma DC planes land at 1/16 scale and upsample 2x nearest
+    (exactly the resolution hierarchy a progressive JPEG viewer uses)."""
+    from tpudct.utils.color import rgb_from_ycbcr_planes
+
+    hsize = struct.calcsize(_HEADERC)
+    if not is_color_stream(data) or len(data) < hsize:
+        raise ValueError("not a .tdcc color stream")
+    (_m, n_planes, subsample) = struct.unpack(_HEADERC, data[:hsize])
+    off = hsize
+    tiles = []
+    for _ in range(n_planes):
+        (blen,) = struct.unpack("<I", data[off : off + 4])
+        off += 4
+        tiles.append(preview_from_bytes(data[off : off + blen]))
+        off += blen
+    y, cb, cr = (t.astype(np.float64) for t in tiles)
+    if subsample:
+        cb = cb.repeat(2, 0).repeat(2, 1)
+        cr = cr.repeat(2, 0).repeat(2, 1)
+    h, w = y.shape
+    cb, cr = cb[:h, :w], cr[:h, :w]
+    # pad if the chroma preview rounds one pixel short of the luma grid
+    if cb.shape != y.shape:
+        cb = np.pad(cb, ((0, h - cb.shape[0]), (0, w - cb.shape[1])), mode="edge")
+        cr = np.pad(cr, ((0, h - cr.shape[0]), (0, w - cr.shape[1])), mode="edge")
+    r, g, b = rgb_from_ycbcr_planes(y, cb, cr)
+    rgb = np.stack([np.asarray(r), np.asarray(g), np.asarray(b)], axis=-1)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
 # ---- color (.tdcc) containers ---------------------------------------------
 
 
