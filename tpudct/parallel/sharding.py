@@ -284,6 +284,10 @@ def sharded_serving_step(pipeline: Pipeline, cfg: CodecConfig, mesh: Mesh):
     (~75k 1024² images/s/chip): images are independent, so the only
     collectives are the metric reductions — throughput scales with the
     mesh.  Returns ((coeffs, recon) batch-sharded, metrics replicated)."""
+    if not hasattr(pipeline, "roundtrip_u8"):
+        raise ValueError(
+            f"serving step needs a u8-native pipeline (hp), got {pipeline.name!r}"
+        )
 
     def device_fn(xb):  # (B/n, H, W) u8
         b, h, w = xb.shape

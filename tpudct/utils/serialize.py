@@ -360,18 +360,20 @@ def partial_coefficients(data: bytes, n_planes: int = 1) -> dict:
     pos = hsize
     # flags byte + DC int16 plane; AC item size depends on the flags, so
     # fetch the first byte, then extend the budget.
-    need = 1 + 2 * nb
-    while len(out) < 1 and pos < len(data):
-        out += d.decompress(data[pos : pos + 65536])
-        pos += 65536
-    if not out:
-        raise ValueError("truncated spectral payload")
-    flags = out[0]
-    ac_item = 2 if flags & _AC16 else 1
-    need = 1 + 2 * nb + (n_planes - 1) * nb * ac_item
-    while len(out) < need and pos < len(data):
-        out += d.decompress(data[pos : pos + 65536])
-        pos += 65536
+    try:
+        while len(out) < 1 and pos < len(data):
+            out += d.decompress(data[pos : pos + 65536])
+            pos += 65536
+        if not out:
+            raise ValueError("truncated spectral payload")
+        flags = out[0]
+        ac_item = 2 if flags & _AC16 else 1
+        need = 1 + 2 * nb + (n_planes - 1) * nb * ac_item
+        while len(out) < need and pos < len(data):
+            out += d.decompress(data[pos : pos + 65536])
+            pos += 65536
+    except zlib.error as e:
+        raise ValueError(f"corrupt .tdc payload: {e}") from None
     if len(out) < need:
         raise ValueError(
             f"stream holds fewer than {n_planes} spectral planes"
@@ -445,6 +447,8 @@ def preview_color_from_bytes(data: bytes) -> np.ndarray:
     off = hsize
     tiles = []
     for _ in range(n_planes):
+        if len(data) < off + 4:
+            raise ValueError("truncated .tdcc color stream")
         (blen,) = struct.unpack("<I", data[off : off + 4])
         off += 4
         tiles.append(preview_from_bytes(data[off : off + blen]))
