@@ -136,3 +136,33 @@ def test_roundtrip_channels(rng):
         c1, r1 = p.roundtrip(jnp.asarray(img[:, :, ch]), CodecConfig())
         np.testing.assert_array_equal(np.asarray(c)[ch], np.asarray(c1))
         np.testing.assert_array_equal(np.asarray(r)[:, :, ch], np.asarray(r1))
+
+
+def test_streamed_roundtrip_matches_whole_image():
+    """Band-streamed codec == whole-image codec, bitwise (blocks never
+    cross band edges; tpudct/utils/streaming.py)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tpudct import CodecConfig, get_pipeline
+    from tpudct.utils.streaming import roundtrip_u8_streamed
+
+    rng = np.random.default_rng(17)
+    img = rng.integers(0, 256, (96, 256), dtype=np.uint8)
+    p = get_pipeline("hp")
+    cfg = CodecConfig(interpret=True)
+    c0, r0 = p.roundtrip_u8(jnp.asarray(img), cfg)
+    c1, r1 = roundtrip_u8_streamed(p, img, cfg, band_rows=32)
+    np.testing.assert_array_equal(c1, np.asarray(c0))
+    np.testing.assert_array_equal(r1, np.asarray(r0))
+    # preallocated (memmap-style) outputs fill in place
+    oc = np.zeros((96, 256), np.int8)
+    orr = np.zeros((96, 256), np.uint8)
+    roundtrip_u8_streamed(p, img, cfg, band_rows=64, out_coeffs=oc, out_recon=orr)
+    np.testing.assert_array_equal(oc, np.asarray(c0))
+    np.testing.assert_array_equal(orr, np.asarray(r0))
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        roundtrip_u8_streamed(p, img[:90], cfg)  # 90 % 32 != 0

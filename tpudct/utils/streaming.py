@@ -1,0 +1,76 @@
+"""Host-staged streaming codec for images larger than device memory.
+
+The reference is bounded by one GPU's memory (16 GB T4; it simply
+allocates whole-image buffers, main_newAppr.cu:94-95).  The TPU kernels
+here are row-band independent (8x8 blocks; zero halo — the same property
+the multi-chip sharding exploits), so an image of ANY height streams
+through the chip band by band: host slice -> device -> fused u8 kernel ->
+host assembly.  Peak device memory is one band's working set regardless
+of image size; outputs may be preallocated (e.g. numpy memmaps) so the
+HOST footprint can stay bounded too.
+
+Measured context: the fused u8 roundtrip runs ~85 Gpix/s on-device
+(RESULTS_v5e.md scale ladder up to 65536²); streaming throughput is
+bounded by host<->device transfer instead — the price of exceeding HBM.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+from tpudct.config import CodecConfig
+
+
+def roundtrip_u8_streamed(
+    pipeline,
+    image_u8: np.ndarray,
+    cfg: Optional[CodecConfig] = None,
+    band_rows: int = 8192,
+    out_coeffs: Optional[np.ndarray] = None,
+    out_recon: Optional[np.ndarray] = None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """(H, W) uint8 image -> (int8 coefficients, uint8 reconstruction),
+    processed in row bands of `band_rows` through the fused u8 kernels.
+
+    Bitwise identical to the whole-image `roundtrip_u8` (bands align to
+    32-row multiples, and blockwise math never crosses band edges).
+    `out_coeffs`/`out_recon` accept preallocated arrays (memmap-friendly).
+    Requires the u8 path's geometry (H % 32 == 0, W % 128 == 0) and an
+    int8-safe config — same gate as the in-memory kernel."""
+    import jax.numpy as jnp
+
+    from tpudct.kernels import hp_pallas
+
+    cfg = cfg or CodecConfig()
+    img = np.asarray(image_u8)
+    if img.dtype != np.uint8 or img.ndim != 2:
+        raise ValueError(f"expected a (H, W) uint8 image, got {img.dtype} {img.shape}")
+    h, w = img.shape
+    if not hp_pallas.supports_u8(h, w, cfg.q_scale, cfg.transform, cfg.q_table):
+        raise ValueError(
+            f"u8 streaming needs H % 32 == 0, W % 128 == 0 and an int8-safe "
+            f"config; got {h}x{w}, q_scale={cfg.q_scale}, "
+            f"transform={cfg.transform}"
+        )
+    band_rows = max(32, band_rows - band_rows % 32)
+    if not hasattr(pipeline, "roundtrip_u8"):
+        raise ValueError(
+            f"streaming needs a u8-native pipeline (hp), got {pipeline.name!r}"
+        )
+    if out_coeffs is None:
+        out_coeffs = np.empty((h, w), np.int8)
+    if out_recon is None:
+        out_recon = np.empty((h, w), np.uint8)
+    if out_coeffs.shape != (h, w) or out_recon.shape != (h, w):
+        raise ValueError("preallocated outputs must match the image shape")
+
+    for a in range(0, h, band_rows):
+        b = min(a + band_rows, h)
+        # tail bands below 32 rows merge into the previous slice by
+        # construction (h and band_rows are 32-multiples)
+        c, r = pipeline.roundtrip_u8(jnp.asarray(img[a:b]), cfg)
+        out_coeffs[a:b] = np.asarray(c)
+        out_recon[a:b] = np.asarray(r)
+    return out_coeffs, out_recon
