@@ -372,3 +372,9 @@ def test_run_decode_consistent_u8_and_f32_paths(tmp_path, rng):
         a = imageio.load_jpeg(out)
         b = imageio.load_jpeg(dec)
         np.testing.assert_array_equal(a, b)
+
+
+def test_selftest(capsys):
+    assert main(["selftest", "--pipeline", "batched", "--size", "128"]) == 0
+    rep = json.loads(capsys.readouterr().out.strip())
+    assert rep["gate"] == "pass"

@@ -600,6 +600,38 @@ def cmd_profile(args) -> int:
     return 0
 
 
+def cmd_selftest(args) -> int:
+    """On-device correctness gate as a user command: run one image through
+    the COMPILED kernels on the current backend and assert against the
+    float64 golden model (the automated form of the reference's manual
+    stage-corner eyeball, main_cublass.cu:121-128; same gate bench.py
+    runs before timing)."""
+    import pathlib
+    import sys as _sys
+
+    _sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+    try:
+        from bench import correctness_gate
+    except ImportError:
+        raise ValueError(
+            "selftest needs the repo checkout (bench.py + tests/golden.py)"
+        ) from None
+    from tpudct.config import CodecConfig
+    from tpudct.models import get_pipeline
+
+    # The golden model covers the reference configuration (haweel/luma,
+    # q_scale 1) — the gate always checks that exact config.
+    try:
+        rep = correctness_gate(
+            get_pipeline(args.pipeline), CodecConfig(), size=args.size
+        )
+    except AssertionError as e:
+        print(json.dumps({"gate": "FAIL", "reason": str(e)}))
+        return 1
+    print(json.dumps(rep))
+    return 0
+
+
 def cmd_info(_args) -> int:
     import jax
 
@@ -721,6 +753,11 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--reps", type=int, default=3)
     sp.add_argument("--out", default="/tmp/tpudct-trace", help="trace output directory")
     sp.set_defaults(fn=cmd_profile)
+
+    sp = sub.add_parser("selftest", help="on-device correctness gate vs the f64 golden (what bench.py runs before timing; reference config)")
+    sp.add_argument("--pipeline", default="hp")
+    sp.add_argument("--size", type=int, default=512)
+    sp.set_defaults(fn=cmd_selftest)
 
     sp = sub.add_parser("info", help="environment / backend report")
     sp.set_defaults(fn=cmd_info)
