@@ -448,3 +448,25 @@ def test_decode_auto_rejects_wide_coefficients():
     assert max(np.abs(np.asarray(v)).max() for v in planes.values()) > 127
     rec = decode_color_auto(p, planes, meta, cfg)  # must not wrap
     assert np.asarray(rec).shape == (64, 256, 3)
+
+
+def test_streamed_color_matches_whole_image():
+    """Band-streamed color codec == whole-image color codec, bitwise
+    (conversion pixel-local, 4:2:0 2x2-local, blocks band-local)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tpudct import CodecConfig, get_pipeline
+    from tpudct.models.color import roundtrip_color_u8
+    from tpudct.utils.streaming import roundtrip_color_u8_streamed
+
+    rng = np.random.default_rng(21)
+    rgb = rng.integers(0, 256, (3, 192, 256), dtype=np.uint8)
+    p = get_pipeline("hp")
+    cfg = CodecConfig(interpret=True)
+    planes0, meta0, rec0 = roundtrip_color_u8(p, jnp.asarray(rgb), cfg)
+    planes1, meta1, rec1 = roundtrip_color_u8_streamed(p, rgb, cfg, band_rows=64)
+    assert meta1 == meta0
+    for k in ("y", "cb", "cr"):
+        np.testing.assert_array_equal(planes1[k], np.asarray(planes0[k]))
+    np.testing.assert_array_equal(rec1, np.asarray(rec0))

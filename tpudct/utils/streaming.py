@@ -74,3 +74,53 @@ def roundtrip_u8_streamed(
         out_coeffs[a:b] = np.asarray(c)
         out_recon[a:b] = np.asarray(r)
     return out_coeffs, out_recon
+
+
+def roundtrip_color_u8_streamed(
+    pipeline,
+    rgb_planar_u8: np.ndarray,
+    cfg: Optional[CodecConfig] = None,
+    band_rows: int = 4096,
+) -> Tuple[dict, dict, np.ndarray]:
+    """(3, H, W) planar uint8 RGB -> (coefficient planes, meta, (H, W, 3)
+    uint8 reconstruction), streamed in row bands through the fused u8
+    color path (models/color.py).
+
+    Bands align to 64 rows so YCbCr conversion (pixel-local), 4:2:0
+    pooling (2x2-local) and blockwise coding never cross band edges —
+    results are identical to the whole-image pass.  Device memory is
+    bounded by one band's planes."""
+    import jax.numpy as jnp
+
+    from tpudct.models.color import roundtrip_color_u8, supports_color_u8
+
+    cfg = cfg or CodecConfig()
+    rgb = np.asarray(rgb_planar_u8)
+    if rgb.dtype != np.uint8 or rgb.ndim != 3 or rgb.shape[0] != 3:
+        raise ValueError(
+            f"expected a (3, H, W) uint8 planar image, got {rgb.dtype} {rgb.shape}"
+        )
+    _c, h, w = rgb.shape
+    band_rows = max(64, band_rows - band_rows % 64)
+    if h % 64 or not supports_color_u8(pipeline, cfg, max(h, 64), w):
+        raise ValueError(
+            f"u8 color streaming needs H % 64 == 0, W % 256 == 0 and an "
+            f"int8-safe config; got {h}x{w}"
+        )
+    ys, cbs, crs, recs = [], [], [], []
+    for a in range(0, h, band_rows):
+        b = min(a + band_rows, h)
+        planes, _meta, rec = roundtrip_color_u8(
+            pipeline, jnp.asarray(rgb[:, a:b]), cfg
+        )
+        ys.append(np.asarray(planes["y"]))
+        cbs.append(np.asarray(planes["cb"]))
+        crs.append(np.asarray(planes["cr"]))
+        recs.append(np.asarray(rec))
+    out_planes = {
+        "y": np.concatenate(ys, axis=0),
+        "cb": np.concatenate(cbs, axis=0),
+        "cr": np.concatenate(crs, axis=0),
+    }
+    meta = {"orig_shape": (h, w), "chroma_shape": (h // 2, w // 2), "subsample": True}
+    return out_planes, meta, np.concatenate(recs, axis=0)
