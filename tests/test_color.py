@@ -470,3 +470,61 @@ def test_streamed_color_matches_whole_image():
     for k in ("y", "cb", "cr"):
         np.testing.assert_array_equal(planes1[k], np.asarray(planes0[k]))
     np.testing.assert_array_equal(rec1, np.asarray(rec0))
+
+
+def test_color_422_mode():
+    """4:2:2 chroma: quality sits between 4:4:4 and 4:2:0 on chroma-rich
+    content, the mode round-trips through the .tdcc container (flag byte
+    2), and legacy flag 1 still reads as '420'."""
+    import struct
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tpudct import CodecConfig, get_pipeline
+    from tpudct.models.color import decode_color, encode_color, roundtrip_color
+    from tpudct.utils import serialize
+
+    rng = np.random.default_rng(13)
+    base = rng.integers(0, 256, (64, 64)).astype(np.float32)
+    # chroma-rich: distinct channels with horizontal AND vertical structure
+    rgb = np.stack([base, np.roll(base, 7, 0), 255 - base], -1)
+    p = get_pipeline("batched")
+    cfg = CodecConfig(interpret=True)
+
+    def mse(mode):
+        _pl, _m, rec = roundtrip_color(p, jnp.asarray(rgb), cfg, subsample=mode)
+        return ((np.asarray(rec).astype(np.float64) - rgb) ** 2).mean()
+
+    m444, m422, m420 = mse(False), mse("422"), mse("420")
+    assert m444 <= m422 <= m420, (m444, m422, m420)
+
+    planes, meta = encode_color(p, jnp.asarray(rgb), cfg, subsample="422")
+    assert meta["subsample"] == "422"
+    assert meta["chroma_shape"] == (64, 32)
+    blob = serialize.color_to_bytes(
+        {k: np.asarray(v) for k, v in planes.items()}, meta, codec="spectral"
+    )
+    assert blob[5] == 2  # subsample byte after magic + n_planes
+    planes2, meta2 = serialize.bytes_to_color(blob)
+    assert meta2["subsample"] == "422"
+    rec1 = np.asarray(decode_color(p, planes, meta, cfg))
+    rec2 = np.asarray(decode_color(p, planes2, meta2, cfg))
+    np.testing.assert_array_equal(rec1, rec2)
+
+    # legacy flag byte 1 -> "420"
+    legacy = bytearray(
+        serialize.color_to_bytes(
+            {k: np.asarray(v) for k, v in
+             encode_color(p, jnp.asarray(rgb), cfg, subsample=True)[0].items()},
+            encode_color(p, jnp.asarray(rgb), cfg, subsample=True)[1],
+            codec="spectral",
+        )
+    )
+    assert legacy[5] == 1
+    _pl, m = serialize.bytes_to_color(bytes(legacy))
+    assert m["subsample"] == "420"
+
+    # 422 color preview: horizontal-only chroma upsample
+    pv = serialize.preview_color_from_bytes(blob)
+    assert pv.shape == (8, 8, 3)

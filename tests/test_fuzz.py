@@ -89,7 +89,8 @@ def test_random_color_roundtrip_and_serialize(seed):
         cfg.q_scale, cfg.retain_k, cfg.transform,
     )
     planes2, meta2 = serialize.bytes_to_color(blob)
-    assert meta2["orig_shape"] == (h, w) and meta2["subsample"] == sub
+    assert meta2["orig_shape"] == (h, w)
+    assert meta2["subsample"] == ("420" if sub else False)
     rec = np.asarray(decode_color(p, planes2, meta2, cfg))
     assert rec.shape == (h, w, 3) and rec.dtype == np.uint8
     # Lossy but sane: uniform-noise chroma is unrecoverable under 4:2:0 +

@@ -59,6 +59,15 @@ def _add_color_flags(sp):
                     help="code in color (YCbCr, chroma table QC; the reference is grayscale-only)")
     sp.add_argument("--no-subsample", action="store_true",
                     help="with --color: keep chroma at full resolution (4:4:4 instead of 4:2:0)")
+    sp.add_argument("--chroma", choices=("420", "422", "444"), default=None,
+                    help="with --color: chroma subsampling mode (default 420; overrides --no-subsample)")
+
+
+def _chroma_mode(args):
+    """CLI chroma mode: --chroma wins, then --no-subsample, else 4:2:0."""
+    if getattr(args, "chroma", None):
+        return False if args.chroma == "444" else args.chroma
+    return not getattr(args, "no_subsample", False)
 
 
 def _load_rgb(path) -> "np.ndarray":
@@ -97,7 +106,7 @@ def cmd_run(args) -> int:
         # Dispatches to the fused u8 path (Pallas color kernels + int8
         # codec kernels) when the geometry allows it.
         planes, meta, rec = roundtrip_color_auto(
-            p, jnp.asarray(rgb), cfg, subsample=not args.no_subsample
+            p, jnp.asarray(rgb), cfg, subsample=_chroma_mode(args)
         )
         rec_u8 = np.asarray(rec)
         imageio.save_jpeg(args.output, rec_u8, quality=args.quality)
@@ -182,7 +191,7 @@ def cmd_encode(args) -> int:
         rgb = _load_rgb(args.input)
         planes, meta = encode_color_auto(
             get_pipeline(args.pipeline), jnp.asarray(rgb), cfg,
-            subsample=not args.no_subsample,
+            subsample=_chroma_mode(args),
         )
         n = serialize.save_color(
             args.output, planes, meta, cfg.q_scale, cfg.retain_k, cfg.transform,
@@ -345,7 +354,7 @@ def cmd_table(args) -> int:
             img = _load_rgb(args.input)
         rows = accuracy_table_color(
             img, args.pipeline, cfg_base=_cfg_from(args),
-            subsample=not args.no_subsample,
+            subsample=_chroma_mode(args),
         )
     else:
         if args.input is None:
@@ -530,7 +539,7 @@ def cmd_batch(args) -> int:
                     h, w = img.shape[:2]
                     planes, meta = encode_color_auto(
                         p, jnp.asarray(img), cfg,
-                        subsample=not args.no_subsample,
+                        subsample=_chroma_mode(args),
                     )
                     out = dst / (name + ".tdcc")
                     n = serialize.save_color(

@@ -30,12 +30,32 @@ from tpudct.ops.padding import crop, pad_to_blocks
 from tpudct.ops.rounding import round_half_away
 from tpudct.utils.color import (
     downsample_420,
+    downsample_422,
     rgb_to_ycbcr,
     upsample_420,
+    upsample_422,
     ycbcr_to_rgb,
 )
 
 PLANES = ("y", "cb", "cr")
+
+
+def _sub_mode(subsample) -> "str | bool":
+    """Normalize the subsample parameter: True/'420' -> '420' (the JPEG
+    default), '422' -> '422', False/None/'444' -> False (full-res
+    chroma).  Strings join bools so the original boolean API keeps
+    working."""
+    if subsample in (True, "420", 420):
+        return "420"
+    if subsample in ("422", 422):
+        return "422"
+    if subsample in (False, None, "444", 444):
+        return False
+    raise ValueError(f"unknown chroma subsampling {subsample!r}; use 420|422|444")
+
+
+_DOWN = {"420": downsample_420, "422": downsample_422}
+_UP = {"420": upsample_420, "422": upsample_422}
 
 
 def _luma_cfg(cfg: CodecConfig) -> CodecConfig:
@@ -57,10 +77,11 @@ def encode_color(
     Coefficient maps keep the padded plane shapes (block-aligned); `meta`
     records everything decode needs: the RGB size, per-plane pre-padding
     sizes and the subsampling flag."""
+    mode = _sub_mode(subsample)
     y, cb, cr = rgb_to_ycbcr(rgb)
     h, w = y.shape
-    if subsample:
-        cb, cr = downsample_420(cb), downsample_420(cr)
+    if mode:
+        cb, cr = _DOWN[mode](cb), _DOWN[mode](cr)
     ch, cw = cb.shape
 
     yp, _ = pad_to_blocks(y)
@@ -74,7 +95,7 @@ def encode_color(
     meta = {
         "orig_shape": (h, w),
         "chroma_shape": (ch, cw),
-        "subsample": bool(subsample),
+        "subsample": mode,
     }
     return {"y": cy, "cb": cc[:ph], "cr": cc[ph:]}, meta
 
@@ -97,8 +118,9 @@ def decode_color(p: Pipeline, planes: dict, meta: dict, cfg: CodecConfig):
     ph = planes["cb"].shape[0]
     cb = crop(cc[:ph], ch, cw)
     cr = crop(cc[ph:], ch, cw)
-    if meta["subsample"]:
-        cb, cr = upsample_420(cb, h, w), upsample_420(cr, h, w)
+    mode = _sub_mode(meta["subsample"])
+    if mode:
+        cb, cr = _UP[mode](cb, h, w), _UP[mode](cr, h, w)
 
     rgb = ycbcr_to_rgb(y, cb, cr)
     return jnp.clip(round_half_away(rgb), 0.0, 255.0).astype(jnp.uint8)
@@ -171,7 +193,7 @@ def encode_color_u8(p: Pipeline, rgb_u8, cfg: CodecConfig, subsample: bool = Tru
     Chroma planes stack vertically through ONE kernel launch."""
     x = _planar_u8(rgb_u8)
     _c, h, w = x.shape
-    if not supports_color_u8(p, cfg, h, w) or not subsample:
+    if not supports_color_u8(p, cfg, h, w) or _sub_mode(subsample) != "420":
         raise ValueError(
             f"u8 color path unsupported for {h}x{w} subsample={subsample} "
             "(needs hp pipeline, H%64==0, W%256==0, int8-safe q_scale); "
@@ -184,7 +206,7 @@ def encode_color_u8(p: Pipeline, rgb_u8, cfg: CodecConfig, subsample: bool = Tru
     cy = p.encode_u8(y, _luma_cfg(cfg))
     cc = p.encode_u8(jnp.concatenate([cb, cr], axis=0), _chroma_cfg(cfg))
     ph = cb.shape[0]
-    meta = {"orig_shape": (h, w), "chroma_shape": (h // 2, w // 2), "subsample": True}
+    meta = {"orig_shape": (h, w), "chroma_shape": (h // 2, w // 2), "subsample": "420"}
     return {"y": cy, "cb": cc[:ph], "cr": cc[ph:]}, meta
 
 
@@ -227,7 +249,7 @@ def _u8_eligible(p: Pipeline, rgb, cfg: CodecConfig, subsample: bool) -> bool:
     # Inspect dtype/shape without jnp.asarray: that would device-transfer a
     # numpy input just to look at metadata (and again on the real path).
     dt = getattr(rgb, "dtype", None)  # nested lists etc. -> f32 path
-    if dt is None or np.dtype(dt) != np.uint8 or not subsample:
+    if dt is None or np.dtype(dt) != np.uint8 or _sub_mode(subsample) != "420":
         return False
     try:
         _layout_name, h, w = _layout(rgb)
@@ -264,7 +286,7 @@ def decode_color_auto(p: Pipeline, planes: dict, meta: dict, cfg: CodecConfig):
 
     h, w = meta["orig_shape"]
     if (
-        meta["subsample"]
+        _sub_mode(meta["subsample"]) == "420"
         and supports_color_u8(p, cfg, h, w)
         and tuple(planes["y"].shape) == (h, w)
         and all(_fits_i8(v) for v in planes.values())

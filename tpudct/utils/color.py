@@ -94,6 +94,23 @@ def upsample_420(plane, h: int, w: int):
     return x[:h, :w]
 
 
+def downsample_422(plane):
+    """(H, W) -> (H, ceil(W/2)) by horizontal 2x mean pooling (JPEG 4:2:2:
+    chroma halved horizontally only — the broadcast-studio compromise
+    between 4:4:4 and 4:2:0)."""
+    x = jnp.asarray(plane, jnp.float32)
+    if x.shape[1] % 2:
+        x = jnp.concatenate([x, x[:, -1:]], axis=1)
+    return (x[:, 0::2] + x[:, 1::2]) * 0.5
+
+
+def upsample_422(plane, h: int, w: int):
+    """(h, w2) -> (h, w) by horizontal nearest replication (adjoint of
+    :func:`downsample_422`)."""
+    x = jnp.asarray(plane, jnp.float32)
+    return jnp.repeat(x, 2, axis=1)[:h, :w]
+
+
 # ---- u8-native planar fast path --------------------------------------------
 #
 # The float API above is layout-agnostic and general; the serving path wants

@@ -454,9 +454,12 @@ def preview_color_from_bytes(data: bytes) -> np.ndarray:
         tiles.append(preview_from_bytes(data[off : off + blen]))
         off += blen
     y, cb, cr = (t.astype(np.float64) for t in tiles)
-    if subsample:
+    if subsample == 1:  # 4:2:0
         cb = cb.repeat(2, 0).repeat(2, 1)
         cr = cr.repeat(2, 0).repeat(2, 1)
+    elif subsample == 2:  # 4:2:2 — horizontal only
+        cb = cb.repeat(2, 1)
+        cr = cr.repeat(2, 1)
     h, w = y.shape
     cb, cr = cb[:h, :w], cr[:h, :w]
     # pad if the chroma preview rounds one pixel short of the luma grid
@@ -477,7 +480,9 @@ def color_to_bytes(
 ) -> bytes:
     """Serialize models.color.encode_color output to a .tdcc stream."""
     h, w = meta["orig_shape"]
-    parts = [struct.pack(_HEADERC, _MAGICC, 3, 1 if meta["subsample"] else 0)]
+    # subsample byte: 0 = 4:4:4 (none), 1 = 4:2:0 (legacy bool True), 2 = 4:2:2
+    _SUB_CODE = {False: 0, True: 1, "420": 1, "422": 2}
+    parts = [struct.pack(_HEADERC, _MAGICC, 3, _SUB_CODE[meta["subsample"]])]
     for name, q_table, oshape in (
         ("y", "luma", (h, w)),
         ("cb", "chroma", meta["chroma_shape"]),
@@ -536,7 +541,7 @@ def bytes_to_color(data: bytes) -> tuple:
     meta = {
         "orig_shape": y["orig_shape"],
         "chroma_shape": cb["orig_shape"],
-        "subsample": bool(subsample),
+        "subsample": {0: False, 1: "420", 2: "422"}.get(subsample, False),
         "q_scale": y["q_scale"],
         "retain_k": y["retain_k"],
         "transform": y["transform"],

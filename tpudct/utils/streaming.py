@@ -122,5 +122,5 @@ def roundtrip_color_u8_streamed(
         "cb": np.concatenate(cbs, axis=0),
         "cr": np.concatenate(crs, axis=0),
     }
-    meta = {"orig_shape": (h, w), "chroma_shape": (h // 2, w // 2), "subsample": True}
+    meta = {"orig_shape": (h, w), "chroma_shape": (h // 2, w // 2), "subsample": "420"}
     return out_planes, meta, np.concatenate(recs, axis=0)
