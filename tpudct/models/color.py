@@ -6,8 +6,9 @@ composes the existing blockwise codec into the standard JPEG color model:
 
   RGB -> full-range BT.601 YCbCr (utils/color.py)
   Y   : full resolution, luminance table Q      (the reference's only mode)
-  Cb, Cr: 4:2:0 subsampled (optional), chrominance table QC (ITU-T T.81
-          Table K.2), both planes coded through ONE batched kernel launch
+  Cb, Cr: 4:2:0 (default) / 4:2:2 / 4:4:4, chrominance table QC (ITU-T
+          T.81 Table K.2), both planes coded through ONE batched kernel
+          launch
 
 Every plane rides the same pipeline object (`cublas` / `batched` / `fast` /
 `hp`), so the color path inherits whatever compute strategy and decode tier
