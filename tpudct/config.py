@@ -61,12 +61,14 @@ class CodecConfig:
         comparison.
       lane_blocks: how many 8x8 blocks ride one 128-lane tile in the fused
         Pallas kernel (128 // block_size).
-      band_rows: sublane rows per Pallas grid step (multiple of 8; 256
-        puts two MXU-shaped (128, 128) sub-tiles through each matmul —
-        measured fastest across kernels at 8192^2 on v5e).
-      tile_cols: lane columns per Pallas grid step (multiple of 128;
-        (256, 2048) measured fastest at 8192^2 on v5e — the u8 roundtrip
-        runs 0.884 ms vs 0.911 at 1024; f32 kernels neutral).
+      band_rows: sublane rows per Pallas grid step (multiple of 8).
+        None (default) = each kernel's measured-best geometry: the u8
+        kernels run (128, 4096), the f32 kernels (256, 2048) — the two
+        paths prefer OPPOSITE geometries by ~3% each in same-session
+        A/Bs at 8192² on v5e (benchmarks/RESULTS_v5e.md variant study).
+        Set explicitly to override both paths.
+      tile_cols: lane columns per Pallas grid step (multiple of 128);
+        None (default) = per-kernel measured best, see band_rows.
     """
 
     block_size: int = 8
@@ -77,8 +79,8 @@ class CodecConfig:
     interpret: bool = False
     exact_int_core: bool = True
     decode_precision: str = "butterfly"
-    band_rows: int = 256
-    tile_cols: int = 2048
+    band_rows: Optional[int] = None
+    tile_cols: Optional[int] = None
 
     @property
     def lane_blocks(self) -> int:

@@ -134,6 +134,21 @@ def supports_u8(h: int, w: int, q_scale: float = 1.0, transform: str = "haweel",
 _VMEM_TILE_ELEMS = (14 * 2**20) // 24
 
 
+# Measured-best per-kernel-family tile geometry at 8192² on v5e (4/4-trial
+# same-session A/Bs, benchmarks/RESULTS_v5e.md): the u8 kernels prefer
+# (128, 4096) and the f32 kernels (256, 2048), each by ~3%.  Wrappers
+# resolve None (the CodecConfig default) to these.
+_F32_GEOM = (256, 2048)
+_U8_GEOM = (128, 4096)
+
+
+def _resolve_geom(band_rows, tile_cols, default):
+    return (
+        default[0] if band_rows is None else band_rows,
+        default[1] if tile_cols is None else tile_cols,
+    )
+
+
 def _geometry(h: int, w: int, band_rows: int, tile_cols: int, row_align: int = BLOCK_SIZE):
     if h % row_align or w % LANE:
         raise ValueError(
@@ -497,8 +512,8 @@ def hp_dct(
     image,
     q_scale: float = 1.0,
     q_table: str = "luma",
-    band_rows: int = 256,
-    tile_cols: int = 2048,
+    band_rows=None,
+    tile_cols=None,
     interpret: bool = False,
     int_core: bool = True,
     transform: str = "haweel",
@@ -510,6 +525,7 @@ def hp_dct(
     the f32-literal path matching the reference GEMM inputs bit-for-bit.
     """
     h, w = image.shape
+    band_rows, tile_cols = _resolve_geom(band_rows, tile_cols, _F32_GEOM)
     br, tc = _geometry(h, w, band_rows, tile_cols)
     if int_core:
         consts = _consts_int(br, q_scale, None, transform, q_table)
@@ -527,14 +543,15 @@ def hp_idct(
     coeffs,
     q_scale: float = 1.0,
     q_table: str = "luma",
-    band_rows: int = 256,
-    tile_cols: int = 2048,
+    band_rows=None,
+    tile_cols=None,
     interpret: bool = False,
     decode_precision: str = "butterfly",
     transform: str = "haweel",
 ):
     """(H, W) f32 quantized coefficients -> (H, W) f32 reconstruction."""
     h, w = coeffs.shape
+    band_rows, tile_cols = _resolve_geom(band_rows, tile_cols, _F32_GEOM)
     br, tc = _geometry(h, w, band_rows, tile_cols)
     if _prec(decode_precision) == "butterfly":
         consts = _consts_bf(br, q_scale, transform, q_table)
@@ -553,8 +570,8 @@ def hp_roundtrip(
     q_scale: float = 1.0,
     q_table: str = "luma",
     retain_k=None,
-    band_rows: int = 256,
-    tile_cols: int = 2048,
+    band_rows=None,
+    tile_cols=None,
     interpret: bool = False,
     int_core: bool = True,
     decode_precision: str = "butterfly",
@@ -569,6 +586,7 @@ def hp_roundtrip(
     from tpudct.ops.quant import retention_mask
 
     h, w = image.shape
+    band_rows, tile_cols = _resolve_geom(band_rows, tile_cols, _F32_GEOM)
     br, tc = _geometry(h, w, band_rows, tile_cols)
     butterfly = _prec(decode_precision) == "butterfly"
     if int_core:
@@ -603,8 +621,8 @@ def hp_encode_u8(
     q_scale: float = 1.0,
     q_table: str = "luma",
     retain_k=None,
-    band_rows: int = 256,
-    tile_cols: int = 2048,
+    band_rows=None,
+    tile_cols=None,
     interpret: bool = False,
     transform: str = "haweel",
 ):
@@ -613,6 +631,7 @@ def hp_encode_u8(
     4x less HBM traffic than the f32-staged path; valid whenever
     supports_u8 holds (coefficients provably fit int8)."""
     h, w = image_u8.shape
+    band_rows, tile_cols = _resolve_geom(band_rows, tile_cols, _U8_GEOM)
     br, tc = _geometry(h, w, band_rows, tile_cols, row_align=32)
     consts = _consts_int(br, q_scale, retain_k, transform, q_table)
     return _call(_k_encode_u8, h, w, br, tc, consts, [jnp.int8], interpret)(
@@ -625,8 +644,8 @@ def hp_decode_u8(
     coeffs_i8,
     q_scale: float = 1.0,
     q_table: str = "luma",
-    band_rows: int = 256,
-    tile_cols: int = 2048,
+    band_rows=None,
+    tile_cols=None,
     interpret: bool = False,
     decode_precision: str = "butterfly",
     transform: str = "haweel",
@@ -634,6 +653,7 @@ def hp_decode_u8(
     """(H, W) int8 coefficients -> (H, W) uint8 reconstruction (fused
     dequant + inverse + unshift + clamp + cast)."""
     h, w = coeffs_i8.shape
+    band_rows, tile_cols = _resolve_geom(band_rows, tile_cols, _U8_GEOM)
     br, tc = _geometry(h, w, band_rows, tile_cols, row_align=32)
     if _prec(decode_precision) == "butterfly":
         consts = _consts_bf(br, q_scale, transform, q_table)
@@ -652,8 +672,8 @@ def hp_roundtrip_u8(
     q_scale: float = 1.0,
     q_table: str = "luma",
     retain_k=None,
-    band_rows: int = 256,
-    tile_cols: int = 2048,
+    band_rows=None,
+    tile_cols=None,
     interpret: bool = False,
     decode_precision: str = "butterfly",
     transform: str = "haweel",
@@ -662,6 +682,7 @@ def hp_roundtrip_u8(
     uint8 reconstruction).  192 MB total HBM traffic at 8192^2 vs 768 MB
     for the f32-staged separate-phase flow; image aliased to recon."""
     h, w = image_u8.shape
+    band_rows, tile_cols = _resolve_geom(band_rows, tile_cols, _U8_GEOM)
     br, tc = _geometry(h, w, band_rows, tile_cols, row_align=32)
     iconsts = _consts_int(br, q_scale, retain_k, transform, q_table)
     if _prec(decode_precision) == "butterfly":
