@@ -267,11 +267,15 @@ def _dot_prec(a, b, precision: str):
     return jax.lax.dot(a, b, precision=_HIGHEST, preferred_element_type=jnp.float32)
 
 
-def _fwd_tile_int(x_i8, bdts, bdts_l, scale):
+def _fwd_tile_int(x_i8, bdts, bdts_l, scale, out_i8: bool = False):
     """Exact integer Haweel core: c = round_away((Ts X Ts^T) * scale).
 
-    x_i8: (br, tc) int8 level-shifted pixels.  Returns f32 coefficients.
-    """
+    x_i8: (br, tc) int8 level-shifted pixels.  Returns f32 coefficients,
+    or int8 directly when ``out_i8`` — the f32->i8 convert truncates
+    toward zero, so the round's explicit jnp.trunc pass is dropped and
+    the cast does it: bit-identical (verified on hardware), one fewer
+    full-tile VPU pass per lane chunk (enc_variants.py E7, 0.430 vs
+    0.440 ms same-session at 8192²)."""
     tc = x_i8.shape[1]
     u = jax.lax.dot(bdts, x_i8, preferred_element_type=jnp.int32)  # |u| <= 1536
     # Base-128 digit split so the second contraction stays int8.
@@ -286,7 +290,11 @@ def _fwd_tile_int(x_i8, bdts, bdts_l, scale):
             jax.lax.dot(u1_8[:, sl], bt, preferred_element_type=jnp.int32) * 128
             + jax.lax.dot(u0_8[:, sl], bt, preferred_element_type=jnp.int32)
         )
-        cols.append(_round_away(core.astype(jnp.float32) * scale))
+        z = core.astype(jnp.float32) * scale
+        if out_i8:
+            cols.append((z + jnp.copysign(jnp.float32(0.5), z)).astype(jnp.int8))
+        else:
+            cols.append(_round_away(z))
     return jnp.concatenate(cols, axis=1) if len(cols) > 1 else cols[0]
 
 
@@ -442,7 +450,7 @@ def _k_rt_f32_bf(x_ref, a_ref, b_ref, q_ref, m_ref, qdd_ref, ts_ref, w_ref, c_re
 
 def _k_encode_u8(x_ref, a_ref, b_ref, s_ref, o_ref):
     x = _shift_u8(x_ref[:])
-    o_ref[:] = _fwd_tile_int(x, a_ref[:], b_ref[:], s_ref[:]).astype(jnp.int8)
+    o_ref[:] = _fwd_tile_int(x, a_ref[:], b_ref[:], s_ref[:], out_i8=True)
 
 
 def _k_decode_u8(c_ref, a_ref, b_ref, q_ref, o_ref, *, precision="highest"):
