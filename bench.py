@@ -48,7 +48,19 @@ def correctness_gate(p, cfg, size: int = 512) -> dict:
         size, size, cfg.q_scale, cfg.transform, cfg.q_table
     )
     if u8_path:
-        c, r = p.roundtrip_u8(jnp.asarray(img.astype("uint8")), cfg)
+        xu8 = jnp.asarray(img.astype("uint8"))
+        c, r = p.roundtrip_u8(xu8, cfg)
+        # The standalone split-path kernels (CLI encode/decode, streaming,
+        # serving, color) must agree with the fused roundtrip bit-for-bit —
+        # covers compiled-kernel drift in hp_encode_u8/hp_decode_u8 too.
+        c_split = p.encode_u8(xu8, cfg)
+        r_split = p.decode_u8(c_split, cfg)
+        assert (np.asarray(c_split) == np.asarray(c)).all(), (
+            "standalone encode_u8 disagrees with the fused roundtrip"
+        )
+        assert (np.asarray(r_split) == np.asarray(r)).all(), (
+            "standalone decode_u8 disagrees with the fused roundtrip"
+        )
     else:
         c, r = p.roundtrip(jnp.asarray(img), cfg)
     c = np.asarray(c).astype(np.float64)
