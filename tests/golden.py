@@ -29,9 +29,9 @@ def zonal_mask_np(k, bs=BLOCK_SIZE):
     return (u + v < k).astype(np.float64)
 
 
-def golden_dct(img, q_scale=1.0, retain_k=None, dtype=np.float64, t=None):
+def golden_dct(img, q_scale=1.0, retain_k=None, dtype=np.float64, t=None, q=None):
     t = (T if t is None else t).astype(dtype)
-    q = Q.astype(dtype) * q_scale
+    q = (Q if q is None else np.asarray(q)).astype(dtype) * q_scale
     h, w = img.shape
     xb = blockify_np(img.astype(dtype)) - 128.0
     yb = np.einsum("ij,bjk,lk->bil", t, xb, t)
@@ -39,16 +39,16 @@ def golden_dct(img, q_scale=1.0, retain_k=None, dtype=np.float64, t=None):
     return deblockify_np(cb, h, w)
 
 
-def golden_idct(coeffs, q_scale=1.0, dtype=np.float64, t=None):
+def golden_idct(coeffs, q_scale=1.0, dtype=np.float64, t=None, q=None):
     t = (T if t is None else t).astype(dtype)
-    q = Q.astype(dtype) * q_scale
+    q = (Q if q is None else np.asarray(q)).astype(dtype) * q_scale
     h, w = coeffs.shape
     yb = blockify_np(coeffs.astype(dtype)) * q
     xb = np.einsum("ji,bjk,kl->bil", t, yb, t) + 128.0
     return deblockify_np(xb, h, w)
 
 
-def golden_roundtrip(img, q_scale=1.0, retain_k=None, t=None):
-    c = golden_dct(img, q_scale, retain_k, t=t)
-    r = golden_idct(c, q_scale, t=t)
+def golden_roundtrip(img, q_scale=1.0, retain_k=None, t=None, q=None):
+    c = golden_dct(img, q_scale, retain_k, t=t, q=q)
+    r = golden_idct(c, q_scale, t=t, q=q)
     return c, np.clip(np.trunc(r), 0, 255).astype(np.uint8)

@@ -196,3 +196,31 @@ def test_decode_precision_validates():
     img = jnp.zeros((32, 128), jnp.uint8)
     with _pytest.raises(ValueError):
         hp_roundtrip_u8(img, interpret=True, decode_precision="fast")
+
+
+def test_truncless_round_identity():
+    """The i8-output encode drops jnp.trunc because the f32->i8 convert
+    truncates toward zero (hp_pallas._fwd_tile_int out_i8).  Prove the
+    identity densely across the representable coefficient range, including
+    exact .5 boundaries and signed zeros."""
+    z = np.concatenate([
+        np.arange(-127.5, 128.0, 0.25, dtype=np.float32),
+        np.array([-0.5, -0.0, 0.0, 0.5], np.float32),
+    ])
+    zj = jnp.asarray(z) + jnp.copysign(jnp.float32(0.5), jnp.asarray(z))
+    np.testing.assert_array_equal(
+        np.asarray(jnp.trunc(zj).astype(jnp.int8)),
+        np.asarray(zj.astype(jnp.int8)),
+    )
+
+
+def test_encode_u8_matches_roundtrip_coeffs(rng):
+    """hp_encode_u8 (truncless i8 path) must agree bit-for-bit with the
+    fused roundtrip's coefficients (f32 _round_away path + cast) — the
+    interpret-mode twin of the bench.py split-path gate, across q_scales
+    that land products on .5 quantizer boundaries."""
+    img = rng.integers(0, 256, (64, 256)).astype(np.uint8)
+    for q_scale in (1.0, 1.25, 2.0):
+        c_enc = hp_encode_u8(jnp.asarray(img), q_scale=q_scale, interpret=True)
+        c_rt, _ = hp_roundtrip_u8(jnp.asarray(img), q_scale=q_scale, interpret=True)
+        np.testing.assert_array_equal(np.asarray(c_enc), np.asarray(c_rt))

@@ -34,11 +34,39 @@ def _cfg_from(args) -> "CodecConfig":
         from tpudct.ops.quant import q_scale_for_quality
 
         q_scale = q_scale_for_quality(args.jpeg_quality)
+    q_table = "luma"
+    if getattr(args, "q_table_file", None):
+        if getattr(args, "color", False):
+            raise SystemExit(
+                "error: --q-table-file applies to the grayscale codec; the "
+                "color path quantizes with the standard luma/chroma pair "
+                "(models/color.py normalizes per plane)"
+            )
+        q_table = _register_q_table_file(args.q_table_file)
     return CodecConfig(
         q_scale=q_scale,
         retain_k=args.k,
         transform=getattr(args, "transform", "haweel"),
+        q_table=q_table,
     )
+
+
+def _register_q_table_file(path: str) -> str:
+    """Load a custom 8x8 quantization table (64 whitespace/comma-separated
+    numbers, '#' comments allowed — the format jpegtran/cjpeg -qtables
+    uses) and register it; returns the content-derived table name."""
+    from tpudct.constants import register_q_table
+
+    vals = []
+    with open(path) as f:
+        for line in f:
+            line = line.split("#", 1)[0].replace(",", " ")
+            vals.extend(float(tok) for tok in line.split())
+    if len(vals) != 64:
+        raise SystemExit(
+            f"error: q-table file {path!r} holds {len(vals)} values, need 64"
+        )
+    return register_q_table(np.array(vals, np.float32).reshape(8, 8))
 
 
 def _add_codec_flags(sp):
@@ -49,6 +77,8 @@ def _add_codec_flags(sp):
     sp.add_argument("--k", type=int, default=None, help="zonal retention: keep u+v < k")
     sp.add_argument("--transform", default="haweel",
                     help="8x8 transform: haweel (reference) | rdct (rounded-DCT approx) | wht (Walsh-Hadamard) | dct (exact DCT-II)")
+    sp.add_argument("--q-table-file", default=None, dest="q_table_file",
+                    help="custom 8x8 luma quantization table: 64 numbers, whitespace/comma separated, '#' comments (cjpeg -qtables format); stored in .tdc so decode is self-contained")
     sp.add_argument("--entropy", default="auto", dest="entropy",
                     choices=("auto", "spectral", "huffman", "raw"),
                     help=".tdc/.tdcc entropy stage: auto (default; smaller of huffman/spectral per file) | spectral (+zlib) | huffman (JPEG-grade, needs native lib) | raw (+zlib)")
@@ -169,6 +199,7 @@ def cmd_run(args) -> int:
         n = serialize.save_coefficients(
             args.coeffs, np.asarray(c), cfg.q_scale, cfg.retain_k,
             orig_shape=(h, w), transform=cfg.transform, codec=args.entropy,
+            q_table=cfg.q_table,
         )
         print(f"coefficients -> {args.coeffs} ({n} bytes)")
     rep = metrics.quality_report(img, rec_u8, np.asarray(c))
@@ -202,7 +233,7 @@ def cmd_encode(args) -> int:
     img = imageio.load_jpeg(args.input)
     x, (h, w) = pad_to_blocks(jnp.asarray(img, jnp.float32))
     c = get_pipeline(args.pipeline).encode(x, cfg)
-    n = serialize.save_coefficients(args.output, np.asarray(c), cfg.q_scale, cfg.retain_k, orig_shape=(h, w), transform=cfg.transform, codec=args.entropy)
+    n = serialize.save_coefficients(args.output, np.asarray(c), cfg.q_scale, cfg.retain_k, orig_shape=(h, w), transform=cfg.transform, codec=args.entropy, q_table=cfg.q_table)
     print(json.dumps({"bytes": n, "raw_bytes": img.size, "factor_vs_raw": img.size / n}))
     return 0
 
@@ -556,7 +587,7 @@ def cmd_batch(args) -> int:
                 c = p.encode(x, cfg)
                 # Full input name in the output avoids a.jpg/a.jpeg collisions.
                 out = dst / (name + ".tdc")
-                n = serialize.save_coefficients(out, np.asarray(c), cfg.q_scale, cfg.retain_k, orig_shape=(h, w), transform=cfg.transform, codec=args.entropy)
+                n = serialize.save_coefficients(out, np.asarray(c), cfg.q_scale, cfg.retain_k, orig_shape=(h, w), transform=cfg.transform, codec=args.entropy, q_table=cfg.q_table)
                 rec = {"file": name, "tdc": out.name, "bytes": n, "shape": [h, w]}
                 mf.write(json.dumps(rec) + "\n")
                 mf.flush()

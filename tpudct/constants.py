@@ -98,6 +98,45 @@ def get_q_table(name: str) -> np.ndarray:
         ) from None
 
 
+def register_q_table(table, name: str | None = None) -> str:
+    """Register a custom 8x8 quantization table; returns its name.
+
+    The reference hardcodes one table in 9 TUs (main.cu:122-133); here any
+    JPEG-style table (mozjpeg tuned tables, camera tables, ...) threads
+    through every pipeline — including the fused int8 Pallas kernels, whose
+    u8-path eligibility (`hp_pallas.supports_u8`) recomputes the int8
+    coefficient bound from the actual table and falls back to f32 when it
+    doesn't fit.
+
+    Without an explicit `name`, a content-derived name "q:xxxxxx" (24-bit
+    blake2s of the f32 values) is used: deterministic across processes —
+    what the .tdc container stores (utils/serialize.py embeds the values
+    for non-builtin names).  Re-registering the same values is a no-op;
+    registering DIFFERENT values under an existing name raises, which keeps
+    the name-keyed kernel-constant lru caches sound.
+    """
+    import hashlib
+
+    t = np.ascontiguousarray(np.asarray(table, dtype=np.float32))
+    if t.shape != (BLOCK_SIZE, BLOCK_SIZE):
+        raise ValueError(f"q_table must be 8x8, got shape {t.shape}")
+    if not np.isfinite(t).all() or (t <= 0).any():
+        raise ValueError("q_table entries must be finite and > 0")
+    if name is None:
+        name = "q:" + hashlib.blake2s(t.tobytes(), digest_size=3).hexdigest()
+    if not name or len(name.encode("ascii", "replace")) > 8:
+        raise ValueError(f"q_table name {name!r} must be 1-8 ASCII bytes")
+    existing = Q_TABLES.get(name)
+    if existing is not None:
+        if not np.array_equal(existing, t):
+            raise ValueError(
+                f"q_table {name!r} is already registered with different values"
+            )
+        return name
+    Q_TABLES[name] = t
+    return name
+
+
 LEVEL_SHIFT = 128.0  # sub_matrix_scalar / add_matrix_scalar operand (utils_kernels.cu:8-31)
 
 

@@ -17,7 +17,11 @@ Plane format v4 (little-endian), used by grayscale .tdc and inside color
   float32 q_scale
   int32  retain_k (-1 = none)
   8s     transform name (NUL-padded ASCII; decode must use the same one)
-  8s     quantization-table name ("luma" / "chroma")
+  8s     quantization-table name ("luma" / "chroma", or a content-derived
+         "q:xxxxxx" for a CUSTOM table — in that case the 64 float32 table
+         values (256 bytes) follow the header directly, so the stream stays
+         self-describing across processes; the loader re-registers them via
+         constants.register_q_table)
   uint8  codec: 0 = raw (zlib over row-major int16)
                 1 = spectral (see below)
                 2 = huffman (JPEG-grade per-block coder, utils/entropy.py;
@@ -211,6 +215,16 @@ def coefficients_to_bytes(
         raise ValueError(f"coefficient map {h}x{w} is not block-aligned")
     oh, ow = orig_shape if orig_shape is not None else (0, 0)
     tname = transform.encode("ascii")
+    qblock = b""
+    if q_table not in ("luma", "chroma"):
+        # Custom table: store under its content-derived "q:" name and embed
+        # the 64 float32 values so any process can decode the stream.
+        from tpudct.constants import get_q_table, register_q_table
+
+        qvals = np.ascontiguousarray(get_q_table(q_table), dtype=np.float32)
+        q_table = register_q_table(qvals)
+        qblock = qvals.tobytes()
+        assert len(qblock) == 256
     qname = q_table.encode("ascii")
     if len(tname) > 8 or len(qname) > 8:
         raise ValueError("transform/q_table names exceed 8 bytes")
@@ -220,7 +234,21 @@ def coefficients_to_bytes(
         -1 if retain_k is None else int(retain_k), tname, qname, code,
         len(payload),
     )
-    return header + payload
+    return header + qblock + payload
+
+
+def _read_custom_q_table(data: bytes, hsize: int) -> tuple:
+    """Read the 256-byte embedded f32 table that follows the v4 header when
+    the stored q-table name is a content-derived "q:xxxxxx"; registers it
+    and returns (canonical name, header size including the block)."""
+    from tpudct.constants import register_q_table
+
+    if len(data) < hsize + 256:
+        raise ValueError("truncated .tdc custom q-table block")
+    tbl = np.frombuffer(data[hsize : hsize + 256], np.float32).reshape(8, 8)
+    if not np.isfinite(tbl).all() or (tbl <= 0).any():
+        raise ValueError("corrupt .tdc custom q-table block")
+    return register_q_table(tbl), hsize + 256
 
 
 def _parse_plane(data: bytes) -> tuple:
@@ -234,6 +262,8 @@ def _parse_plane(data: bytes) -> tuple:
         )
         transform = tname.rstrip(b"\x00").decode("ascii")
         q_table = qname.rstrip(b"\x00").decode("ascii")
+        if q_table.startswith("q:"):
+            q_table, hsize = _read_custom_q_table(data, hsize)
     elif len(data) >= 4 and data[:4] == _MAGIC3:
         hsize = struct.calcsize(_HEADER3)
         if len(data) < hsize:
@@ -290,12 +320,12 @@ def bytes_to_coefficients(
 
 def save_coefficients(
     path: str, coeffs, q_scale: float = 1.0, retain_k=None, orig_shape=None,
-    transform: str = "haweel", codec: str = "auto",
+    transform: str = "haweel", codec: str = "auto", q_table: str = "luma",
 ) -> int:
     """Write a .tdc file; returns bytes written (the measurable payload)."""
     data = coefficients_to_bytes(
         coeffs, q_scale, retain_k, orig_shape=orig_shape, transform=transform,
-        codec=codec,
+        codec=codec, q_table=q_table,
     )
     with open(path, "wb") as f:
         f.write(data)
@@ -318,13 +348,18 @@ def load_coefficients(
 
 
 def _parse_header_v4(data: bytes) -> tuple:
-    """Parse just the v4 header -> (fields..., header size)."""
+    """Parse just the v4 header -> (fields..., header size).  For streams
+    carrying a custom q-table the embedded values are registered and the
+    returned header size covers the 256-byte table block."""
     hsize = struct.calcsize(_HEADER4)
     if len(data) < hsize or data[:4] != _MAGIC4:
         raise ValueError("not a v4 .tdc coefficient stream")
     (_m, h, w, oh, ow, q_scale, retain_k, tname, qname, code, psize) = (
         struct.unpack(_HEADER4, data[:hsize])
     )
+    if qname.rstrip(b"\x00").decode("ascii").startswith("q:"):
+        name, hsize = _read_custom_q_table(data, hsize)
+        qname = name.encode("ascii")
     return h, w, oh, ow, q_scale, retain_k, tname, qname, code, psize, hsize
 
 
