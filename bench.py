@@ -42,6 +42,11 @@ def correctness_gate(p, cfg, size: int = 512) -> dict:
     from tpudct.benchmark import synthetic_image
     from tpudct.kernels import hp_pallas
 
+    def _check(cond, msg):
+        # explicit raise, not `assert`: the gate must survive python -O
+        if not cond:
+            raise AssertionError(msg)
+
     img = synthetic_image(size)
     gc, gr = golden_roundtrip(img)
     u8_path = jax.default_backend() == "tpu" and hp_pallas.supports_u8(
@@ -55,11 +60,13 @@ def correctness_gate(p, cfg, size: int = 512) -> dict:
         # covers compiled-kernel drift in hp_encode_u8/hp_decode_u8 too.
         c_split = p.encode_u8(xu8, cfg)
         r_split = p.decode_u8(c_split, cfg)
-        assert (np.asarray(c_split) == np.asarray(c)).all(), (
-            "standalone encode_u8 disagrees with the fused roundtrip"
+        _check(
+            (np.asarray(c_split) == np.asarray(c)).all(),
+            "standalone encode_u8 disagrees with the fused roundtrip",
         )
-        assert (np.asarray(r_split) == np.asarray(r)).all(), (
-            "standalone decode_u8 disagrees with the fused roundtrip"
+        _check(
+            (np.asarray(r_split) == np.asarray(r)).all(),
+            "standalone decode_u8 disagrees with the fused roundtrip",
         )
     else:
         c, r = p.roundtrip(jnp.asarray(img), cfg)
@@ -67,14 +74,16 @@ def correctness_gate(p, cfg, size: int = 512) -> dict:
     r = np.asarray(r)
     cdiff = np.abs(c - gc)
     ties = int((cdiff > 0).sum())
-    assert cdiff.max() <= 1.0, (
-        f"coefficient error {cdiff.max()} exceeds the +-1 tie class"
+    _check(
+        cdiff.max() <= 1.0,
+        f"coefficient error {cdiff.max()} exceeds the +-1 tie class",
     )
-    assert ties <= max(4, int(c.size * 0.005)), (
-        f"{ties} coefficient mismatches (> 0.5% of {c.size}): not ties"
+    _check(
+        ties <= max(4, int(c.size * 0.005)),
+        f"{ties} coefficient mismatches (> 0.5% of {c.size}): not ties",
     )
     rdiff = np.abs(r.astype(np.int64) - gr.astype(np.int64))
-    assert r.dtype == np.uint8, f"reconstruction dtype {r.dtype}"
+    _check(r.dtype == np.uint8, f"reconstruction dtype {r.dtype}")
     # Per-block tie-flip bound: a flipped coefficient (u,v) moves any pixel
     # of its block by at most max|T_u| * max|T_l| * Q[u,v] <= 0.5 * Q[u,v];
     # multiple ties in one block stack additively, truncation adds 1.
@@ -86,13 +95,15 @@ def correctness_gate(p, cfg, size: int = 512) -> dict:
     bound = 0.5 * np.einsum("aibj,ij->ab", cd_blocks, q8) + 1.0
     rd_blocks = rdiff.reshape(nb, 8, nb, 8).max(axis=(1, 3))
     worst = (rd_blocks - bound).max()
-    assert worst <= 0, (
-        f"reconstruction error exceeds the per-block tie-flip bound by {worst}"
+    _check(
+        worst <= 0,
+        f"reconstruction error exceeds the per-block tie-flip bound by {worst}",
     )
     mse = float(((r.astype(np.float64) - img) ** 2).mean())
     gmse = float(((gr.astype(np.float64) - img) ** 2).mean())
-    assert abs(mse - gmse) <= 0.02 * gmse + 1e-9, (
-        f"MSE {mse} vs golden {gmse}: quality drifted >2%"
+    _check(
+        abs(mse - gmse) <= 0.02 * gmse + 1e-9,
+        f"MSE {mse} vs golden {gmse}: quality drifted >2%",
     )
     return {
         "gate": "pass", "size": size, "path": "u8" if u8_path else "f32",

@@ -26,11 +26,21 @@ FINE = np.full((8, 8), 2.0, np.float32)
 
 @pytest.fixture
 def clean_registry():
-    """Snapshot/restore Q_TABLES so registrations don't leak across tests."""
+    """Snapshot/restore Q_TABLES so registrations don't leak across tests.
+
+    Also clears the name-keyed kernel-constant lru caches: wiping the
+    registry bypasses register_q_table's redefinition guard, so a stale
+    cache entry under a reused name would silently serve the wrong table."""
     snap = dict(Q_TABLES)
     yield
     Q_TABLES.clear()
     Q_TABLES.update(snap)
+    from tpudct.kernels import hp_pallas
+
+    hp_pallas._max_coeff.cache_clear()
+    hp_pallas._consts_int.cache_clear()
+    hp_pallas._consts_bf.cache_clear()
+    hp_pallas._consts_f32.cache_clear()
 
 
 def test_register_validates(clean_registry):

@@ -481,7 +481,7 @@ def rate_distortion_curve(
         mse = float(((rec8 - img8) ** 2).mean())
         blob = coefficients_to_bytes(
             np.asarray(c), cfg.q_scale, cfg.retain_k, orig_shape=(h, w),
-            transform=cfg.transform, codec=codec,
+            transform=cfg.transform, codec=codec, q_table=cfg.q_table,
         )
         jpg = encode_jpeg_bytes(img8, quality=int(q))
         jmse = float(((_pil_decode(jpg).astype(np.float64) - img8) ** 2).mean())

@@ -61,12 +61,21 @@ def _register_q_table_file(path: str) -> str:
     with open(path) as f:
         for line in f:
             line = line.split("#", 1)[0].replace(",", " ")
-            vals.extend(float(tok) for tok in line.split())
+            for tok in line.split():
+                try:
+                    vals.append(float(tok))
+                except ValueError:
+                    raise SystemExit(
+                        f"error: q-table file {path!r}: non-numeric token {tok!r}"
+                    ) from None
     if len(vals) != 64:
         raise SystemExit(
             f"error: q-table file {path!r} holds {len(vals)} values, need 64"
         )
-    return register_q_table(np.array(vals, np.float32).reshape(8, 8))
+    try:
+        return register_q_table(np.array(vals, np.float32).reshape(8, 8))
+    except ValueError as e:
+        raise SystemExit(f"error: q-table file {path!r}: {e}") from None
 
 
 def _add_codec_flags(sp):

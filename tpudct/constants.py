@@ -117,7 +117,12 @@ def register_q_table(table, name: str | None = None) -> str:
     """
     import hashlib
 
-    t = np.ascontiguousarray(np.asarray(table, dtype=np.float32))
+    # np.array forces a COPY (ascontiguousarray would alias a contiguous f32
+    # input, letting later caller-side mutation desynchronize the registry
+    # from the content-derived name and the name-keyed kernel-const caches);
+    # write-protect so in-place mutation of the registered table raises.
+    t = np.array(table, dtype=np.float32)
+    t.setflags(write=False)
     if t.shape != (BLOCK_SIZE, BLOCK_SIZE):
         raise ValueError(f"q_table must be 8x8, got shape {t.shape}")
     if not np.isfinite(t).all() or (t <= 0).any():

@@ -238,21 +238,22 @@ def coefficients_to_bytes(
 
 
 def _read_custom_q_table(data: bytes, hsize: int) -> tuple:
-    """Read the 256-byte embedded f32 table that follows the v4 header when
-    the stored q-table name is a content-derived "q:xxxxxx"; registers it
-    and returns (canonical name, header size including the block)."""
-    from tpudct.constants import register_q_table
-
+    """Read + validate the 256-byte embedded f32 table that follows the v4
+    header when the stored q-table name is a content-derived "q:xxxxxx".
+    Returns (table, header size including the block).  Registration is the
+    CALLER's job, after the rest of the stream parses — a corrupt payload
+    must not leave side effects in the process-global registry."""
     if len(data) < hsize + 256:
         raise ValueError("truncated .tdc custom q-table block")
     tbl = np.frombuffer(data[hsize : hsize + 256], np.float32).reshape(8, 8)
     if not np.isfinite(tbl).all() or (tbl <= 0).any():
         raise ValueError("corrupt .tdc custom q-table block")
-    return register_q_table(tbl), hsize + 256
+    return tbl, hsize + 256
 
 
 def _parse_plane(data: bytes) -> tuple:
     """Parse one plane stream (v4/v3/v2) -> (plane dict, bytes consumed)."""
+    custom_q = None
     if len(data) >= 4 and data[:4] == _MAGIC4:
         hsize = struct.calcsize(_HEADER4)
         if len(data) < hsize:
@@ -263,7 +264,7 @@ def _parse_plane(data: bytes) -> tuple:
         transform = tname.rstrip(b"\x00").decode("ascii")
         q_table = qname.rstrip(b"\x00").decode("ascii")
         if q_table.startswith("q:"):
-            q_table, hsize = _read_custom_q_table(data, hsize)
+            custom_q, hsize = _read_custom_q_table(data, hsize)
     elif len(data) >= 4 and data[:4] == _MAGIC3:
         hsize = struct.calcsize(_HEADER3)
         if len(data) < hsize:
@@ -292,6 +293,12 @@ def _parse_plane(data: bytes) -> tuple:
         except zlib.error as e:
             raise ValueError(f"corrupt .tdc payload: {e}") from None
     coeffs = _decode_payload(raw, code, h, w)
+    if custom_q is not None:
+        # Register only now, after the whole stream parsed — a corrupt
+        # payload must not leave entries in the process-global registry.
+        from tpudct.constants import register_q_table
+
+        q_table = register_q_table(custom_q)
     plane = {
         "coeffs": coeffs.astype(np.float32),
         "orig_shape": (oh or h, ow or w),
@@ -348,19 +355,20 @@ def load_coefficients(
 
 
 def _parse_header_v4(data: bytes) -> tuple:
-    """Parse just the v4 header -> (fields..., header size).  For streams
-    carrying a custom q-table the embedded values are registered and the
-    returned header size covers the 256-byte table block."""
+    """Parse just the v4 header -> (fields..., header size, custom_q).  For
+    streams carrying a custom q-table the embedded values are returned (NOT
+    yet registered — the caller registers after its payload decode succeeds)
+    and the header size covers the 256-byte table block."""
     hsize = struct.calcsize(_HEADER4)
     if len(data) < hsize or data[:4] != _MAGIC4:
         raise ValueError("not a v4 .tdc coefficient stream")
     (_m, h, w, oh, ow, q_scale, retain_k, tname, qname, code, psize) = (
         struct.unpack(_HEADER4, data[:hsize])
     )
+    custom_q = None
     if qname.rstrip(b"\x00").decode("ascii").startswith("q:"):
-        name, hsize = _read_custom_q_table(data, hsize)
-        qname = name.encode("ascii")
-    return h, w, oh, ow, q_scale, retain_k, tname, qname, code, psize, hsize
+        custom_q, hsize = _read_custom_q_table(data, hsize)
+    return h, w, oh, ow, q_scale, retain_k, tname, qname, code, psize, hsize, custom_q
 
 
 def partial_coefficients(data: bytes, n_planes: int = 1) -> dict:
@@ -379,9 +387,8 @@ def partial_coefficients(data: bytes, n_planes: int = 1) -> dict:
     Returns the same plane dict shape as the internal parser: coeffs
     (float32, unrequested planes zero), orig_shape, q_scale, retain_k,
     transform, q_table, plus n_planes."""
-    (h, w, oh, ow, q_scale, retain_k, tname, qname, code, _psize, hsize) = (
-        _parse_header_v4(data)
-    )
+    (h, w, oh, ow, q_scale, retain_k, tname, qname, code, _psize, hsize,
+     custom_q) = _parse_header_v4(data)
     if code != _CODEC_SPECTRAL:
         raise ValueError(
             "progressive decode needs the spectral codec (this stream uses "
@@ -430,6 +437,10 @@ def partial_coefficients(data: bytes, n_planes: int = 1) -> dict:
         b[u, v] = plane.astype(np.int16).reshape(h // _BS, w // _BS)
     coeffs = np.ascontiguousarray(b.transpose(2, 0, 3, 1).reshape(h, w))
     transform = tname.rstrip(b"\x00").decode("ascii")
+    if custom_q is not None:
+        from tpudct.constants import register_q_table
+
+        qname = register_q_table(custom_q).encode("ascii")
     return {
         "coeffs": coeffs.astype(np.float32),
         "orig_shape": (oh or h, ow or w),
