@@ -378,3 +378,22 @@ def test_selftest(capsys):
     assert main(["selftest", "--pipeline", "batched", "--size", "128"]) == 0
     rep = json.loads(capsys.readouterr().out.strip())
     assert rep["gate"] == "pass"
+
+
+def test_compare_command(tmp_path, rng, capsys):
+    import json as _json
+
+    from tpudct.utils.imageio import save_image
+
+    a = rng.integers(0, 256, (32, 32)).astype("uint8")
+    pa, pb = tmp_path / "a.png", tmp_path / "b.png"
+    save_image(str(pa), a)
+    save_image(str(pb), a)
+    assert main(["compare", str(pa), str(pb)]) == 0
+    rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["close"] and rep["max_abs_diff"] == 0.0 and rep["mse"] == 0.0
+    b = a.copy()
+    b[0, 0] ^= 4
+    save_image(str(pb), b)
+    assert main(["compare", str(pa), str(pb)]) == 1
+    assert main(["compare", str(pa), str(pb), "--tol", "4"]) == 0

@@ -97,3 +97,32 @@ def test_load_jpeg_batch_raises_on_missing(tmp_path, rng):
         pytest.skip("native codec unavailable")
     with pytest.raises(IOError):
         imageio.load_jpeg_batch([good, tmp_path / "missing.jpg"])
+
+
+def test_save_image_png_is_lossless(tmp_path, gray):
+    """Extension-dispatched save: .png must round-trip the exact pixels
+    (the .jpg path is quality-100 — near-lossless only)."""
+    p = tmp_path / "out.png"
+    imageio.save_image(str(p), gray)
+    back = imageio.load_image(str(p))
+    np.testing.assert_array_equal(back, gray)
+    rgb = np.stack([gray, gray // 2, 255 - gray], axis=-1)
+    p3 = tmp_path / "rgb.png"
+    imageio.save_image(str(p3), rgb)
+    np.testing.assert_array_equal(imageio.load_image(str(p3), force_gray=False), rgb)
+
+
+def test_save_image_jpg_routes_native(tmp_path, gray):
+    pj = tmp_path / "out.jpg"
+    imageio.save_image(str(pj), gray, quality=100)
+    pj2 = tmp_path / "ref.jpg"
+    imageio.save_jpeg(str(pj2), gray, quality=100)
+    assert pj.read_bytes() == pj2.read_bytes()
+
+
+def test_load_image_png_gray_conversion(tmp_path, gray):
+    rgb = np.stack([gray] * 3, axis=-1)
+    p = tmp_path / "in.png"
+    imageio.save_image(str(p), rgb)
+    g = imageio.load_image(str(p))
+    assert g.ndim == 2 and g.shape == gray.shape

@@ -110,10 +110,10 @@ def _chroma_mode(args):
 
 
 def _load_rgb(path) -> "np.ndarray":
-    """Load a JPEG as (H, W, 3) uint8, promoting grayscale to 3 channels."""
+    """Load an image as (H, W, 3) uint8, promoting grayscale to 3 channels."""
     from tpudct.utils import imageio
 
-    rgb = imageio.load_jpeg(path, force_gray=False)
+    rgb = imageio.load_image(path, force_gray=False)
     if rgb.ndim == 2:
         rgb = np.stack([rgb] * 3, axis=-1)
     return rgb
@@ -148,7 +148,7 @@ def cmd_run(args) -> int:
             p, jnp.asarray(rgb), cfg, subsample=_chroma_mode(args)
         )
         rec_u8 = np.asarray(rec)
-        imageio.save_jpeg(args.output, rec_u8, quality=args.quality)
+        imageio.save_image(args.output, rec_u8, quality=args.quality)
         if args.coeffs:
             n = serialize.save_color(
                 args.coeffs, planes, meta,
@@ -163,7 +163,7 @@ def cmd_run(args) -> int:
             "psnr_db": 10 * np.log10(255.0 ** 2 / mse) if mse else float("inf"),
         }))
         return 0
-    img = imageio.load_jpeg(args.input)
+    img = imageio.load_image(args.input)
     h, w = img.shape
     if args.corners:
         # Reference-literal staged verbosity: corners after load, after
@@ -203,7 +203,7 @@ def cmd_run(args) -> int:
             x, _ = pad_to_blocks(jnp.asarray(img, jnp.float32))
             c, rec = p.roundtrip(x, cfg)
         rec_u8 = np.asarray(crop(rec, h, w))
-    imageio.save_jpeg(args.output, rec_u8, quality=args.quality)
+    imageio.save_image(args.output, rec_u8, quality=args.quality)
     if args.coeffs:
         n = serialize.save_coefficients(
             args.coeffs, np.asarray(c), cfg.q_scale, cfg.retain_k,
@@ -239,7 +239,7 @@ def cmd_encode(args) -> int:
         )
         print(json.dumps({"bytes": n, "raw_bytes": int(rgb.size), "factor_vs_raw": rgb.size / n, "color": True}))
         return 0
-    img = imageio.load_jpeg(args.input)
+    img = imageio.load_image(args.input)
     x, (h, w) = pad_to_blocks(jnp.asarray(img, jnp.float32))
     c = get_pipeline(args.pipeline).encode(x, cfg)
     n = serialize.save_coefficients(args.output, np.asarray(c), cfg.q_scale, cfg.retain_k, orig_shape=(h, w), transform=cfg.transform, codec=args.entropy, q_table=cfg.q_table)
@@ -266,7 +266,7 @@ def cmd_decode(args) -> int:
             pv = serialize.preview_color_from_bytes(data)
         else:
             pv = serialize.preview_from_bytes(data)
-        imageio.save_jpeg(args.output, pv, quality=args.quality)
+        imageio.save_image(args.output, pv, quality=args.quality)
         print(f"preview (1/8 scale, DC-only) {args.input} -> {args.output}")
         return 0
     if args.planes is not None:
@@ -281,7 +281,7 @@ def cmd_decode(args) -> int:
         rec = pipe.idct(jnp.asarray(p["coeffs"]), cfg)
         h, w = p["orig_shape"]
         rec_u8 = np.asarray(to_uint8(rec))[:h, :w]
-        imageio.save_jpeg(args.output, rec_u8, quality=args.quality)
+        imageio.save_image(args.output, rec_u8, quality=args.quality)
         print(f"decoded {args.input} ({args.planes} spectral planes) -> {args.output}")
         return 0
     if serialize.is_color_stream(head):
@@ -292,7 +292,7 @@ def cmd_decode(args) -> int:
             get_pipeline(args.pipeline), planes, meta,
             CodecConfig(q_scale=meta["q_scale"], transform=meta["transform"]),
         )
-        imageio.save_jpeg(args.output, np.asarray(rec), quality=args.quality)
+        imageio.save_image(args.output, np.asarray(rec), quality=args.quality)
         print(f"decoded {args.input} (color) -> {args.output}")
         return 0
     coeffs, q_scale, _k, (h, w), transform, q_table = serialize.load_coefficients(
@@ -317,7 +317,7 @@ def cmd_decode(args) -> int:
         b8 = min(coeffs.shape[0], -(-bnd // 8) * 8)
         rec = p.idct(jnp.asarray(coeffs[a8:b8]), cfg)
         rec_u8 = np.asarray(to_uint8(rec))[a - a8 : bnd - a8, :w]
-        imageio.save_jpeg(args.output, rec_u8, quality=args.quality)
+        imageio.save_image(args.output, rec_u8, quality=args.quality)
         print(f"decoded rows {a}:{bnd} of {args.input} -> {args.output}")
         return 0
     from tpudct.kernels import hp_pallas
@@ -333,7 +333,7 @@ def cmd_decode(args) -> int:
     else:
         rec = p.idct(jnp.asarray(coeffs), cfg)
         rec_u8 = np.asarray(to_uint8(rec))[:h, :w]
-    imageio.save_jpeg(args.output, rec_u8, quality=args.quality)
+    imageio.save_image(args.output, rec_u8, quality=args.quality)
     print(f"decoded {args.input} -> {args.output}")
     return 0
 
@@ -407,7 +407,7 @@ def cmd_table(args) -> int:
         else:
             from tpudct.utils import imageio
 
-            img = imageio.load_jpeg(args.input)
+            img = imageio.load_image(args.input)
         rows = accuracy_table(img, args.pipeline, cfg_base=_cfg_from(args))
     for row in rows:
         print(json.dumps(row))
@@ -425,7 +425,7 @@ def cmd_curve(args) -> int:
     else:
         from tpudct.utils import imageio
 
-        img = imageio.load_jpeg(args.input)
+        img = imageio.load_image(args.input)
     qs = [int(q) for q in args.qualities.split(",")]
     for row in rate_distortion_curve(
         img, args.pipeline, qualities=qs, cfg_base=_cfg_from(args),
@@ -492,7 +492,7 @@ def cmd_unbatch(args) -> int:
                     rec = np.asarray(
                         to_uint8(p.idct(jnp.asarray(coeffs), cfg))
                     )[:h, :w]
-                imageio.save_jpeg(out, rec, quality=args.quality)
+                imageio.save_image(out, rec, quality=args.quality)
             except (ValueError, OSError) as e:
                 # One corrupt stream must not abort the job (same recovery
                 # contract as `batch`).
@@ -681,6 +681,33 @@ def cmd_selftest(args) -> int:
     return 0
 
 
+def cmd_compare(args) -> int:
+    """Tolerance comparison of two images — the user-facing activation of
+    the reference's DEAD arrays_are_close comparator (utils.cu:27-35,
+    declared but never invoked; here it also reports the full metric
+    suite).  Exit code 0 when max|a-b| <= --tol, 1 otherwise."""
+    from tpudct.utils import imageio, metrics
+
+    a = imageio.load_image(args.a).astype(np.float64)
+    b = imageio.load_image(args.b).astype(np.float64)
+    if a.shape != b.shape:
+        print(f"error: shapes differ: {a.shape} vs {b.shape}", file=sys.stderr)
+        return 1
+    maxdiff = float(np.abs(a - b).max())
+    rep = {
+        "mse": float(metrics.mse(a, b)),
+        "psnr_db": float(metrics.psnr(a, b)),
+        "peen_pct": float(metrics.peen(a, b)),
+        "ssim": float(metrics.ssim(a, b)),
+    }
+    close = maxdiff <= args.tol
+    print(json.dumps({
+        "shape": list(a.shape), "max_abs_diff": maxdiff, "tol": args.tol,
+        "close": close, **rep,
+    }))
+    return 0 if close else 1
+
+
 def cmd_info(_args) -> int:
     import jax
 
@@ -807,6 +834,12 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--pipeline", default="hp")
     sp.add_argument("--size", type=int, default=512)
     sp.set_defaults(fn=cmd_selftest)
+
+    sp = sub.add_parser("compare", help="tolerance-compare two images + metric suite (the reference's dead arrays_are_close, activated)")
+    sp.add_argument("a")
+    sp.add_argument("b")
+    sp.add_argument("--tol", type=float, default=0.0, help="max |a-b| accepted as close (default 0: bit-exact)")
+    sp.set_defaults(fn=cmd_compare)
 
     sp = sub.add_parser("info", help="environment / backend report")
     sp.set_defaults(fn=cmd_info)

@@ -276,3 +276,49 @@ def encode_jpeg_bytes(image: np.ndarray, quality: int = 100) -> bytes:
     buf = io.BytesIO()
     Image.fromarray(image, mode="L").save(buf, format="JPEG", quality=quality)
     return buf.getvalue()
+
+
+# ---- extension-dispatched I/O ----------------------------------------------
+
+_JPEG_EXTS = {".jpg", ".jpeg", ".jpe", ".jfif"}
+
+
+def load_image(path: str, force_gray: bool = True) -> np.ndarray:
+    """Load any common image format: JPEGs ride the native libjpeg path
+    (`load_jpeg`), everything else (.png, .bmp, .tiff, ...) decodes via PIL.
+
+    Beyond-parity: the reference reads JPEG only (utils.cu:38-95).  The
+    gray conversion matches `load_jpeg`'s in-codec luminance semantics."""
+    if pathlib.Path(path).suffix.lower() in _JPEG_EXTS:
+        return load_jpeg(path, force_gray=force_gray)
+    from PIL import Image
+
+    img = Image.open(path)
+    if force_gray:
+        img = img.convert("L")
+    elif img.mode not in ("L", "RGB"):
+        img = img.convert("RGB")
+    return np.asarray(img)
+
+
+def save_image(path: str, image: np.ndarray, quality: int = 100) -> None:
+    """Save dispatched on extension: .jpg/.jpeg goes through `save_jpeg`
+    (native libjpeg, `quality` honored — the reference's output path);
+    any other extension saves LOSSLESSLY via PIL, so `decode out.png`
+    yields the EXACT reconstruction with no second JPEG generation loss
+    (JPEG quality-100 is near-lossless, not lossless)."""
+    ext = pathlib.Path(path).suffix.lower()
+    if ext in _JPEG_EXTS or ext == "":
+        return save_jpeg(path, image, quality=quality)
+    image = np.ascontiguousarray(image, dtype=np.uint8)
+    if image.ndim == 2:
+        mode = "L"
+    elif image.ndim == 3 and image.shape[2] == 3:
+        mode = "RGB"
+    else:
+        raise ValueError(
+            f"expected (H, W) grayscale or (H, W, 3) RGB, got {image.shape}"
+        )
+    from PIL import Image
+
+    Image.fromarray(image, mode=mode).save(path)
