@@ -118,3 +118,50 @@ def test_random_u8_color_auto_path(seed):
     _pp, _mp, r2 = roundtrip_color_auto(p, jnp.moveaxis(jnp.asarray(rgb), -1, 0), cfg)
     np.testing.assert_array_equal(np.asarray(r1), np.asarray(r2))
     assert np.asarray(pi["y"]).dtype == np.int8
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_custom_qtable_stream_fuzz(seed):
+    """Adversarial bytes against the custom-q-table container path: random
+    tables through encode->bytes->decode with a wiped registry, then
+    mutations of the embedded table block must raise ValueError (never
+    crash, never register garbage)."""
+    from tpudct.constants import Q_TABLES, register_q_table
+    from tpudct.utils import serialize
+
+    rng = np.random.default_rng(500 + seed)
+    tbl = rng.uniform(1.0, 255.0, (8, 8)).astype(np.float32)
+    name = register_q_table(tbl)
+    c = rng.integers(-90, 90, (32, 64)).astype(np.float32)
+    data = serialize.coefficients_to_bytes(c, q_table=name)
+    snap = dict(Q_TABLES)
+    try:
+        del Q_TABLES[name]
+        out, _qs, _k, _sh, _tr, qt = serialize.bytes_to_coefficients(
+            data, True, True, True
+        )
+        np.testing.assert_array_equal(out, c)
+        assert qt == name
+        # corrupt one byte inside the 256-byte table block -> must raise or
+        # decode under a DIFFERENT content name (never the original name
+        # with wrong values)
+        import struct
+
+        hl = struct.calcsize(serialize._HEADER4)
+        pos = hl + int(rng.integers(0, 256))
+        bad = bytearray(data)
+        bad[pos] ^= 0xFF
+        del Q_TABLES[name]
+        try:
+            _o, _q, _k2, _s2, _t2, qt2 = serialize.bytes_to_coefficients(
+                bytes(bad), True, True, True
+            )
+            assert qt2 != name or np.array_equal(Q_TABLES[qt2], tbl)
+        except ValueError:
+            pass  # NaN/negative table entries correctly refused
+        # truncate inside the table block
+        with pytest.raises(ValueError):
+            serialize.bytes_to_coefficients(data[: hl + 100])
+    finally:
+        Q_TABLES.clear()
+        Q_TABLES.update(snap)
