@@ -436,9 +436,10 @@ def cmd_curve(args) -> int:
 
 
 def cmd_unbatch(args) -> int:
-    """Bulk decode a directory of .tdc/.tdcc files back to JPEGs, resumably
+    """Bulk decode a directory of .tdc/.tdcc files back to images, resumably
     (the inverse of `batch`, same manifest idempotence and corrupt-file
-    tolerance)."""
+    tolerance).  --ext picks the output format: .jpg (native libjpeg,
+    quality honored) or a lossless one like .png for exact pixels."""
     import pathlib
 
     import jax.numpy as jnp
@@ -468,7 +469,7 @@ def cmd_unbatch(args) -> int:
     decoded = failed = 0
     with open(manifest, "a") as mf:
         for name in todo:
-            out = dst / (name + ".jpg")
+            out = dst / (name + args.ext)
             try:
                 data = (src / name).read_bytes()
                 if serialize.is_color_stream(data[:4]):
@@ -501,7 +502,7 @@ def cmd_unbatch(args) -> int:
                 failed += 1
                 continue
             mf.write(json.dumps(
-                {"file": name, "jpg": out.name, "shape": list(rec.shape)}
+                {"file": name, "out": out.name, "shape": list(rec.shape)}
             ) + "\n")
             mf.flush()
             decoded += 1
@@ -809,9 +810,11 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--qualities", default="10,20,30,40,50,60,70,80,90,95")
     sp.set_defaults(fn=cmd_curve)
 
-    sp = sub.add_parser("unbatch", help="bulk decode a directory of .tdc/.tdcc back to JPEGs, resumable")
+    sp = sub.add_parser("unbatch", help="bulk decode a directory of .tdc/.tdcc back to images, resumable")
     sp.add_argument("--pipeline", default="hp")
     sp.add_argument("--quality", type=int, default=100)
+    sp.add_argument("--ext", default=".jpg",
+                    help="output extension: .jpg (default, quality applies) or a lossless format like .png")
     sp.add_argument("input_dir")
     sp.add_argument("output_dir")
     sp.set_defaults(fn=cmd_unbatch)
