@@ -546,7 +546,8 @@ def cmd_batch(args) -> int:
     if args.color:
         from tpudct.models.color import encode_color_auto
 
-    files = sorted(q.name for q in src.iterdir() if q.suffix.lower() in (".jpg", ".jpeg"))
+    _exts = (".jpg", ".jpeg", ".jpe", ".jfif", ".png", ".bmp", ".tif", ".tiff")
+    files = sorted(q.name for q in src.iterdir() if q.suffix.lower() in _exts)
     todo = [name for name in files if name not in done]
     skipped = len(files) - len(todo)
     coded = failed = 0
@@ -558,11 +559,28 @@ def cmd_batch(args) -> int:
         for i in range(0, len(todo), chunk):
             names = todo[i : i + chunk]
             # Host decode is the bulk bottleneck (device encode ~0.1 ms per
-            # image); the native pthread pool decodes each chunk in parallel.
-            images = imageio.load_jpeg_batch(
-                [src / n for n in names], n_threads=n_threads, errors="none",
+            # image); JPEGs ride the native pthread pool per chunk, any
+            # other accepted format loads via PIL one-by-one (same
+            # corrupt-file-tolerant None contract).
+            jpgs = [
+                n for n in names
+                if pathlib.Path(n).suffix.lower() in imageio._JPEG_EXTS
+            ]
+            pooled = dict(zip(jpgs, imageio.load_jpeg_batch(
+                [src / n for n in jpgs], n_threads=n_threads, errors="none",
                 force_gray=not args.color,
-            )
+            ))) if jpgs else {}
+            images = []
+            for n in names:
+                if n in pooled:
+                    images.append(pooled[n])
+                else:
+                    try:
+                        images.append(imageio.load_image(
+                            str(src / n), force_gray=not args.color
+                        ))
+                    except (OSError, ValueError):
+                        images.append(None)
             for name, img in zip(names, images):
                 if img is None:
                     # One corrupt file must not abort the job: record the
