@@ -397,3 +397,65 @@ def test_compare_command(tmp_path, rng, capsys):
     save_image(str(pb), b)
     assert main(["compare", str(pa), str(pb)]) == 1
     assert main(["compare", str(pa), str(pb), "--tol", "4"]) == 0
+
+
+def test_compare_color_and_shape_mismatch(tmp_path, rng, capsys):
+    import json as _json
+
+    from tpudct.utils.imageio import save_image
+
+    a = rng.integers(0, 256, (32, 32, 3)).astype("uint8")
+    b = a.copy()
+    b[..., 2] ^= 8  # chroma-only difference: same luma-ish, blue channel flips
+    pa, pb = tmp_path / "a.png", tmp_path / "b.png"
+    save_image(str(pa), a)
+    save_image(str(pb), b)
+    # color diff must be visible (the gray-collapsing bug would miss it)
+    assert main(["compare", str(pa), str(pb)]) == 1
+    rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["max_abs_diff"] == 8.0
+    # shape mismatch: JSON error record + distinct exit code 2
+    save_image(str(pb), a[:16])
+    assert main(["compare", str(pa), str(pb)]) == 2
+    rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["error"] == "shape_mismatch"
+
+
+def test_compare_all_zero_reference_is_valid_json(tmp_path, capsys):
+    import json as _json
+
+    from tpudct.utils.imageio import save_image
+
+    z = np.zeros((16, 16), np.uint8)
+    p = tmp_path / "z.png"
+    save_image(str(p), z)
+    assert main(["compare", str(p), str(p)]) == 0
+    rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["peen_pct"] == 0.0 and np.isfinite(rep["psnr_db"])
+
+
+def test_unbatch_ext_normalized_and_resume_per_format(tmp_path, rng, capsys):
+    import json as _json
+
+    from tpudct.utils.imageio import save_image
+
+    src, enc, out = tmp_path / "in", tmp_path / "enc", tmp_path / "out"
+    src.mkdir(), enc.mkdir()
+    img = rng.integers(0, 256, (64, 128)).astype("uint8")
+    save_image(str(src / "a.png"), img)
+    assert main(["encode", str(src / "a.png"), str(enc / "a.tdc")]) == 0
+    capsys.readouterr()
+    # dotless --ext normalizes; bad ext is a clean error
+    with pytest.raises(SystemExit):
+        main(["unbatch", "--ext", "webp", str(enc), str(out)])
+    assert main(["unbatch", "--ext", "png", str(enc), str(out)]) == 0
+    rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["decoded"] == 1 and (out / "a.tdc.png").exists()
+    # re-run with a DIFFERENT format must decode again, not skip
+    assert main(["unbatch", "--ext", ".jpg", str(enc), str(out)]) == 0
+    rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["decoded"] == 1 and (out / "a.tdc.jpg").exists()
+    # same format resumes
+    assert main(["unbatch", "--ext", ".png", str(enc), str(out)]) == 0
+    rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["decoded"] == 0 and rep["skipped"] == 1

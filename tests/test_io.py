@@ -126,3 +126,12 @@ def test_load_image_png_gray_conversion(tmp_path, gray):
     imageio.save_image(str(p), rgb)
     g = imageio.load_image(str(p))
     assert g.ndim == 2 and g.shape == gray.shape
+
+
+def test_save_image_refuses_lossy_nonjpeg(tmp_path, gray):
+    """Formats PIL would save lossy by default (.webp q80, .gif quantized)
+    are refused rather than silently breaking the lossless promise."""
+    with pytest.raises(ValueError, match="unsupported output extension"):
+        imageio.save_image(str(tmp_path / "x.webp"), gray)
+    with pytest.raises(ValueError, match="unsupported output extension"):
+        imageio.save_image(str(tmp_path / "x.gif"), gray)

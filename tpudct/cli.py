@@ -449,6 +449,13 @@ def cmd_unbatch(args) -> int:
     from tpudct.ops.transform import to_uint8
     from tpudct.utils import imageio, serialize
 
+    ext = args.ext if args.ext.startswith(".") else "." + args.ext
+    ext = ext.lower()
+    if ext not in imageio.SUPPORTED_EXTS:
+        raise SystemExit(
+            f"error: --ext {args.ext!r} not supported; use one of "
+            f"{sorted(imageio.SUPPORTED_EXTS)}"
+        )
     src = pathlib.Path(args.input_dir)
     dst = pathlib.Path(args.output_dir)
     dst.mkdir(parents=True, exist_ok=True)
@@ -457,7 +464,13 @@ def cmd_unbatch(args) -> int:
     if manifest.exists():
         for line in manifest.read_text().splitlines():
             try:
-                done.add(json.loads(line)["file"])
+                rec = json.loads(line)
+                # Resume is PER OUTPUT FORMAT: a re-run with a different
+                # --ext must decode again (error records stay done — a
+                # corrupt stream is corrupt in every format).
+                out_name = rec.get("out", rec.get("jpg", ""))  # "jpg": legacy key
+                if "error" in rec or out_name.lower().endswith(ext):
+                    done.add(rec["file"])
             except (json.JSONDecodeError, KeyError):
                 continue
 
@@ -469,7 +482,7 @@ def cmd_unbatch(args) -> int:
     decoded = failed = 0
     with open(manifest, "a") as mf:
         for name in todo:
-            out = dst / (name + args.ext)
+            out = dst / (name + ext)
             try:
                 data = (src / name).read_bytes()
                 if serialize.is_color_stream(data[:4]):
@@ -546,8 +559,10 @@ def cmd_batch(args) -> int:
     if args.color:
         from tpudct.models.color import encode_color_auto
 
-    _exts = (".jpg", ".jpeg", ".jpe", ".jfif", ".png", ".bmp", ".tif", ".tiff")
-    files = sorted(q.name for q in src.iterdir() if q.suffix.lower() in _exts)
+    files = sorted(
+        q.name for q in src.iterdir()
+        if q.suffix.lower() in imageio.SUPPORTED_EXTS
+    )
     todo = [name for name in files if name not in done]
     skipped = len(files) - len(todo)
     coded = failed = 0
@@ -564,7 +579,7 @@ def cmd_batch(args) -> int:
             # corrupt-file-tolerant None contract).
             jpgs = [
                 n for n in names
-                if pathlib.Path(n).suffix.lower() in imageio._JPEG_EXTS
+                if pathlib.Path(n).suffix.lower() in imageio.JPEG_EXTS
             ]
             pooled = dict(zip(jpgs, imageio.load_jpeg_batch(
                 [src / n for n in jpgs], n_threads=n_threads, errors="none",
@@ -704,20 +719,33 @@ def cmd_compare(args) -> int:
     """Tolerance comparison of two images — the user-facing activation of
     the reference's DEAD arrays_are_close comparator (utils.cu:27-35,
     declared but never invoked; here it also reports the full metric
-    suite).  Exit code 0 when max|a-b| <= --tol, 1 otherwise."""
+    suite).  Color images compare in their native channels (the diff and
+    mse/psnr/peen run on all channels; ssim on BT.601 luma).  Exit code 0
+    when max|a-b| <= --tol, 1 when not close, 2 on shape mismatch."""
     from tpudct.utils import imageio, metrics
 
-    a = imageio.load_image(args.a).astype(np.float64)
-    b = imageio.load_image(args.b).astype(np.float64)
+    a = imageio.load_image(args.a, force_gray=False).astype(np.float64)
+    b = imageio.load_image(args.b, force_gray=False).astype(np.float64)
     if a.shape != b.shape:
-        print(f"error: shapes differ: {a.shape} vs {b.shape}", file=sys.stderr)
-        return 1
+        # JSON on stdout + a distinct exit code so scripted callers can
+        # tell "wrong dimensions" from "pixels differ".
+        print(json.dumps({
+            "error": "shape_mismatch", "shape_a": list(a.shape),
+            "shape_b": list(b.shape),
+        }))
+        return 2
+
+    def _luma(x):
+        if x.ndim == 2:
+            return x
+        return 0.299 * x[..., 0] + 0.587 * x[..., 1] + 0.114 * x[..., 2]
+
     maxdiff = float(np.abs(a - b).max())
     rep = {
         "mse": float(metrics.mse(a, b)),
         "psnr_db": float(metrics.psnr(a, b)),
         "peen_pct": float(metrics.peen(a, b)),
-        "ssim": float(metrics.ssim(a, b)),
+        "ssim": float(metrics.ssim(_luma(a), _luma(b))),
     }
     close = maxdiff <= args.tol
     print(json.dumps({

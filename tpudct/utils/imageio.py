@@ -280,16 +280,22 @@ def encode_jpeg_bytes(image: np.ndarray, quality: int = 100) -> bytes:
 
 # ---- extension-dispatched I/O ----------------------------------------------
 
-_JPEG_EXTS = {".jpg", ".jpeg", ".jpe", ".jfif"}
+JPEG_EXTS = frozenset({".jpg", ".jpeg", ".jpe", ".jfif"})
+LOSSLESS_EXTS = frozenset({".png", ".bmp", ".tif", ".tiff"})
+SUPPORTED_EXTS = JPEG_EXTS | LOSSLESS_EXTS
+_JPEG_EXTS = JPEG_EXTS  # backward-compat alias
 
 
 def load_image(path: str, force_gray: bool = True) -> np.ndarray:
     """Load any common image format: JPEGs ride the native libjpeg path
     (`load_jpeg`), everything else (.png, .bmp, .tiff, ...) decodes via PIL.
 
-    Beyond-parity: the reference reads JPEG only (utils.cu:38-95).  The
-    gray conversion matches `load_jpeg`'s in-codec luminance semantics."""
-    if pathlib.Path(path).suffix.lower() in _JPEG_EXTS:
+    Beyond-parity: the reference reads JPEG only (utils.cu:38-95).  Note
+    the PIL branch's gray conversion uses the same BT.601 weights as
+    `load_jpeg`'s in-codec path but a different rounding rule (PIL
+    truncates where libjpeg rounds), so identical pixel content stored as
+    PNG vs JPEG can convert with ±1 per-pixel differences."""
+    if pathlib.Path(path).suffix.lower() in JPEG_EXTS:
         return load_jpeg(path, force_gray=force_gray)
     from PIL import Image
 
@@ -304,12 +310,20 @@ def load_image(path: str, force_gray: bool = True) -> np.ndarray:
 def save_image(path: str, image: np.ndarray, quality: int = 100) -> None:
     """Save dispatched on extension: .jpg/.jpeg goes through `save_jpeg`
     (native libjpeg, `quality` honored — the reference's output path);
-    any other extension saves LOSSLESSLY via PIL, so `decode out.png`
-    yields the EXACT reconstruction with no second JPEG generation loss
-    (JPEG quality-100 is near-lossless, not lossless)."""
+    the LOSSLESS_EXTS formats (.png/.bmp/.tiff) save losslessly via PIL,
+    so `decode out.png` yields the EXACT reconstruction with no second
+    JPEG generation loss (JPEG quality-100 is near-lossless, not
+    lossless).  Other extensions are refused rather than silently routed
+    through a lossy PIL default (e.g. .webp saves quality-80)."""
     ext = pathlib.Path(path).suffix.lower()
-    if ext in _JPEG_EXTS or ext == "":
+    if ext in JPEG_EXTS or ext == "":
         return save_jpeg(path, image, quality=quality)
+    if ext not in LOSSLESS_EXTS:
+        raise ValueError(
+            f"unsupported output extension {ext!r}: use one of "
+            f"{sorted(JPEG_EXTS)} (lossy, quality honored) or "
+            f"{sorted(LOSSLESS_EXTS)} (lossless)"
+        )
     image = np.ascontiguousarray(image, dtype=np.uint8)
     if image.ndim == 2:
         mode = "L"

@@ -41,10 +41,14 @@ def psnr(x, y):
 
 
 def peen(x, y):
-    """Percentage error energy normalized: 100 * ||x-y||^2 / ||x||^2."""
+    """Percentage error energy normalized: 100 * ||x-y||^2 / ||x||^2.
+
+    The all-zero-reference denominator is guarded the same way psnr's
+    perfect-reconstruction case is: NaN/inf are not valid JSON and the CLI
+    (`run`, `table`, `compare`) emits these values verbatim."""
     xf = jnp.asarray(x, jnp.float32)
     d = xf - jnp.asarray(y, jnp.float32)
-    return 100.0 * jnp.sum(d * d) / jnp.sum(xf * xf)
+    return 100.0 * jnp.sum(d * d) / jnp.maximum(jnp.sum(xf * xf), 1e-30)
 
 
 def ssim(x, y, data_range: float = 255.0, win: int = 8):
