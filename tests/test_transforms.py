@@ -26,7 +26,7 @@ def test_unknown_transform_rejected():
         get_transform("fft")
 
 
-@pytest.mark.parametrize("transform", ["haweel", "rdct", "wht", "dct"])
+@pytest.mark.parametrize("transform", ["haweel", "rdct", "wht", "bas", "dct"])
 @pytest.mark.parametrize("name", ["hp", "batched"])
 def test_roundtrip_matches_golden_per_transform(rng, transform, name):
     img = rng.integers(0, 256, (128, 256)).astype(np.float32)
@@ -99,6 +99,37 @@ def test_wht_core_is_sequency_ordered_hadamard():
     np.testing.assert_array_equal(ts @ ts.T, 8 * np.eye(8, dtype=np.int64))
     seq = (np.diff(ts, axis=1) != 0).sum(axis=1)
     assert list(seq) == list(range(8))
+
+
+def test_cb2011_is_rdct_alias():
+    """The Cintra-Bayer 2011 transform is DEFINED as round(2*DCT8)
+    (arXiv 1402.6034), which is exactly the derived rdct core — the
+    registry exposes it as an alias of the same Transform object, and
+    streams encoded under either name decode identically."""
+    assert get_transform("cb2011") is get_transform("rdct")
+    cb = get_transform("cb2011").ts.astype(np.int64)
+    np.testing.assert_array_equal(cb @ cb.T, np.diag([8, 6, 4, 6, 8, 6, 4, 6]))
+    assert int((cb != 0).sum()) == 48
+
+
+def test_bas_low_complexity_core(rng):
+    """bas: {0,+-1} core, sparser than every other integer core in the
+    registry; every row is a sparsification of the matching rdct row
+    (entries zeroed, never flipped) with the exact row Gram preserved.
+    The int8 MXU path must round-trip within the .5-tie class of the
+    f64 golden."""
+    tr = get_transform("bas")
+    ts = tr.ts.astype(np.int64)
+    rd = get_transform("rdct").ts.astype(np.int64)
+    assert set(np.unique(ts)) <= {-1, 0, 1}
+    assert int((ts != 0).sum()) == 36
+    assert ((ts == rd) | (ts == 0)).all()
+    np.testing.assert_array_equal(ts @ ts.T, np.diag([8, 4, 4, 2, 8, 4, 4, 2]))
+    img = rng.integers(0, 256, (64, 128)).astype(np.float32)
+    cfg = CodecConfig(interpret=True, transform="bas")
+    c, _ = get_pipeline("fast").roundtrip(jnp.asarray(img), cfg)
+    gc, _ = golden_roundtrip(img, t=tr.t)
+    assert np.abs(np.asarray(c) - gc).max() <= 1.0
 
 
 def test_wht_runs_every_integer_path(rng):

@@ -224,11 +224,16 @@ def _exact_dct8(dtype=np.float64) -> np.ndarray:
 
 
 def _rdct_core() -> np.ndarray:
-    """round(2 * DCT8): a {0, +-1} integer core with exactly orthogonal rows
-    (the rounded-DCT family of approximations, cf. PAPERS.md: Cintra/Bayer
-    line of work).  Derived, not hardcoded — the registry test asserts the
-    orthogonality that makes T = diag(1/row_norms) @ Ts an exact-inverse
-    transform, same structure as the Haweel factorization."""
+    """round(2 * DCT8): a {0, +-1} integer core with exactly orthogonal rows.
+
+    This IS the Cintra-Bayer (2011) DCT approximation (PAPERS.md:
+    "A DCT Approximation for Image Compression", arXiv 1402.6034), whose
+    transform is defined as exactly this element-wise rounding of the
+    scaled DCT matrix (22 additions, 0 multiplies in its butterfly
+    factorization); the registry exposes the alias name "cb2011" for it.
+    Derived, not hardcoded — the registry test asserts the orthogonality
+    that makes T = diag(1/row_norms) @ Ts an exact-inverse transform,
+    same structure as the Haweel factorization."""
     ts = np.round(2.0 * _exact_dct8()).astype(np.int8)
     g = ts.astype(np.int64) @ ts.astype(np.int64).T
     assert (g == np.diag(np.diag(g))).all(), "rdct rows must be orthogonal"
@@ -249,6 +254,31 @@ def _wht_core() -> np.ndarray:
     ts = h[np.argsort(sequency, kind="stable")].astype(np.int8)
     g = ts.astype(np.int64) @ ts.astype(np.int64).T
     assert (g == 8 * np.eye(8, dtype=np.int64)).all()
+    return ts
+
+
+def _bas_core() -> np.ndarray:
+    """Sparse sign transform in the Bouguezel-Ahmad-Swamy low-complexity
+    style (the BAS series of {0,+-1/2,+-1}-entry DCT approximations):
+    every row is a sparsification of the corresponding rdct/CB-2011 row —
+    entries zeroed, none flipped — chosen so the rows stay EXACTLY
+    orthogonal (Ts @ Ts.T = diag(8,4,4,2,8,4,4,2), asserted below).
+    36 nonzeros vs rdct's 48 makes it the cheapest DCT-shaped core in
+    the registry (28 adds dense, fewer factorized), trading ~0.05 dB on
+    the photo image (benchmarks/RESULTS_v5e.md transform table).  Like
+    every registry entry, diag(d) @ Ts is an exact-inverse transform."""
+    ts = np.array([
+        [1, 1, 1, 1, 1, 1, 1, 1],
+        [1, 1, 0, 0, 0, 0, -1, -1],
+        [1, 0, 0, -1, -1, 0, 0, 1],
+        [0, 0, -1, 0, 0, 1, 0, 0],
+        [1, -1, -1, 1, 1, -1, -1, 1],
+        [1, -1, 0, 0, 0, 0, 1, -1],
+        [0, -1, 1, 0, 0, 1, -1, 0],
+        [0, 0, 0, -1, 1, 0, 0, 0],
+    ], np.int8)
+    g = ts.astype(np.int64) @ ts.astype(np.int64).T
+    assert (g == np.diag([8, 4, 4, 2, 8, 4, 4, 2])).all()
     return ts
 
 
@@ -278,16 +308,20 @@ def _norm_t(ts: np.ndarray) -> tuple:
 def _build_transforms() -> dict:
     rd_t, rd_d = _norm_t(_rdct_core())
     wh_t, wh_d = _norm_t(_wht_core())
+    ba_t, ba_d = _norm_t(_bas_core())
     return {
         # Reference parity: the exact float literals from main.cu:135-143.
         "haweel": Transform(
             "haweel", T, HAWEEL_TS, (1.0 / haweel_row_norms()).astype(np.float32)
         ),
-        # Derived rounded-DCT approximation ({0,+-1} core, 0 multiplies).
+        # Derived rounded-DCT approximation ({0,+-1} core, 0 multiplies);
+        # identical to the published Cintra-Bayer 2011 transform (see
+        # _rdct_core), hence the "cb2011" alias below.
         "rdct": Transform("rdct", rd_t, _rdct_core(), rd_d),
-        # Sequency-ordered Walsh-Hadamard ({+-1} core, 0 multiplies) — the
-        # cheapest member of the family; runs on every integer path.
+        # Sequency-ordered Walsh-Hadamard ({+-1} core, 0 multiplies).
         "wht": Transform("wht", wh_t, _wht_core(), wh_d),
+        # Sparsified-rdct sign transform: the cheapest core (see _bas_core).
+        "bas": Transform("bas", ba_t, _bas_core(), ba_d),
         # Exact DCT-II: the quality ceiling; no integer core (irrational
         # entries), so it runs on the f32 MXU paths only.
         "dct": Transform("dct", _exact_dct8(np.float32), None, None),
@@ -296,11 +330,18 @@ def _build_transforms() -> dict:
 
 TRANSFORMS = _build_transforms()
 
+# Alternate names accepted by get_transform (and recorded as-is in .tdc
+# headers, which store whatever string the config carried — both resolve
+# to the same Transform object, so decode is unaffected).  cb2011: the
+# Cintra-Bayer 2011 transform is definitionally round(2*DCT8) == rdct.
+TRANSFORM_ALIASES = {"cb2011": "rdct"}
+
 
 def get_transform(name: str) -> Transform:
     try:
-        return TRANSFORMS[name]
+        return TRANSFORMS[TRANSFORM_ALIASES.get(name, name)]
     except KeyError:
         raise ValueError(
             f"unknown transform {name!r}; available: {sorted(TRANSFORMS)}"
+            f" (aliases: {TRANSFORM_ALIASES})"
         ) from None
