@@ -172,9 +172,24 @@ static long br_bits(BitReader *r, int n) {
     return v;
 }
 
+/* A -32768 coefficient has magnitude category 16, which overflows the
+ * 4-bit AC size field — the symbol model cannot represent it.  Unreachable
+ * through tpudct's serializer (it validates |c| <= 32767 before narrowing,
+ * utils/serialize.py), but refuse defensively instead of emitting a
+ * stream that cannot decode. */
+static int has_int16_min(const int16_t *c, long n) {
+    long i;
+    for (i = 0; i < n; i++)
+        if (c[i] == -32768) return 1;
+    return 0;
+}
+
 /* ---- per-block symbolization --------------------------------------------- */
 
-typedef void (*SymbolSink)(void *ctx, int table /*0=DC 1=AC*/, int sym,
+/* table: 0=DC 1=AC.  kpos: zig-zag position where the symbol is emitted
+ * (0 for DC; the position the decoder's scan cursor sits at for AC) —
+ * consumed by the rANS coder's positional contexts, ignored by Huffman. */
+typedef void (*SymbolSink)(void *ctx, int table, int kpos, int sym,
                            int extra_bits, uint32_t extra);
 
 static void emit_blocks(const int16_t *c, int h, int w, SymbolSink sink, void *ctx) {
@@ -184,34 +199,40 @@ static void emit_blocks(const int16_t *c, int h, int w, SymbolSink sink, void *c
         for (bx = 0; bx < w / 8; bx++) {
             const int16_t *blk = c + (long)by * 8 * w + bx * 8;
             int16_t zz[64];
-            int diff, s, run, last;
+            int diff, s, run, last, kcur;
             for (k = 0; k < 64; k++)
                 zz[k] = blk[(ZZ[k] >> 3) * (long)w + (ZZ[k] & 7)];
             diff = zz[0] - prev_dc;
             prev_dc = zz[0];
             s = bit_size(diff);
-            sink(ctx, 0, s, s, (uint32_t)(diff < 0 ? diff + ((1L << s) - 1) : diff));
+            sink(ctx, 0, 0, s, s, (uint32_t)(diff < 0 ? diff + ((1L << s) - 1) : diff));
             last = 63;
             while (last >= 1 && zz[last] == 0) last--;
             run = 0;
+            kcur = 1; /* decoder's scan cursor when the next symbol arrives */
             for (k = 1; k <= last; k++) {
                 if (zz[k] == 0) { run++; continue; }
-                while (run > 15) { sink(ctx, 1, 0xF0, 0, 0); run -= 16; }
+                while (run > 15) {
+                    sink(ctx, 1, kcur, 0xF0, 0, 0);
+                    run -= 16;
+                    kcur += 16;
+                }
                 s = bit_size(zz[k]);
-                sink(ctx, 1, (run << 4) | s, s,
+                sink(ctx, 1, kcur, (run << 4) | s, s,
                      (uint32_t)(zz[k] < 0 ? zz[k] + ((1 << s) - 1) : zz[k]));
+                kcur = k + 1;
                 run = 0;
             }
-            if (last < 63) sink(ctx, 1, 0x00, 0, 0); /* EOB */
+            if (last < 63) sink(ctx, 1, kcur, 0x00, 0, 0); /* EOB */
         }
     }
 }
 
 typedef struct { long dc[NSYM]; long ac[NSYM]; } Hist;
 
-static void hist_sink(void *ctx, int table, int sym, int eb, uint32_t ev) {
+static void hist_sink(void *ctx, int table, int kpos, int sym, int eb, uint32_t ev) {
     Hist *hs = (Hist *)ctx;
-    (void)eb; (void)ev;
+    (void)kpos; (void)eb; (void)ev;
     (table ? hs->ac : hs->dc)[sym]++;
 }
 
@@ -222,10 +243,11 @@ typedef struct {
     int bad;
 } EncCtx;
 
-static void enc_sink(void *ctx, int table, int sym, int eb, uint32_t ev) {
+static void enc_sink(void *ctx, int table, int kpos, int sym, int eb, uint32_t ev) {
     EncCtx *e = (EncCtx *)ctx;
     const uint16_t *codes = table ? e->acode : e->dcode;
     const uint8_t *sizes = table ? e->asize : e->dsize;
+    (void)kpos;
     if (!sizes[sym]) { e->bad = 1; return; }
     bw_put(e->w, codes[sym], sizes[sym]);
     if (eb) bw_put(e->w, ev, eb);
@@ -242,6 +264,7 @@ long tpudct_huff_encode(const int16_t *coeffs, int h, int w,
     EncCtx e;
     BitWriter bw;
     if (h <= 0 || w <= 0 || (h % 8) || (w % 8)) return -1;
+    if (has_int16_min(coeffs, (long)h * w)) return -1;
     memset(&hist, 0, sizeof(hist));
     emit_blocks(coeffs, h, w, hist_sink, &hist);
     ndc = build_table(hist.dc, dbits, dval);
@@ -370,4 +393,320 @@ int tpudct_huff_decode(const uint8_t *data, long n, int h, int w, int16_t *out) 
         }
     }
     return 0;
+}
+
+/* ---- rANS stage with positional contexts (.tdc codec 3) ------------------ */
+/*
+ * Same ITU-T T.81 symbolization as the Huffman stage above (shared
+ * emit_blocks), entropy-coded with a byte-wise static rANS (range
+ * asymmetric numeral system; Duda 2013, the public ryg_rans construction)
+ * instead of prefix codes.  Two structural wins over Huffman:
+ *   - sub-bit coding: symbol costs are not rounded up to whole bits
+ *     (a p=0.9 EOB costs 0.15 bits, not 1);
+ *   - positional contexts: AC symbols are modeled with separate frequency
+ *     tables per zig-zag band (k in [1,5] / [6,20] / [21,63]), which a
+ *     single-table Huffman coder cannot express.  The decoder knows the
+ *     scan position at every step, so contexts need no side information.
+ *
+ * Stream layout (payload of .tdc codec 3):
+ *   u8  version (=1)
+ *   4 tables (DC, AC band0, AC band1, AC band2), each:
+ *       u16le n_entries, then n_entries x { u8 symbol, u16le freq }
+ *       (freqs normalized to sum 1<<RANS_BITS; entries sorted by symbol)
+ *   u32le rans_bytes, then that many bytes (decoder reads forward)
+ *   u32le extra_bits, then ceil/8 bytes MSB-first (forward symbol order)
+ *
+ * The rANS state stream carries only the symbols; magnitude ("extra")
+ * bits are incompressible by construction and ride a plain bit stream.
+ */
+
+#define RANS_BITS 12
+#define RANS_M (1u << RANS_BITS)
+#define RANS_L (1u << 23) /* normalization lower bound */
+#define NCTX 4            /* DC + 3 AC zig-zag bands */
+
+static int rans_ctx_of(int table, int kpos) {
+    if (!table) return 0;
+    if (kpos <= 5) return 1;
+    if (kpos <= 20) return 2;
+    return 3;
+}
+
+typedef struct {
+    uint32_t freq[NSYM];  /* normalized; 0 = absent */
+    uint32_t start[NSYM]; /* cumulative start */
+} RansTable;
+
+/* Scale a raw histogram to sum exactly RANS_M, keeping every present
+ * symbol at freq >= 1.  Returns number of present symbols (0 if empty). */
+static int rans_normalize(const long *hist, RansTable *t) {
+    long total = 0;
+    uint32_t sum = 0;
+    int i, n = 0, imax = -1;
+    memset(t, 0, sizeof(*t));
+    for (i = 0; i < NSYM; i++) total += hist[i];
+    if (!total) return 0;
+    for (i = 0; i < NSYM; i++) {
+        if (!hist[i]) continue;
+        uint32_t f = (uint32_t)(((unsigned long long)hist[i] * RANS_M) / (unsigned long long)total);
+        if (!f) f = 1;
+        t->freq[i] = f;
+        sum += f;
+        n++;
+        if (imax < 0 || hist[i] > hist[imax]) imax = i;
+    }
+    /* push the rounding drift onto the most frequent symbol */
+    if (sum != RANS_M) {
+        long d = (long)RANS_M - (long)sum;
+        if ((long)t->freq[imax] + d < 1) {
+            /* drift too large to absorb (many rare symbols): steal from
+             * every symbol above 1 until it fits */
+            for (i = 0; i < NSYM && (long)t->freq[imax] + d < 1; i++) {
+                while (i != imax && t->freq[i] > 1 && (long)t->freq[imax] + d < 1) {
+                    t->freq[i]--;
+                    d++;
+                }
+            }
+        }
+        t->freq[imax] = (uint32_t)((long)t->freq[imax] + d);
+    }
+    sum = 0;
+    for (i = 0; i < NSYM; i++) { t->start[i] = sum; sum += t->freq[i]; }
+    return n;
+}
+
+typedef struct { uint8_t tab; uint8_t sym; } RansSym;
+
+typedef struct {
+    RansSym *syms;
+    long n, cap;
+    long hist[NCTX][NSYM];
+    BitWriter *xb; /* forward extra-bit stream */
+    int bad;
+} RansCollect;
+
+static void rans_collect_sink(void *ctx, int table, int kpos, int sym,
+                              int eb, uint32_t ev) {
+    RansCollect *rc = (RansCollect *)ctx;
+    int c = rans_ctx_of(table, kpos);
+    if (rc->n >= rc->cap) { rc->bad = 1; return; }
+    rc->syms[rc->n].tab = (uint8_t)c;
+    rc->syms[rc->n].sym = (uint8_t)sym;
+    rc->n++;
+    rc->hist[c][sym]++;
+    if (eb) bw_put(rc->xb, ev, eb);
+}
+
+static long put_u32le(uint8_t *p, unsigned long v) {
+    p[0] = (uint8_t)(v & 0xff);
+    p[1] = (uint8_t)((v >> 8) & 0xff);
+    p[2] = (uint8_t)((v >> 16) & 0xff);
+    p[3] = (uint8_t)((v >> 24) & 0xff);
+    return 4;
+}
+
+long tpudct_rans_encode(const int16_t *coeffs, int h, int w,
+                        uint8_t *out, long cap) {
+    long nblocks, max_syms, xcap, pos, i, rpos;
+    uint8_t *xbits;
+    RansCollect rc;
+    BitWriter xw;
+    RansTable tabs[NCTX];
+    long xbits_total;
+    uint32_t state;
+    int c;
+    if (h <= 0 || w <= 0 || (h % 8) || (w % 8)) return -1;
+    if (has_int16_min(coeffs, (long)h * w)) return -1;
+    nblocks = ((long)h / 8) * ((long)w / 8);
+    max_syms = nblocks * 65; /* DC + <=63 AC + EOB per block */
+    rc.syms = (RansSym *)malloc(sizeof(RansSym) * max_syms);
+    xcap = (long)h * w * 2 + 4096; /* extra bits: <=16 bits/coeff */
+    xbits = (uint8_t *)malloc(xcap);
+    if (!rc.syms || !xbits) { free(rc.syms); free(xbits); return -1; }
+    memset(rc.hist, 0, sizeof(rc.hist));
+    rc.n = 0; rc.cap = max_syms; rc.bad = 0;
+    xw.buf = xbits; xw.cap = xcap; xw.pos = 0; xw.acc = 0; xw.nbits = 0;
+    xw.overflow = 0;
+    rc.xb = &xw;
+    emit_blocks(coeffs, h, w, rans_collect_sink, &rc);
+    xbits_total = bw_flush(&xw);
+    if (rc.bad || xw.overflow) { free(rc.syms); free(xbits); return -1; }
+    for (c = 0; c < NCTX; c++) rans_normalize(rc.hist[c], &tabs[c]);
+    /* header */
+    pos = 0;
+    if (cap < 1) goto fail;
+    out[pos++] = 1;
+    for (c = 0; c < NCTX; c++) {
+        int n = 0, s;
+        for (s = 0; s < NSYM; s++) n += tabs[c].freq[s] != 0;
+        if (pos + 2 + 3L * n > cap) goto fail;
+        out[pos++] = (uint8_t)(n & 0xff);
+        out[pos++] = (uint8_t)(n >> 8);
+        for (s = 0; s < NSYM; s++) {
+            if (!tabs[c].freq[s]) continue;
+            out[pos++] = (uint8_t)s;
+            out[pos++] = (uint8_t)(tabs[c].freq[s] & 0xff);
+            out[pos++] = (uint8_t)(tabs[c].freq[s] >> 8);
+        }
+    }
+    /* rANS encode in reverse symbol order, writing bytes backwards from
+     * the end of the remaining buffer, then move into place. */
+    if (pos + 4 > cap) goto fail;
+    rpos = cap; /* write cursor (exclusive) at buffer end */
+    state = RANS_L;
+    for (i = rc.n - 1; i >= 0; i--) {
+        const RansTable *t = &tabs[rc.syms[i].tab];
+        uint32_t f = t->freq[rc.syms[i].sym];
+        uint32_t x_max = ((RANS_L >> RANS_BITS) << 8) * f;
+        while (state >= x_max) {
+            if (rpos <= pos + 4) goto fail;
+            out[--rpos] = (uint8_t)(state & 0xff);
+            state >>= 8;
+        }
+        state = ((state / f) << RANS_BITS) + (state % f) + t->start[rc.syms[i].sym];
+    }
+    {
+        long rans_n, tail;
+        /* final state: 4 bytes, big-endian so the decoder reads forward */
+        if (rpos <= pos + 4 + 3) goto fail;
+        out[--rpos] = (uint8_t)(state & 0xff);
+        out[--rpos] = (uint8_t)((state >> 8) & 0xff);
+        out[--rpos] = (uint8_t)((state >> 16) & 0xff);
+        out[--rpos] = (uint8_t)((state >> 24) & 0xff);
+        rans_n = cap - rpos;
+        pos += put_u32le(out + pos, (unsigned long)rans_n);
+        memmove(out + pos, out + rpos, rans_n);
+        pos += rans_n;
+        tail = 4 + (xbits_total + 7) / 8;
+        if (pos + tail > cap) goto fail;
+        pos += put_u32le(out + pos, (unsigned long)xbits_total);
+        memcpy(out + pos, xbits, (xbits_total + 7) / 8);
+        pos += (xbits_total + 7) / 8;
+    }
+    free(rc.syms);
+    free(xbits);
+    return pos;
+fail:
+    free(rc.syms);
+    free(xbits);
+    return -1;
+}
+
+typedef struct {
+    uint8_t slot_sym[RANS_M]; /* slot -> symbol */
+    uint32_t freq[NSYM], start[NSYM];
+    int empty;
+} RansDec;
+
+int tpudct_rans_decode(const uint8_t *data, long n, int h, int w, int16_t *out) {
+    RansDec *tabs;
+    long pos = 0, rans_n, xoff, xbits_total;
+    uint32_t state;
+    const uint8_t *rb;
+    long rcur;
+    BitReader xr;
+    int c, by, bx;
+    if (h <= 0 || w <= 0 || (h % 8) || (w % 8)) return -2;
+    if (n < 1 || data[pos++] != 1) return -3;
+    tabs = (RansDec *)malloc(sizeof(RansDec) * NCTX);
+    if (!tabs) return -1;
+    for (c = 0; c < NCTX; c++) {
+        int ne, i;
+        uint32_t sum = 0;
+        memset(tabs[c].slot_sym, 0xff, RANS_M);
+        memset(tabs[c].freq, 0, sizeof(tabs[c].freq));
+        if (pos + 2 > n) goto corrupt;
+        ne = data[pos] | (data[pos + 1] << 8);
+        pos += 2;
+        if (ne > NSYM || pos + 3L * ne > n) goto corrupt;
+        tabs[c].empty = ne == 0;
+        for (i = 0; i < ne; i++) {
+            int s = data[pos];
+            uint32_t f = (uint32_t)(data[pos + 1] | (data[pos + 2] << 8));
+            pos += 3;
+            if (!f || tabs[c].freq[s]) goto corrupt;
+            tabs[c].freq[s] = f;
+            tabs[c].start[s] = sum;
+            if (sum + f > RANS_M) goto corrupt;
+            memset(tabs[c].slot_sym + sum, s, f);
+            sum += f;
+        }
+        if (ne && sum != RANS_M) goto corrupt;
+    }
+    if (pos + 4 > n) goto corrupt;
+    rans_n = (long)data[pos] | ((long)data[pos + 1] << 8) |
+             ((long)data[pos + 2] << 16) | ((long)data[pos + 3] << 24);
+    pos += 4;
+    if (rans_n < 4 || pos + rans_n > n) goto corrupt;
+    rb = data + pos;
+    rcur = 0;
+    state = ((uint32_t)rb[0] << 24) | ((uint32_t)rb[1] << 16) |
+            ((uint32_t)rb[2] << 8) | (uint32_t)rb[3];
+    rcur = 4;
+    xoff = pos + rans_n;
+    if (xoff + 4 > n) goto corrupt;
+    xbits_total = (long)data[xoff] | ((long)data[xoff + 1] << 8) |
+                  ((long)data[xoff + 2] << 16) | ((long)data[xoff + 3] << 24);
+    if ((n - xoff - 4) * 8 < xbits_total) goto corrupt;
+    xr.buf = data + xoff + 4;
+    xr.nbits = xbits_total;
+    xr.pos = 0;
+    memset(out, 0, sizeof(int16_t) * (long)h * w);
+    {
+        long prev_dc = 0;
+        for (by = 0; by < h / 8; by++) {
+            for (bx = 0; bx < w / 8; bx++) {
+                int16_t *blk = out + (long)by * 8 * w + bx * 8;
+                int k, s, sym;
+                long v;
+                /* decode one symbol from context ctx.  A non-empty
+                 * table's freqs sum to exactly RANS_M, so every slot maps
+                 * to a symbol — no sentinel check needed beyond `empty`. */
+#define RANS_NEXT(ctx, dst)                                                  \
+                do {                                                         \
+                    const RansDec *t = &tabs[ctx];                           \
+                    uint32_t slot = state & (RANS_M - 1);                    \
+                    int _s;                                                  \
+                    if (t->empty) goto corrupt;                              \
+                    _s = t->slot_sym[slot];                                  \
+                    state = t->freq[_s] * (state >> RANS_BITS) + slot -      \
+                            t->start[_s];                                    \
+                    while (state < RANS_L) {                                 \
+                        if (rcur >= rans_n) goto corrupt;                    \
+                        state = (state << 8) | rb[rcur++];                   \
+                    }                                                        \
+                    (dst) = _s;                                              \
+                } while (0)
+                RANS_NEXT(0, s);
+                if (s > 17) goto corrupt;
+                v = s ? br_bits(&xr, s) : 0;
+                if (v < 0) goto corrupt;
+                prev_dc += extend(v, s);
+                blk[0] = (int16_t)prev_dc;
+                k = 1;
+                while (k < 64) {
+                    int run, size;
+                    RANS_NEXT(rans_ctx_of(1, k), sym);
+                    if (sym == 0x00) break; /* EOB */
+                    if (sym == 0xF0) { k += 16; continue; }
+                    run = sym >> 4;
+                    size = sym & 15;
+                    if (!size) goto corrupt;
+                    k += run;
+                    if (k > 63) goto corrupt;
+                    v = br_bits(&xr, size);
+                    if (v < 0) goto corrupt;
+                    blk[(ZZ[k] >> 3) * (long)w + (ZZ[k] & 7)] =
+                        (int16_t)extend(v, size);
+                    k++;
+                }
+#undef RANS_NEXT
+            }
+        }
+    }
+    free(tabs);
+    return 0;
+corrupt:
+    free(tabs);
+    return -5;
 }

@@ -43,7 +43,7 @@ def test_run_writes_coeffs(tmp_path, jpg):
 def test_encode_entropy_choices(tmp_path, jpg, capsys):
     # every entropy stage must produce a decodable .tdc
     outs = {}
-    for codec in ("auto", "spectral", "huffman", "raw"):
+    for codec in ("auto", "spectral", "huffman", "rans", "raw"):
         tdc = tmp_path / f"{codec}.tdc"
         rc = main(["encode", "--entropy", codec, str(jpg), str(tdc)])
         assert rc == 0, codec
@@ -51,7 +51,7 @@ def test_encode_entropy_choices(tmp_path, jpg, capsys):
         dec = tmp_path / f"{codec}.jpg"
         assert main(["decode", str(tdc), str(dec)]) == 0
         outs[codec] = imageio.load_jpeg(dec)
-    for codec in ("spectral", "huffman", "raw"):
+    for codec in ("spectral", "huffman", "rans", "raw"):
         np.testing.assert_array_equal(outs["auto"], outs[codec])
 
 

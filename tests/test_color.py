@@ -192,6 +192,36 @@ def test_tdcc_roundtrip(tmp_path):
     assert _psnr(rec, rgb) > 30
 
 
+def test_tdcc_every_entropy_stage_bit_exact():
+    """All entropy codecs (incl. the rANS stage) must round-trip every
+    color plane bit-exactly through the .tdcc container; auto must never
+    store a larger stream than any explicit stage."""
+    from tpudct.utils.entropy import native_entropy_available, rans_available
+
+    rgb = _smooth_rgb(64, 80)
+    p = get_pipeline("batched")
+    cfg = CodecConfig(interpret=True)
+    planes, meta = encode_color(p, jnp.asarray(rgb), cfg)
+    np_planes = {k: np.asarray(v) for k, v in planes.items()}
+    sizes = {}
+    codecs = ["auto", "spectral", "raw"]
+    if native_entropy_available():
+        codecs.append("huffman")
+    if rans_available():
+        codecs.append("rans")
+    for codec in codecs:
+        data = serialize.color_to_bytes(
+            np_planes, meta, cfg.q_scale, cfg.retain_k, cfg.transform,
+            codec=codec,
+        )
+        sizes[codec] = len(data)
+        planes2, meta2 = serialize.bytes_to_color(data)
+        assert meta2["orig_shape"] == meta["orig_shape"], codec
+        for k in np_planes:
+            assert np.array_equal(np_planes[k], planes2[k]), (codec, k)
+    assert sizes["auto"] <= min(v for k, v in sizes.items() if k != "auto")
+
+
 def test_tdcc_truncated_raises(tmp_path):
     rgb = _smooth_rgb(40, 40)
     p = get_pipeline("batched")

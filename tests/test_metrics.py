@@ -399,3 +399,127 @@ def test_structured_image_small_sizes():
     for s in (64, 72, 80, 96):
         img = structured_image(s)
         assert img.shape == (s, s) and img.dtype == np.float32
+
+
+def test_rans_codec_roundtrip_and_fallback(rng):
+    """rANS entropy stage (.tdc codec 3, utils/entropy.py): bit-exact
+    through the container, native and pure-Python decoders agree, and
+    real coefficient maps come out smaller than the Huffman stage
+    (sub-bit symbol costs + positional AC contexts)."""
+    from tpudct.utils import entropy
+
+    if not entropy.rans_available():
+        pytest.skip("native rans codec unavailable")
+
+    c = rng.integers(-90, 90, (64, 64)).astype(np.float32)
+    c[rng.random((64, 64)) < 0.8] = 0.0  # sparse, like real coefficients
+
+    blob = serialize.coefficients_to_bytes(c, codec="rans")
+    back, _, _ = serialize.bytes_to_coefficients(blob)
+    np.testing.assert_array_equal(back, c)
+
+    stream = entropy.rans_encode(c.astype(np.int16))
+    np.testing.assert_array_equal(
+        entropy._py_rans_decode(stream, 64, 64),
+        entropy.rans_decode(stream, 64, 64),
+    )
+
+    # auto must never store a larger payload than any explicit stage
+    auto = serialize.coefficients_to_bytes(c, codec="auto")
+    assert len(auto) <= len(blob)
+    assert len(auto) <= len(serialize.coefficients_to_bytes(c, codec="spectral"))
+    assert len(auto) <= len(serialize.coefficients_to_bytes(c, codec="huffman"))
+
+
+def test_rans_beats_huffman_on_dct_statistics(rng):
+    """The positional contexts must pay on DCT-shaped data: large DC,
+    band-dependent AC magnitudes (this is the structural edge over a
+    single-table Huffman coder; measured 4-9% on the benchmark images)."""
+    from tpudct.utils import entropy
+
+    if not entropy.rans_available():
+        pytest.skip("native rans codec unavailable")
+    h = w = 256
+    c = np.zeros((h, w), np.int16)
+    # synthetic DCT-like block statistics: decaying AC energy by band
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            c[by * 8, bx * 8] = rng.integers(-400, 400)
+            for u in range(8):
+                for v in range(8):
+                    if u + v == 0:
+                        continue
+                    scale = 12.0 / (1 + 2 * (u + v))
+                    if rng.random() < 0.25 + 0.6 / (1 + u + v):
+                        c[by * 8 + u, bx * 8 + v] = int(
+                            np.clip(rng.normal(0, scale), -127, 127)
+                        )
+    r = entropy.rans_encode(c)
+    hstream = entropy.huff_encode(c)
+    assert len(r) < len(hstream)
+    np.testing.assert_array_equal(entropy.rans_decode(r, h, w), c)
+
+
+def test_rans_extreme_values_and_int16_min():
+    from tpudct.utils import entropy
+
+    if not entropy.rans_available():
+        pytest.skip("native rans codec unavailable")
+    c = np.zeros((16, 24), np.int16)
+    c[0, 0] = 32767
+    c[8, 8] = -32767
+    c[0, 9] = 255
+    c[7, 23] = -1
+    stream = entropy.rans_encode(c)
+    np.testing.assert_array_equal(entropy.rans_decode(stream, 16, 24), c)
+    np.testing.assert_array_equal(entropy._py_rans_decode(stream, 16, 24), c)
+
+    # -32768 has magnitude category 16 — unrepresentable in the 4-bit AC
+    # size field; both encoders must refuse rather than emit a stream
+    # that cannot decode (unreachable via serialize.py, which validates
+    # |c| <= 32767 first — this guards the direct entropy API).
+    c[3, 3] = -32768
+    with pytest.raises(ValueError):
+        entropy.rans_encode(c)
+    with pytest.raises(ValueError):
+        entropy.huff_encode(c)
+
+
+def test_rans_decoder_survives_garbage(rng):
+    """Adversarial robustness of codec 3, native AND pure-Python: mutated
+    and random streams must ValueError or decode, never crash; whenever
+    BOTH decoders accept a stream they must agree (fallback parity)."""
+    from tpudct.utils import entropy
+
+    if not entropy.rans_available():
+        pytest.skip("native rans codec unavailable")
+    c = rng.integers(-30, 30, (16, 16)).astype(np.int16)
+    c[rng.random((16, 16)) < 0.7] = 0
+    good = bytearray(entropy.rans_encode(c))
+    for trial in range(200):
+        data = bytearray(good)
+        for _ in range(int(rng.integers(1, 8))):
+            data[int(rng.integers(0, len(data)))] = int(rng.integers(0, 256))
+        native = err_n = None
+        try:
+            native = entropy.rans_decode(bytes(data), 16, 16)
+        except ValueError as e:
+            err_n = e
+        try:
+            py = entropy._py_rans_decode(bytes(data), 16, 16)
+        except ValueError:
+            py = None
+        if native is not None and py is not None:
+            np.testing.assert_array_equal(native, py)
+        del err_n
+    for trial in range(100):
+        n = int(rng.integers(0, 400))
+        data = bytes([1]) + rng.integers(0, 256, n, dtype=np.uint8).tobytes()
+        try:
+            entropy.rans_decode(data, 16, 16)
+        except ValueError:
+            pass
+        try:
+            entropy._py_rans_decode(data, 16, 16)
+        except ValueError:
+            pass

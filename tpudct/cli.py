@@ -85,12 +85,12 @@ def _add_codec_flags(sp):
                     help="IJG quality 1-100 -> table scale (overrides --q-scale; 50 = standard table)")
     sp.add_argument("--k", type=int, default=None, help="zonal retention: keep u+v < k")
     sp.add_argument("--transform", default="haweel",
-                    help="8x8 transform: haweel (reference) | rdct (rounded-DCT approx) | wht (Walsh-Hadamard) | dct (exact DCT-II)")
+                    help="8x8 transform: haweel (reference) | rdct (rounded-DCT = Cintra-Bayer 2011; alias cb2011) | wht (Walsh-Hadamard) | bas (sparsified-rdct, cheapest core) | dct (exact DCT-II)")
     sp.add_argument("--q-table-file", default=None, dest="q_table_file",
                     help="custom 8x8 luma quantization table: 64 numbers, whitespace/comma separated, '#' comments (cjpeg -qtables format); stored in .tdc so decode is self-contained")
     sp.add_argument("--entropy", default="auto", dest="entropy",
-                    choices=("auto", "spectral", "huffman", "raw"),
-                    help=".tdc/.tdcc entropy stage: auto (default; smaller of huffman/spectral per file) | spectral (+zlib) | huffman (JPEG-grade, needs native lib) | raw (+zlib)")
+                    choices=("auto", "spectral", "huffman", "rans", "raw"),
+                    help=".tdc/.tdcc entropy stage: auto (default; smallest of rans/huffman/spectral per file) | spectral (+zlib) | huffman (JPEG-grade) | rans (positional-context rANS) | raw (+zlib); rans/huffman encode needs the native lib")
 
 
 def _add_color_flags(sp):
@@ -759,10 +759,10 @@ def cmd_info(_args) -> int:
     import jax
 
     import tpudct
-    from tpudct.utils.entropy import native_entropy_available
+    from tpudct.utils.entropy import native_entropy_available, rans_available
     from tpudct.utils.imageio import native_backend_available
 
-    from tpudct.constants import Q_TABLES, TRANSFORMS
+    from tpudct.constants import Q_TABLES, TRANSFORM_ALIASES, TRANSFORMS
 
     print(json.dumps({
         "version": tpudct.__version__,
@@ -770,8 +770,10 @@ def cmd_info(_args) -> int:
         "devices": [str(d) for d in jax.devices()],
         "native_jpeg": native_backend_available(),
         "native_entropy": native_entropy_available(),
+        "native_rans": rans_available(),
         "pipelines": tpudct.available_pipelines(),
         "transforms": sorted(TRANSFORMS),
+        "transform_aliases": dict(TRANSFORM_ALIASES),
         "q_tables": sorted(Q_TABLES),
     }))
     return 0

@@ -45,6 +45,11 @@ def _lib() -> Optional[ctypes.CDLL]:
             ctypes.c_void_p, ctypes.c_long, ctypes.c_int, ctypes.c_int,
             ctypes.c_void_p,
         ]
+        if hasattr(lib, "tpudct_rans_encode"):
+            lib.tpudct_rans_encode.restype = ctypes.c_long
+            lib.tpudct_rans_encode.argtypes = lib.tpudct_huff_encode.argtypes
+            lib.tpudct_rans_decode.restype = ctypes.c_int
+            lib.tpudct_rans_decode.argtypes = lib.tpudct_huff_decode.argtypes
         lib._tpudct_huff_configured = True
     return lib
 
@@ -181,6 +186,179 @@ def _py_decode(data: bytes, h: int, w: int) -> np.ndarray:
                 size = sym & 15
                 if k > 63:
                     raise ValueError("corrupt huffman coefficient stream (run)")
+                zz = _ZZ[k]
+                out[by * 8 + (zz >> 3), bx * 8 + (zz & 7)] = _extend(
+                    r.take(size), size
+                )
+                k += 1
+    return out
+
+
+# ---- rANS stage (.tdc codec 3) ----------------------------------------------
+#
+# Same T.81 symbolization, entropy-coded with a static byte-wise rANS
+# (Duda 2013) instead of prefix codes, with positional contexts: one
+# frequency table for DC sizes and three for AC symbols split by zig-zag
+# band (k in [1,5] / [6,20] / [21,63]).  Sub-bit symbol costs + positional
+# modeling measure 4-9% smaller than the optimal-Huffman stage on real
+# coefficient maps (benchmarks/RESULTS_v5e.md).  Encoding is native-only
+# (like Huffman); decoding falls back to pure Python.
+
+_RANS_BITS = 12
+_RANS_M = 1 << _RANS_BITS
+_RANS_L = 1 << 23
+
+
+def rans_available() -> bool:
+    lib = _lib()
+    return lib is not None and hasattr(lib, "tpudct_rans_encode")
+
+
+def rans_encode(coeffs: np.ndarray) -> bytes:
+    """(H, W) int16 coefficient map -> rANS stream.  Native-only."""
+    lib = _lib()
+    if lib is None or not hasattr(lib, "tpudct_rans_encode"):
+        raise RuntimeError("native entropy codec unavailable (csrc not built)")
+    c = np.ascontiguousarray(coeffs, np.int16)
+    h, w = c.shape
+    if h % 8 or w % 8:
+        raise ValueError(f"coefficient map {h}x{w} is not block-aligned")
+    cap = int(c.size * 4 + 65536)
+    out = np.empty(cap, np.uint8)
+    n = lib.tpudct_rans_encode(c.ctypes.data, h, w, out.ctypes.data, cap)
+    if n < 0:
+        raise ValueError("rans encode failed")
+    return out[:n].tobytes()
+
+
+def rans_decode(data: bytes, h: int, w: int) -> np.ndarray:
+    """rANS stream -> (H, W) int16 coefficient map.
+
+    Native decoder when available, else the pure-Python fallback."""
+    lib = _lib()
+    if lib is not None and hasattr(lib, "tpudct_rans_decode"):
+        buf = np.frombuffer(data, np.uint8)
+        out = np.empty((h, w), np.int16)
+        rc = lib.tpudct_rans_decode(
+            buf.ctypes.data, len(data), h, w, out.ctypes.data
+        )
+        if rc != 0:
+            raise ValueError(f"corrupt rans coefficient stream ({rc})")
+        return out
+    return _py_rans_decode(data, h, w)
+
+
+def _rans_ctx_of(table: int, k: int) -> int:
+    if table == 0:
+        return 0
+    if k <= 5:
+        return 1
+    if k <= 20:
+        return 2
+    return 3
+
+
+class _RansTable:
+    def __init__(self, entries):
+        # entries: list of (symbol, freq); freqs sum to _RANS_M when present
+        self.empty = not entries
+        self.freq = np.zeros(256, np.uint32)
+        self.start = np.zeros(256, np.uint32)
+        self.slot = np.zeros(_RANS_M, np.uint8)
+        pos = 0
+        for s, f in entries:
+            if f == 0 or self.freq[s]:
+                raise ValueError("corrupt rans coefficient stream (table)")
+            self.freq[s] = f
+            self.start[s] = pos
+            if pos + f > _RANS_M:
+                raise ValueError("corrupt rans coefficient stream (table)")
+            self.slot[pos : pos + f] = s
+            pos += f
+        if entries and pos != _RANS_M:
+            raise ValueError("corrupt rans coefficient stream (table)")
+
+
+class _RansState:
+    def __init__(self, stream: bytes):
+        if len(stream) < 4:
+            raise ValueError("corrupt rans coefficient stream (state)")
+        self.b = stream
+        self.state = int.from_bytes(stream[:4], "big")
+        self.pos = 4
+
+    def next(self, t: _RansTable) -> int:
+        if t.empty:
+            raise ValueError("corrupt rans coefficient stream (ctx)")
+        slot = self.state & (_RANS_M - 1)
+        s = int(t.slot[slot])
+        self.state = int(t.freq[s]) * (self.state >> _RANS_BITS) + slot - int(
+            t.start[s]
+        )
+        while self.state < _RANS_L:
+            if self.pos >= len(self.b):
+                raise ValueError("corrupt rans coefficient stream (EOF)")
+            self.state = (self.state << 8) | self.b[self.pos]
+            self.pos += 1
+        return s
+
+
+def _py_rans_decode(data: bytes, h: int, w: int) -> np.ndarray:
+    if h % 8 or w % 8:
+        raise ValueError(f"coefficient map {h}x{w} is not block-aligned")
+    if len(data) < 1 or data[0] != 1:
+        raise ValueError("corrupt rans coefficient stream (header)")
+    pos = 1
+    tabs = []
+    for _ in range(4):
+        if pos + 2 > len(data):
+            raise ValueError("corrupt rans coefficient stream (header)")
+        ne = int.from_bytes(data[pos : pos + 2], "little")
+        pos += 2
+        if ne > 256 or pos + 3 * ne > len(data):
+            raise ValueError("corrupt rans coefficient stream (header)")
+        entries = []
+        for _i in range(ne):
+            entries.append(
+                (data[pos], int.from_bytes(data[pos + 1 : pos + 3], "little"))
+            )
+            pos += 3
+        tabs.append(_RansTable(entries))
+    if pos + 4 > len(data):
+        raise ValueError("corrupt rans coefficient stream (length)")
+    rans_n = int.from_bytes(data[pos : pos + 4], "little")
+    pos += 4
+    if rans_n < 4 or pos + rans_n > len(data):
+        raise ValueError("corrupt rans coefficient stream (length)")
+    st = _RansState(data[pos : pos + rans_n])
+    xoff = pos + rans_n
+    if xoff + 4 > len(data):
+        raise ValueError("corrupt rans coefficient stream (length)")
+    nbits = int.from_bytes(data[xoff : xoff + 4], "little")
+    r = _Reader(data[xoff + 4 :], nbits)
+    out = np.zeros((h, w), np.int16)
+    prev = 0
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            s = st.next(tabs[0])
+            if s > 17:
+                raise ValueError("corrupt rans coefficient stream (DC)")
+            prev += _extend(r.take(s), s) if s else 0
+            out[by * 8, bx * 8] = ((prev + 32768) & 0xFFFF) - 32768
+            k = 1
+            while k < 64:
+                sym = st.next(tabs[_rans_ctx_of(1, k)])
+                if sym == 0x00:
+                    break
+                if sym == 0xF0:
+                    k += 16
+                    continue
+                size = sym & 15
+                if not size:
+                    raise ValueError("corrupt rans coefficient stream (size)")
+                k += sym >> 4
+                if k > 63:
+                    raise ValueError("corrupt rans coefficient stream (run)")
                 zz = _ZZ[k]
                 out[by * 8 + (zz >> 3), bx * 8 + (zz & 7)] = _extend(
                     r.take(size), size
