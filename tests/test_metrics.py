@@ -317,6 +317,43 @@ def test_spectral_pack_unpack_exact(rng):
     np.testing.assert_array_equal(_spectral_unpack(_spectral_pack(c), 64, 128), c)
 
 
+def test_spectral_pack_matches_naive_reference(rng):
+    """The cache-blocked pack (fast path at gigapixel scale) must emit
+    the BYTE-IDENTICAL stream of the straightforward per-plane packer —
+    the on-disk format is deployed and must never drift."""
+    from tpudct.utils.serialize import _BS, _ZIGZAG, _spectral_pack
+
+    def naive_pack(c):
+        h, w = c.shape
+        b = c.reshape(h // _BS, _BS, w // _BS, _BS).transpose(1, 3, 0, 2)
+        dc = b[0, 0].astype(np.int32).ravel()
+        dcd = np.diff(dc, prepend=np.int32(0))
+        flags = 0
+        if np.abs(dcd.astype(np.int64)).max(initial=0) < 32768:
+            dc_bytes = dcd.astype(np.int16).tobytes()
+        else:
+            flags |= 2  # _DCRAW
+            dc_bytes = dc.astype(np.int16).tobytes()
+        ac = np.concatenate([b[u, v].ravel() for (u, v) in _ZIGZAG[1:]])
+        if np.abs(ac.astype(np.int32)).max(initial=0) < 128:
+            ac_bytes = ac.astype(np.int8).tobytes()
+        else:
+            flags |= 1  # _AC16
+            ac_bytes = ac.tobytes()
+        return bytes([flags]) + dc_bytes + ac_bytes
+
+    cases = [
+        rng.integers(-100, 100, (64, 128)).astype(np.int16),  # int8 AC
+        rng.integers(-3000, 3000, (32, 40)).astype(np.int16),  # int16 AC
+        np.full((8, 8), -32768, np.int16),  # int16 min edge
+    ]
+    dcraw = np.zeros((16, 16), np.int16)
+    dcraw[0::8, 0::8] = [[-30000, 30000], [30000, -30000]]  # DC delta escape
+    cases.append(dcraw)
+    for c in cases:
+        assert _spectral_pack(c) == naive_pack(c)
+
+
 def test_spectral_escape_paths_exact(rng):
     """Wide AC values / overflowing DC deltas flip the escape flags and
     still roundtrip bit-exactly."""

@@ -325,7 +325,7 @@ def cmd_decode(args) -> int:
     if (
         hasattr(p, "decode_u8")
         and hp_pallas.supports_u8(*coeffs.shape, q_scale, transform, q_table)
-        and np.abs(coeffs).max(initial=0) <= 127
+        and serialize._abs_bound(coeffs) <= 127
     ):
         rec_u8 = np.asarray(
             p.decode_u8(jnp.asarray(coeffs, jnp.int8), cfg)

@@ -283,7 +283,9 @@ def decode_color_auto(p: Pipeline, planes: dict, meta: dict, cfg: CodecConfig):
         dt = np.dtype(getattr(v, "dtype", np.float32))
         if dt in (np.dtype(np.int8), np.dtype(np.uint8)):
             return True
-        return bool(np.abs(np.asarray(v)).max(initial=0) <= 127)
+        from tpudct.utils.serialize import _abs_bound
+
+        return bool(_abs_bound(np.asarray(v)) <= 127)
 
     h, w = meta["orig_shape"]
     if (

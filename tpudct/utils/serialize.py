@@ -104,21 +104,52 @@ _AC16 = 1  # AC planes stored as int16 (int8 otherwise)
 _DCRAW = 2  # DC stored raw int16 (delta-coded otherwise)
 
 
+_ZZ_FLAT = np.array([u * _BS + v for (u, v) in _ZIGZAG], np.intp)
+
+
+def _abs_bound(a: np.ndarray) -> float:
+    """max(|a|) as a float, without temporaries.  An abs().max() chain
+    materializes one or two full-size copies; at gigapixel scale the
+    first-touch page faults on those allocations cost SECONDS on this
+    host (measured 7 s for a 63-megapixel map's int32 temps) — a min/max
+    pair reads the array twice and allocates nothing (~30 ms).  Exact
+    for every int dtype incl. the int16 -32768 edge (float carries it),
+    and NaN propagates for float inputs."""
+    if a.size == 0:
+        return 0.0
+    return max(-float(a.min()), float(a.max()))
+
+# Chunk length (in blocks) for the cache-blocked plane transposes below:
+# 2^15 blocks x 64 coeffs x 2 B = 4 MB working tile, inside L2+L3 on the
+# host CPUs here.  The naive (nb, 64) <-> (64, nb) copies are stride-128B
+# gathers that measure ~15x slower at gigapixel scale (19 s -> ~1 s for
+# _spectral_pack at 8192^2).
+_PLANE_CHUNK = 1 << 15
+
+
 def _spectral_pack(c: np.ndarray) -> bytes:
     """(H, W) int16 coefficient map -> spectral byte stream (pre-zlib)."""
     h, w = c.shape
-    b = c.reshape(h // _BS, _BS, w // _BS, _BS).transpose(1, 3, 0, 2)
-    dc = b[0, 0].astype(np.int32).ravel()
+    nbr, nbc = h // _BS, w // _BS
+    nb = nbr * nbc
+    # block-major (nb, 64) view of the map: one sequential-locality copy
+    blk = np.ascontiguousarray(
+        c.reshape(nbr, _BS, nbc, _BS).swapaxes(1, 2)
+    ).reshape(nb, _BS * _BS)
+    # plane-major (64, nb) in zig-zag order, via cache-blocked transpose
+    planes = np.empty((_BS * _BS, nb), np.int16)
+    for i in range(0, nb, _PLANE_CHUNK):
+        planes[:, i : i + _PLANE_CHUNK] = blk[i : i + _PLANE_CHUNK, _ZZ_FLAT].T
+    dc = planes[0].astype(np.int32)
     dcd = np.diff(dc, prepend=np.int32(0))
     flags = 0
-    if np.abs(dcd.astype(np.int64)).max(initial=0) < 32768:
+    if _abs_bound(dcd) < 32768:
         dc_bytes = dcd.astype(np.int16).tobytes()
     else:  # delta overflows int16 (extreme q_scale): store DC raw
         flags |= _DCRAW
         dc_bytes = dc.astype(np.int16).tobytes()
-    ac = np.concatenate([b[u, v].ravel() for (u, v) in _ZIGZAG[1:]])
-    # int32 view for the bound checks: np.abs(int16 -32768) wraps negative.
-    if np.abs(ac.astype(np.int32)).max(initial=0) < 128:
+    ac = planes[1:].reshape(-1)
+    if _abs_bound(ac) < 128:
         ac_bytes = ac.astype(np.int8).tobytes()
     else:
         flags |= _AC16
@@ -145,11 +176,20 @@ def _spectral_unpack(raw: bytes, h: int, w: int) -> np.ndarray:
     if len(raw) < off + need:
         raise ValueError("truncated spectral payload")
     ac = np.frombuffer(raw, ac_dtype, count=nb * 63, offset=off).astype(np.int16)
-    b = np.empty((_BS, _BS, h // _BS, w // _BS), np.int16)
-    b[0, 0] = dc.astype(np.int16).reshape(h // _BS, w // _BS)
-    for i, (u, v) in enumerate(_ZIGZAG[1:]):
-        b[u, v] = ac[i * nb : (i + 1) * nb].reshape(h // _BS, w // _BS)
-    return np.ascontiguousarray(b.transpose(2, 0, 3, 1).reshape(h, w))
+    # plane-major (64, nb) -> block-major (nb, 64) natural order, via the
+    # same cache-blocked transpose as _spectral_pack (the naive per-plane
+    # scatter is a stride-128B write, ~10x slower at gigapixel scale)
+    planes = np.empty((_BS * _BS, nb), np.int16)
+    planes[0] = dc.astype(np.int16)
+    planes[1:] = ac.reshape(63, nb)
+    inv_zz = np.empty(_BS * _BS, np.intp)
+    inv_zz[_ZZ_FLAT] = np.arange(_BS * _BS)
+    blk = np.empty((nb, _BS * _BS), np.int16)
+    for i in range(0, nb, _PLANE_CHUNK):
+        blk[i : i + _PLANE_CHUNK] = planes[inv_zz, i : i + _PLANE_CHUNK].T
+    return np.ascontiguousarray(
+        blk.reshape(h // _BS, w // _BS, _BS, _BS).swapaxes(1, 2)
+    ).reshape(h, w)
 
 
 def _encode_payload(c: np.ndarray, codec: str, level: int) -> tuple:
@@ -159,20 +199,28 @@ def _encode_payload(c: np.ndarray, codec: str, level: int) -> tuple:
         # measured), the spectral-reorder + zlib stage wins on highly
         # repetitive content (cross-block LZ matches).  All decode
         # bit-exactly; the header's codec byte records the choice.
-        best = (_CODEC_SPECTRAL, zlib.compress(_spectral_pack(c), level))
-        try:
-            from tpudct.utils import entropy
+        # zlib.compress and the native coders (ctypes calls) release the
+        # GIL, so the trials run concurrently — auto costs ~max(stage),
+        # not sum(stage) (matters at gigapixel scale: ~9 s vs ~14 s at
+        # 8192^2, benchmarks/RESULTS_v5e.md).
+        from concurrent.futures import ThreadPoolExecutor
 
+        from tpudct.utils import entropy
+
+        with ThreadPoolExecutor(max_workers=2) as ex:
+            futs = []
             if entropy.native_entropy_available():
-                huff = entropy.huff_encode(c)
-                if len(huff) < len(best[1]):
-                    best = (_CODEC_HUFF, huff)
+                futs.append((_CODEC_HUFF, ex.submit(entropy.huff_encode, c)))
             if entropy.rans_available():
-                rans = entropy.rans_encode(c)
-                if len(rans) < len(best[1]):
-                    best = (_CODEC_RANS, rans)
-        except (ValueError, RuntimeError):
-            pass
+                futs.append((_CODEC_RANS, ex.submit(entropy.rans_encode, c)))
+            best = (_CODEC_SPECTRAL, zlib.compress(_spectral_pack(c), level))
+            for code_id, fut in futs:
+                try:
+                    payload = fut.result()
+                except (ValueError, RuntimeError):
+                    continue
+                if len(payload) < len(best[1]):
+                    best = (code_id, payload)
         return best
     try:
         code = _CODECS[codec]
@@ -223,7 +271,7 @@ def coefficients_to_bytes(
     # sane config (|c| <= ~97/q_scale for the shipped transforms), but an
     # extreme q_scale (e.g. 0.001) CAN overflow — narrowing silently would
     # round-trip 40000.0 as -25536.0.  Refuse instead of corrupting.
-    amax = float(np.abs(cf).max(initial=0.0))
+    amax = _abs_bound(cf)
     if amax > 32767.0 or not np.isfinite(amax):
         raise ValueError(
             f"coefficient magnitude {amax} exceeds the .tdc int16 range "
