@@ -438,6 +438,24 @@ def test_structured_image_small_sizes():
         assert img.shape == (s, s) and img.dtype == np.float32
 
 
+def test_bench_host_entropy_rows():
+    """bench --host-entropy: a row per available codec, every decode
+    asserted bit-exact inside (the function raises otherwise), auto's
+    payload never larger than any explicit stage's."""
+    from tpudct.benchmark import bench_host_entropy
+
+    rows = bench_host_entropy(64, reps=1)
+    by = {r["codec"]: r for r in rows}
+    assert {"spectral", "raw", "auto"} <= set(by)
+    for r in rows:
+        assert r["bytes"] > 0 and r["encode_ms"] >= 0 and r["decode_ms"] >= 0
+    assert by["auto"]["bytes"] <= min(
+        r["bytes"] for c, r in by.items() if c != "auto"
+    )
+    with pytest.raises(ValueError):
+        bench_host_entropy(64, image="nope")
+
+
 def test_rans_codec_roundtrip_and_fallback(rng):
     """rANS entropy stage (.tdc codec 3, utils/entropy.py): bit-exact
     through the container, native and pure-Python decoders agree, and

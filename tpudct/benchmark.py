@@ -114,7 +114,9 @@ def photographic_image(size: int = 512, seed: int = 5) -> np.ndarray:
             (np.mgrid[0:size][:, None] - cy) ** 2
             + (np.arange(size)[None, :] - cx) ** 2
         )
-        img = img + amp / (1.0 + np.exp(d - r))
+        # exp overflows harmlessly to inf far from the boundary (sigmoid
+        # -> 0 there); clip the argument instead of warning.
+        img = img + amp / (1.0 + np.exp(np.minimum(d - r, 80.0)))
     # thin linear structures
     for _ in range(max(size // 24, 4)):
         amp = rng.uniform(-60.0, 60.0)
@@ -397,6 +399,75 @@ def bench_cpu_numpy(size: int, cfg: Optional[CodecConfig] = None, reps: int = 3)
     if ref is not None:
         out["ref_cpu_dct_ms"] = ref
     return out
+
+
+def bench_host_entropy(
+    size: int, cfg: Optional[CodecConfig] = None, reps: int = 3,
+    image: str = "photo",
+) -> list:
+    """Host entropy-stage benchmark (backs the "Host-side entropy
+    throughput" table in benchmarks/RESULTS_v5e.md): times every .tdc
+    codec's encode and decode over the quantized coefficient map of a
+    deterministic test image, computed host-side with vectorized numpy —
+    no device involved, this measures the serializer alone.  Reference
+    analog: none (the reference never persisted coefficients, SURVEY.md
+    §5 checkpoint row).  Every decode is asserted bit-exact before its
+    timing is reported."""
+    import time as _time
+
+    from tpudct.constants import get_q_table, get_transform
+    from tpudct.utils import serialize
+    from tpudct.utils.entropy import native_entropy_available, rans_available
+
+    cfg = cfg or CodecConfig()
+    gen = {"photo": photographic_image, "circuit": structured_image,
+           "noise": synthetic_image}
+    try:
+        img = gen[image](size)
+    except KeyError:
+        raise ValueError(f"unknown image {image!r}; available: {sorted(gen)}")
+    t = get_transform(cfg.transform).t.astype(np.float32)
+    q = (get_q_table(cfg.q_table) * np.float32(cfg.q_scale)).astype(np.float32)
+    bs = 8
+    xb = img.reshape(size // bs, bs, size // bs, bs).transpose(0, 2, 1, 3) - np.float32(128.0)
+    z = np.einsum("ij,abjk,lk->abil", t, xb, t) / q
+    c = np.ascontiguousarray(
+        (np.sign(z) * np.floor(np.abs(z) + np.float32(0.5)))
+        .transpose(0, 2, 1, 3).reshape(size, size)
+    ).astype(np.int16)
+    codecs = ["spectral", "raw", "auto"]
+    if native_entropy_available():
+        codecs.insert(0, "huffman")
+    if rans_available():
+        codecs.insert(0, "rans")
+    rows = []
+    for codec in codecs:
+        enc = dec = None
+        blob = None
+        for _ in range(reps):
+            t0 = _time.perf_counter()
+            blob = serialize.coefficients_to_bytes(
+                c, cfg.q_scale, cfg.retain_k, codec=codec,
+                transform=cfg.transform, q_table=cfg.q_table,
+            )
+            dt = (_time.perf_counter() - t0) * 1e3
+            enc = dt if enc is None else min(enc, dt)
+        for _ in range(reps):
+            t0 = _time.perf_counter()
+            back = serialize.bytes_to_coefficients(blob)[0]
+            dt = (_time.perf_counter() - t0) * 1e3
+            dec = dt if dec is None else min(dec, dt)
+        if not np.array_equal(np.asarray(back, np.int16), c):
+            raise AssertionError(f"codec {codec} round-trip not bit-exact")
+        mb = c.nbytes / 1e6
+        rows.append({
+            "codec": codec, "size": size, "image": image,
+            "bytes": len(blob), "factor": round(c.nbytes / len(blob), 2),
+            "encode_ms": round(enc, 2), "decode_ms": round(dec, 2),
+            "encode_MBps": round(mb / (enc / 1e3), 1),
+            "decode_MBps": round(mb / (dec / 1e3), 1),
+        })
+    return rows
 
 
 def sweep(

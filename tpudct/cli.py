@@ -345,6 +345,16 @@ def cmd_bench(args) -> int:
         bench_serving_throughput,
     )
 
+    if args.host_entropy:
+        # Host-only serializer benchmark: no device work at all, so skip
+        # the device benches (usable even when the TPU is unreachable).
+        from tpudct.benchmark import bench_host_entropy
+
+        for row in bench_host_entropy(
+            args.size, _cfg_from(args), reps=args.reps, image=args.image
+        ):
+            print(json.dumps(row))
+        return 0
     for name in args.pipelines.split(","):
         print(json.dumps(bench_pipeline(name.strip(), args.size, _cfg_from(args), reps=args.reps)))
     if args.fused:
@@ -823,6 +833,10 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--batch", type=int, default=0, help="also time serving throughput for a batch of N images")
     sp.add_argument("--cpu", action="store_true", help="also time the host-CPU numpy baseline (reference CPU column analog)")
     sp.add_argument("--color", action="store_true", help="also time the full RGB color codec pass")
+    sp.add_argument("--host-entropy", action="store_true", dest="host_entropy",
+                    help="benchmark the host entropy stage instead (every .tdc codec's encode/decode on this size; no device work)")
+    sp.add_argument("--image", default="photo", choices=("photo", "circuit", "noise"),
+                    help="test-image statistics for --host-entropy (default photo)")
     sp.set_defaults(fn=cmd_bench)
 
     sp = sub.add_parser("sweep", help="size x pipeline benchmark table (README.md:45-60)")
