@@ -176,12 +176,18 @@ def _spectral_unpack(raw: bytes, h: int, w: int) -> np.ndarray:
     if len(raw) < off + need:
         raise ValueError("truncated spectral payload")
     ac = np.frombuffer(raw, ac_dtype, count=nb * 63, offset=off).astype(np.int16)
-    # plane-major (64, nb) -> block-major (nb, 64) natural order, via the
-    # same cache-blocked transpose as _spectral_pack (the naive per-plane
-    # scatter is a stride-128B write, ~10x slower at gigapixel scale)
     planes = np.empty((_BS * _BS, nb), np.int16)
     planes[0] = dc.astype(np.int16)
     planes[1:] = ac.reshape(63, nb)
+    return _planes_to_map(planes, h, w)
+
+
+def _planes_to_map(planes: np.ndarray, h: int, w: int) -> np.ndarray:
+    """Zig-zag plane-major (64, nb) -> (H, W) int16 coefficient map, via
+    the same cache-blocked transpose as _spectral_pack (the naive
+    per-plane scatter is a stride-128B write, ~10x slower at gigapixel
+    scale)."""
+    nb = (h // _BS) * (w // _BS)
     inv_zz = np.empty(_BS * _BS, np.intp)
     inv_zz[_ZZ_FLAT] = np.arange(_BS * _BS)
     blk = np.empty((nb, _BS * _BS), np.int16)
@@ -496,14 +502,14 @@ def partial_coefficients(data: bytes, n_planes: int = 1) -> dict:
         if flags & _DCRAW
         else np.cumsum(dc_raw.astype(np.int32))
     )
-    b = np.zeros((_BS, _BS, h // _BS, w // _BS), np.int16)
-    b[0, 0] = dc.astype(np.int16).reshape(h // _BS, w // _BS)
+    planes = np.zeros((_BS * _BS, nb), np.int16)
+    planes[0] = dc.astype(np.int16)
     ac_dtype = np.int16 if flags & _AC16 else np.int8
     off = 1 + 2 * nb
-    for i, (u, v) in enumerate(_ZIGZAG[1:n_planes]):
+    for i in range(n_planes - 1):
         plane = np.frombuffer(raw, ac_dtype, count=nb, offset=off + i * nb * ac_item)
-        b[u, v] = plane.astype(np.int16).reshape(h // _BS, w // _BS)
-    coeffs = np.ascontiguousarray(b.transpose(2, 0, 3, 1).reshape(h, w))
+        planes[i + 1] = plane.astype(np.int16)  # zig-zag plane i+1
+    coeffs = _planes_to_map(planes, h, w)
     transform = tname.rstrip(b"\x00").decode("ascii")
     if custom_q is not None:
         from tpudct.constants import register_q_table
