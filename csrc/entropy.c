@@ -408,22 +408,37 @@ int tpudct_huff_decode(const uint8_t *data, long n, int h, int w, int16_t *out) 
  *     single-table Huffman coder cannot express.  The decoder knows the
  *     scan position at every step, so contexts need no side information.
  *
- * Stream layout (payload of .tdc codec 3):
- *   u8  version (=1)
+ * Stream v2 is MULTI-BAND: the block rows are split into up to 16
+ * horizontal bands that encode and decode on one pthread each (DC
+ * prediction and the rANS state reset per band, so bands are fully
+ * independent; frequency tables stay global, so the model quality is
+ * unchanged).  Small maps use 1 band — same compression as v1 within
+ * the per-band DC-reset rounding.  Output bytes are deterministic for
+ * a given input regardless of thread scheduling.
+ *
+ * Stream layout (payload of .tdc codec 3, version 2):
+ *   u8  version (=2)
+ *   u8  n_bands
+ *   u32le rows_per_band  (pixel rows, multiple of 8; last band: remainder)
  *   4 tables (DC, AC band0, AC band1, AC band2), each:
  *       u16le n_entries, then n_entries x { u8 symbol, u16le freq }
  *       (freqs normalized to sum 1<<RANS_BITS; entries sorted by symbol)
- *   u32le rans_bytes, then that many bytes (decoder reads forward)
- *   u32le extra_bits, then ceil/8 bytes MSB-first (forward symbol order)
+ *   per band: u32le rans_bytes, u32le extra_bits
+ *   per band: rans bytes (read forward; 4-byte big-endian seed first),
+ *             then ceil(extra_bits/8) bytes MSB-first
  *
  * The rANS state stream carries only the symbols; magnitude ("extra")
  * bits are incompressible by construction and ride a plain bit stream.
  */
 
+#include <pthread.h>
+#include <unistd.h>
+
 #define RANS_BITS 12
 #define RANS_M (1u << RANS_BITS)
 #define RANS_L (1u << 23) /* normalization lower bound */
 #define NCTX 4            /* DC + 3 AC zig-zag bands */
+#define RANS_MAX_BANDS 16
 
 static int rans_ctx_of(int table, int kpos) {
     if (!table) return 0;
@@ -477,26 +492,6 @@ static int rans_normalize(const long *hist, RansTable *t) {
 
 typedef struct { uint8_t tab; uint8_t sym; } RansSym;
 
-typedef struct {
-    RansSym *syms;
-    long n, cap;
-    long hist[NCTX][NSYM];
-    BitWriter *xb; /* forward extra-bit stream */
-    int bad;
-} RansCollect;
-
-static void rans_collect_sink(void *ctx, int table, int kpos, int sym,
-                              int eb, uint32_t ev) {
-    RansCollect *rc = (RansCollect *)ctx;
-    int c = rans_ctx_of(table, kpos);
-    if (rc->n >= rc->cap) { rc->bad = 1; return; }
-    rc->syms[rc->n].tab = (uint8_t)c;
-    rc->syms[rc->n].sym = (uint8_t)sym;
-    rc->n++;
-    rc->hist[c][sym]++;
-    if (eb) bw_put(rc->xb, ev, eb);
-}
-
 static long put_u32le(uint8_t *p, unsigned long v) {
     p[0] = (uint8_t)(v & 0xff);
     p[1] = (uint8_t)((v >> 8) & 0xff);
@@ -505,37 +500,169 @@ static long put_u32le(uint8_t *p, unsigned long v) {
     return 4;
 }
 
-long tpudct_rans_encode(const int16_t *coeffs, int h, int w,
-                        uint8_t *out, long cap) {
-    long nblocks, max_syms, xcap, pos, i, rpos;
-    uint8_t *xbits;
-    RansCollect rc;
+/* Default band count: ~1 band per 4 Mpixel, 1..16, never more than the
+ * block rows or the online CPU count (a band per pthread only pays on
+ * multi-core hosts; the 1-core CI host measured -17% decode at 16 bands
+ * from table-locality overhead, so single-core stays single-band).
+ * Output bytes are deterministic per (input, host CPU count); pass
+ * force_bands for host-independent output. */
+static int rans_band_count(int h, int w) {
+    long nb_rows = h / 8;
+    long ncpu = sysconf(_SC_NPROCESSORS_ONLN);
+    long bands = ((long)h * w) >> 22;
+    if (ncpu >= 1 && bands > ncpu) bands = ncpu;
+    if (bands < 1) bands = 1;
+    if (bands > RANS_MAX_BANDS) bands = RANS_MAX_BANDS;
+    if (bands > nb_rows) bands = nb_rows;
+    return (int)bands;
+}
+
+/* ---- encode ---------------------------------------------------------------
+ * Pass A (parallel per band): symbolize -> RansSym list + histogram +
+ * forward extra-bit stream.  Pass B (parallel per band): rANS-encode the
+ * symbol list in reverse against the merged global tables. */
+
+typedef struct {
+    /* in */
+    const int16_t *c;
+    int w, rows;
+    const RansTable *tabs;
+    /* pass A out */
+    RansSym *syms;
+    long n, cap;
+    long hist[NCTX][NSYM];
     BitWriter xw;
-    RansTable tabs[NCTX];
     long xbits_total;
-    uint32_t state;
-    int c;
+    /* pass B out */
+    uint8_t *rbuf;
+    long rcap, rans_n;
+    int bad;
+} RansBand;
+
+static void rans_collect_sink(void *ctx, int table, int kpos, int sym,
+                              int eb, uint32_t ev) {
+    RansBand *b = (RansBand *)ctx;
+    int c = rans_ctx_of(table, kpos);
+    if (b->n >= b->cap) { b->bad = 1; return; }
+    b->syms[b->n].tab = (uint8_t)c;
+    b->syms[b->n].sym = (uint8_t)sym;
+    b->n++;
+    b->hist[c][sym]++;
+    if (eb) bw_put(&b->xw, ev, eb);
+}
+
+static void *rans_collect_worker(void *arg) {
+    RansBand *b = (RansBand *)arg;
+    emit_blocks(b->c, b->rows, b->w, rans_collect_sink, b);
+    b->xbits_total = bw_flush(&b->xw);
+    if (b->xw.overflow) b->bad = 1;
+    return NULL;
+}
+
+static void *rans_encode_worker(void *arg) {
+    RansBand *b = (RansBand *)arg;
+    long i, rpos = b->rcap;
+    uint32_t state = RANS_L;
+    for (i = b->n - 1; i >= 0; i--) {
+        const RansTable *t = &b->tabs[b->syms[i].tab];
+        uint32_t f = t->freq[b->syms[i].sym];
+        uint32_t x_max = ((RANS_L >> RANS_BITS) << 8) * f;
+        if (!f) { b->bad = 1; return NULL; }
+        while (state >= x_max) {
+            if (rpos <= 4) { b->bad = 1; return NULL; }
+            b->rbuf[--rpos] = (uint8_t)(state & 0xff);
+            state >>= 8;
+        }
+        state = ((state / f) << RANS_BITS) + (state % f) + t->start[b->syms[i].sym];
+    }
+    if (rpos < 4) { b->bad = 1; return NULL; }
+    b->rbuf[--rpos] = (uint8_t)(state & 0xff);
+    b->rbuf[--rpos] = (uint8_t)((state >> 8) & 0xff);
+    b->rbuf[--rpos] = (uint8_t)((state >> 16) & 0xff);
+    b->rbuf[--rpos] = (uint8_t)((state >> 24) & 0xff);
+    b->rans_n = b->rcap - rpos;
+    /* move to buffer start so the assembler can memcpy(rbuf, rans_n) */
+    memmove(b->rbuf, b->rbuf + rpos, b->rans_n);
+    return NULL;
+}
+
+static void rans_bands_free(RansBand *bs, int n) {
+    int i;
+    for (i = 0; i < n; i++) {
+        free(bs[i].syms);
+        free(bs[i].xw.buf);
+        free(bs[i].rbuf);
+    }
+}
+
+/* force_bands: 0 = size-based default (rans_band_count); 1..16 = explicit
+ * band count (clamped to the block-row count) — lets tests exercise the
+ * multi-band layout on small maps. */
+long tpudct_rans_encode(const int16_t *coeffs, int h, int w,
+                        uint8_t *out, long cap, int force_bands) {
+    int nbands, bi, c;
+    long rpb, pos, i;
+    RansBand bands[RANS_MAX_BANDS];
+    pthread_t tids[RANS_MAX_BANDS];
+    long hist[NCTX][NSYM];
+    RansTable tabs[NCTX];
     if (h <= 0 || w <= 0 || (h % 8) || (w % 8)) return -1;
+    if (force_bands < 0 || force_bands > RANS_MAX_BANDS) return -1;
     if (has_int16_min(coeffs, (long)h * w)) return -1;
-    nblocks = ((long)h / 8) * ((long)w / 8);
-    max_syms = nblocks * 65; /* DC + <=63 AC + EOB per block */
-    rc.syms = (RansSym *)malloc(sizeof(RansSym) * max_syms);
-    xcap = (long)h * w * 2 + 4096; /* extra bits: <=16 bits/coeff */
-    xbits = (uint8_t *)malloc(xcap);
-    if (!rc.syms || !xbits) { free(rc.syms); free(xbits); return -1; }
-    memset(rc.hist, 0, sizeof(rc.hist));
-    rc.n = 0; rc.cap = max_syms; rc.bad = 0;
-    xw.buf = xbits; xw.cap = xcap; xw.pos = 0; xw.acc = 0; xw.nbits = 0;
-    xw.overflow = 0;
-    rc.xb = &xw;
-    emit_blocks(coeffs, h, w, rans_collect_sink, &rc);
-    xbits_total = bw_flush(&xw);
-    if (rc.bad || xw.overflow) { free(rc.syms); free(xbits); return -1; }
-    for (c = 0; c < NCTX; c++) rans_normalize(rc.hist[c], &tabs[c]);
-    /* header */
+    nbands = force_bands ? force_bands : rans_band_count(h, w);
+    if (nbands > h / 8) nbands = h / 8;
+    rpb = (((long)h / 8) / nbands) * 8;
+    memset(bands, 0, sizeof(bands));
+    for (bi = 0; bi < nbands; bi++) {
+        RansBand *b = &bands[bi];
+        long row0 = rpb * bi;
+        b->c = coeffs + row0 * w;
+        b->w = w;
+        b->rows = (int)(bi == nbands - 1 ? h - row0 : rpb);
+        b->cap = (((long)b->rows / 8) * ((long)w / 8)) * 65;
+        b->syms = (RansSym *)malloc(sizeof(RansSym) * b->cap);
+        b->xw.cap = (long)b->rows * w * 2 + 4096;
+        b->xw.buf = (uint8_t *)malloc(b->xw.cap);
+        if (!b->syms || !b->xw.buf) { rans_bands_free(bands, nbands); return -1; }
+    }
+    for (bi = 0; bi < nbands; bi++)
+        if (pthread_create(&tids[bi], NULL, rans_collect_worker, &bands[bi])) {
+            int j;
+            for (j = 0; j < bi; j++) pthread_join(tids[j], NULL);
+            rans_bands_free(bands, nbands);
+            return -1;
+        }
+    for (bi = 0; bi < nbands; bi++) pthread_join(tids[bi], NULL);
+    memset(hist, 0, sizeof(hist));
+    for (bi = 0; bi < nbands; bi++) {
+        if (bands[bi].bad) { rans_bands_free(bands, nbands); return -1; }
+        for (c = 0; c < NCTX; c++)
+            for (i = 0; i < NSYM; i++) hist[c][i] += bands[bi].hist[c][i];
+    }
+    for (c = 0; c < NCTX; c++) rans_normalize(hist[c], &tabs[c]);
+    for (bi = 0; bi < nbands; bi++) {
+        RansBand *b = &bands[bi];
+        b->tabs = tabs;
+        b->rcap = b->n * 4 + 64;
+        b->rbuf = (uint8_t *)malloc(b->rcap);
+        if (!b->rbuf) { rans_bands_free(bands, nbands); return -1; }
+    }
+    for (bi = 0; bi < nbands; bi++)
+        if (pthread_create(&tids[bi], NULL, rans_encode_worker, &bands[bi])) {
+            int j;
+            for (j = 0; j < bi; j++) pthread_join(tids[j], NULL);
+            rans_bands_free(bands, nbands);
+            return -1;
+        }
+    for (bi = 0; bi < nbands; bi++) pthread_join(tids[bi], NULL);
+    for (bi = 0; bi < nbands; bi++)
+        if (bands[bi].bad) { rans_bands_free(bands, nbands); return -1; }
+    /* assemble */
     pos = 0;
-    if (cap < 1) goto fail;
-    out[pos++] = 1;
+    if (cap < 6) goto fail;
+    out[pos++] = 2;
+    out[pos++] = (uint8_t)nbands;
+    pos += put_u32le(out + pos, (unsigned long)rpb);
     for (c = 0; c < NCTX; c++) {
         int n = 0, s;
         for (s = 0; s < NSYM; s++) n += tabs[c].freq[s] != 0;
@@ -549,48 +676,27 @@ long tpudct_rans_encode(const int16_t *coeffs, int h, int w,
             out[pos++] = (uint8_t)(tabs[c].freq[s] >> 8);
         }
     }
-    /* rANS encode in reverse symbol order, writing bytes backwards from
-     * the end of the remaining buffer, then move into place. */
-    if (pos + 4 > cap) goto fail;
-    rpos = cap; /* write cursor (exclusive) at buffer end */
-    state = RANS_L;
-    for (i = rc.n - 1; i >= 0; i--) {
-        const RansTable *t = &tabs[rc.syms[i].tab];
-        uint32_t f = t->freq[rc.syms[i].sym];
-        uint32_t x_max = ((RANS_L >> RANS_BITS) << 8) * f;
-        while (state >= x_max) {
-            if (rpos <= pos + 4) goto fail;
-            out[--rpos] = (uint8_t)(state & 0xff);
-            state >>= 8;
-        }
-        state = ((state / f) << RANS_BITS) + (state % f) + t->start[rc.syms[i].sym];
+    if (pos + 8L * nbands > cap) goto fail;
+    for (bi = 0; bi < nbands; bi++) {
+        pos += put_u32le(out + pos, (unsigned long)bands[bi].rans_n);
+        pos += put_u32le(out + pos, (unsigned long)bands[bi].xbits_total);
     }
-    {
-        long rans_n, tail;
-        /* final state: 4 bytes, big-endian so the decoder reads forward */
-        if (rpos <= pos + 4 + 3) goto fail;
-        out[--rpos] = (uint8_t)(state & 0xff);
-        out[--rpos] = (uint8_t)((state >> 8) & 0xff);
-        out[--rpos] = (uint8_t)((state >> 16) & 0xff);
-        out[--rpos] = (uint8_t)((state >> 24) & 0xff);
-        rans_n = cap - rpos;
-        pos += put_u32le(out + pos, (unsigned long)rans_n);
-        memmove(out + pos, out + rpos, rans_n);
-        pos += rans_n;
-        tail = 4 + (xbits_total + 7) / 8;
-        if (pos + tail > cap) goto fail;
-        pos += put_u32le(out + pos, (unsigned long)xbits_total);
-        memcpy(out + pos, xbits, (xbits_total + 7) / 8);
-        pos += (xbits_total + 7) / 8;
+    for (bi = 0; bi < nbands; bi++) {
+        long xb = (bands[bi].xbits_total + 7) / 8;
+        if (pos + bands[bi].rans_n + xb > cap) goto fail;
+        memcpy(out + pos, bands[bi].rbuf, bands[bi].rans_n);
+        pos += bands[bi].rans_n;
+        memcpy(out + pos, bands[bi].xw.buf, xb);
+        pos += xb;
     }
-    free(rc.syms);
-    free(xbits);
+    rans_bands_free(bands, nbands);
     return pos;
 fail:
-    free(rc.syms);
-    free(xbits);
+    rans_bands_free(bands, nbands);
     return -1;
 }
+
+/* ---- decode --------------------------------------------------------------- */
 
 typedef struct {
     uint8_t slot_sym[RANS_M]; /* slot -> symbol */
@@ -598,16 +704,98 @@ typedef struct {
     int empty;
 } RansDec;
 
+typedef struct {
+    const RansDec *tabs;
+    const uint8_t *rb; /* this band's rans bytes */
+    long rans_n;
+    BitReader xr;
+    int16_t *out; /* first pixel row of this band */
+    int rows, w;
+    int rc; /* 0 ok / negative error */
+} RansDecBand;
+
+static void *rans_decode_worker(void *arg) {
+    RansDecBand *d = (RansDecBand *)arg;
+    const RansDec *tabs = d->tabs;
+    const uint8_t *rb = d->rb;
+    long rcur, prev_dc = 0;
+    uint32_t state;
+    int by, bx;
+    d->rc = -5;
+    if (d->rans_n < 4) return NULL;
+    state = ((uint32_t)rb[0] << 24) | ((uint32_t)rb[1] << 16) |
+            ((uint32_t)rb[2] << 8) | (uint32_t)rb[3];
+    rcur = 4;
+    memset(d->out, 0, sizeof(int16_t) * (long)d->rows * d->w);
+    for (by = 0; by < d->rows / 8; by++) {
+        for (bx = 0; bx < d->w / 8; bx++) {
+            int16_t *blk = d->out + (long)by * 8 * d->w + bx * 8;
+            int k, s, sym;
+            long v;
+            /* decode one symbol from context ctx.  A non-empty table's
+             * freqs sum to exactly RANS_M, so every slot maps to a
+             * symbol — no sentinel check needed beyond `empty`. */
+#define RANS_NEXT(ctx, dst)                                                  \
+            do {                                                             \
+                const RansDec *t = &tabs[ctx];                               \
+                uint32_t slot = state & (RANS_M - 1);                        \
+                int _s;                                                      \
+                if (t->empty) return NULL;                                   \
+                _s = t->slot_sym[slot];                                      \
+                state = t->freq[_s] * (state >> RANS_BITS) + slot -          \
+                        t->start[_s];                                        \
+                while (state < RANS_L) {                                     \
+                    if (rcur >= d->rans_n) return NULL;                      \
+                    state = (state << 8) | rb[rcur++];                       \
+                }                                                            \
+                (dst) = _s;                                                  \
+            } while (0)
+            RANS_NEXT(0, s);
+            if (s > 17) return NULL;
+            v = s ? br_bits(&d->xr, s) : 0;
+            if (v < 0) return NULL;
+            prev_dc += extend(v, s);
+            blk[0] = (int16_t)prev_dc;
+            k = 1;
+            while (k < 64) {
+                int run, size;
+                RANS_NEXT(rans_ctx_of(1, k), sym);
+                if (sym == 0x00) break; /* EOB */
+                if (sym == 0xF0) { k += 16; continue; }
+                run = sym >> 4;
+                size = sym & 15;
+                if (!size) return NULL;
+                k += run;
+                if (k > 63) return NULL;
+                v = br_bits(&d->xr, size);
+                if (v < 0) return NULL;
+                blk[(ZZ[k] >> 3) * (long)d->w + (ZZ[k] & 7)] =
+                    (int16_t)extend(v, size);
+                k++;
+            }
+#undef RANS_NEXT
+        }
+    }
+    d->rc = 0;
+    return NULL;
+}
+
 int tpudct_rans_decode(const uint8_t *data, long n, int h, int w, int16_t *out) {
     RansDec *tabs;
-    long pos = 0, rans_n, xoff, xbits_total;
-    uint32_t state;
-    const uint8_t *rb;
-    long rcur;
-    BitReader xr;
-    int c, by, bx;
+    RansDecBand dbs[RANS_MAX_BANDS];
+    pthread_t tids[RANS_MAX_BANDS];
+    long pos = 0, rpb, off;
+    int c, bi, nbands, rc = 0;
     if (h <= 0 || w <= 0 || (h % 8) || (w % 8)) return -2;
-    if (n < 1 || data[pos++] != 1) return -3;
+    if (n < 6 || data[pos++] != 2) return -3;
+    nbands = data[pos++];
+    rpb = (long)data[pos] | ((long)data[pos + 1] << 8) |
+          ((long)data[pos + 2] << 16) | ((long)data[pos + 3] << 24);
+    pos += 4;
+    if (nbands < 1 || nbands > RANS_MAX_BANDS || (rpb % 8) || rpb < 8)
+        return -3;
+    if (rpb * (nbands - 1) >= h && nbands > 1) return -3;
+    if (nbands == 1 && rpb > (long)h) return -3;
     tabs = (RansDec *)malloc(sizeof(RansDec) * NCTX);
     if (!tabs) return -1;
     for (c = 0; c < NCTX; c++) {
@@ -633,79 +821,46 @@ int tpudct_rans_decode(const uint8_t *data, long n, int h, int w, int16_t *out) 
         }
         if (ne && sum != RANS_M) goto corrupt;
     }
-    if (pos + 4 > n) goto corrupt;
-    rans_n = (long)data[pos] | ((long)data[pos + 1] << 8) |
-             ((long)data[pos + 2] << 16) | ((long)data[pos + 3] << 24);
-    pos += 4;
-    if (rans_n < 4 || pos + rans_n > n) goto corrupt;
-    rb = data + pos;
-    rcur = 0;
-    state = ((uint32_t)rb[0] << 24) | ((uint32_t)rb[1] << 16) |
-            ((uint32_t)rb[2] << 8) | (uint32_t)rb[3];
-    rcur = 4;
-    xoff = pos + rans_n;
-    if (xoff + 4 > n) goto corrupt;
-    xbits_total = (long)data[xoff] | ((long)data[xoff + 1] << 8) |
-                  ((long)data[xoff + 2] << 16) | ((long)data[xoff + 3] << 24);
-    if ((n - xoff - 4) * 8 < xbits_total) goto corrupt;
-    xr.buf = data + xoff + 4;
-    xr.nbits = xbits_total;
-    xr.pos = 0;
-    memset(out, 0, sizeof(int16_t) * (long)h * w);
-    {
-        long prev_dc = 0;
-        for (by = 0; by < h / 8; by++) {
-            for (bx = 0; bx < w / 8; bx++) {
-                int16_t *blk = out + (long)by * 8 * w + bx * 8;
-                int k, s, sym;
-                long v;
-                /* decode one symbol from context ctx.  A non-empty
-                 * table's freqs sum to exactly RANS_M, so every slot maps
-                 * to a symbol — no sentinel check needed beyond `empty`. */
-#define RANS_NEXT(ctx, dst)                                                  \
-                do {                                                         \
-                    const RansDec *t = &tabs[ctx];                           \
-                    uint32_t slot = state & (RANS_M - 1);                    \
-                    int _s;                                                  \
-                    if (t->empty) goto corrupt;                              \
-                    _s = t->slot_sym[slot];                                  \
-                    state = t->freq[_s] * (state >> RANS_BITS) + slot -      \
-                            t->start[_s];                                    \
-                    while (state < RANS_L) {                                 \
-                        if (rcur >= rans_n) goto corrupt;                    \
-                        state = (state << 8) | rb[rcur++];                   \
-                    }                                                        \
-                    (dst) = _s;                                              \
-                } while (0)
-                RANS_NEXT(0, s);
-                if (s > 17) goto corrupt;
-                v = s ? br_bits(&xr, s) : 0;
-                if (v < 0) goto corrupt;
-                prev_dc += extend(v, s);
-                blk[0] = (int16_t)prev_dc;
-                k = 1;
-                while (k < 64) {
-                    int run, size;
-                    RANS_NEXT(rans_ctx_of(1, k), sym);
-                    if (sym == 0x00) break; /* EOB */
-                    if (sym == 0xF0) { k += 16; continue; }
-                    run = sym >> 4;
-                    size = sym & 15;
-                    if (!size) goto corrupt;
-                    k += run;
-                    if (k > 63) goto corrupt;
-                    v = br_bits(&xr, size);
-                    if (v < 0) goto corrupt;
-                    blk[(ZZ[k] >> 3) * (long)w + (ZZ[k] & 7)] =
-                        (int16_t)extend(v, size);
-                    k++;
-                }
-#undef RANS_NEXT
-            }
-        }
+    if (pos + 8L * nbands > n) goto corrupt;
+    off = pos + 8L * nbands;
+    for (bi = 0; bi < nbands; bi++) {
+        RansDecBand *d = &dbs[bi];
+        long rans_n, xbits, xb;
+        long row0 = rpb * bi;
+        rans_n = (long)data[pos] | ((long)data[pos + 1] << 8) |
+                 ((long)data[pos + 2] << 16) | ((long)data[pos + 3] << 24);
+        pos += 4;
+        xbits = (long)data[pos] | ((long)data[pos + 1] << 8) |
+                ((long)data[pos + 2] << 16) | ((long)data[pos + 3] << 24);
+        pos += 4;
+        xb = (xbits + 7) / 8;
+        if (rans_n < 4 || xbits < 0 || off + rans_n + xb > n) goto corrupt;
+        d->tabs = tabs;
+        d->rb = data + off;
+        d->rans_n = rans_n;
+        d->xr.buf = data + off + rans_n;
+        d->xr.nbits = xbits;
+        d->xr.pos = 0;
+        d->out = out + row0 * w;
+        d->rows = (int)(bi == nbands - 1 ? h - row0 : rpb);
+        d->w = w;
+        d->rc = -5;
+        if (d->rows <= 0 || (bi == nbands - 1 && rpb * bi + d->rows != h))
+            goto corrupt;
+        off += rans_n + xb;
     }
+    for (bi = 0; bi < nbands; bi++)
+        if (pthread_create(&tids[bi], NULL, rans_decode_worker, &dbs[bi])) {
+            int j;
+            for (j = 0; j < bi; j++) pthread_join(tids[j], NULL);
+            free(tabs);
+            return -1;
+        }
+    for (bi = 0; bi < nbands; bi++) pthread_join(tids[bi], NULL);
+    for (bi = 0; bi < nbands; bi++)
+        if (dbs[bi].rc) rc = dbs[bi].rc;
     free(tabs);
-    return 0;
+    return rc;
 corrupt:
     free(tabs);
     return -5;

@@ -515,6 +515,35 @@ def test_rans_beats_huffman_on_dct_statistics(rng):
     np.testing.assert_array_equal(entropy.rans_decode(r, h, w), c)
 
 
+def test_rans_multiband_parity(rng):
+    """Stream v2 bands: every band count must decode bit-exactly, native
+    (pthread-per-band) and pure-Python (sequential) decoders must agree,
+    and the multi-band overhead must stay tiny (global tables + one
+    8-byte length entry and a DC-prediction reset per band)."""
+    from tpudct.utils import entropy
+
+    if not entropy.rans_available():
+        pytest.skip("native rans codec unavailable")
+    h, w = 128, 64  # 16 block rows -> up to 16 bands
+    c = rng.integers(-80, 80, (h, w)).astype(np.int16)
+    c[rng.random((h, w)) < 0.7] = 0
+    sizes = {}
+    for bands in (1, 2, 3, 4, 16):
+        stream = entropy.rans_encode(c, bands=bands)
+        assert stream[1] == bands  # header n_bands
+        sizes[bands] = len(stream)
+        np.testing.assert_array_equal(entropy.rans_decode(stream, h, w), c)
+        np.testing.assert_array_equal(entropy._py_rans_decode(stream, h, w), c)
+    assert sizes[16] - sizes[1] < 16 * 24 + 256  # bounded per-band overhead
+    with pytest.raises(ValueError):
+        entropy.rans_encode(c, bands=17)
+    # bands are clamped to the block-row count
+    small = rng.integers(-10, 10, (8, 16)).astype(np.int16)
+    s = entropy.rans_encode(small, bands=16)
+    assert s[1] == 1
+    np.testing.assert_array_equal(entropy.rans_decode(s, 8, 16), small)
+
+
 def test_rans_extreme_values_and_int16_min():
     from tpudct.utils import entropy
 
@@ -569,7 +598,7 @@ def test_rans_decoder_survives_garbage(rng):
         del err_n
     for trial in range(100):
         n = int(rng.integers(0, 400))
-        data = bytes([1]) + rng.integers(0, 256, n, dtype=np.uint8).tobytes()
+        data = bytes([2]) + rng.integers(0, 256, n, dtype=np.uint8).tobytes()
         try:
             entropy.rans_decode(data, 16, 16)
         except ValueError:

@@ -47,7 +47,9 @@ def _lib() -> Optional[ctypes.CDLL]:
         ]
         if hasattr(lib, "tpudct_rans_encode"):
             lib.tpudct_rans_encode.restype = ctypes.c_long
-            lib.tpudct_rans_encode.argtypes = lib.tpudct_huff_encode.argtypes
+            lib.tpudct_rans_encode.argtypes = [
+                *lib.tpudct_huff_encode.argtypes, ctypes.c_int,  # force_bands
+            ]
             lib.tpudct_rans_decode.restype = ctypes.c_int
             lib.tpudct_rans_decode.argtypes = lib.tpudct_huff_decode.argtypes
         lib._tpudct_huff_configured = True
@@ -201,8 +203,16 @@ def _py_decode(data: bytes, h: int, w: int) -> np.ndarray:
 # frequency table for DC sizes and three for AC symbols split by zig-zag
 # band (k in [1,5] / [6,20] / [21,63]).  Sub-bit symbol costs + positional
 # modeling measure 4-9% smaller than the optimal-Huffman stage on real
-# coefficient maps (benchmarks/RESULTS_v5e.md).  Encoding is native-only
-# (like Huffman); decoding falls back to pure Python.
+# coefficient maps (benchmarks/RESULTS_v5e.md).  Stream v2 splits the
+# block rows into up to 16 bands that encode/decode on one pthread each
+# (tables stay global; DC prediction and rANS state reset per band, so
+# bands are fully independent).  The default band count is capped by the
+# online CPU count — this CI host exposes ONE core, where 16 forced bands
+# measured -17% decode (table-locality overhead) and 1-16 bands are
+# otherwise within noise; the parallel win is architectural headroom for
+# multi-core serving hosts, not a number measurable here.  Encoding is
+# native-only (like Huffman); decoding falls back to pure Python
+# (sequential bands).
 
 _RANS_BITS = 12
 _RANS_M = 1 << _RANS_BITS
@@ -214,8 +224,11 @@ def rans_available() -> bool:
     return lib is not None and hasattr(lib, "tpudct_rans_encode")
 
 
-def rans_encode(coeffs: np.ndarray) -> bytes:
-    """(H, W) int16 coefficient map -> rANS stream.  Native-only."""
+def rans_encode(coeffs: np.ndarray, bands: int = 0) -> bytes:
+    """(H, W) int16 coefficient map -> rANS stream.  Native-only.
+
+    bands: 0 (default) = size-based band count (~1 pthread band per
+    4 Mpixel, up to 16); 1..16 = explicit count (tests / tuning)."""
     lib = _lib()
     if lib is None or not hasattr(lib, "tpudct_rans_encode"):
         raise RuntimeError("native entropy codec unavailable (csrc not built)")
@@ -223,9 +236,11 @@ def rans_encode(coeffs: np.ndarray) -> bytes:
     h, w = c.shape
     if h % 8 or w % 8:
         raise ValueError(f"coefficient map {h}x{w} is not block-aligned")
+    if not 0 <= bands <= 16:
+        raise ValueError(f"bands must be in 0..16, got {bands}")
     cap = int(c.size * 4 + 65536)
     out = np.empty(cap, np.uint8)
-    n = lib.tpudct_rans_encode(c.ctypes.data, h, w, out.ctypes.data, cap)
+    n = lib.tpudct_rans_encode(c.ctypes.data, h, w, out.ctypes.data, cap, bands)
     if n < 0:
         raise ValueError("rans encode failed")
     return out[:n].tobytes()
@@ -304,11 +319,20 @@ class _RansState:
 
 
 def _py_rans_decode(data: bytes, h: int, w: int) -> np.ndarray:
+    """Pure-Python decoder for the v2 multi-band stream (csrc/entropy.c
+    layout comment); bands decode sequentially here — band parallelism is
+    the native decoder's job."""
     if h % 8 or w % 8:
         raise ValueError(f"coefficient map {h}x{w} is not block-aligned")
-    if len(data) < 1 or data[0] != 1:
+    if len(data) < 6 or data[0] != 2:
         raise ValueError("corrupt rans coefficient stream (header)")
-    pos = 1
+    nbands = data[1]
+    rpb = int.from_bytes(data[2:6], "little")
+    if not (1 <= nbands <= 16) or rpb % 8 or rpb < 8:
+        raise ValueError("corrupt rans coefficient stream (bands)")
+    if nbands > 1 and rpb * (nbands - 1) >= h:
+        raise ValueError("corrupt rans coefficient stream (bands)")
+    pos = 6
     tabs = []
     for _ in range(4):
         if pos + 2 > len(data):
@@ -324,44 +348,53 @@ def _py_rans_decode(data: bytes, h: int, w: int) -> np.ndarray:
             )
             pos += 3
         tabs.append(_RansTable(entries))
-    if pos + 4 > len(data):
+    if pos + 8 * nbands > len(data):
         raise ValueError("corrupt rans coefficient stream (length)")
-    rans_n = int.from_bytes(data[pos : pos + 4], "little")
-    pos += 4
-    if rans_n < 4 or pos + rans_n > len(data):
-        raise ValueError("corrupt rans coefficient stream (length)")
-    st = _RansState(data[pos : pos + rans_n])
-    xoff = pos + rans_n
-    if xoff + 4 > len(data):
-        raise ValueError("corrupt rans coefficient stream (length)")
-    nbits = int.from_bytes(data[xoff : xoff + 4], "little")
-    r = _Reader(data[xoff + 4 :], nbits)
+    lens = []
+    for _ in range(nbands):
+        rans_n = int.from_bytes(data[pos : pos + 4], "little")
+        nbits = int.from_bytes(data[pos + 4 : pos + 8], "little")
+        pos += 8
+        if rans_n < 4:
+            raise ValueError("corrupt rans coefficient stream (length)")
+        lens.append((rans_n, nbits))
     out = np.zeros((h, w), np.int16)
-    prev = 0
-    for by in range(h // 8):
-        for bx in range(w // 8):
-            s = st.next(tabs[0])
-            if s > 17:
-                raise ValueError("corrupt rans coefficient stream (DC)")
-            prev += _extend(r.take(s), s) if s else 0
-            out[by * 8, bx * 8] = ((prev + 32768) & 0xFFFF) - 32768
-            k = 1
-            while k < 64:
-                sym = st.next(tabs[_rans_ctx_of(1, k)])
-                if sym == 0x00:
-                    break
-                if sym == 0xF0:
-                    k += 16
-                    continue
-                size = sym & 15
-                if not size:
-                    raise ValueError("corrupt rans coefficient stream (size)")
-                k += sym >> 4
-                if k > 63:
-                    raise ValueError("corrupt rans coefficient stream (run)")
-                zz = _ZZ[k]
-                out[by * 8 + (zz >> 3), bx * 8 + (zz & 7)] = _extend(
-                    r.take(size), size
-                )
-                k += 1
+    off = pos
+    for bi in range(nbands):
+        rans_n, nbits = lens[bi]
+        xb = (nbits + 7) // 8
+        if off + rans_n + xb > len(data):
+            raise ValueError("corrupt rans coefficient stream (length)")
+        st = _RansState(data[off : off + rans_n])
+        r = _Reader(data[off + rans_n : off + rans_n + xb], nbits)
+        off += rans_n + xb
+        row0 = rpb * bi
+        rows = h - row0 if bi == nbands - 1 else rpb
+        prev = 0  # DC prediction resets per band (band independence)
+        for by in range(row0 // 8, (row0 + rows) // 8):
+            for bx in range(w // 8):
+                s = st.next(tabs[0])
+                if s > 17:
+                    raise ValueError("corrupt rans coefficient stream (DC)")
+                prev += _extend(r.take(s), s) if s else 0
+                out[by * 8, bx * 8] = ((prev + 32768) & 0xFFFF) - 32768
+                k = 1
+                while k < 64:
+                    sym = st.next(tabs[_rans_ctx_of(1, k)])
+                    if sym == 0x00:
+                        break
+                    if sym == 0xF0:
+                        k += 16
+                        continue
+                    size = sym & 15
+                    if not size:
+                        raise ValueError("corrupt rans coefficient stream (size)")
+                    k += sym >> 4
+                    if k > 63:
+                        raise ValueError("corrupt rans coefficient stream (run)")
+                    zz = _ZZ[k]
+                    out[by * 8 + (zz >> 3), bx * 8 + (zz & 7)] = _extend(
+                        r.take(size), size
+                    )
+                    k += 1
     return out

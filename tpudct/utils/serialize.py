@@ -206,9 +206,10 @@ def _encode_payload(c: np.ndarray, codec: str, level: int) -> tuple:
         # repetitive content (cross-block LZ matches).  All decode
         # bit-exactly; the header's codec byte records the choice.
         # zlib.compress and the native coders (ctypes calls) release the
-        # GIL, so the trials run concurrently — auto costs ~max(stage),
-        # not sum(stage) (matters at gigapixel scale: ~9 s vs ~14 s at
-        # 8192^2, benchmarks/RESULTS_v5e.md).
+        # GIL, so on multi-core hosts the trials overlap and auto costs
+        # ~max(stage) instead of sum(stage).  The 1-core CI host cannot
+        # overlap threads — there auto ≈ sum(stages), ~12 s at 8192²
+        # (benchmarks/RESULTS_v5e.md host-entropy table).
         from concurrent.futures import ThreadPoolExecutor
 
         from tpudct.utils import entropy
