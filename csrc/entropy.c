@@ -370,6 +370,9 @@ int tpudct_huff_decode(const uint8_t *data, long n, int h, int w, int16_t *out) 
             int s = dec_sym(&br, &dct);
             long v;
             if (s < 0) return -5;
+            if (s > 17) return -5; /* DC size category bound (int16 deltas);
+                                    * a corrupt table can hand any byte here
+                                    * and extend()'s shift would be UB */
             v = s ? br_bits(&br, s) : 0;
             if (v < 0) return -5;
             prev_dc += extend(v, s);

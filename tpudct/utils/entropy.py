@@ -171,6 +171,8 @@ def _py_decode(data: bytes, h: int, w: int) -> np.ndarray:
     for by in range(h // 8):
         for bx in range(w // 8):
             s = dct.sym(r)
+            if s > 17:  # DC size bound (int16 deltas); parity with the C -5
+                raise ValueError("corrupt huffman coefficient stream (DC)")
             prev += _extend(r.take(s), s) if s else 0
             # int16 wraparound parity with the C decoder on adversarial
             # streams whose DC deltas accumulate out of range (numpy would
