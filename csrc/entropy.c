@@ -681,6 +681,14 @@ long tpudct_rans_encode(const int16_t *coeffs, int h, int w,
     }
     if (pos + 8L * nbands > cap) goto fail;
     for (bi = 0; bi < nbands; bi++) {
+        /* the header fields are u32: refuse (never truncate) a band whose
+         * rans stream or magnitude-bit stream exceeds 2^32-1 (a ~537 MB
+         * single-band bit stream; possible for dense 300+ Mpixel maps on
+         * a 1-CPU host).  serialize.py's `auto` falls back to another
+         * stage on the resulting error. */
+        if (bands[bi].rans_n > 0xffffffffL ||
+            bands[bi].xbits_total > 0xffffffffL)
+            goto fail;
         pos += put_u32le(out + pos, (unsigned long)bands[bi].rans_n);
         pos += put_u32le(out + pos, (unsigned long)bands[bi].xbits_total);
     }

@@ -420,6 +420,8 @@ def bench_host_entropy(
     from tpudct.utils.entropy import native_entropy_available, rans_available
 
     cfg = cfg or CodecConfig()
+    if size % 8:
+        raise ValueError(f"--size must be a multiple of 8, got {size}")
     gen = {"photo": photographic_image, "circuit": structured_image,
            "noise": synthetic_image}
     try:

@@ -334,6 +334,8 @@ def _py_rans_decode(data: bytes, h: int, w: int) -> np.ndarray:
         raise ValueError("corrupt rans coefficient stream (bands)")
     if nbands > 1 and rpb * (nbands - 1) >= h:
         raise ValueError("corrupt rans coefficient stream (bands)")
+    if nbands == 1 and rpb > h:  # exact parity with the native -3 check
+        raise ValueError("corrupt rans coefficient stream (bands)")
     pos = 6
     tabs = []
     for _ in range(4):
