@@ -40,6 +40,23 @@ def test_run_writes_coeffs(tmp_path, jpg):
     assert rc == 0 and tdc.exists()
 
 
+def test_inspect_reports_headers(tmp_path, jpg, capsys):
+    """inspect: header-only JSON for .tdc and .tdcc, codec/geometry/bytes
+    fields present, nonzero exit + error record for a bad file."""
+    tdc = tmp_path / "x.tdc"
+    assert main(["encode", str(jpg), str(tdc), "--entropy", "rans"]) == 0
+    capsys.readouterr()
+    assert main(["inspect", str(tdc)]) == 0
+    rep = json.loads(capsys.readouterr().out.strip())
+    assert rep["container"] == "tdc (grayscale)"
+    assert rep["codec"] == "rans" and rep["rans_bands"] >= 1
+    assert rep["payload_bytes"] > 0 and rep["total_bytes"] == tdc.stat().st_size
+    bad = tmp_path / "bad.tdc"
+    bad.write_bytes(b"JUNKJUNKJUNKJUNK")
+    assert main(["inspect", str(bad)]) == 1
+    assert "error" in json.loads(capsys.readouterr().out.strip())
+
+
 def test_encode_entropy_choices(tmp_path, jpg, capsys):
     # every entropy stage must produce a decodable .tdc
     outs = {}

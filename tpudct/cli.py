@@ -725,6 +725,26 @@ def cmd_selftest(args) -> int:
     return 0
 
 
+def cmd_inspect(args) -> int:
+    """Header-only introspection of .tdc/.tdcc files (no payload decode):
+    container/version, geometry, codec config, entropy stage and payload
+    sizes — the stream analog of `info` for the environment."""
+    from tpudct.utils import serialize
+
+    rc = 0
+    for path in args.files:
+        try:
+            with open(path, "rb") as f:
+                data = f.read()
+            rep = serialize.inspect_stream(data)
+        except (OSError, ValueError) as e:
+            print(json.dumps({"file": path, "error": str(e)}))
+            rc = 1
+            continue
+        print(json.dumps({"file": path, **rep}))
+    return rc
+
+
 def cmd_compare(args) -> int:
     """Tolerance comparison of two images — the user-facing activation of
     the reference's DEAD arrays_are_close comparator (utils.cu:27-35,
@@ -899,6 +919,10 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--pipeline", default="hp")
     sp.add_argument("--size", type=int, default=512)
     sp.set_defaults(fn=cmd_selftest)
+
+    sp = sub.add_parser("inspect", help="header-only report on .tdc/.tdcc files (codec, geometry, entropy stage, payload bytes; no decode)")
+    sp.add_argument("files", nargs="+")
+    sp.set_defaults(fn=cmd_inspect)
 
     sp = sub.add_parser("compare", help="tolerance-compare two images + metric suite (the reference's dead arrays_are_close, activated)")
     sp.add_argument("a")

@@ -446,6 +446,94 @@ def _parse_header_v4(data: bytes) -> tuple:
     return h, w, oh, ow, q_scale, retain_k, tname, qname, code, psize, hsize, custom_q
 
 
+_CODEC_NAMES = {v: k for k, v in _CODECS.items()}
+
+
+def _inspect_plane(data: bytes) -> tuple:
+    """One plane's header fields WITHOUT touching the payload -> (info
+    dict, bytes consumed).  Accepts every container version v2-v4."""
+    if len(data) >= 4 and data[:4] == _MAGIC4:
+        (h, w, oh, ow, q_scale, retain_k, tname, qname, code, psize, hsize,
+         custom_q) = _parse_header_v4(data)
+        transform = tname.rstrip(b"\x00").decode("ascii")
+        q_table = qname.rstrip(b"\x00").decode("ascii")
+        version = 4
+    elif len(data) >= 4 and data[:4] == _MAGIC3:
+        hsize = struct.calcsize(_HEADER3)
+        if len(data) < hsize:
+            raise ValueError("truncated .tdc coefficient stream")
+        (_m, h, w, oh, ow, q_scale, retain_k, tname, psize) = struct.unpack(
+            _HEADER3, data[:hsize]
+        )
+        transform = tname.rstrip(b"\x00").decode("ascii")
+        q_table, code, custom_q, version = "luma", _CODEC_RAW, None, 3
+    elif len(data) >= 4 and data[:4] == _MAGIC2:
+        hsize = struct.calcsize(_HEADER2)
+        if len(data) < hsize:
+            raise ValueError("truncated .tdc coefficient stream")
+        (_m, h, w, oh, ow, q_scale, retain_k, psize) = struct.unpack(
+            _HEADER2, data[:hsize]
+        )
+        transform, q_table, code, custom_q, version = (
+            "haweel", "luma", _CODEC_RAW, None, 2,
+        )
+    else:
+        raise ValueError("not a .tdc coefficient stream")
+    if len(data) < hsize + psize:
+        raise ValueError("truncated .tdc coefficient stream")
+    info = {
+        "version": version,
+        "shape": [h, w],
+        "orig_shape": [oh or h, ow or w],
+        "q_scale": float(q_scale),
+        "retain_k": None if retain_k < 0 else retain_k,
+        "transform": transform,
+        "q_table": "custom (embedded)" if custom_q is not None else q_table,
+        "codec": _CODEC_NAMES.get(code, f"unknown ({code})"),
+        "header_bytes": hsize,
+        "payload_bytes": psize,
+        "raw_bytes": h * w,  # the u8 image this map covers
+    }
+    if code == _CODEC_RANS and psize >= 6:
+        pay = data[hsize : hsize + 6]
+        if pay[0] == 2:
+            info["rans_bands"] = pay[1]
+    return info, hsize + psize
+
+
+def inspect_stream(data: bytes) -> dict:
+    """Structured header inspection of a .tdc / .tdcc stream WITHOUT
+    decoding any payload — the stream-introspection analog of ffprobe
+    (reference analog: none; it has no bitstream at all).  Exposed as
+    CLI `inspect`."""
+    if is_color_stream(data):
+        hsize = struct.calcsize(_HEADERC)
+        (_m, n_planes, subsample) = struct.unpack(_HEADERC, data[:hsize])
+        off = hsize
+        planes = []
+        for name in ("y", "cb", "cr")[:n_planes]:
+            if len(data) < off + 4:
+                raise ValueError("truncated .tdcc color stream")
+            (blen,) = struct.unpack("<I", data[off : off + 4])
+            off += 4
+            info, used = _inspect_plane(data[off : off + blen])
+            if used != blen:
+                raise ValueError("corrupt .tdcc plane length")
+            info["plane"] = name
+            planes.append(info)
+            off += blen
+        return {
+            "container": "tdcc (color)",
+            "subsample": {0: "4:4:4", 1: "4:2:0", 2: "4:2:2"}.get(
+                subsample, f"unknown ({subsample})"
+            ),
+            "total_bytes": off,
+            "planes": planes,
+        }
+    info, used = _inspect_plane(data)
+    return {"container": "tdc (grayscale)", "total_bytes": used, **info}
+
+
 def partial_coefficients(data: bytes, n_planes: int = 1) -> dict:
     """Progressive decode: reconstruct a coefficient map from only the
     first `n_planes` zig-zag spectral planes (1 = DC only, 64 = all).
