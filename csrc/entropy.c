@@ -163,12 +163,25 @@ static int br_bit(BitReader *r) {
 }
 
 static long br_bits(BitReader *r, int n) {
+    /* multi-bit extraction (up to 8 bits per iteration) — the bit-by-bit
+     * loop was the decoders' hottest non-symbol path; magnitude reads are
+     * 1-17 bits each.  Bounds-checked up front; does not advance on EOF
+     * (every caller errors out immediately, so the partial-advance
+     * difference vs the old loop is unobservable). */
     long v = 0;
-    while (n--) {
-        int b = br_bit(r);
-        if (b < 0) return -1;
-        v = (v << 1) | b;
+    int got = 0;
+    if (n == 0) return 0;
+    if (n < 0 || r->pos + n > r->nbits) return -1;
+    while (got < n) {
+        long bitpos = r->pos + got;
+        int bitoff = (int)(bitpos & 7);
+        int take = 8 - bitoff;
+        if (take > n - got) take = n - got;
+        v = (v << take) |
+            ((r->buf[bitpos >> 3] >> (8 - bitoff - take)) & ((1 << take) - 1));
+        got += take;
     }
+    r->pos += n;
     return v;
 }
 
