@@ -543,6 +543,7 @@ typedef struct {
     const int16_t *c;
     int w, rows;
     const RansTable *tabs;
+    const uint64_t (*recip)[NSYM]; /* ceil(2^48/freq) per context symbol */
     /* pass A out */
     RansSym *syms;
     long n, cap;
@@ -583,13 +584,20 @@ static void *rans_encode_worker(void *arg) {
         const RansTable *t = &b->tabs[b->syms[i].tab];
         uint32_t f = t->freq[b->syms[i].sym];
         uint32_t x_max = ((RANS_L >> RANS_BITS) << 8) * f;
+        uint32_t q;
         if (!f) { b->bad = 1; return NULL; }
         while (state >= x_max) {
             if (rpos <= 4) { b->bad = 1; return NULL; }
             b->rbuf[--rpos] = (uint8_t)(state & 0xff);
             state >>= 8;
         }
-        state = ((state / f) << RANS_BITS) + (state % f) + t->start[b->syms[i].sym];
+        /* division-free floor(state/f): reciprocal multiply, exact for
+         * state < 2^31 with ceil(2^48/f) since 48 >= 31 + log2(f<=2^12)
+         * (Granlund-Montgomery bound).  The hardware div/mod pair was the
+         * encoder's hottest instruction. */
+        q = (uint32_t)(((__uint128_t)state *
+                        b->recip[b->syms[i].tab][b->syms[i].sym]) >> 48);
+        state = (q << RANS_BITS) + (state - q * f) + t->start[b->syms[i].sym];
     }
     if (rpos < 4) { b->bad = 1; return NULL; }
     b->rbuf[--rpos] = (uint8_t)(state & 0xff);
@@ -622,6 +630,8 @@ long tpudct_rans_encode(const int16_t *coeffs, int h, int w,
     pthread_t tids[RANS_MAX_BANDS];
     long hist[NCTX][NSYM];
     RansTable tabs[NCTX];
+    uint64_t recip[NCTX][NSYM]; /* per-call: concurrent encodes are legal
+                                 * (ctypes releases the GIL) */
     if (h <= 0 || w <= 0 || (h % 8) || (w % 8)) return -1;
     if (force_bands < 0 || force_bands > RANS_MAX_BANDS) return -1;
     if (has_int16_min(coeffs, (long)h * w)) return -1;
@@ -656,9 +666,16 @@ long tpudct_rans_encode(const int16_t *coeffs, int h, int w,
             for (i = 0; i < NSYM; i++) hist[c][i] += bands[bi].hist[c][i];
     }
     for (c = 0; c < NCTX; c++) rans_normalize(hist[c], &tabs[c]);
+    for (c = 0; c < NCTX; c++)
+        for (i = 0; i < NSYM; i++)
+            recip[c][i] = tabs[c].freq[i]
+                ? (uint64_t)((((__uint128_t)1 << 48) + tabs[c].freq[i] - 1) /
+                             tabs[c].freq[i])
+                : 0;
     for (bi = 0; bi < nbands; bi++) {
         RansBand *b = &bands[bi];
         b->tabs = tabs;
+        b->recip = (const uint64_t (*)[NSYM])recip;
         b->rcap = b->n * 4 + 64;
         b->rbuf = (uint8_t *)malloc(b->rcap);
         if (!b->rbuf) { rans_bands_free(bands, nbands); return -1; }
