@@ -60,7 +60,7 @@ def test_inspect_reports_headers(tmp_path, jpg, capsys):
 def test_encode_entropy_choices(tmp_path, jpg, capsys):
     # every entropy stage must produce a decodable .tdc
     outs = {}
-    for codec in ("auto", "spectral", "huffman", "rans", "raw"):
+    for codec in ("auto", "spectral", "huffman", "rans", "xz", "raw"):
         tdc = tmp_path / f"{codec}.tdc"
         rc = main(["encode", "--entropy", codec, str(jpg), str(tdc)])
         assert rc == 0, codec
@@ -68,7 +68,7 @@ def test_encode_entropy_choices(tmp_path, jpg, capsys):
         dec = tmp_path / f"{codec}.jpg"
         assert main(["decode", str(tdc), str(dec)]) == 0
         outs[codec] = imageio.load_jpeg(dec)
-    for codec in ("spectral", "huffman", "rans", "raw"):
+    for codec in ("spectral", "huffman", "rans", "xz", "raw"):
         np.testing.assert_array_equal(outs["auto"], outs[codec])
 
 

@@ -204,7 +204,7 @@ def test_tdcc_every_entropy_stage_bit_exact():
     planes, meta = encode_color(p, jnp.asarray(rgb), cfg)
     np_planes = {k: np.asarray(v) for k, v in planes.items()}
     sizes = {}
-    codecs = ["auto", "spectral", "raw"]
+    codecs = ["auto", "spectral", "xz", "raw"]
     if native_entropy_available():
         codecs.append("huffman")
     if rans_available():

@@ -515,6 +515,45 @@ def test_rans_beats_huffman_on_dct_statistics(rng):
     np.testing.assert_array_equal(entropy.rans_decode(r, h, w), c)
 
 
+def test_xz_codec_roundtrip_and_progressive(rng):
+    """xz entropy stage (.tdc codec 4): the spectral reorder compressed
+    with lzma — bit-exact through the container, progressive prefix
+    decode works exactly like the spectral codec (both are
+    spectral-ordered), and auto never stores a larger payload."""
+    c = rng.integers(-90, 90, (64, 64)).astype(np.float32)
+    c[rng.random((64, 64)) < 0.8] = 0.0
+
+    blob = serialize.coefficients_to_bytes(c, codec="xz")
+    assert serialize.inspect_stream(blob)["codec"] == "xz"
+    back, _, _ = serialize.bytes_to_coefficients(blob)
+    np.testing.assert_array_equal(back, c)
+
+    # progressive: n_planes=64 == full decode; small-n prefixes zero the
+    # unrequested zig-zag planes, identically to the spectral codec
+    spec = serialize.coefficients_to_bytes(c, codec="spectral")
+    full = serialize.partial_coefficients(blob, n_planes=64)
+    np.testing.assert_array_equal(full["coeffs"], c)
+    for n in (1, 4, 16):
+        np.testing.assert_array_equal(
+            serialize.partial_coefficients(blob, n_planes=n)["coeffs"],
+            serialize.partial_coefficients(spec, n_planes=n)["coeffs"],
+        )
+
+    # highly repetitive content: xz must beat spectral+zlib (the
+    # cross-block-LZ regime it exists for), and auto must pick it up
+    tile = rng.integers(-40, 40, (8, 8)).astype(np.float32)
+    rep = np.tile(tile, (16, 16))
+    xz = serialize.coefficients_to_bytes(rep, codec="xz")
+    assert len(xz) < len(serialize.coefficients_to_bytes(rep, codec="spectral"))
+    assert len(serialize.coefficients_to_bytes(rep, codec="auto")) <= len(xz)
+
+    # corrupt payload raises ValueError, not a raw lzma error
+    bad = bytearray(blob)
+    bad[-8] ^= 0xFF
+    with pytest.raises(ValueError):
+        serialize.bytes_to_coefficients(bytes(bad))
+
+
 def test_rans_multiband_parity(rng):
     """Stream v2 bands: every band count must decode bit-exactly, native
     (pthread-per-band) and pure-Python (sequential) decoders must agree,

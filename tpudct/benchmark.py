@@ -437,7 +437,7 @@ def bench_host_entropy(
         (np.sign(z) * np.floor(np.abs(z) + np.float32(0.5)))
         .transpose(0, 2, 1, 3).reshape(size, size)
     ).astype(np.int16)
-    codecs = ["spectral", "raw", "auto"]
+    codecs = ["spectral", "xz", "raw", "auto"]
     if native_entropy_available():
         codecs.insert(0, "huffman")
     if rans_available():

@@ -89,8 +89,8 @@ def _add_codec_flags(sp):
     sp.add_argument("--q-table-file", default=None, dest="q_table_file",
                     help="custom 8x8 luma quantization table: 64 numbers, whitespace/comma separated, '#' comments (cjpeg -qtables format); stored in .tdc so decode is self-contained")
     sp.add_argument("--entropy", default="auto", dest="entropy",
-                    choices=("auto", "spectral", "huffman", "rans", "raw"),
-                    help=".tdc/.tdcc entropy stage: auto (default; smallest of rans/huffman/spectral per file) | spectral (+zlib) | huffman (JPEG-grade) | rans (positional-context rANS) | raw (+zlib); rans/huffman encode needs the native lib")
+                    choices=("auto", "spectral", "huffman", "rans", "xz", "raw"),
+                    help=".tdc/.tdcc entropy stage: auto (default; smallest of rans/huffman/xz/spectral per file) | spectral (+zlib) | huffman (JPEG-grade) | rans (positional-context rANS) | xz (spectral+lzma) | raw (+zlib); rans/huffman encode needs the native lib")
 
 
 def _add_color_flags(sp):

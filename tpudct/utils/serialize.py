@@ -29,13 +29,19 @@ Plane format v4 (little-endian), used by grayscale .tdc and inside color
                 3 = rans (same T.81 symbolization entropy-coded with a
                     static rANS + positional AC contexts, utils/entropy.py;
                     payload stored raw)
+                4 = xz (the spectral reorder compressed with lzma instead
+                    of zlib; payload stored raw.  Progressive prefix
+                    decoding works like codec 1 — lzma decompresses
+                    incrementally)
   uint32 payload_size, then payload (zlib-wrapped for codecs 0-1)
 
 The default codec is "auto": the real entropy stages are run and the
 smallest payload wins per file — rans beats huffman 4-9% on measured
-coefficient maps (sub-bit symbol costs + zig-zag-band contexts), while
-spectral+zlib still wins on highly repetitive content where cross-block
-LZ matches dominate (circuit board).  Decode is bit-exact in every case.
+coefficient maps (sub-bit symbol costs + zig-zag-band contexts) and wins
+photographic statistics outright, while the spectral reorder + lzma (xz)
+wins highly repetitive content where cross-block LZ matches dominate
+(~21% under spectral+zlib on the circuit board).  Decode is bit-exact in
+every case.
 
 The *spectral* codec reorders coefficients the way JPEG's entropy stage
 does (progressive spectral selection, ITU-T T.81 §G): all DC terms first,
@@ -79,10 +85,22 @@ _CODEC_HUFF = 2  # JPEG-grade per-block Huffman (utils/entropy.py); payload
 #                  is the Huffman stream itself, NOT zlib-wrapped.
 _CODEC_RANS = 3  # static rANS with positional contexts (utils/entropy.py);
 #                  payload stored raw like huffman.
+_CODEC_XZ = 4  # spectral reorder + lzma (stdlib): ~20% smaller than
+#                spectral+zlib on repetitive content (circuit board), same
+#                progressive-prefix property (lzma decompresses
+#                incrementally).  Preset is size-aware (_xz_preset).
 _CODECS = {
     "raw": _CODEC_RAW, "spectral": _CODEC_SPECTRAL, "huffman": _CODEC_HUFF,
-    "rans": _CODEC_RANS,
+    "rans": _CODEC_RANS, "xz": _CODEC_XZ,
 }
+
+
+def _xz_preset(n_elems: int) -> int:
+    """lzma preset by map size: 6 below 4M coefficients; 0 above, where
+    preset 0 is both smaller AND faster than zlib-6 on the spectral
+    stream (measured at 8192²: 24.09 MB / 5.9 s vs 24.46 MB / 8.4 s) and
+    rans wins such maps anyway."""
+    return 6 if n_elems <= (1 << 22) else 0
 
 _BS = 8
 
@@ -201,30 +219,36 @@ def _planes_to_map(planes: np.ndarray, h: int, w: int) -> np.ndarray:
 def _encode_payload(c: np.ndarray, codec: str, level: int) -> tuple:
     if codec == "auto":
         # Pick the smallest of the real entropy stages per file: rans
-        # usually beats huffman (sub-bit costs + positional contexts, 4-9%
-        # measured), the spectral-reorder + zlib stage wins on highly
-        # repetitive content (cross-block LZ matches).  All decode
+        # usually wins photographic statistics (sub-bit costs + positional
+        # contexts, 4-9% under huffman), the spectral-reorder + lzma (xz)
+        # stage wins highly repetitive content (cross-block LZ matches),
+        # with spectral+zlib as the always-available floor.  All decode
         # bit-exactly; the header's codec byte records the choice.
-        # zlib.compress and the native coders (ctypes calls) release the
-        # GIL, so on multi-core hosts the trials overlap and auto costs
+        # zlib/lzma and the native coders (ctypes calls) release the GIL,
+        # so on multi-core hosts the trials overlap and auto costs
         # ~max(stage) instead of sum(stage).  The 1-core CI host cannot
-        # overlap threads — there auto ≈ sum(stages), ~12 s at 8192²
+        # overlap threads — there auto ≈ sum(stages)
         # (benchmarks/RESULTS_v5e.md host-entropy table).
+        import lzma
         from concurrent.futures import ThreadPoolExecutor
 
         from tpudct.utils import entropy
 
-        with ThreadPoolExecutor(max_workers=2) as ex:
+        with ThreadPoolExecutor(max_workers=3) as ex:
             futs = []
             if entropy.native_entropy_available():
                 futs.append((_CODEC_HUFF, ex.submit(entropy.huff_encode, c)))
             if entropy.rans_available():
                 futs.append((_CODEC_RANS, ex.submit(entropy.rans_encode, c)))
-            best = (_CODEC_SPECTRAL, zlib.compress(_spectral_pack(c), level))
+            spec = _spectral_pack(c)
+            futs.append((_CODEC_XZ, ex.submit(
+                lzma.compress, spec, lzma.FORMAT_XZ, -1, _xz_preset(c.size)
+            )))
+            best = (_CODEC_SPECTRAL, zlib.compress(spec, level))
             for code_id, fut in futs:
                 try:
                     payload = fut.result()
-                except (ValueError, RuntimeError):
+                except (ValueError, RuntimeError, lzma.LZMAError):
                     continue
                 if len(payload) < len(best[1]):
                     best = (code_id, payload)
@@ -243,6 +267,12 @@ def _encode_payload(c: np.ndarray, codec: str, level: int) -> tuple:
         from tpudct.utils.entropy import rans_encode
 
         return code, rans_encode(c)
+    if code == _CODEC_XZ:
+        import lzma
+
+        return code, lzma.compress(
+            _spectral_pack(c), lzma.FORMAT_XZ, -1, _xz_preset(c.size)
+        )
     raw = _spectral_pack(c) if code == _CODEC_SPECTRAL else c.tobytes()
     return code, zlib.compress(raw, level)
 
@@ -256,6 +286,13 @@ def _decode_payload(raw: bytes, code: int, h: int, w: int) -> np.ndarray:
         from tpudct.utils.entropy import rans_decode
 
         return rans_decode(raw, h, w)
+    if code == _CODEC_XZ:
+        import lzma
+
+        try:
+            return _spectral_unpack(lzma.decompress(raw), h, w)
+        except lzma.LZMAError as e:
+            raise ValueError(f"corrupt .tdc payload: {e}") from None
     if code == _CODEC_SPECTRAL:
         return _spectral_unpack(raw, h, w)
     if code == _CODEC_RAW:
@@ -362,7 +399,7 @@ def _parse_plane(data: bytes) -> tuple:
     if len(data) < hsize + psize:
         raise ValueError("truncated .tdc coefficient stream")
     raw = data[hsize : hsize + psize]
-    if code not in (_CODEC_HUFF, _CODEC_RANS):  # entropy-stage payloads are not zlib-wrapped
+    if code not in (_CODEC_HUFF, _CODEC_RANS, _CODEC_XZ):  # only codecs 0-1 are zlib-wrapped
         try:
             raw = zlib.decompress(raw)
         except zlib.error as e:
@@ -542,25 +579,29 @@ def partial_coefficients(data: bytes, n_planes: int = 1) -> dict:
     AC position in zig-zag order (the on-disk analog of JPEG progressive
     spectral selection, ITU-T T.81 §G) — so a PREFIX of the payload is a
     valid low-frequency approximation.  Decompression stops as soon as
-    enough bytes are available (zlib.decompressobj), which means this
-    also works on a truncated/partially-downloaded file as long as the
-    needed prefix arrived.  Spectral-codec streams only (huffman is
-    per-block interleaved; raw has no frequency ordering).
+    enough bytes are available (zlib.decompressobj / LZMADecompressor),
+    which means this also works on a truncated/partially-downloaded file
+    as long as the needed prefix arrived.  Spectral-ordered streams only
+    — codecs 1 (spectral+zlib) and 4 (xz): huffman/rans are per-block
+    interleaved; raw has no frequency ordering.
 
     Returns the same plane dict shape as the internal parser: coeffs
     (float32, unrequested planes zero), orig_shape, q_scale, retain_k,
     transform, q_table, plus n_planes."""
+    import lzma
+
     (h, w, oh, ow, q_scale, retain_k, tname, qname, code, _psize, hsize,
      custom_q) = _parse_header_v4(data)
-    if code != _CODEC_SPECTRAL:
+    if code not in (_CODEC_SPECTRAL, _CODEC_XZ):
         raise ValueError(
-            "progressive decode needs the spectral codec (this stream uses "
-            f"codec {code}); decode it fully instead"
+            "progressive decode needs a spectral-ordered codec (this stream "
+            f"uses codec {code}); decode it fully instead"
         )
     n_planes = max(1, min(int(n_planes), 64))
     nb = (h // _BS) * (w // _BS)
 
-    d = zlib.decompressobj()
+    d = (lzma.LZMADecompressor() if code == _CODEC_XZ
+         else zlib.decompressobj())
     out = bytearray()
     pos = hsize
     # flags byte + DC int16 plane; AC item size depends on the flags, so
@@ -577,7 +618,9 @@ def partial_coefficients(data: bytes, n_planes: int = 1) -> dict:
         while len(out) < need and pos < len(data):
             out += d.decompress(data[pos : pos + 65536])
             pos += 65536
-    except zlib.error as e:
+    except (zlib.error, lzma.LZMAError, EOFError) as e:
+        # EOFError: LZMADecompressor refuses input after stream end —
+        # reaching it with len(out) < need means a short payload.
         raise ValueError(f"corrupt .tdc payload: {e}") from None
     if len(out) < need:
         raise ValueError(
