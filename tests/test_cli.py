@@ -56,6 +56,36 @@ def test_inspect_reports_headers(tmp_path, jpg, capsys):
     assert main(["inspect", str(bad)]) == 1
     assert "error" in json.loads(capsys.readouterr().out.strip())
 
+    # color container: per-plane records with codec/geometry fields
+    rgbjpg = tmp_path / "rgb.jpg"
+    imageio.save_jpeg(
+        rgbjpg,
+        np.random.default_rng(5).integers(0, 256, (48, 48, 3)).astype(np.uint8),
+        quality=95,
+    )
+    tdcc = tmp_path / "x.tdcc"
+    assert main(["encode", "--color", "--pipeline", "batched",
+                 "--entropy", "spectral", str(rgbjpg), str(tdcc)]) == 0
+    capsys.readouterr()
+    assert main(["inspect", str(tdcc)]) == 0
+    rep = json.loads(capsys.readouterr().out.strip())
+    assert rep["container"] == "tdcc (color)" and rep["subsample"] == "4:2:0"
+    assert [p["plane"] for p in rep["planes"]] == ["y", "cb", "cr"]
+    assert all(p["codec"] == "spectral" for p in rep["planes"])
+    assert rep["total_bytes"] == tdcc.stat().st_size
+
+    # corrupt color headers must produce the error record, not a traceback:
+    # a truncated header and a corrupted n_planes byte
+    data = tdcc.read_bytes()
+    short = tmp_path / "short.tdcc"
+    short.write_bytes(data[:5])
+    assert main(["inspect", str(short)]) == 1
+    assert "error" in json.loads(capsys.readouterr().out.strip())
+    badn = tmp_path / "badn.tdcc"
+    badn.write_bytes(data[:4] + b"\x00" + data[5:])
+    assert main(["inspect", str(badn)]) == 1
+    assert "error" in json.loads(capsys.readouterr().out.strip())
+
 
 def test_encode_entropy_choices(tmp_path, jpg, capsys):
     # every entropy stage must produce a decodable .tdc

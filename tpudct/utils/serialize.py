@@ -68,7 +68,22 @@ from __future__ import annotations
 import struct
 import zlib
 
+try:
+    import lzma
+except ImportError:  # CPython built without liblzma (no _lzma module):
+    lzma = None      # the xz codec is unavailable; auto skips its trial.
+
 import numpy as np
+
+# exception tuples that must not reference lzma when it's absent
+_TRIAL_ERRORS = (
+    (ValueError, RuntimeError) if lzma is None
+    else (ValueError, RuntimeError, lzma.LZMAError)
+)
+_STREAM_ERRORS = (
+    (zlib.error, EOFError) if lzma is None
+    else (zlib.error, lzma.LZMAError, EOFError)
+)
 
 _MAGIC2 = b"TDC2"
 _HEADER2 = "<4sIIIIfiI"
@@ -229,7 +244,6 @@ def _encode_payload(c: np.ndarray, codec: str, level: int) -> tuple:
         # ~max(stage) instead of sum(stage).  The 1-core CI host cannot
         # overlap threads — there auto ≈ sum(stages)
         # (benchmarks/RESULTS_v5e.md host-entropy table).
-        import lzma
         from concurrent.futures import ThreadPoolExecutor
 
         from tpudct.utils import entropy
@@ -241,14 +255,15 @@ def _encode_payload(c: np.ndarray, codec: str, level: int) -> tuple:
             if entropy.rans_available():
                 futs.append((_CODEC_RANS, ex.submit(entropy.rans_encode, c)))
             spec = _spectral_pack(c)
-            futs.append((_CODEC_XZ, ex.submit(
-                lzma.compress, spec, lzma.FORMAT_XZ, -1, _xz_preset(c.size)
-            )))
+            if lzma is not None:
+                futs.append((_CODEC_XZ, ex.submit(
+                    lzma.compress, spec, lzma.FORMAT_XZ, -1, _xz_preset(c.size)
+                )))
             best = (_CODEC_SPECTRAL, zlib.compress(spec, level))
             for code_id, fut in futs:
                 try:
                     payload = fut.result()
-                except (ValueError, RuntimeError, lzma.LZMAError):
+                except _TRIAL_ERRORS:
                     continue
                 if len(payload) < len(best[1]):
                     best = (code_id, payload)
@@ -268,8 +283,11 @@ def _encode_payload(c: np.ndarray, codec: str, level: int) -> tuple:
 
         return code, rans_encode(c)
     if code == _CODEC_XZ:
-        import lzma
-
+        if lzma is None:
+            raise ValueError(
+                "the xz codec needs the stdlib lzma module (this CPython "
+                "was built without liblzma); use another --entropy stage"
+            )
         return code, lzma.compress(
             _spectral_pack(c), lzma.FORMAT_XZ, -1, _xz_preset(c.size)
         )
@@ -287,8 +305,11 @@ def _decode_payload(raw: bytes, code: int, h: int, w: int) -> np.ndarray:
 
         return rans_decode(raw, h, w)
     if code == _CODEC_XZ:
-        import lzma
-
+        if lzma is None:
+            raise ValueError(
+                "this stream uses the xz codec but the stdlib lzma module "
+                "is unavailable (CPython built without liblzma)"
+            )
         try:
             return _spectral_unpack(lzma.decompress(raw), h, w)
         except lzma.LZMAError as e:
@@ -363,9 +384,17 @@ def _read_custom_q_table(data: bytes, hsize: int) -> tuple:
     return tbl, hsize + 256
 
 
-def _parse_plane(data: bytes) -> tuple:
-    """Parse one plane stream (v4/v3/v2) -> (plane dict, bytes consumed)."""
-    custom_q = None
+def _parse_plane_header(data: bytes) -> tuple:
+    """Magic-dispatched plane header parse (v4/v3/v2), payload untouched ->
+    (h, w, oh, ow, q_scale, retain_k, transform, q_table, code, psize,
+    hsize, custom_q, version).  The ONE copy of the container-version
+    dispatch, shared by the real parser (`_parse_plane`) and the
+    header-only inspector (`_inspect_plane`) so a future format revision
+    cannot leave the two disagreeing.  For v4 streams carrying a custom
+    q-table the embedded values are returned (NOT registered — callers
+    register only after their payload decode succeeds) and hsize covers
+    the 256-byte table block."""
+    custom_q, version = None, 4
     if len(data) >= 4 and data[:4] == _MAGIC4:
         hsize = struct.calcsize(_HEADER4)
         if len(data) < hsize:
@@ -385,7 +414,7 @@ def _parse_plane(data: bytes) -> tuple:
             _HEADER3, data[:hsize]
         )
         transform = tname.rstrip(b"\x00").decode("ascii")
-        q_table, code = "luma", _CODEC_RAW
+        q_table, code, version = "luma", _CODEC_RAW, 3
     elif len(data) >= 4 and data[:4] == _MAGIC2:
         hsize = struct.calcsize(_HEADER2)
         if len(data) < hsize:
@@ -393,11 +422,19 @@ def _parse_plane(data: bytes) -> tuple:
         (_m, h, w, oh, ow, q_scale, retain_k, psize) = struct.unpack(
             _HEADER2, data[:hsize]
         )
-        transform, q_table, code = "haweel", "luma", _CODEC_RAW
+        transform, q_table, code, version = "haweel", "luma", _CODEC_RAW, 2
     else:
         raise ValueError("not a .tdc coefficient stream")
     if len(data) < hsize + psize:
         raise ValueError("truncated .tdc coefficient stream")
+    return (h, w, oh, ow, q_scale, retain_k, transform, q_table, code,
+            psize, hsize, custom_q, version)
+
+
+def _parse_plane(data: bytes) -> tuple:
+    """Parse one plane stream (v4/v3/v2) -> (plane dict, bytes consumed)."""
+    (h, w, oh, ow, q_scale, retain_k, transform, q_table, code, psize,
+     hsize, custom_q, _version) = _parse_plane_header(data)
     raw = data[hsize : hsize + psize]
     if code not in (_CODEC_HUFF, _CODEC_RANS, _CODEC_XZ):  # only codecs 0-1 are zlib-wrapped
         try:
@@ -489,35 +526,8 @@ _CODEC_NAMES = {v: k for k, v in _CODECS.items()}
 def _inspect_plane(data: bytes) -> tuple:
     """One plane's header fields WITHOUT touching the payload -> (info
     dict, bytes consumed).  Accepts every container version v2-v4."""
-    if len(data) >= 4 and data[:4] == _MAGIC4:
-        (h, w, oh, ow, q_scale, retain_k, tname, qname, code, psize, hsize,
-         custom_q) = _parse_header_v4(data)
-        transform = tname.rstrip(b"\x00").decode("ascii")
-        q_table = qname.rstrip(b"\x00").decode("ascii")
-        version = 4
-    elif len(data) >= 4 and data[:4] == _MAGIC3:
-        hsize = struct.calcsize(_HEADER3)
-        if len(data) < hsize:
-            raise ValueError("truncated .tdc coefficient stream")
-        (_m, h, w, oh, ow, q_scale, retain_k, tname, psize) = struct.unpack(
-            _HEADER3, data[:hsize]
-        )
-        transform = tname.rstrip(b"\x00").decode("ascii")
-        q_table, code, custom_q, version = "luma", _CODEC_RAW, None, 3
-    elif len(data) >= 4 and data[:4] == _MAGIC2:
-        hsize = struct.calcsize(_HEADER2)
-        if len(data) < hsize:
-            raise ValueError("truncated .tdc coefficient stream")
-        (_m, h, w, oh, ow, q_scale, retain_k, psize) = struct.unpack(
-            _HEADER2, data[:hsize]
-        )
-        transform, q_table, code, custom_q, version = (
-            "haweel", "luma", _CODEC_RAW, None, 2,
-        )
-    else:
-        raise ValueError("not a .tdc coefficient stream")
-    if len(data) < hsize + psize:
-        raise ValueError("truncated .tdc coefficient stream")
+    (h, w, oh, ow, q_scale, retain_k, transform, q_table, code, psize,
+     hsize, custom_q, version) = _parse_plane_header(data)
     info = {
         "version": version,
         "shape": [h, w],
@@ -545,10 +555,15 @@ def inspect_stream(data: bytes) -> dict:
     CLI `inspect`."""
     if is_color_stream(data):
         hsize = struct.calcsize(_HEADERC)
+        if len(data) < hsize:
+            raise ValueError("truncated .tdcc color stream")
         (_m, n_planes, subsample) = struct.unpack(_HEADERC, data[:hsize])
+        if n_planes != 3:  # same check as bytes_to_color — a corrupt
+            # n_planes byte must not yield a plausible-looking report
+            raise ValueError(f"expected 3 planes, got {n_planes}")
         off = hsize
         planes = []
-        for name in ("y", "cb", "cr")[:n_planes]:
+        for name in ("y", "cb", "cr"):
             if len(data) < off + 4:
                 raise ValueError("truncated .tdcc color stream")
             (blen,) = struct.unpack("<I", data[off : off + 4])
@@ -588,14 +603,17 @@ def partial_coefficients(data: bytes, n_planes: int = 1) -> dict:
     Returns the same plane dict shape as the internal parser: coeffs
     (float32, unrequested planes zero), orig_shape, q_scale, retain_k,
     transform, q_table, plus n_planes."""
-    import lzma
-
     (h, w, oh, ow, q_scale, retain_k, tname, qname, code, _psize, hsize,
      custom_q) = _parse_header_v4(data)
     if code not in (_CODEC_SPECTRAL, _CODEC_XZ):
         raise ValueError(
             "progressive decode needs a spectral-ordered codec (this stream "
             f"uses codec {code}); decode it fully instead"
+        )
+    if code == _CODEC_XZ and lzma is None:
+        raise ValueError(
+            "this stream uses the xz codec but the stdlib lzma module "
+            "is unavailable (CPython built without liblzma)"
         )
     n_planes = max(1, min(int(n_planes), 64))
     nb = (h // _BS) * (w // _BS)
@@ -618,7 +636,7 @@ def partial_coefficients(data: bytes, n_planes: int = 1) -> dict:
         while len(out) < need and pos < len(data):
             out += d.decompress(data[pos : pos + 65536])
             pos += 65536
-    except (zlib.error, lzma.LZMAError, EOFError) as e:
+    except _STREAM_ERRORS as e:
         # EOFError: LZMADecompressor refuses input after stream end —
         # reaching it with len(out) < need means a short payload.
         raise ValueError(f"corrupt .tdc payload: {e}") from None
