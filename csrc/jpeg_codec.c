@@ -165,6 +165,217 @@ int tpudct_jpeg_encode_mem(const unsigned char *data, int w, int h,
 
 void tpudct_free(unsigned char *p) { free(p); }
 
+/* ---- coefficient-domain JPEG I/O (lossless transcode) -------------------
+ *
+ * The reference's only persistence is a pixel-domain quality-100 re-encode
+ * (save_grayscale_jpeg, utils.cu:98-147) — a generation-loss step.  These
+ * two functions move the already-quantized DCT coefficients directly
+ * between .jpg entropy streams and tpudct coefficient maps (the JPEG
+ * equivalent of jpegtran): no IDCT, no re-quantization, bit-exact.
+ *
+ * Layout contract with the Python side: per component, one int16 map of
+ * shape (height_in_blocks*8, width_in_blocks*8) where block (by,bx)
+ * occupies rows by*8..by*8+8 and cols bx*8..bx*8+8, coefficients in
+ * natural (row-major) order — exactly the .tdc coefficient-map layout.
+ * Quantization tables are 64 uint16 in natural order. */
+
+#define TPUDCT_MAX_COMPS 4
+
+/* Decode the coefficient arrays of `filename` without any IDCT.
+ * Fills per-component malloc'd maps (caller frees each via tpudct_free),
+ * map dims, quant tables, sampling factors, component count and pixel
+ * dims.  All out-arrays must hold TPUDCT_MAX_COMPS entries (qtabs
+ * TPUDCT_MAX_COMPS*64).  Returns 0 ok; 1 open; 2 libjpeg error; 3 alloc;
+ * 4 unsupported colorspace/component count; 5 missing quant table. */
+int tpudct_jpeg_read_coefs(const char *filename, short **coef_bufs,
+                           int *comp_w, int *comp_h, unsigned short *qtabs,
+                           int *h_samp, int *v_samp, int *ncomp,
+                           int *img_w, int *img_h) {
+    struct jpeg_decompress_struct cinfo;
+    struct tpudct_err_mgr jerr;
+    FILE *infile = fopen(filename, "rb");
+    int c;
+
+    if (!infile) return 1;
+    for (c = 0; c < TPUDCT_MAX_COMPS; c++) coef_bufs[c] = NULL;
+
+    cinfo.err = jpeg_std_error(&jerr.pub);
+    jerr.pub.error_exit = tpudct_error_exit;
+    if (setjmp(jerr.setjmp_buffer)) {
+        jpeg_destroy_decompress(&cinfo);
+        fclose(infile);
+        for (c = 0; c < TPUDCT_MAX_COMPS; c++) {
+            free(coef_bufs[c]);
+            coef_bufs[c] = NULL;
+        }
+        return 2;
+    }
+
+    jpeg_create_decompress(&cinfo);
+    jpeg_stdio_src(&cinfo, infile);
+    jpeg_read_header(&cinfo, TRUE);
+    if ((cinfo.jpeg_color_space != JCS_GRAYSCALE &&
+         cinfo.jpeg_color_space != JCS_YCbCr) ||
+        cinfo.num_components < 1 ||
+        cinfo.num_components > TPUDCT_MAX_COMPS) {
+        jpeg_destroy_decompress(&cinfo);
+        fclose(infile);
+        return 4;
+    }
+
+    jvirt_barray_ptr *arrays = jpeg_read_coefficients(&cinfo);
+    *ncomp = cinfo.num_components;
+    *img_w = (int)cinfo.image_width;
+    *img_h = (int)cinfo.image_height;
+
+    for (c = 0; c < cinfo.num_components; c++) {
+        jpeg_component_info *comp = &cinfo.comp_info[c];
+        JQUANT_TBL *qt = comp->quant_table
+                             ? comp->quant_table
+                             : cinfo.quant_tbl_ptrs[comp->quant_tbl_no];
+        if (!qt) {
+            jpeg_destroy_decompress(&cinfo);
+            fclose(infile);
+            for (int k = 0; k < c; k++) {
+                free(coef_bufs[k]);
+                coef_bufs[k] = NULL;
+            }
+            return 5;
+        }
+        int wb = (int)comp->width_in_blocks;
+        int hb = (int)comp->height_in_blocks;
+        comp_w[c] = wb * 8;
+        comp_h[c] = hb * 8;
+        h_samp[c] = comp->h_samp_factor;
+        v_samp[c] = comp->v_samp_factor;
+        for (int i = 0; i < 64; i++) qtabs[c * 64 + i] = qt->quantval[i];
+
+        short *map = (short *)malloc((size_t)hb * 8 * (size_t)wb * 8 *
+                                     sizeof(short));
+        if (!map) {
+            jpeg_destroy_decompress(&cinfo);
+            fclose(infile);
+            for (int k = 0; k < c; k++) {
+                free(coef_bufs[k]);
+                coef_bufs[k] = NULL;
+            }
+            return 3;
+        }
+        coef_bufs[c] = map;
+        size_t stride = (size_t)wb * 8;
+        for (int by = 0; by < hb; by++) {
+            JBLOCKARRAY rows = (cinfo.mem->access_virt_barray)(
+                (j_common_ptr)&cinfo, arrays[c], (JDIMENSION)by, 1, FALSE);
+            for (int bx = 0; bx < wb; bx++) {
+                JCOEFPTR blk = rows[0][bx];
+                for (int i = 0; i < 8; i++)
+                    for (int j = 0; j < 8; j++)
+                        map[((size_t)by * 8 + i) * stride + (size_t)bx * 8 + j] =
+                            blk[i * 8 + j];
+            }
+        }
+    }
+
+    jpeg_finish_decompress(&cinfo);
+    jpeg_destroy_decompress(&cinfo);
+    fclose(infile);
+    return 0;
+}
+
+/* Entropy-encode coefficient maps straight into `filename` (no FDCT, no
+ * requantization).  Per-component map dims must equal libjpeg's
+ * width/height_in_blocks*8 for (img_w, img_h) and the sampling factors —
+ * validated, returns 6 on mismatch.  Returns 0 ok; 1 open; 2 libjpeg
+ * error (includes coefficients outside the Huffman category range);
+ * 4 bad component count. */
+int tpudct_jpeg_write_coefs(const char *filename, const short **coef_bufs,
+                            const int *comp_w, const int *comp_h,
+                            const unsigned short *qtabs, const int *h_samp,
+                            const int *v_samp, int ncomp, int img_w,
+                            int img_h) {
+    struct jpeg_compress_struct cinfo;
+    struct tpudct_err_mgr jerr;
+    FILE *outfile;
+    int c;
+
+    if (ncomp != 1 && ncomp != 3) return 4;
+    outfile = fopen(filename, "wb");
+    if (!outfile) return 1;
+
+    cinfo.err = jpeg_std_error(&jerr.pub);
+    jerr.pub.error_exit = tpudct_error_exit;
+    if (setjmp(jerr.setjmp_buffer)) {
+        jpeg_destroy_compress(&cinfo);
+        fclose(outfile);
+        return 2;
+    }
+
+    jpeg_create_compress(&cinfo);
+    jpeg_stdio_dest(&cinfo, outfile);
+    cinfo.image_width = (JDIMENSION)img_w;
+    cinfo.image_height = (JDIMENSION)img_h;
+    cinfo.input_components = ncomp;
+    cinfo.in_color_space = ncomp == 3 ? JCS_YCbCr : JCS_GRAYSCALE;
+    jpeg_set_defaults(&cinfo);
+
+    for (c = 0; c < ncomp; c++) {
+        unsigned int basic[64];
+        for (int i = 0; i < 64; i++) basic[i] = qtabs[c * 64 + i];
+        /* force_baseline=FALSE keeps table values up to 32767 intact */
+        jpeg_add_quant_table(&cinfo, c, basic, 100, FALSE);
+        cinfo.comp_info[c].quant_tbl_no = c;
+        cinfo.comp_info[c].h_samp_factor = h_samp[c];
+        cinfo.comp_info[c].v_samp_factor = v_samp[c];
+    }
+
+    /* Request per-component coefficient arrays (padded to MCU multiples;
+     * pre-zeroed so dummy edge blocks are valid), realized by
+     * jpeg_write_coefficients; the entropy pass happens inside
+     * jpeg_finish_compress, after the maps are copied in. */
+    jvirt_barray_ptr arrays[TPUDCT_MAX_COMPS];
+    for (c = 0; c < ncomp; c++) {
+        JDIMENSION wb_pad =
+            (JDIMENSION)(((comp_w[c] / 8 + h_samp[c] - 1) / h_samp[c]) *
+                         h_samp[c]);
+        JDIMENSION hb_pad =
+            (JDIMENSION)(((comp_h[c] / 8 + v_samp[c] - 1) / v_samp[c]) *
+                         v_samp[c]);
+        arrays[c] = (cinfo.mem->request_virt_barray)(
+            (j_common_ptr)&cinfo, JPOOL_IMAGE, TRUE, wb_pad, hb_pad,
+            (JDIMENSION)v_samp[c]);
+    }
+    jpeg_write_coefficients(&cinfo, arrays);
+
+    for (c = 0; c < ncomp; c++) {
+        int wb = comp_w[c] / 8, hb = comp_h[c] / 8;
+        if (wb != (int)cinfo.comp_info[c].width_in_blocks ||
+            hb != (int)cinfo.comp_info[c].height_in_blocks) {
+            jpeg_destroy_compress(&cinfo);
+            fclose(outfile);
+            return 6;
+        }
+        size_t stride = (size_t)wb * 8;
+        const short *map = coef_bufs[c];
+        for (int by = 0; by < hb; by++) {
+            JBLOCKARRAY rows = (cinfo.mem->access_virt_barray)(
+                (j_common_ptr)&cinfo, arrays[c], (JDIMENSION)by, 1, TRUE);
+            for (int bx = 0; bx < wb; bx++) {
+                JCOEFPTR blk = rows[0][bx];
+                for (int i = 0; i < 8; i++)
+                    for (int j = 0; j < 8; j++)
+                        blk[i * 8 + j] =
+                            (JCOEF)map[((size_t)by * 8 + i) * stride +
+                                       (size_t)bx * 8 + j];
+            }
+        }
+    }
+
+    jpeg_finish_compress(&cinfo);
+    jpeg_destroy_compress(&cinfo);
+    fclose(outfile);
+    return 0;
+}
+
 /* ---- threaded batch decode (the data-loader path) ----------------------
  *
  * The device side of the codec runs at ~0.1 ms/image; host JPEG decode is

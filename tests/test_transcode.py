@@ -1,0 +1,170 @@
+"""Coefficient-domain JPEG transcode (utils/jpegcoef.py, csrc read/write_coefs).
+
+The key invariants:
+- read/write round-trips are bit-exact at the coefficient level (the
+  jpegtran property; the reference's save path re-runs the lossy pipeline
+  per hop, utils.cu:98-147);
+- the orthonormal 2-D DCT IS the ITU-T T.81 DCT, so an imported .tdc
+  decoded by a tpudct pipeline reproduces libjpeg's own decode within the
+  integer-IDCT ±1 class.
+"""
+
+import json
+
+import numpy as np
+import pytest
+
+from tpudct.cli import main
+from tpudct.utils import imageio, jpegcoef, serialize
+
+pytestmark = pytest.mark.skipif(
+    not jpegcoef.coef_io_available(),
+    reason="native coefficient I/O unavailable",
+)
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(11)
+
+
+@pytest.fixture
+def gray_jpg(tmp_path, rng):
+    # non-8-aligned dims exercise the edge blocks
+    img = (rng.normal(128, 40, (43, 61)).clip(0, 255)).astype(np.uint8)
+    p = tmp_path / "g.jpg"
+    imageio.save_jpeg(p, img, quality=77)
+    return p
+
+
+def test_read_matches_libjpeg_decode(gray_jpg):
+    """Dequantize + exact orthonormal IDCT of the raw coefficient map must
+    equal libjpeg's own decode within ±1 (its integer islow IDCT)."""
+    r = jpegcoef.read_jpeg_coefficients(gray_jpg)
+    (comp,) = r["comps"]
+    h, w = comp["map"].shape
+    k = np.arange(8)[:, None]
+    n = np.arange(8)[None, :]
+    c = np.cos((2 * n + 1) * k * np.pi / 16) * np.sqrt(2 / 8)
+    c[0] *= np.sqrt(0.5)
+    blocks = (
+        comp["map"].reshape(h // 8, 8, w // 8, 8).transpose(0, 2, 1, 3)
+        .astype(np.float64)
+    )
+    pix = np.einsum("ij,abjk,lk->abil", c.T, blocks * comp["qtab"], c.T)
+    rec = np.clip(np.round(pix.transpose(0, 2, 1, 3).reshape(h, w) + 128), 0, 255)
+    ih, iw = r["shape"]
+    dec = imageio.load_jpeg(gray_jpg).astype(np.float64)
+    assert np.abs(rec[:ih, :iw] - dec).max() <= 1.0
+
+
+def test_write_read_bit_exact(tmp_path, gray_jpg, rng):
+    """write_jpeg_coefficients -> read_jpeg_coefficients is the identity on
+    maps and tables, for gray and 4:2:0 color, including edge blocks."""
+    r = jpegcoef.read_jpeg_coefficients(gray_jpg)
+    out = tmp_path / "o.jpg"
+    jpegcoef.write_jpeg_coefficients(out, r["comps"], r["shape"])
+    r2 = jpegcoef.read_jpeg_coefficients(out)
+    assert r2["shape"] == r["shape"]
+    np.testing.assert_array_equal(r2["comps"][0]["map"], r["comps"][0]["map"])
+    np.testing.assert_array_equal(r2["comps"][0]["qtab"], r["comps"][0]["qtab"])
+    # identical coefficients -> identical pixel decode
+    np.testing.assert_array_equal(imageio.load_jpeg(gray_jpg), imageio.load_jpeg(out))
+
+    rgb = rng.integers(0, 256, (38, 54, 3)).astype(np.uint8)
+    cjpg = tmp_path / "c.jpg"
+    imageio.save_jpeg(cjpg, rgb, quality=85)
+    rc = jpegcoef.read_jpeg_coefficients(cjpg)
+    assert [c["samp"] for c in rc["comps"]] == [(2, 2), (1, 1), (1, 1)]
+    cout = tmp_path / "c2.jpg"
+    jpegcoef.write_jpeg_coefficients(cout, rc["comps"], rc["shape"])
+    rc2 = jpegcoef.read_jpeg_coefficients(cout)
+    for a, b in zip(rc["comps"], rc2["comps"]):
+        np.testing.assert_array_equal(a["map"], b["map"])
+    np.testing.assert_array_equal(
+        imageio.load_jpeg(cjpg, force_gray=False),
+        imageio.load_jpeg(cout, force_gray=False),
+    )
+
+
+def test_import_export_roundtrip(tmp_path, gray_jpg):
+    """jpg -> .tdc -> jpg: the coefficient map survives both hops exactly,
+    and the imported stream decodes through a tpudct pipeline to within
+    ±1 of libjpeg's decode (T.81 DCT == orthonormal DCT)."""
+    import jax.numpy as jnp
+
+    from tpudct import CodecConfig, get_pipeline
+
+    data = jpegcoef.import_jpeg(gray_jpg)
+    rep = serialize.inspect_stream(data)
+    assert rep["transform"] == "dct" and rep["q_table"] == "custom (embedded)"
+
+    # decode through the framework
+    coeffs, q_scale, _rk, oshape, transform, q_table = (
+        serialize.bytes_to_coefficients(
+            data, with_orig_shape=True, with_transform=True, with_q_table=True
+        )
+    )
+    cfg = CodecConfig(transform=transform, q_table=q_table, q_scale=q_scale)
+    p = get_pipeline("batched")
+    rec = np.asarray(p.idct(jnp.asarray(coeffs), cfg))
+    rec = np.clip(np.round(rec), 0, 255)[: oshape[0], : oshape[1]]
+    dec = imageio.load_jpeg(gray_jpg).astype(np.float64)
+    assert np.abs(rec - dec).max() <= 1.0
+
+    # export back to .jpg: identical coefficient map, identical decode
+    out = tmp_path / "back.jpg"
+    jpegcoef.export_jpeg(data, out)
+    r2 = jpegcoef.read_jpeg_coefficients(out)
+    orig = jpegcoef.read_jpeg_coefficients(gray_jpg)
+    np.testing.assert_array_equal(r2["comps"][0]["map"], orig["comps"][0]["map"])
+    np.testing.assert_array_equal(imageio.load_jpeg(out), imageio.load_jpeg(gray_jpg))
+
+
+def test_export_requires_dct_transform(tmp_path, rng):
+    c = rng.integers(-50, 50, (16, 16)).astype(np.float32)
+    data = serialize.coefficients_to_bytes(c, transform="haweel")
+    with pytest.raises(ValueError, match="transform='dct'"):
+        jpegcoef.export_jpeg(data, tmp_path / "x.jpg")
+
+
+def test_export_rejects_non_integer_quantizer(tmp_path, rng):
+    c = rng.integers(-50, 50, (16, 16)).astype(np.float32)
+    data = serialize.coefficients_to_bytes(c, transform="dct", q_scale=0.3)
+    with pytest.raises(ValueError, match="not integer-valued"):
+        jpegcoef.export_jpeg(data, tmp_path / "x.jpg")
+
+
+def test_import_rejects_color(tmp_path, rng):
+    rgb = rng.integers(0, 256, (32, 32, 3)).astype(np.uint8)
+    p = tmp_path / "c.jpg"
+    imageio.save_jpeg(p, rgb, quality=90)
+    with pytest.raises(ValueError, match="3 components"):
+        jpegcoef.import_jpeg(p)
+
+
+def test_cli_transcode(tmp_path, gray_jpg, capsys):
+    tdc = tmp_path / "x.tdc"
+    assert main(["transcode", str(gray_jpg), str(tdc)]) == 0
+    rep = json.loads(capsys.readouterr().out.strip())
+    assert rep["direction"] == "jpg->tdc" and tdc.stat().st_size == rep["bytes"]
+    back = tmp_path / "back.jpg"
+    assert main(["transcode", str(tdc), str(back)]) == 0
+    rep = json.loads(capsys.readouterr().out.strip())
+    assert rep["direction"] == "tdc->jpg"
+    np.testing.assert_array_equal(
+        imageio.load_jpeg(back), imageio.load_jpeg(gray_jpg)
+    )
+    # the imported stream also decodes through the ordinary decode command
+    png = tmp_path / "dec.png"
+    assert main(["decode", str(tdc), str(png)]) == 0
+    capsys.readouterr()
+    dec = imageio.load_image(png).astype(np.float64)
+    ref = imageio.load_jpeg(gray_jpg).astype(np.float64)
+    assert np.abs(dec - ref).max() <= 1.0
+    # native-transform streams refuse export with a clear error
+    assert main(["run", str(gray_jpg), str(tmp_path / "r.jpg"),
+                 "--coeffs", str(tmp_path / "h.tdc")]) == 0
+    capsys.readouterr()
+    assert main(["transcode", str(tmp_path / "h.tdc"),
+                 str(tmp_path / "no.jpg")]) == 1

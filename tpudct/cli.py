@@ -745,6 +745,58 @@ def cmd_inspect(args) -> int:
     return rc
 
 
+def cmd_transcode(args) -> int:
+    """Lossless coefficient-domain transcode between .jpg and .tdc — the
+    jpegtran idea pointed at the tpudct container.  Direction follows the
+    destination extension: `transcode in.jpg out.tdc` imports the JPEG's
+    quantized coefficients without any IDCT (transform='dct', the file's
+    quantization table embedded); `transcode in.tdc out.jpg` entropy-
+    encodes a transform='dct' map straight into a standards-compliant
+    JPEG.  jpg -> tdc -> jpg is bit-exact at the coefficient level — the
+    reference's save path re-runs the whole lossy pipeline per hop
+    (utils.cu:98-147)."""
+    import os
+
+    from tpudct.utils import jpegcoef
+
+    if not jpegcoef.coef_io_available():
+        raise ValueError(
+            "transcode needs the native library (make -C csrc); "
+            "coefficient-level libjpeg access has no pure-Python fallback"
+        )
+    dst = args.dst.lower()
+    if dst.endswith((".tdc", ".tdcc")):
+        if dst.endswith(".tdcc"):
+            raise ValueError(
+                "coefficient-level import is grayscale-only (.tdc); color "
+                "JPEGs go through pixel-domain `encode --color`"
+            )
+        data = jpegcoef.import_jpeg(args.src, codec=args.entropy)
+        with open(args.dst, "wb") as f:
+            f.write(data)
+        from tpudct.utils.serialize import inspect_stream
+
+        rep = inspect_stream(data)
+        print(json.dumps({
+            "direction": "jpg->tdc", "src": args.src, "dst": args.dst,
+            "bytes": len(data), "src_bytes": os.path.getsize(args.src),
+            "codec": rep["codec"], "shape": rep["orig_shape"],
+        }))
+        return 0
+    if dst.endswith((".jpg", ".jpeg")):
+        with open(args.src, "rb") as f:
+            data = f.read()
+        jpegcoef.export_jpeg(data, args.dst)
+        print(json.dumps({
+            "direction": "tdc->jpg", "src": args.src, "dst": args.dst,
+            "bytes": os.path.getsize(args.dst), "src_bytes": len(data),
+        }))
+        return 0
+    raise ValueError(
+        f"transcode needs a .tdc or .jpg destination, got {args.dst!r}"
+    )
+
+
 def cmd_compare(args) -> int:
     """Tolerance comparison of two images — the user-facing activation of
     the reference's DEAD arrays_are_close comparator (utils.cu:27-35,
@@ -923,6 +975,14 @@ def build_parser() -> argparse.ArgumentParser:
     sp = sub.add_parser("inspect", help="header-only report on .tdc/.tdcc files (codec, geometry, entropy stage, payload bytes; no decode)")
     sp.add_argument("files", nargs="+")
     sp.set_defaults(fn=cmd_inspect)
+
+    sp = sub.add_parser("transcode", help="lossless coefficient-domain jpg <-> .tdc (no IDCT/FDCT; direction by destination extension)")
+    sp.add_argument("src")
+    sp.add_argument("dst")
+    sp.add_argument("--entropy", default="auto",
+                    choices=("auto", "spectral", "huffman", "rans", "xz", "raw"),
+                    help=".tdc entropy stage for jpg->tdc imports")
+    sp.set_defaults(fn=cmd_transcode)
 
     sp = sub.add_parser("compare", help="tolerance-compare two images + metric suite (the reference's dead arrays_are_close, activated)")
     sp.add_argument("a")

@@ -1,0 +1,231 @@
+"""Coefficient-domain JPEG interop (lossless transcode).
+
+The reference's only persistence is a pixel-domain quality-100 re-encode
+(save_grayscale_jpeg, /root/reference/utils.cu:98-147) — every save is a
+generation-loss step.  This module moves the already-quantized DCT
+coefficients directly between .jpg entropy streams and tpudct containers
+(the jpegtran idea, aimed at .tdc):
+
+- `import_jpeg(path)` — read a JPEG's quantized coefficient arrays
+  WITHOUT any IDCT and wrap them in a .tdc stream (`transform="dct"`,
+  the file's own quantization table embedded as a custom q-table).  The
+  orthonormal 2-D DCT is exactly the ITU-T T.81 DCT, so the imported
+  map is bit-for-bit the JPEG's payload; decoding it through any tpudct
+  pipeline reproduces libjpeg's own decode within the integer-IDCT ±1
+  class (verified in tests/test_transcode.py).
+- `export_jpeg(data, path)` — entropy-encode a `transform="dct"` .tdc
+  coefficient map straight into a standards-compliant .jpg (no FDCT, no
+  requantization; bit-exact: export→import returns the identical map).
+
+jpg → .tdc → jpg round-trips are lossless at the coefficient level —
+the reference's workflow (decode to pixels, recompute, re-encode) is
+lossy at every hop.
+
+Native backend: csrc/jpeg_codec.c `tpudct_jpeg_read_coefs` /
+`tpudct_jpeg_write_coefs` via ctypes.  No pure-Python fallback — this
+is coefficient-level libjpeg access; `coef_io_available()` gates it.
+"""
+
+from __future__ import annotations
+
+import ctypes
+
+import numpy as np
+
+_MAXC = 4  # TPUDCT_MAX_COMPS in csrc/jpeg_codec.c
+_configured = None
+
+
+def _get_lib():
+    """The shared imageio CDLL with the coefficient entry points bound."""
+    global _configured
+    if _configured is not None:
+        return _configured
+    from tpudct.utils.imageio import _load_native
+
+    lib = _load_native()
+    if lib is None or not hasattr(lib, "tpudct_jpeg_read_coefs"):
+        return None
+    i16p = ctypes.POINTER(ctypes.c_short)
+    intp = ctypes.POINTER(ctypes.c_int)
+    lib.tpudct_jpeg_read_coefs.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(i16p), intp, intp,
+        ctypes.POINTER(ctypes.c_ushort), intp, intp, intp, intp, intp,
+    ]
+    lib.tpudct_jpeg_read_coefs.restype = ctypes.c_int
+    lib.tpudct_jpeg_write_coefs.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(i16p), intp, intp,
+        ctypes.POINTER(ctypes.c_ushort), intp, intp,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+    ]
+    lib.tpudct_jpeg_write_coefs.restype = ctypes.c_int
+    _configured = lib
+    return lib
+
+
+def coef_io_available() -> bool:
+    return _get_lib() is not None
+
+
+_READ_ERRORS = {
+    1: "cannot open file",
+    2: "libjpeg failed to parse the stream",
+    3: "out of memory",
+    4: "unsupported colorspace or component count (grayscale/YCbCr only)",
+    5: "stream carries no quantization table",
+}
+
+
+def read_jpeg_coefficients(path: str) -> dict:
+    """Read a JPEG's quantized DCT coefficients without decoding pixels.
+
+    Returns {"comps": [per-component dicts], "shape": (h, w) pixel dims}.
+    Each component dict: "map" int16 (Hb*8, Wb*8) coefficient map in the
+    .tdc block-raster layout, "qtab" float32 (8, 8) quantization table
+    (natural order), "samp" (h_samp, v_samp) sampling factors."""
+    lib = _get_lib()
+    if lib is None:
+        raise RuntimeError(
+            "coefficient-domain JPEG I/O needs the native library "
+            "(make -C csrc); no pure-Python fallback exists"
+        )
+    i16p = ctypes.POINTER(ctypes.c_short)
+    bufs = (i16p * _MAXC)()
+    cw = (ctypes.c_int * _MAXC)()
+    ch = (ctypes.c_int * _MAXC)()
+    qt = (ctypes.c_ushort * (_MAXC * 64))()
+    hs = (ctypes.c_int * _MAXC)()
+    vs = (ctypes.c_int * _MAXC)()
+    nc, iw, ih = ctypes.c_int(), ctypes.c_int(), ctypes.c_int()
+    rc = lib.tpudct_jpeg_read_coefs(
+        str(path).encode(), bufs, cw, ch, qt, hs, vs,
+        ctypes.byref(nc), ctypes.byref(iw), ctypes.byref(ih),
+    )
+    if rc != 0:
+        raise IOError(
+            f"coefficient read failed for {path}: "
+            f"{_READ_ERRORS.get(rc, f'rc={rc}')}"
+        )
+    comps = []
+    for c in range(nc.value):
+        try:
+            m = np.ctypeslib.as_array(
+                bufs[c], shape=(ch[c] * cw[c],)
+            ).reshape(ch[c], cw[c]).copy()
+        finally:
+            lib.tpudct_free(ctypes.cast(bufs[c], ctypes.POINTER(ctypes.c_ubyte)))
+        comps.append({
+            "map": m,
+            "qtab": np.ctypeslib.as_array(qt)[c * 64 : (c + 1) * 64]
+            .reshape(8, 8).astype(np.float32),
+            "samp": (hs[c], vs[c]),
+        })
+    return {"comps": comps, "shape": (ih.value, iw.value)}
+
+
+def write_jpeg_coefficients(path: str, comps: list, shape: tuple) -> None:
+    """Entropy-encode coefficient maps into a .jpg (inverse of
+    `read_jpeg_coefficients`; same comps/shape structure).  Maps must be
+    int16-valued with per-block magnitudes inside the T.81 Huffman
+    category range (|AC| <= 1023, |DC step| <= 2047) — libjpeg rejects
+    the stream otherwise."""
+    lib = _get_lib()
+    if lib is None:
+        raise RuntimeError(
+            "coefficient-domain JPEG I/O needs the native library "
+            "(make -C csrc); no pure-Python fallback exists"
+        )
+    n = len(comps)
+    if n not in (1, 3):
+        raise ValueError(f"expected 1 or 3 components, got {n}")
+    i16p = ctypes.POINTER(ctypes.c_short)
+    maps = [np.ascontiguousarray(c["map"], np.int16) for c in comps]
+    for m in maps:
+        if m.ndim != 2 or m.shape[0] % 8 or m.shape[1] % 8:
+            raise ValueError(f"coefficient map shape {m.shape} not 8-aligned")
+    qcat = np.concatenate([
+        np.rint(np.asarray(c["qtab"], np.float64)).astype(np.int64).ravel()
+        for c in comps
+    ])
+    if (qcat < 1).any() or (qcat > 32767).any():
+        raise ValueError("quantization table values must lie in [1, 32767]")
+    bufs = (i16p * n)(*[m.ctypes.data_as(i16p) for m in maps])
+    cw = (ctypes.c_int * n)(*[m.shape[1] for m in maps])
+    ch = (ctypes.c_int * n)(*[m.shape[0] for m in maps])
+    qt = (ctypes.c_ushort * (n * 64))(*qcat.tolist())
+    hs = (ctypes.c_int * n)(*[int(c["samp"][0]) for c in comps])
+    vs = (ctypes.c_int * n)(*[int(c["samp"][1]) for c in comps])
+    h, w = shape
+    rc = lib.tpudct_jpeg_write_coefs(
+        str(path).encode(), bufs, cw, ch, qt, hs, vs, n, int(w), int(h)
+    )
+    if rc == 6:
+        raise ValueError(
+            f"coefficient map dims {[m.shape for m in maps]} do not match "
+            f"pixel shape {shape} with sampling "
+            f"{[c['samp'] for c in comps]}"
+        )
+    if rc != 0:
+        raise IOError(
+            f"coefficient write failed for {path} (rc={rc}); JPEG Huffman "
+            "coding bounds coefficients (|AC| <= 1023, |DC step| <= 2047) — "
+            "very low q_scale streams may not be expressible as .jpg"
+        )
+
+
+def import_jpeg(path: str, codec: str = "auto") -> bytes:
+    """JPEG -> .tdc without touching pixels: the file's quantized
+    coefficients and quantization table become a `transform="dct"` .tdc
+    stream (table embedded as a custom q-table, q_scale=1).  Grayscale
+    JPEGs only — color files' per-plane tables don't fit the .tdcc
+    (luma, chroma, chroma) convention; decode those via pixel-domain
+    `encode --color` instead."""
+    from tpudct.constants import register_q_table
+    from tpudct.utils.serialize import coefficients_to_bytes
+
+    r = read_jpeg_coefficients(path)
+    if len(r["comps"]) != 1:
+        raise ValueError(
+            f"{path} has {len(r['comps'])} components; coefficient-level "
+            "import supports grayscale JPEGs (use pixel-domain "
+            "`encode --color` for color files)"
+        )
+    comp = r["comps"][0]
+    name = register_q_table(comp["qtab"])
+    return coefficients_to_bytes(
+        comp["map"].astype(np.float32), q_scale=1.0, orig_shape=r["shape"],
+        transform="dct", q_table=name, codec=codec,
+    )
+
+
+def export_jpeg(data: bytes, path: str) -> None:
+    """`transform="dct"` .tdc -> .jpg at the coefficient level (bit-exact;
+    no IDCT/FDCT runs).  The stream's Q·q_scale must round to integers in
+    [1, 32767] — exactly the tables JPEG files can carry."""
+    from tpudct.constants import get_q_table
+    from tpudct.utils.serialize import bytes_to_coefficients
+
+    coeffs, q_scale, _rk, orig_shape, transform, q_table = (
+        bytes_to_coefficients(
+            data, with_orig_shape=True, with_transform=True, with_q_table=True
+        )
+    )
+    if transform != "dct":
+        raise ValueError(
+            f"coefficient-level export needs transform='dct' (this stream "
+            f"uses {transform!r} — its coefficients are not JPEG DCT "
+            "coefficients); `decode` to pixels and re-encode instead"
+        )
+    q = np.asarray(get_q_table(q_table), np.float64) * float(q_scale)
+    qi = np.rint(q)
+    if not np.allclose(q, qi, atol=1e-3) or (qi < 1).any() or (qi > 32767).any():
+        raise ValueError(
+            f"Q table x q_scale={q_scale} is not integer-valued in "
+            "[1, 32767]; JPEG files cannot carry this quantizer"
+        )
+    write_jpeg_coefficients(
+        path,
+        [{"map": coeffs.astype(np.int16), "qtab": qi.astype(np.float32),
+          "samp": (1, 1)}],
+        orig_shape,
+    )
