@@ -448,18 +448,43 @@ def test_color_codec_owns_table_assignment():
         np.testing.assert_array_equal(np.asarray(a[0][k]), np.asarray(b[0][k]))
 
 
-def test_tdcc_rejects_wrong_table_convention():
+def test_tdcc_honors_recorded_plane_tables():
+    """Plane q tables are read from the stream, not assumed: a .tdcc whose
+    Y plane was coded against the chroma table decodes against the chroma
+    table (the mechanism imported JPEGs use to carry their own tables,
+    utils/jpegcoef.py) — while divergent Cb/Cr tables are rejected (the
+    fused chroma pass dequantizes both against one table)."""
     import struct
 
-    from tpudct.utils.serialize import _HEADERC, _MAGICC, bytes_to_color
+    from tpudct.models.color import decode_color
+    from tpudct.utils.serialize import (
+        _HEADERC, _MAGICC, bytes_to_color, color_to_bytes,
+    )
 
+    rgb = _smooth_rgb(64, 64)
+    p = get_pipeline("batched")
+    cfg = CodecConfig(interpret=True)
+    planes, meta = encode_color(p, jnp.asarray(rgb), cfg)
+    np_planes = {k: np.asarray(v) for k, v in planes.items()}
+
+    # override the recorded luma table: parse must surface it and decode
+    # must dequantize Y against it
+    data = color_to_bytes(np_planes, {**meta, "y_q_table": "chroma"})
+    pl, m = bytes_to_color(data)
+    assert m["y_q_table"] == "chroma" and m["c_q_table"] == "chroma"
+    rec_chroma_y = np.asarray(decode_color(p, pl, m, cfg))
+    rec_luma_y = np.asarray(decode_color(p, pl, {**m, "y_q_table": "luma"}, cfg))
+    assert not np.array_equal(rec_chroma_y, rec_luma_y)  # the table matters
+
+    # divergent chroma tables: rejected at parse
     c = np.zeros((8, 8), np.float32)
-    y = serialize.coefficients_to_bytes(c, q_table="chroma")  # wrong for Y
-    ch = serialize.coefficients_to_bytes(c, q_table="chroma")
+    y = serialize.coefficients_to_bytes(c, q_table="luma")
+    cb = serialize.coefficients_to_bytes(c, q_table="chroma")
+    cr = serialize.coefficients_to_bytes(c, q_table="luma")
     blob = struct.pack(_HEADERC, _MAGICC, 3, 1)
-    for plane in (y, ch, ch):
+    for plane in (y, cb, cr):
         blob += struct.pack("<I", len(plane)) + plane
-    with pytest.raises(ValueError):
+    with pytest.raises(ValueError, match="share a q_table"):
         bytes_to_color(blob)
 
 

@@ -135,12 +135,109 @@ def test_export_rejects_non_integer_quantizer(tmp_path, rng):
         jpegcoef.export_jpeg(data, tmp_path / "x.jpg")
 
 
-def test_import_rejects_color(tmp_path, rng):
+def test_color_import_export_roundtrip(tmp_path, rng):
+    """Color JPEG -> .tdcc -> .jpg: coefficient maps and q tables survive
+    both hops bit-exactly (4:2:0, the libjpeg default), and the .tdcc
+    decodes through the framework to a faithful image (chroma upsampling
+    filters differ — ours is nearest, libjpeg's is triangular — so pixel
+    equality is luma-weighted, not exact)."""
+    import jax.numpy as jnp
+
+    from tpudct import CodecConfig, get_pipeline
+    from tpudct.models.color import decode_color
+
+    # smooth gradient content keeps chroma-filter differences small
+    yy, xx = np.mgrid[0:48, 0:64].astype(np.float64)
+    rgb = np.stack([
+        120 + 60 * np.sin(yy / 9), 128 + 50 * np.cos(xx / 11),
+        100 + 40 * np.sin((xx + yy) / 13),
+    ], axis=-1).clip(0, 255).astype(np.uint8)
+    src = tmp_path / "c.jpg"
+    imageio.save_jpeg(src, rgb, quality=85)
+
+    data = jpegcoef.import_jpeg(src)
+    assert serialize.is_color_stream(data)
+    rep = serialize.inspect_stream(data)
+    assert rep["subsample"] == "4:2:0"
+    assert all(p["transform"] == "dct" for p in rep["planes"])
+
+    # export back: bit-exact coefficient maps and tables
+    back = tmp_path / "back.jpg"
+    jpegcoef.export_jpeg(data, back)
+    a = jpegcoef.read_jpeg_coefficients(src)
+    b = jpegcoef.read_jpeg_coefficients(back)
+    for ca, cb in zip(a["comps"], b["comps"]):
+        np.testing.assert_array_equal(ca["map"], cb["map"])
+        np.testing.assert_array_equal(ca["qtab"], cb["qtab"])
+    np.testing.assert_array_equal(
+        imageio.load_jpeg(src, force_gray=False),
+        imageio.load_jpeg(back, force_gray=False),
+    )
+
+    # framework decode of the imported stream tracks libjpeg's decode
+    planes, meta = serialize.bytes_to_color(data)
+    cfg = CodecConfig(transform=meta["transform"], q_scale=meta["q_scale"])
+    rec = np.asarray(decode_color(
+        get_pipeline("batched"),
+        {k: jnp.asarray(v) for k, v in planes.items()}, meta, cfg,
+    )).astype(np.float64)
+    ref = imageio.load_jpeg(src, force_gray=False).astype(np.float64)
+    mse = ((rec - ref) ** 2).mean()
+    psnr = 10 * np.log10(255.0 ** 2 / mse)
+    assert psnr > 35, psnr
+
+
+def test_import_rejects_exotic_sampling(tmp_path, rng):
+    """4:1:1 and friends have no .tdcc subsample mode: clean refusal."""
+    try:
+        from PIL import Image
+    except ImportError:
+        pytest.skip("PIL unavailable")
     rgb = rng.integers(0, 256, (32, 32, 3)).astype(np.uint8)
-    p = tmp_path / "c.jpg"
-    imageio.save_jpeg(p, rgb, quality=90)
-    with pytest.raises(ValueError, match="3 components"):
+    p = tmp_path / "c411.jpg"
+    # PIL maps subsampling=2 to 4:2:0; force 4:1:1 via raw libjpeg factors
+    # is not exposed — emulate with qtables? Simplest real case: CMYK.
+    Image.fromarray(rgb).convert("CMYK").save(p, "JPEG", quality=90)
+    with pytest.raises((ValueError, IOError)):
         jpegcoef.import_jpeg(p)
+
+
+def test_batch_unbatch_transcode(tmp_path, rng, capsys):
+    """Bulk lossless archival: batch --transcode imports every .jpg at the
+    coefficient level (gray -> .tdc, color -> .tdcc), unbatch --transcode
+    restores bit-identical decodes; the manifest reports byte savings and
+    re-runs are idempotent."""
+    src = tmp_path / "in"
+    mid = tmp_path / "tdc"
+    back = tmp_path / "out"
+    src.mkdir()
+    for i in range(3):
+        img = (rng.normal(128, 40, (40, 56)).clip(0, 255)).astype(np.uint8)
+        imageio.save_jpeg(src / f"g{i}.jpg", img, quality=80 + i)
+    rgb = rng.integers(0, 256, (32, 48, 3)).astype(np.uint8)
+    imageio.save_jpeg(src / "c.jpg", rgb, quality=90)
+    (src / "junk.jpg").write_bytes(b"not a jpeg")
+
+    assert main(["batch", "--transcode", str(src), str(mid)]) == 0
+    rep = json.loads(capsys.readouterr().out.strip())
+    assert rep["transcoded"] == 4 and rep["failed"] == 1
+    assert "saved_pct" in rep
+    assert sorted(q.suffix for q in mid.iterdir() if q.name != "manifest.jsonl") \
+        == [".tdc", ".tdc", ".tdc", ".tdcc"]
+    # idempotent re-run
+    assert main(["batch", "--transcode", str(src), str(mid)]) == 0
+    rep = json.loads(capsys.readouterr().out.strip())
+    assert rep["transcoded"] == 0 and rep["skipped"] == 5
+
+    assert main(["unbatch", "--transcode", str(mid), str(back)]) == 0
+    rep = json.loads(capsys.readouterr().out.strip())
+    assert rep["decoded"] == 4 and rep["failed"] == 0
+    for name in ("g0.jpg", "g1.jpg", "g2.jpg", "c.jpg"):
+        restored = next(back.glob(f"{name}.tdc*.jpg"))
+        np.testing.assert_array_equal(
+            imageio.load_jpeg(src / name, force_gray=False),
+            imageio.load_jpeg(restored, force_gray=False),
+        )
 
 
 def test_cli_transcode(tmp_path, gray_jpg, capsys):
@@ -168,3 +265,6 @@ def test_cli_transcode(tmp_path, gray_jpg, capsys):
     capsys.readouterr()
     assert main(["transcode", str(tmp_path / "h.tdc"),
                  str(tmp_path / "no.jpg")]) == 1
+    capsys.readouterr()
+    # extension must match the JPEG's component count
+    assert main(["transcode", str(gray_jpg), str(tmp_path / "g.tdcc")]) == 1

@@ -484,6 +484,17 @@ def cmd_unbatch(args) -> int:
             except (json.JSONDecodeError, KeyError):
                 continue
 
+    if args.transcode and ext not in imageio.JPEG_EXTS:
+        raise SystemExit(
+            "error: --transcode restores .jpg files; use --ext .jpg"
+        )
+    if args.transcode:
+        from tpudct.utils import jpegcoef
+
+        if not jpegcoef.coef_io_available():
+            raise ValueError(
+                "unbatch --transcode needs the native library (make -C csrc)"
+            )
     p = get_pipeline(args.pipeline)
     files = sorted(
         q.name for q in src.iterdir() if q.suffix.lower() in (".tdc", ".tdcc")
@@ -495,6 +506,17 @@ def cmd_unbatch(args) -> int:
             out = dst / (name + ext)
             try:
                 data = (src / name).read_bytes()
+                if args.transcode:
+                    # Lossless export (inverse of `batch --transcode`):
+                    # entropy-encode the coefficient map straight back into
+                    # a .jpg — bit-exact, no pixel-domain hop.
+                    jpegcoef.export_jpeg(data, out)
+                    mf.write(json.dumps(
+                        {"file": name, "out": out.name, "transcode": True}
+                    ) + "\n")
+                    mf.flush()
+                    decoded += 1
+                    continue
                 if serialize.is_color_stream(data[:4]):
                     from tpudct.models.color import decode_color_auto
 
@@ -563,6 +585,57 @@ def cmd_batch(args) -> int:
                 done.add(json.loads(line)["file"])
             except (json.JSONDecodeError, KeyError):
                 continue
+
+    if args.transcode:
+        # Lossless archival mode: coefficient-level import (utils/jpegcoef),
+        # no IDCT/FDCT and no device — every .jpg becomes a bit-exact-
+        # recoverable .tdc/.tdcc, typically SMALLER than the source (the
+        # rans/xz stages beat JPEG's baseline Huffman on the same
+        # symbols).  `unbatch --transcode` restores the .jpg files.
+        from tpudct.utils import jpegcoef
+
+        if not jpegcoef.coef_io_available():
+            raise ValueError(
+                "batch --transcode needs the native library (make -C csrc)"
+            )
+        files = sorted(
+            q.name for q in src.iterdir()
+            if q.suffix.lower() in imageio.JPEG_EXTS
+        )
+        todo = [name for name in files if name not in done]
+        coded = failed = 0
+        bytes_in = bytes_out = 0
+        with open(manifest, "a") as mf:
+            for name in todo:
+                try:
+                    data = jpegcoef.import_jpeg(src / name, codec=args.entropy)
+                except (OSError, ValueError) as e:
+                    mf.write(json.dumps({"file": name, "error": str(e)}) + "\n")
+                    mf.flush()
+                    failed += 1
+                    continue
+                ext = ".tdcc" if serialize.is_color_stream(data) else ".tdc"
+                out = dst / (name + ext)
+                out.write_bytes(data)
+                src_bytes = (src / name).stat().st_size
+                bytes_in += src_bytes
+                bytes_out += len(data)
+                mf.write(json.dumps({
+                    "file": name, "tdc": out.name, "bytes": len(data),
+                    "src_bytes": src_bytes, "transcode": True,
+                }) + "\n")
+                mf.flush()
+                coded += 1
+        rep = {
+            "transcoded": coded, "skipped": len(files) - len(todo),
+            "failed": failed, "total": len(files), "manifest": str(manifest),
+        }
+        if bytes_in:
+            rep["bytes_in"] = bytes_in
+            rep["bytes_out"] = bytes_out
+            rep["saved_pct"] = round(100.0 * (1 - bytes_out / bytes_in), 2)
+        print(json.dumps(rep))
+        return 0
 
     cfg = _cfg_from(args)
     p = get_pipeline(args.pipeline)
@@ -766,21 +839,24 @@ def cmd_transcode(args) -> int:
         )
     dst = args.dst.lower()
     if dst.endswith((".tdc", ".tdcc")):
-        if dst.endswith(".tdcc"):
-            raise ValueError(
-                "coefficient-level import is grayscale-only (.tdc); color "
-                "JPEGs go through pixel-domain `encode --color`"
-            )
+        from tpudct.utils.serialize import inspect_stream, is_color_stream
+
         data = jpegcoef.import_jpeg(args.src, codec=args.entropy)
+        color = is_color_stream(data)
+        if color != dst.endswith(".tdcc"):
+            raise ValueError(
+                f"{args.src} is a {'color' if color else 'grayscale'} JPEG; "
+                f"write it to a {'.tdcc' if color else '.tdc'} destination"
+            )
         with open(args.dst, "wb") as f:
             f.write(data)
-        from tpudct.utils.serialize import inspect_stream
-
         rep = inspect_stream(data)
+        plane0 = rep["planes"][0] if color else rep
         print(json.dumps({
-            "direction": "jpg->tdc", "src": args.src, "dst": args.dst,
+            "direction": "jpg->tdcc" if color else "jpg->tdc",
+            "src": args.src, "dst": args.dst,
             "bytes": len(data), "src_bytes": os.path.getsize(args.src),
-            "codec": rep["codec"], "shape": rep["orig_shape"],
+            "codec": plane0["codec"], "shape": plane0["orig_shape"],
         }))
         return 0
     if dst.endswith((".jpg", ".jpeg")):
@@ -934,6 +1010,8 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("output_dir")
     sp.add_argument("--decode-threads", type=int, default=8,
                     help="native JPEG decode pool size (0 = one per CPU)")
+    sp.add_argument("--transcode", action="store_true",
+                    help="lossless archival mode: coefficient-level import of every .jpg (no IDCT, bit-exact recoverable via `unbatch --transcode`, typically smaller than the source)")
     sp.set_defaults(fn=cmd_batch)
 
     sp = sub.add_parser("curve", help="rate-distortion sweep: .tdc vs libjpeg bytes+PSNR per quality")
@@ -949,6 +1027,8 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--quality", type=int, default=100)
     sp.add_argument("--ext", default=".jpg",
                     help="output extension: .jpg (default, quality applies) or a lossless format like .png")
+    sp.add_argument("--transcode", action="store_true",
+                    help="lossless export: entropy-encode transform=dct streams straight back to .jpg (inverse of `batch --transcode`)")
     sp.add_argument("input_dir")
     sp.add_argument("output_dir")
     sp.set_defaults(fn=cmd_unbatch)

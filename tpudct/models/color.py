@@ -59,15 +59,16 @@ _DOWN = {"420": downsample_420, "422": downsample_422}
 _UP = {"420": upsample_420, "422": upsample_422}
 
 
-def _luma_cfg(cfg: CodecConfig) -> CodecConfig:
+def _luma_cfg(cfg: CodecConfig, name: str = "luma") -> CodecConfig:
     """The color codec OWNS table assignment (Y vs Q, Cb/Cr vs QC) — a
     caller-set cfg.q_table is normalized away so the serialized headers
-    (which hardcode the luma/chroma convention) always match the math."""
-    return dataclasses.replace(cfg, q_table="luma")
+    always match the math.  Streams carrying their own tables (imported
+    JPEGs, utils/jpegcoef.py) override via meta["y_q_table"]/["c_q_table"]."""
+    return dataclasses.replace(cfg, q_table=name)
 
 
-def _chroma_cfg(cfg: CodecConfig) -> CodecConfig:
-    return dataclasses.replace(cfg, q_table="chroma")
+def _chroma_cfg(cfg: CodecConfig, name: str = "chroma") -> CodecConfig:
+    return dataclasses.replace(cfg, q_table=name)
 
 
 def encode_color(
@@ -106,9 +107,10 @@ def decode_color(p: Pipeline, planes: dict, meta: dict, cfg: CodecConfig):
     h, w = meta["orig_shape"]
     ch, cw = meta["chroma_shape"]
 
-    y = crop(p.idct(jnp.asarray(planes["y"], jnp.float32), _luma_cfg(cfg)), h, w)
+    lcfg = _luma_cfg(cfg, meta.get("y_q_table", "luma"))
+    y = crop(p.idct(jnp.asarray(planes["y"], jnp.float32), lcfg), h, w)
 
-    ccfg = _chroma_cfg(cfg)
+    ccfg = _chroma_cfg(cfg, meta.get("c_q_table", "chroma"))
     cc = p.idct(
         jnp.concatenate(
             [jnp.asarray(planes["cb"], jnp.float32),
@@ -290,6 +292,10 @@ def decode_color_auto(p: Pipeline, planes: dict, meta: dict, cfg: CodecConfig):
     h, w = meta["orig_shape"]
     if (
         _sub_mode(meta["subsample"]) == "420"
+        # the fused u8 kernels bake the standard tables; per-stream custom
+        # tables (imported JPEGs) take the general f32 path
+        and meta.get("y_q_table", "luma") == "luma"
+        and meta.get("c_q_table", "chroma") == "chroma"
         and supports_color_u8(p, cfg, h, w)
         and tuple(planes["y"].shape) == (h, w)
         and all(_fits_i8(v) for v in planes.values())

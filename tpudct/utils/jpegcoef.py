@@ -173,59 +173,125 @@ def write_jpeg_coefficients(path: str, comps: list, shape: tuple) -> None:
         )
 
 
+# JPEG sampling-factor patterns <-> tpudct subsample modes.  The luma
+# factor pair keys the mode; chroma must be (1, 1) in all three.
+_SAMP_TO_MODE = {(2, 2): "420", (2, 1): "422", (1, 1): False}
+_MODE_TO_SAMP = {v: k for k, v in _SAMP_TO_MODE.items()}
+
+
+def _chroma_shape(shape: tuple, mode) -> tuple:
+    h, w = shape
+    if mode == "420":
+        return ((h + 1) // 2, (w + 1) // 2)
+    if mode == "422":
+        return (h, (w + 1) // 2)
+    return (h, w)
+
+
 def import_jpeg(path: str, codec: str = "auto") -> bytes:
-    """JPEG -> .tdc without touching pixels: the file's quantized
-    coefficients and quantization table become a `transform="dct"` .tdc
-    stream (table embedded as a custom q-table, q_scale=1).  Grayscale
-    JPEGs only — color files' per-plane tables don't fit the .tdcc
-    (luma, chroma, chroma) convention; decode those via pixel-domain
-    `encode --color` instead."""
+    """JPEG -> .tdc/.tdcc without touching pixels: the file's quantized
+    coefficients and quantization tables become a `transform="dct"`
+    stream (tables embedded as custom q-tables, q_scale=1).  Grayscale
+    files yield .tdc bytes; 3-component YCbCr files yield .tdcc bytes
+    (the per-plane headers carry the file's own luma/chroma tables via
+    meta["y_q_table"]/["c_q_table"]).  Supported chroma layouts: 4:4:4,
+    4:2:0, 4:2:2 — anything else (e.g. 4:1:1) has no .tdcc subsample
+    mode and is refused."""
     from tpudct.constants import register_q_table
-    from tpudct.utils.serialize import coefficients_to_bytes
+    from tpudct.utils.serialize import coefficients_to_bytes, color_to_bytes
 
     r = read_jpeg_coefficients(path)
-    if len(r["comps"]) != 1:
+    comps = r["comps"]
+    if len(comps) == 1:
+        name = register_q_table(comps[0]["qtab"])
+        return coefficients_to_bytes(
+            comps[0]["map"].astype(np.float32), q_scale=1.0,
+            orig_shape=r["shape"], transform="dct", q_table=name, codec=codec,
+        )
+    if len(comps) != 3:
         raise ValueError(
-            f"{path} has {len(r['comps'])} components; coefficient-level "
-            "import supports grayscale JPEGs (use pixel-domain "
-            "`encode --color` for color files)"
+            f"{path} has {len(comps)} components; coefficient-level import "
+            "supports grayscale and 3-component YCbCr JPEGs"
         )
-    comp = r["comps"][0]
-    name = register_q_table(comp["qtab"])
-    return coefficients_to_bytes(
-        comp["map"].astype(np.float32), q_scale=1.0, orig_shape=r["shape"],
-        transform="dct", q_table=name, codec=codec,
-    )
+    y, cb, cr = comps
+    mode = _SAMP_TO_MODE.get(y["samp"])
+    if mode is None or cb["samp"] != (1, 1) or cr["samp"] != (1, 1):
+        raise ValueError(
+            f"unsupported chroma layout {[c['samp'] for c in comps]}; "
+            ".tdcc carries 4:4:4 / 4:2:0 / 4:2:2 (use pixel-domain "
+            "`encode --color` for this file)"
+        )
+    if not np.array_equal(cb["qtab"], cr["qtab"]):
+        raise ValueError(
+            f"{path}: Cb and Cr use different quantization tables; .tdcc "
+            "chroma planes share one (use pixel-domain `encode --color`)"
+        )
+    meta = {
+        "orig_shape": r["shape"],
+        "chroma_shape": _chroma_shape(r["shape"], mode),
+        "subsample": mode,
+        "y_q_table": register_q_table(y["qtab"]),
+        "c_q_table": register_q_table(cb["qtab"]),
+    }
+    planes = {k: c["map"].astype(np.float32)
+              for k, c in zip(("y", "cb", "cr"), comps)}
+    return color_to_bytes(planes, meta, q_scale=1.0, transform="dct",
+                          codec=codec)
 
 
-def export_jpeg(data: bytes, path: str) -> None:
-    """`transform="dct"` .tdc -> .jpg at the coefficient level (bit-exact;
-    no IDCT/FDCT runs).  The stream's Q·q_scale must round to integers in
-    [1, 32767] — exactly the tables JPEG files can carry."""
+def _integer_qtab(q_table: str, q_scale: float) -> np.ndarray:
     from tpudct.constants import get_q_table
-    from tpudct.utils.serialize import bytes_to_coefficients
 
-    coeffs, q_scale, _rk, orig_shape, transform, q_table = (
-        bytes_to_coefficients(
-            data, with_orig_shape=True, with_transform=True, with_q_table=True
+    q = np.asarray(get_q_table(q_table), np.float64) * float(q_scale)
+    qi = np.rint(q)
+    if not np.allclose(q, qi, atol=1e-3) or (qi < 1).any() or (qi > 32767).any():
+        raise ValueError(
+            f"Q table {q_table!r} x q_scale={q_scale} is not integer-valued "
+            "in [1, 32767]; JPEG files cannot carry this quantizer"
         )
-    )
+    return qi.astype(np.float32)
+
+
+def _require_dct(transform: str) -> None:
     if transform != "dct":
         raise ValueError(
             f"coefficient-level export needs transform='dct' (this stream "
             f"uses {transform!r} — its coefficients are not JPEG DCT "
             "coefficients); `decode` to pixels and re-encode instead"
         )
-    q = np.asarray(get_q_table(q_table), np.float64) * float(q_scale)
-    qi = np.rint(q)
-    if not np.allclose(q, qi, atol=1e-3) or (qi < 1).any() or (qi > 32767).any():
-        raise ValueError(
-            f"Q table x q_scale={q_scale} is not integer-valued in "
-            "[1, 32767]; JPEG files cannot carry this quantizer"
+
+
+def export_jpeg(data: bytes, path: str) -> None:
+    """`transform="dct"` .tdc/.tdcc -> .jpg at the coefficient level
+    (bit-exact; no IDCT/FDCT runs).  The stream's Q·q_scale must round to
+    integers in [1, 32767] — exactly the tables JPEG files can carry."""
+    from tpudct.utils.serialize import (
+        bytes_to_coefficients, bytes_to_color, is_color_stream,
+    )
+
+    if is_color_stream(data):
+        planes, meta = bytes_to_color(data)
+        _require_dct(meta["transform"])
+        yq = _integer_qtab(meta["y_q_table"], meta["q_scale"])
+        cq = _integer_qtab(meta["c_q_table"], meta["q_scale"])
+        lsamp = _MODE_TO_SAMP[meta["subsample"]]
+        write_jpeg_coefficients(
+            path,
+            [{"map": planes["y"].astype(np.int16), "qtab": yq, "samp": lsamp},
+             {"map": planes["cb"].astype(np.int16), "qtab": cq, "samp": (1, 1)},
+             {"map": planes["cr"].astype(np.int16), "qtab": cq, "samp": (1, 1)}],
+            meta["orig_shape"],
         )
+        return
+    coeffs, q_scale, _rk, orig_shape, transform, q_table = (
+        bytes_to_coefficients(
+            data, with_orig_shape=True, with_transform=True, with_q_table=True
+        )
+    )
+    _require_dct(transform)
     write_jpeg_coefficients(
         path,
-        [{"map": coeffs.astype(np.int16), "qtab": qi.astype(np.float32),
-          "samp": (1, 1)}],
+        [{"map": coeffs.astype(np.int16),
+          "qtab": _integer_qtab(q_table, q_scale), "samp": (1, 1)}],
         orig_shape,
     )

@@ -748,15 +748,22 @@ def color_to_bytes(
     planes: dict, meta: dict, q_scale: float = 1.0, retain_k=None,
     transform: str = "haweel", level: int = 6, codec: str = "auto",
 ) -> bytes:
-    """Serialize models.color.encode_color output to a .tdcc stream."""
+    """Serialize models.color.encode_color output to a .tdcc stream.
+
+    Plane q tables default to the (luma, chroma, chroma) convention;
+    streams carrying their own tables (imported JPEGs, utils/jpegcoef.py)
+    override via meta["y_q_table"] / meta["c_q_table"] (registered names —
+    custom "q:..." names embed their 256-byte blocks per plane)."""
     h, w = meta["orig_shape"]
+    yq = meta.get("y_q_table", "luma")
+    cq = meta.get("c_q_table", "chroma")
     # subsample byte: 0 = 4:4:4 (none), 1 = 4:2:0 (legacy bool True), 2 = 4:2:2
     _SUB_CODE = {False: 0, True: 1, "420": 1, "422": 2}
     parts = [struct.pack(_HEADERC, _MAGICC, 3, _SUB_CODE[meta["subsample"]])]
     for name, q_table, oshape in (
-        ("y", "luma", (h, w)),
-        ("cb", "chroma", meta["chroma_shape"]),
-        ("cr", "chroma", meta["chroma_shape"]),
+        ("y", yq, (h, w)),
+        ("cb", cq, meta["chroma_shape"]),
+        ("cr", cq, meta["chroma_shape"]),
     ):
         blob = coefficients_to_bytes(
             planes[name], q_scale, retain_k, level=level, orig_shape=oshape,
@@ -800,15 +807,18 @@ def bytes_to_color(data: bytes) -> tuple:
     if not (same("transform") and same("q_scale") and same("retain_k")
             and cb["orig_shape"] == cr["orig_shape"]):
         raise ValueError("inconsistent .tdcc plane headers")
-    if y["q_table"] != "luma" or cb["q_table"] != "chroma" or cr["q_table"] != "chroma":
-        # decode_color hardcodes the luma/chroma convention; anything else
-        # would silently dequantize against the wrong tables.
+    if cb["q_table"] != cr["q_table"]:
+        # decode_color dequantizes Cb and Cr in one fused pass against a
+        # single table; divergent chroma tables would silently use the
+        # wrong one for half the pass.
         raise ValueError(
-            ".tdcc plane q_tables must be (luma, chroma, chroma), got "
-            f"({y['q_table']}, {cb['q_table']}, {cr['q_table']})"
+            ".tdcc chroma planes must share a q_table, got "
+            f"({cb['q_table']}, {cr['q_table']})"
         )
     planes = {"y": y["coeffs"], "cb": cb["coeffs"], "cr": cr["coeffs"]}
     meta = {
+        "y_q_table": y["q_table"],
+        "c_q_table": cb["q_table"],
         "orig_shape": y["orig_shape"],
         "chroma_shape": cb["orig_shape"],
         "subsample": {0: False, 1: "420", 2: "422"}.get(subsample, False),
