@@ -192,6 +192,48 @@ def test_tdcc_roundtrip(tmp_path):
     assert _psnr(rec, rgb) > 30
 
 
+def test_partial_color_coefficients_progressive(tmp_path, capsys):
+    """Progressive color decode: n_planes=64 reproduces the full parse
+    bit-exactly, MSE is monotone in n, and the CLI drives it end-to-end
+    (the color analog of the grayscale --planes path)."""
+    from tpudct.cli import main
+    from tpudct.utils import imageio
+
+    rgb = _smooth_rgb(64, 96)
+    p = get_pipeline("batched")
+    cfg = CodecConfig(interpret=True)
+    planes, meta = encode_color(p, jnp.asarray(rgb), cfg)
+    np_planes = {k: np.asarray(v) for k, v in planes.items()}
+    data = serialize.color_to_bytes(np_planes, meta, codec="spectral")
+
+    full_planes, full_meta = serialize.bytes_to_color(data)
+    p64, m64 = serialize.partial_color_coefficients(data, n_planes=64)
+    assert m64 == full_meta
+    for k in ("y", "cb", "cr"):
+        np.testing.assert_array_equal(p64[k], full_planes[k])
+
+    ref = np.asarray(decode_color(p, full_planes, full_meta, cfg))
+    mses = []
+    for n in (1, 4, 16, 64):
+        pl, m = serialize.partial_color_coefficients(data, n_planes=n)
+        rec = np.asarray(decode_color(p, pl, m, cfg)).astype(np.float64)
+        mses.append(((rec - ref.astype(np.float64)) ** 2).mean())
+    assert mses[0] >= mses[1] >= mses[2] >= mses[3] == 0.0
+
+    # non-spectral plane codecs refuse with the usual message
+    raw = serialize.color_to_bytes(np_planes, meta, codec="raw")
+    with pytest.raises(ValueError, match="spectral-ordered"):
+        serialize.partial_color_coefficients(raw, 4)
+
+    # CLI flow
+    tdcc = tmp_path / "c.tdcc"
+    tdcc.write_bytes(data)
+    out = tmp_path / "p4.png"
+    assert main(["decode", str(tdcc), str(out), "--planes", "4",
+                 "--pipeline", "batched"]) == 0
+    assert imageio.load_image(out, force_gray=False).shape == (64, 96, 3)
+
+
 def test_tdcc_every_entropy_stage_bit_exact():
     """All entropy codecs (incl. the rANS stage) must round-trip every
     color plane bit-exactly through the .tdcc container; auto must never

@@ -271,7 +271,22 @@ def cmd_decode(args) -> int:
         return 0
     if args.planes is not None:
         if serialize.is_color_stream(head):
-            raise ValueError("--planes applies to grayscale .tdc streams")
+            # Progressive COLOR decode: the first N spectral planes of
+            # each .tdcc plane stream (f32 path; partial maps are f32).
+            from tpudct.models.color import decode_color
+
+            planes, meta = serialize.partial_color_coefficients(
+                open(args.input, "rb").read(), n_planes=args.planes
+            )
+            rec = decode_color(
+                get_pipeline(args.pipeline), planes, meta,
+                CodecConfig(q_scale=meta["q_scale"],
+                            transform=meta["transform"]),
+            )
+            imageio.save_image(args.output, np.asarray(rec), quality=args.quality)
+            print(f"decoded {args.input} ({args.planes} spectral planes, "
+                  f"color) -> {args.output}")
+            return 0
         p = serialize.partial_coefficients(
             open(args.input, "rb").read(), n_planes=args.planes
         )
@@ -963,7 +978,7 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--pipeline", default="hp")
     sp.add_argument("--quality", type=int, default=100)
     sp.add_argument("--planes", type=int, default=None,
-                    help="progressive decode: use only the first N zig-zag spectral planes (1-64; spectral-codec streams)")
+                    help="progressive decode: use only the first N zig-zag spectral planes (1-64; spectral/xz streams, gray and color)")
     sp.add_argument("--preview", action="store_true",
                     help="1/8-scale DC-only thumbnail (no transform, no device; works on truncated downloads)")
     sp.add_argument("--rows", default=None,

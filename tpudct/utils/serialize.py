@@ -802,6 +802,13 @@ def bytes_to_color(data: bytes) -> tuple:
             raise ValueError("corrupt .tdcc plane length")
         off += blen
         parsed.append(plane)
+    return _assemble_color(parsed, subsample)
+
+
+def _assemble_color(parsed: list, subsample: int) -> tuple:
+    """Cross-plane consistency checks + (planes, meta) assembly, shared by
+    the full parser (`bytes_to_color`) and the progressive one
+    (`partial_color_coefficients`)."""
     y, cb, cr = parsed
     same = lambda k: y[k] == cb[k] == cr[k]
     if not (same("transform") and same("q_scale") and same("retain_k")
@@ -827,6 +834,30 @@ def bytes_to_color(data: bytes) -> tuple:
         "transform": y["transform"],
     }
     return planes, meta
+
+
+def partial_color_coefficients(data: bytes, n_planes: int = 1) -> tuple:
+    """Progressive color decode: ({plane: f32 coeffs}, meta) from only the
+    first `n_planes` zig-zag spectral planes of EACH .tdcc plane stream
+    (the color analog of `partial_coefficients`; same spectral-ordered-
+    codec requirement per plane — encode with --entropy spectral or xz).
+    Feed the result to models.color.decode_color."""
+    hsize = struct.calcsize(_HEADERC)
+    if not is_color_stream(data) or len(data) < hsize:
+        raise ValueError("not a .tdcc color stream")
+    (_m, nplanes, subsample) = struct.unpack(_HEADERC, data[:hsize])
+    if nplanes != 3:
+        raise ValueError(f"expected 3 planes, got {nplanes}")
+    off = hsize
+    parsed = []
+    for _ in range(3):
+        if len(data) < off + 4:
+            raise ValueError("truncated .tdcc color stream")
+        (blen,) = struct.unpack("<I", data[off : off + 4])
+        off += 4
+        parsed.append(partial_coefficients(data[off : off + blen], n_planes))
+        off += blen
+    return _assemble_color(parsed, subsample)
 
 
 def save_color(
