@@ -305,8 +305,12 @@ int tpudct_jpeg_write_coefs(const char *filename, const short **coef_bufs,
     cinfo.err = jpeg_std_error(&jerr.pub);
     jerr.pub.error_exit = tpudct_error_exit;
     if (setjmp(jerr.setjmp_buffer)) {
+        /* A mid-stream libjpeg abort (e.g. a coefficient outside the
+         * Huffman category range) must not leave a truncated .jpg that a
+         * resumable bulk job would then treat as a finished output. */
         jpeg_destroy_compress(&cinfo);
         fclose(outfile);
+        remove(filename);
         return 2;
     }
 
@@ -352,6 +356,7 @@ int tpudct_jpeg_write_coefs(const char *filename, const short **coef_bufs,
             hb != (int)cinfo.comp_info[c].height_in_blocks) {
             jpeg_destroy_compress(&cinfo);
             fclose(outfile);
+            remove(filename);
             return 6;
         }
         size_t stride = (size_t)wb * 8;

@@ -187,6 +187,102 @@ def test_color_import_export_roundtrip(tmp_path, rng):
     assert psnr > 35, psnr
 
 
+def test_metadata_survives_transcode(tmp_path, rng):
+    """EXIF / ICC / comment segments ride the TDCM chunk: captured
+    verbatim at import, reported by inspect, spliced back on export —
+    the archival path must not silently strip an Orientation tag or a
+    color profile."""
+    try:
+        from PIL import Image
+    except ImportError:
+        pytest.skip("PIL unavailable")
+    img = (rng.normal(128, 40, (40, 48)).clip(0, 255)).astype(np.uint8)
+    src = tmp_path / "meta.jpg"
+    exif = b"Exif\x00\x00" + bytes(rng.integers(0, 256, 64, dtype=np.uint8))
+    icc = bytes(rng.integers(0, 256, 128, dtype=np.uint8))
+    Image.fromarray(img, "L").save(
+        src, "JPEG", quality=85, exif=exif, icc_profile=icc,
+        comment=b"tpudct metadata test",
+    )
+    src_markers = jpegcoef._jpeg_markers(src.read_bytes())
+    assert src_markers  # PIL wrote APP1/APP2/COM
+
+    data = jpegcoef.import_jpeg(src)
+    assert jpegcoef._extract_metadata(data) == src_markers
+    assert serialize.inspect_stream(data)["jpeg_metadata_bytes"] == len(src_markers)
+
+    out = tmp_path / "back.jpg"
+    jpegcoef.export_jpeg(data, out)
+    assert jpegcoef._jpeg_markers(out.read_bytes()) == src_markers
+    # the restored file still decodes identically and PIL sees the metadata
+    np.testing.assert_array_equal(imageio.load_jpeg(src), imageio.load_jpeg(out))
+    with Image.open(out) as im:
+        assert im.info.get("icc_profile") == icc
+        assert bytes(im.getexif().tobytes()) or im.info.get("exif")
+
+    # streams without the chunk report no metadata
+    assert jpegcoef._extract_metadata(
+        serialize.coefficients_to_bytes(
+            np.zeros((8, 8), np.float32), transform="dct")
+    ) == b""
+
+
+def test_failed_export_leaves_no_file(tmp_path, rng):
+    """Coefficients beyond the T.81 Huffman category range must be caught
+    BEFORE libjpeg sees them (this build silently emits a corrupt scan
+    instead of erroring — measured DC 30000 reading back as 41), and no
+    output file may be left behind — resumable bulk jobs would treat it
+    as a finished output."""
+    out = tmp_path / "bad.jpg"
+    c = np.zeros((16, 16), np.float32)
+    c[0, 0] = 30000.0  # DC step far beyond the 2047 category limit
+    with pytest.raises(ValueError, match="DC coefficient"):
+        jpegcoef.export_jpeg(
+            serialize.coefficients_to_bytes(c, transform="dct"), out)
+    assert not out.exists()
+    c = np.zeros((16, 16), np.float32)
+    c[0, 5] = 2000.0  # AC beyond the 1023 category limit
+    with pytest.raises(ValueError, match="AC coefficient"):
+        jpegcoef.export_jpeg(
+            serialize.coefficients_to_bytes(c, transform="dct"), out)
+    assert not out.exists()
+    # the -1024 all-black q=1 corner is VALID (first DC diff category 11)
+    c = np.full((16, 16), 0.0, np.float32)
+    c[::8, ::8] = -1024.0
+    jpegcoef.export_jpeg(
+        serialize.coefficients_to_bytes(c, transform="dct"), out)
+    r = jpegcoef.read_jpeg_coefficients(out)
+    assert r["comps"][0]["map"][0, 0] == -1024
+
+
+def test_import_accepts_non_normalized_444_factors(tmp_path, rng):
+    """(2,1)x3 sampling is semantically 4:4:4 — the mode keys on the
+    luma:chroma RATIO, not absolute factors.  ((2,2)x3 would say the same
+    but exceeds libjpeg's 10-blocks-per-MCU limit, so no writer emits
+    it interleaved.)"""
+    yy, xx = np.mgrid[0:32, 0:32].astype(np.float64)
+    rgb = np.stack([128 + 60 * np.sin(yy / 7), 128 + 50 * np.cos(xx / 9),
+                    (yy + xx) * 2], -1).clip(0, 255).astype(np.uint8)
+    src = tmp_path / "c444.jpg"
+    try:
+        from PIL import Image
+    except ImportError:
+        pytest.skip("PIL unavailable")
+    Image.fromarray(rgb).save(src, "JPEG", quality=90, subsampling=0)
+    r = jpegcoef.read_jpeg_coefficients(src)
+    assert [c["samp"] for c in r["comps"]] == [(1, 1)] * 3
+    doubled = tmp_path / "c444x2.jpg"
+    for c in r["comps"]:
+        c["samp"] = (2, 1)
+    jpegcoef.write_jpeg_coefficients(doubled, r["comps"], r["shape"])
+    r2 = jpegcoef.read_jpeg_coefficients(doubled)
+    assert [c["samp"] for c in r2["comps"]] == [(2, 1)] * 3
+    np.testing.assert_array_equal(r2["comps"][0]["map"], r["comps"][0]["map"])
+    data = jpegcoef.import_jpeg(doubled)  # must not refuse
+    rep = serialize.inspect_stream(data)
+    assert rep["subsample"] == "4:4:4"
+
+
 def test_import_rejects_exotic_sampling(tmp_path, rng):
     """4:1:1 and friends have no .tdcc subsample mode: clean refusal."""
     try:

@@ -510,7 +510,9 @@ def cmd_unbatch(args) -> int:
             raise ValueError(
                 "unbatch --transcode needs the native library (make -C csrc)"
             )
-    p = get_pipeline(args.pipeline)
+        p = None  # purely host-side libjpeg job — no device pipeline
+    else:
+        p = get_pipeline(args.pipeline)
     files = sorted(
         q.name for q in src.iterdir() if q.suffix.lower() in (".tdc", ".tdcc")
     )

@@ -29,6 +29,7 @@ is coefficient-level libjpeg access; `coef_io_available()` gates it.
 from __future__ import annotations
 
 import ctypes
+import struct
 
 import numpy as np
 
@@ -143,6 +144,24 @@ def write_jpeg_coefficients(path: str, comps: list, shape: tuple) -> None:
     for m in maps:
         if m.ndim != 2 or m.shape[0] % 8 or m.shape[1] % 8:
             raise ValueError(f"coefficient map shape {m.shape} not 8-aligned")
+        # T.81 baseline Huffman categories cap AC at 10 bits and DC DIFFs
+        # at 11 — and this libjpeg build does NOT reject violations, it
+        # silently emits a corrupt scan (measured: DC 30000 reads back as
+        # 41).  Validate here; max|diff| <= max-min (order-independent
+        # bound covering any MCU scan order, plus the first diff from 0).
+        dc = m[::8, ::8].astype(np.int32)
+        ac = m.reshape(m.shape[0] // 8, 8, m.shape[1] // 8, 8).copy()
+        ac[:, 0, :, 0] = 0
+        if np.abs(ac).max() > 1023:
+            raise ValueError(
+                "AC coefficient outside JPEG's Huffman range (|AC| <= 1023)"
+                " — very low q_scale streams are not expressible as .jpg"
+            )
+        if abs(int(dc[0, 0])) > 2047 or int(dc.max()) - int(dc.min()) > 2047:
+            raise ValueError(
+                "DC coefficient steps outside JPEG's Huffman range "
+                "(|diff| <= 2047) — not expressible as .jpg"
+            )
     qcat = np.concatenate([
         np.rint(np.asarray(c["qtab"], np.float64)).astype(np.int64).ravel()
         for c in comps
@@ -178,6 +197,87 @@ def write_jpeg_coefficients(path: str, comps: list, shape: tuple) -> None:
 _SAMP_TO_MODE = {(2, 2): "420", (2, 1): "422", (1, 1): False}
 _MODE_TO_SAMP = {v: k for k, v in _SAMP_TO_MODE.items()}
 
+# ---- JPEG metadata (EXIF / ICC / comments) ---------------------------------
+#
+# Coefficient arrays carry no APPn/COM segments, so "lossless transcode"
+# must shuttle them separately: import captures every APPn/COM segment
+# verbatim and appends them to the container as a trailing TDCM chunk
+# (magic + uint32 length + raw segments — every .tdc/.tdcc parser reads
+# its own framing and ignores trailing bytes, so old readers are
+# unaffected); export splices them back, replacing whatever header
+# markers libjpeg emitted.  Without this, an EXIF Orientation tag or ICC
+# profile would silently vanish through jpg -> tdc -> jpg.
+
+_META_MAGIC = b"TDCM"
+_MARKER_SET = frozenset(range(0xE0, 0xF0)) | {0xFE}  # APP0-APP15, COM
+
+
+def _walk_segments(jpg: bytes):
+    """Yield (marker_byte, start, end) for each marker segment after SOI,
+    stopping at SOS (the entropy stream follows, no more header markers)."""
+    if jpg[:2] != b"\xff\xd8":
+        return
+    pos = 2
+    n = len(jpg)
+    while pos + 4 <= n:
+        if jpg[pos] != 0xFF:
+            return  # not a marker boundary: bail, keep what we have
+        marker = jpg[pos + 1]
+        if marker == 0xDA:  # SOS
+            return
+        if 0xD0 <= marker <= 0xD9 or marker == 0x01:
+            pos += 2  # standalone marker, no length field
+            continue
+        seg_len = int.from_bytes(jpg[pos + 2 : pos + 4], "big")
+        if seg_len < 2 or pos + 2 + seg_len > n:
+            return
+        yield marker, pos, pos + 2 + seg_len
+        pos += 2 + seg_len
+
+
+def _jpeg_markers(jpg: bytes) -> bytes:
+    """Every APPn/COM segment of a JPEG header, verbatim and in order."""
+    return b"".join(
+        jpg[a:b] for m, a, b in _walk_segments(jpg) if m in _MARKER_SET
+    )
+
+
+def _splice_markers(jpg: bytes, blob: bytes) -> bytes:
+    """Replace a JPEG's header APPn/COM segments with `blob` (placed right
+    after SOI, so an EXIF-first or JFIF-first source layout is restored
+    exactly).  Header segments are contiguous from SOI to SOS, so the
+    output is SOI + blob + (non-APP/COM header segments) + SOS onward."""
+    segs = list(_walk_segments(jpg))
+    if not segs:
+        return jpg
+    kept = b"".join(jpg[a:b] for m, a, b in segs if m not in _MARKER_SET)
+    tail_start = segs[-1][2]  # SOS marker + entropy-coded stream
+    return jpg[:2] + blob + kept + jpg[tail_start:]
+
+
+def _attach_metadata(container: bytes, blob: bytes) -> bytes:
+    if not blob:
+        return container
+    return container + _META_MAGIC + struct.pack("<I", len(blob)) + blob
+
+
+def _extract_metadata(container: bytes) -> bytes:
+    """The TDCM chunk's payload, or b'' (absent/malformed tails are not an
+    error — the coefficient payload already parsed)."""
+    from tpudct.utils.serialize import inspect_stream
+
+    try:
+        end = inspect_stream(container)["total_bytes"]
+    except ValueError:
+        return b""
+    tail = container[end:]
+    if len(tail) < 8 or tail[:4] != _META_MAGIC:
+        return b""
+    (n,) = struct.unpack("<I", tail[4:8])
+    if len(tail) < 8 + n:
+        return b""
+    return tail[8 : 8 + n]
+
 
 def _chroma_shape(shape: tuple, mode) -> tuple:
     h, w = shape
@@ -201,21 +301,32 @@ def import_jpeg(path: str, codec: str = "auto") -> bytes:
     from tpudct.utils.serialize import coefficients_to_bytes, color_to_bytes
 
     r = read_jpeg_coefficients(path)
+    with open(path, "rb") as f:
+        markers = _jpeg_markers(f.read())
     comps = r["comps"]
     if len(comps) == 1:
         name = register_q_table(comps[0]["qtab"])
-        return coefficients_to_bytes(
+        return _attach_metadata(coefficients_to_bytes(
             comps[0]["map"].astype(np.float32), q_scale=1.0,
             orig_shape=r["shape"], transform="dct", q_table=name, codec=codec,
-        )
+        ), markers)
     if len(comps) != 3:
         raise ValueError(
             f"{path} has {len(comps)} components; coefficient-level import "
             "supports grayscale and 3-component YCbCr JPEGs"
         )
     y, cb, cr = comps
-    mode = _SAMP_TO_MODE.get(y["samp"])
-    if mode is None or cb["samp"] != (1, 1) or cr["samp"] != (1, 1):
+    # Sampling is a RATIO: (2,2)/(1,1) and (2,2)x3 both mean the luma:
+    # chroma ratio their dims encode — key the mode on y/cb, not on the
+    # absolute factors (some hardware encoders emit non-normalized ones).
+    mode = None
+    if cb["samp"] == cr["samp"]:
+        (yh, yv), (ch_, cv) = y["samp"], cb["samp"]
+        if yh % ch_ == 0 and yv % cv == 0:
+            # .get default None; a (1,1) ratio maps to False (4:4:4),
+            # which is a VALID mode — test `is None`, not truthiness
+            mode = _SAMP_TO_MODE.get((yh // ch_, yv // cv), None)
+    if mode is None:
         raise ValueError(
             f"unsupported chroma layout {[c['samp'] for c in comps]}; "
             ".tdcc carries 4:4:4 / 4:2:0 / 4:2:2 (use pixel-domain "
@@ -235,8 +346,11 @@ def import_jpeg(path: str, codec: str = "auto") -> bytes:
     }
     planes = {k: c["map"].astype(np.float32)
               for k, c in zip(("y", "cb", "cr"), comps)}
-    return color_to_bytes(planes, meta, q_scale=1.0, transform="dct",
-                          codec=codec)
+    return _attach_metadata(
+        color_to_bytes(planes, meta, q_scale=1.0, transform="dct",
+                       codec=codec),
+        markers,
+    )
 
 
 def _integer_qtab(q_table: str, q_scale: float) -> np.ndarray:
@@ -264,7 +378,9 @@ def _require_dct(transform: str) -> None:
 def export_jpeg(data: bytes, path: str) -> None:
     """`transform="dct"` .tdc/.tdcc -> .jpg at the coefficient level
     (bit-exact; no IDCT/FDCT runs).  The stream's Q·q_scale must round to
-    integers in [1, 32767] — exactly the tables JPEG files can carry."""
+    integers in [1, 32767] — exactly the tables JPEG files can carry.
+    Metadata captured at import (TDCM chunk: EXIF/ICC/APPn/COM segments)
+    is spliced back into the output header verbatim."""
     from tpudct.utils.serialize import (
         bytes_to_coefficients, bytes_to_color, is_color_stream,
     )
@@ -282,16 +398,23 @@ def export_jpeg(data: bytes, path: str) -> None:
              {"map": planes["cr"].astype(np.int16), "qtab": cq, "samp": (1, 1)}],
             meta["orig_shape"],
         )
-        return
-    coeffs, q_scale, _rk, orig_shape, transform, q_table = (
-        bytes_to_coefficients(
-            data, with_orig_shape=True, with_transform=True, with_q_table=True
+    else:
+        coeffs, q_scale, _rk, orig_shape, transform, q_table = (
+            bytes_to_coefficients(
+                data, with_orig_shape=True, with_transform=True,
+                with_q_table=True,
+            )
         )
-    )
-    _require_dct(transform)
-    write_jpeg_coefficients(
-        path,
-        [{"map": coeffs.astype(np.int16),
-          "qtab": _integer_qtab(q_table, q_scale), "samp": (1, 1)}],
-        orig_shape,
-    )
+        _require_dct(transform)
+        write_jpeg_coefficients(
+            path,
+            [{"map": coeffs.astype(np.int16),
+              "qtab": _integer_qtab(q_table, q_scale), "samp": (1, 1)}],
+            orig_shape,
+        )
+    markers = _extract_metadata(data)
+    if markers:
+        with open(path, "rb") as f:
+            jpg = f.read()
+        with open(path, "wb") as f:
+            f.write(_splice_markers(jpg, markers))

@@ -554,36 +554,34 @@ def inspect_stream(data: bytes) -> dict:
     (reference analog: none; it has no bitstream at all).  Exposed as
     CLI `inspect`."""
     if is_color_stream(data):
-        hsize = struct.calcsize(_HEADERC)
-        if len(data) < hsize:
-            raise ValueError("truncated .tdcc color stream")
-        (_m, n_planes, subsample) = struct.unpack(_HEADERC, data[:hsize])
-        if n_planes != 3:  # same check as bytes_to_color — a corrupt
-            # n_planes byte must not yield a plausible-looking report
-            raise ValueError(f"expected 3 planes, got {n_planes}")
-        off = hsize
+        subsample, slices, end = _color_plane_slices(data)
         planes = []
-        for name in ("y", "cb", "cr"):
-            if len(data) < off + 4:
-                raise ValueError("truncated .tdcc color stream")
-            (blen,) = struct.unpack("<I", data[off : off + 4])
-            off += 4
-            info, used = _inspect_plane(data[off : off + blen])
-            if used != blen:
+        for name, s in zip(("y", "cb", "cr"), slices):
+            info, used = _inspect_plane(s)
+            if used != len(s):
                 raise ValueError("corrupt .tdcc plane length")
             info["plane"] = name
             planes.append(info)
-            off += blen
-        return {
+        rep = {
             "container": "tdcc (color)",
             "subsample": {0: "4:4:4", 1: "4:2:0", 2: "4:2:2"}.get(
                 subsample, f"unknown ({subsample})"
             ),
-            "total_bytes": off,
+            "total_bytes": end,
             "planes": planes,
         }
-    info, used = _inspect_plane(data)
-    return {"container": "tdc (grayscale)", "total_bytes": used, **info}
+    else:
+        info, used = _inspect_plane(data)
+        end = used
+        rep = {"container": "tdc (grayscale)", "total_bytes": used, **info}
+    # trailing TDCM chunk (utils/jpegcoef.py): JPEG APPn/COM segments
+    # captured at coefficient-level import, spliced back on export
+    tail = data[end:]
+    if len(tail) >= 8 and tail[:4] == b"TDCM":
+        (n,) = struct.unpack("<I", tail[4:8])
+        if len(tail) >= 8 + n:
+            rep["jpeg_metadata_bytes"] = n
+    return rep
 
 
 def partial_coefficients(data: bytes, n_planes: int = 1) -> dict:
@@ -710,20 +708,10 @@ def preview_color_from_bytes(data: bytes) -> np.ndarray:
     (exactly the resolution hierarchy a progressive JPEG viewer uses)."""
     from tpudct.utils.color import rgb_from_ycbcr_planes
 
-    hsize = struct.calcsize(_HEADERC)
-    if not is_color_stream(data) or len(data) < hsize:
-        raise ValueError("not a .tdcc color stream")
-    (_m, n_planes, subsample) = struct.unpack(_HEADERC, data[:hsize])
-    off = hsize
-    tiles = []
-    for _ in range(n_planes):
-        if len(data) < off + 4:
-            raise ValueError("truncated .tdcc color stream")
-        (blen,) = struct.unpack("<I", data[off : off + 4])
-        off += 4
-        tiles.append(preview_from_bytes(data[off : off + blen]))
-        off += blen
-    y, cb, cr = (t.astype(np.float64) for t in tiles)
+    subsample, slices, _end = _color_plane_slices(data)
+    y, cb, cr = (
+        preview_from_bytes(s).astype(np.float64) for s in slices
+    )
     if subsample == 1:  # 4:2:0
         cb = cb.repeat(2, 0).repeat(2, 1)
         cr = cr.repeat(2, 0).repeat(2, 1)
@@ -778,12 +766,11 @@ def is_color_stream(data: bytes) -> bool:
     return len(data) >= 4 and data[:4] == _MAGICC
 
 
-def bytes_to_color(data: bytes) -> tuple:
-    """Parse a .tdcc stream -> ({plane: f32 coeffs}, meta).
-
-    meta carries orig_shape / chroma_shape / subsample (decode geometry)
-    plus q_scale / retain_k / transform (codec configuration, uniform
-    across planes by construction)."""
+def _color_plane_slices(data: bytes) -> tuple:
+    """Walk the .tdcc container framing -> (subsample byte, [3 plane-stream
+    slices], end offset).  The ONE copy of the header check + per-plane
+    length walk, shared by the full parser, the progressive parser, the
+    preview and the inspector — a framing change happens in one place."""
     hsize = struct.calcsize(_HEADERC)
     if not is_color_stream(data) or len(data) < hsize:
         raise ValueError("not a .tdcc color stream")
@@ -791,16 +778,31 @@ def bytes_to_color(data: bytes) -> tuple:
     if n_planes != 3:
         raise ValueError(f"expected 3 planes, got {n_planes}")
     off = hsize
-    parsed = []
-    for _ in range(n_planes):
+    slices = []
+    for _ in range(3):
         if len(data) < off + 4:
             raise ValueError("truncated .tdcc color stream")
         (blen,) = struct.unpack("<I", data[off : off + 4])
         off += 4
-        plane, used = _parse_plane(data[off : off + blen])
-        if used != blen:
-            raise ValueError("corrupt .tdcc plane length")
+        if len(data) < off + blen:
+            raise ValueError("truncated .tdcc color stream")
+        slices.append(data[off : off + blen])
         off += blen
+    return subsample, slices, off
+
+
+def bytes_to_color(data: bytes) -> tuple:
+    """Parse a .tdcc stream -> ({plane: f32 coeffs}, meta).
+
+    meta carries orig_shape / chroma_shape / subsample (decode geometry)
+    plus q_scale / retain_k / transform (codec configuration, uniform
+    across planes by construction)."""
+    subsample, slices, _end = _color_plane_slices(data)
+    parsed = []
+    for s in slices:
+        plane, used = _parse_plane(s)
+        if used != len(s):
+            raise ValueError("corrupt .tdcc plane length")
         parsed.append(plane)
     return _assemble_color(parsed, subsample)
 
@@ -842,22 +844,10 @@ def partial_color_coefficients(data: bytes, n_planes: int = 1) -> tuple:
     (the color analog of `partial_coefficients`; same spectral-ordered-
     codec requirement per plane — encode with --entropy spectral or xz).
     Feed the result to models.color.decode_color."""
-    hsize = struct.calcsize(_HEADERC)
-    if not is_color_stream(data) or len(data) < hsize:
-        raise ValueError("not a .tdcc color stream")
-    (_m, nplanes, subsample) = struct.unpack(_HEADERC, data[:hsize])
-    if nplanes != 3:
-        raise ValueError(f"expected 3 planes, got {nplanes}")
-    off = hsize
-    parsed = []
-    for _ in range(3):
-        if len(data) < off + 4:
-            raise ValueError("truncated .tdcc color stream")
-        (blen,) = struct.unpack("<I", data[off : off + 4])
-        off += 4
-        parsed.append(partial_coefficients(data[off : off + blen], n_planes))
-        off += blen
-    return _assemble_color(parsed, subsample)
+    subsample, slices, _end = _color_plane_slices(data)
+    return _assemble_color(
+        [partial_coefficients(s, n_planes) for s in slices], subsample
+    )
 
 
 def save_color(
