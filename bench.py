@@ -19,6 +19,9 @@ reference's cudaEvent protocol (main_newAppr.cu:266-287).
 
 import json
 import sys
+import threading as _threading
+
+_WATCHDOG_DONE = _threading.Event()
 
 
 def correctness_gate(p, cfg, size: int = 512) -> dict:
@@ -112,9 +115,40 @@ def correctness_gate(p, cfg, size: int = 512) -> dict:
     }
 
 
+def _arm_watchdog() -> None:
+    """Fail LOUDLY if the axon relay wedges: a hung relay otherwise blocks
+    the first device call forever (observed: even an 8x8 matmul never
+    returns during an outage) and the run records nothing.  A daemon
+    THREAD (not SIGALRM — a Python signal handler never runs while the
+    main thread is stuck inside the blocking RPC) waits
+    TPUDCT_BENCH_TIMEOUT seconds (default 2400 — generous against the
+    relay's slow-compile days, see CLAUDE.md), then prints a diagnosable
+    JSON line and hard-exits nonzero.  main() cancels it on completion."""
+    import os
+    import threading
+
+    timeout = int(os.environ.get("TPUDCT_BENCH_TIMEOUT", "2400"))
+    if timeout <= 0:
+        return
+
+    def _abort():
+        if _WATCHDOG_DONE.wait(timeout):
+            return
+        print(json.dumps({
+            "error": f"bench timed out after {timeout}s "
+                     "(TPU relay unresponsive or compile wedged)"
+        }))
+        sys.stdout.flush()
+        os._exit(1)
+
+    threading.Thread(target=_abort, daemon=True).start()
+
+
 def main() -> int:
     size = 8192
     baseline_pair_ms = 2 * 14.70  # T4 HpApprDCT DCT + IDCT phases, README.md:55
+
+    _arm_watchdog()
 
     import jax
 
@@ -174,6 +208,7 @@ def main() -> int:
             lambda v: p.idct(p.dct(v, cfg), cfg), x, reps=5
         )
 
+    _WATCHDOG_DONE.set()
     print(
         json.dumps(
             {

@@ -234,6 +234,37 @@ def test_partial_color_coefficients_progressive(tmp_path, capsys):
     assert imageio.load_image(out, force_gray=False).shape == (64, 96, 3)
 
 
+@pytest.mark.parametrize("mode", ["420", "422", "444"])
+def test_color_roi_decode_matches_full(tmp_path, mode, capsys):
+    """decode --rows on a .tdcc must equal the same rows of the full
+    decode (replication upsampling is local, so a block-row slice decode
+    is exact) — for every chroma mode, on an unaligned range."""
+    from tpudct.cli import main
+    from tpudct.utils import imageio
+
+    rgb = _smooth_rgb(96, 64).astype(np.uint8)
+    p = get_pipeline("batched")
+    cfg = CodecConfig(interpret=True)
+    from tpudct.models.color import decode_color, encode_color
+
+    planes, meta = encode_color(
+        p, jnp.asarray(rgb, jnp.float32), cfg,
+        subsample={"420": "420", "422": "422", "444": False}[mode],
+    )
+    tdcc = tmp_path / "c.tdcc"
+    serialize.save_color(tdcc, {k: np.asarray(v) for k, v in planes.items()},
+                         meta, codec="spectral")
+    full = tmp_path / "full.png"
+    roi = tmp_path / "roi.png"
+    assert main(["decode", str(tdcc), str(full), "--pipeline", "batched"]) == 0
+    assert main(["decode", str(tdcc), str(roi), "--rows", "21:75",
+                 "--pipeline", "batched"]) == 0
+    np.testing.assert_array_equal(
+        imageio.load_image(roi, force_gray=False),
+        imageio.load_image(full, force_gray=False)[21:75],
+    )
+
+
 def test_tdcc_every_entropy_stage_bit_exact():
     """All entropy codecs (incl. the rANS stage) must round-trip every
     color plane bit-exactly through the .tdcc container; auto must never

@@ -165,3 +165,40 @@ def test_custom_qtable_stream_fuzz(seed):
     finally:
         Q_TABLES.clear()
         Q_TABLES.update(snap)
+
+
+def test_fuzz_jpeg_marker_walker(rng):
+    """The TDCM marker walker/splicer (utils/jpegcoef.py) must never
+    crash on arbitrary bytes, and on real JPEG headers the splice must
+    be a fixed point: splicing a file's own markers back reproduces a
+    file whose markers read identically."""
+    from tpudct.utils import jpegcoef
+
+    for n in (0, 1, 2, 3, 4, 16, 64, 300):
+        for _ in range(20):
+            blob = bytes(rng.integers(0, 256, n, dtype=np.uint8))
+            jpegcoef._jpeg_markers(blob)  # must not raise
+            jpegcoef._splice_markers(blob, b"\xff\xe1\x00\x04ab")
+        # SOI-prefixed garbage too (exercises the segment loop)
+        blob = b"\xff\xd8" + bytes(rng.integers(0, 256, n, dtype=np.uint8))
+        jpegcoef._jpeg_markers(blob)
+        jpegcoef._splice_markers(blob, b"")
+
+    if not jpegcoef.coef_io_available():
+        return
+    import tempfile
+
+    from tpudct.utils import imageio
+
+    img = (rng.normal(128, 40, (24, 24)).clip(0, 255)).astype(np.uint8)
+    with tempfile.TemporaryDirectory() as d:
+        p = f"{d}/x.jpg"
+        imageio.save_jpeg(p, img, quality=85)
+        jpg = open(p, "rb").read()
+        markers = jpegcoef._jpeg_markers(jpg)
+        respliced = jpegcoef._splice_markers(jpg, markers)
+        assert jpegcoef._jpeg_markers(respliced) == markers
+        # pixel stream untouched by splicing
+        q = f"{d}/y.jpg"
+        open(q, "wb").write(respliced)
+        np.testing.assert_array_equal(imageio.load_jpeg(p), imageio.load_jpeg(q))

@@ -300,13 +300,50 @@ def cmd_decode(args) -> int:
         print(f"decoded {args.input} ({args.planes} spectral planes) -> {args.output}")
         return 0
     if serialize.is_color_stream(head):
-        from tpudct.models.color import decode_color_auto
+        from tpudct.models.color import decode_color, decode_color_auto
 
         planes, meta = serialize.load_color(args.input)
-        rec = decode_color_auto(
-            get_pipeline(args.pipeline), planes, meta,
-            CodecConfig(q_scale=meta["q_scale"], transform=meta["transform"]),
-        )
+        cfg = CodecConfig(q_scale=meta["q_scale"], transform=meta["transform"])
+        if args.rows is not None:
+            # Color region-of-interest decode: luma block rows plus the
+            # covering chroma block rows.  4:2:0 needs 16-luma-row
+            # alignment so the chroma slice stays 8-row-block aligned;
+            # replication upsampling is local, so the slice decode equals
+            # the same rows of a full decode.
+            h, w = meta["orig_shape"]
+            try:
+                a, bnd = (int(v) for v in args.rows.split(":"))
+            except Exception:
+                raise ValueError(f"--rows expects A:B, got {args.rows!r}") from None
+            a, bnd = max(0, a), min(h, bnd)
+            if bnd <= a:
+                raise ValueError(f"--rows {args.rows}: empty range for height {h}")
+            mode = meta["subsample"]
+            align = 16 if mode == "420" else 8
+            a0 = a - a % align
+            y1 = min(planes["y"].shape[0], -(-bnd // align) * align)
+            if mode == "420":
+                c0, c1 = a0 // 2, y1 // 2
+            else:
+                c0, c1 = a0, y1
+            c1 = min(c1, planes["cb"].shape[0])
+            sl = {"y": planes["y"][a0:y1],
+                  "cb": planes["cb"][c0:c1], "cr": planes["cr"][c0:c1]}
+            smeta = {
+                **meta,
+                "orig_shape": (min(h, y1) - a0, w),
+                "chroma_shape": (
+                    min(meta["chroma_shape"][0], c1) - c0,
+                    meta["chroma_shape"][1],
+                ),
+            }
+            rec = np.asarray(decode_color(
+                get_pipeline(args.pipeline), sl, smeta, cfg
+            ))[a - a0 : bnd - a0]
+            imageio.save_image(args.output, rec, quality=args.quality)
+            print(f"decoded rows {a}:{bnd} of {args.input} (color) -> {args.output}")
+            return 0
+        rec = decode_color_auto(get_pipeline(args.pipeline), planes, meta, cfg)
         imageio.save_image(args.output, np.asarray(rec), quality=args.quality)
         print(f"decoded {args.input} (color) -> {args.output}")
         return 0
