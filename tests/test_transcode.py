@@ -336,6 +336,51 @@ def test_batch_unbatch_transcode(tmp_path, rng, capsys):
         )
 
 
+def test_restage_entropy(tmp_path, gray_jpg, capsys, rng):
+    """transcode a.tdc b.tdc --entropy X re-codes the container without
+    decode or loss: coefficients, header fields, embedded custom q table
+    and the TDCM metadata chunk all carry over bit-exactly."""
+    tdc = tmp_path / "a.tdc"
+    assert main(["transcode", str(gray_jpg), str(tdc)]) == 0  # custom q + dct
+    capsys.readouterr()
+    out = tmp_path / "b.tdc"
+    assert main(["transcode", str(tdc), str(out), "--entropy", "spectral"]) == 0
+    rep = json.loads(capsys.readouterr().out.strip())
+    assert rep["direction"] == "restage" and rep["entropy"] == "spectral"
+    a = serialize.bytes_to_coefficients(
+        tdc.read_bytes(), True, True, True)
+    b = serialize.bytes_to_coefficients(
+        out.read_bytes(), True, True, True)
+    np.testing.assert_array_equal(a[0], b[0])
+    assert a[1:3] == b[1:3] and a[3] == b[3] and a[4] == b[4]
+    assert serialize.inspect_stream(out.read_bytes())["codec"] == "spectral"
+    assert jpegcoef._extract_metadata(out.read_bytes()) == \
+        jpegcoef._extract_metadata(tdc.read_bytes())
+    # the restaged stream still exports to a bit-identical .jpg
+    j1, j2 = tmp_path / "x1.jpg", tmp_path / "x2.jpg"
+    jpegcoef.export_jpeg(tdc.read_bytes(), j1)
+    jpegcoef.export_jpeg(out.read_bytes(), j2)
+    np.testing.assert_array_equal(imageio.load_jpeg(j1), imageio.load_jpeg(j2))
+    # container type must not change under restage
+    capsys.readouterr()
+    assert main(["transcode", str(tdc), str(tmp_path / "c.tdcc")]) == 1
+
+    # color restage
+    rgb = rng.integers(0, 256, (32, 48, 3)).astype(np.uint8)
+    cjpg = tmp_path / "c.jpg"
+    imageio.save_jpeg(cjpg, rgb, quality=90)
+    tdcc = tmp_path / "c.tdcc"
+    capsys.readouterr()
+    assert main(["transcode", str(cjpg), str(tdcc)]) == 0
+    out2 = tmp_path / "d.tdcc"
+    assert main(["transcode", str(tdcc), str(out2), "--entropy", "xz"]) == 0
+    pa, ma = serialize.bytes_to_color(tdcc.read_bytes())
+    pb, mb = serialize.bytes_to_color(out2.read_bytes())
+    assert ma == mb
+    for k in pa:
+        np.testing.assert_array_equal(pa[k], pb[k])
+
+
 def test_cli_transcode(tmp_path, gray_jpg, capsys):
     tdc = tmp_path / "x.tdc"
     assert main(["transcode", str(gray_jpg), str(tdc)]) == 0

@@ -892,6 +892,50 @@ def cmd_transcode(args) -> int:
             "coefficient-level libjpeg access has no pure-Python fallback"
         )
     dst = args.dst.lower()
+    if dst.endswith((".tdc", ".tdcc")) and args.src.lower().endswith(
+        (".tdc", ".tdcc")
+    ):
+        # Entropy RESTAGE: re-code an existing container with a different
+        # entropy stage, no decode and no loss — every header field, the
+        # embedded q tables and the TDCM metadata chunk carry over.  Use
+        # case: upgrading archives after a codec improvement (e.g.
+        # pre-xz auto-coded files).
+        from tpudct.utils import serialize
+
+        with open(args.src, "rb") as f:
+            data = f.read()
+        color = serialize.is_color_stream(data)
+        if color != dst.endswith(".tdcc"):
+            raise ValueError(
+                f"{args.src} is a {'.tdcc' if color else '.tdc'} stream; "
+                "the restage destination must keep the container type"
+            )
+        if color:
+            planes, meta = serialize.bytes_to_color(data)
+            out = serialize.color_to_bytes(
+                planes, meta, meta["q_scale"], meta["retain_k"],
+                meta["transform"], codec=args.entropy,
+            )
+        else:
+            coeffs, q_scale, rk, oshape, transform, q_table = (
+                serialize.bytes_to_coefficients(
+                    data, with_orig_shape=True, with_transform=True,
+                    with_q_table=True,
+                )
+            )
+            out = serialize.coefficients_to_bytes(
+                coeffs, q_scale, rk, orig_shape=oshape, transform=transform,
+                q_table=q_table, codec=args.entropy,
+            )
+        out = jpegcoef._attach_metadata(out, jpegcoef._extract_metadata(data))
+        with open(args.dst, "wb") as f:
+            f.write(out)
+        print(json.dumps({
+            "direction": "restage", "src": args.src, "dst": args.dst,
+            "entropy": args.entropy, "bytes": len(out),
+            "src_bytes": len(data),
+        }))
+        return 0
     if dst.endswith((".tdc", ".tdcc")):
         from tpudct.utils.serialize import inspect_stream, is_color_stream
 
@@ -1110,12 +1154,12 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("files", nargs="+")
     sp.set_defaults(fn=cmd_inspect)
 
-    sp = sub.add_parser("transcode", help="lossless coefficient-domain jpg <-> .tdc (no IDCT/FDCT; direction by destination extension)")
+    sp = sub.add_parser("transcode", help="lossless coefficient-domain jpg <-> .tdc/.tdcc (no IDCT/FDCT; direction by extensions); tdc -> tdc re-codes the entropy stage in place")
     sp.add_argument("src")
     sp.add_argument("dst")
     sp.add_argument("--entropy", default="auto",
                     choices=("auto", "spectral", "huffman", "rans", "xz", "raw"),
-                    help=".tdc entropy stage for jpg->tdc imports")
+                    help=".tdc entropy stage for jpg->tdc imports and tdc->tdc restages")
     sp.set_defaults(fn=cmd_transcode)
 
     sp = sub.add_parser("compare", help="tolerance-compare two images + metric suite (the reference's dead arrays_are_close, activated)")
