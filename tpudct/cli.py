@@ -659,27 +659,48 @@ def cmd_batch(args) -> int:
         todo = [name for name in files if name not in done]
         coded = failed = 0
         bytes_in = bytes_out = 0
-        with open(manifest, "a") as mf:
-            for name in todo:
+        # File-level thread pool: the whole job is C/zlib/lzma work that
+        # releases the GIL (coefficient read, entropy trials), so threads
+        # scale with cores.  Results land in the manifest in completion
+        # order under a lock — resume semantics are per-file, order-free.
+        import os as _os
+        import threading
+        from concurrent.futures import ThreadPoolExecutor, as_completed
+
+        jobs = args.decode_threads if args.decode_threads > 0 else min(
+            _os.cpu_count() or 4, 16
+        )
+
+        def _one(name):
+            data = jpegcoef.import_jpeg(src / name, codec=args.entropy)
+            ext = ".tdcc" if serialize.is_color_stream(data) else ".tdc"
+            out = dst / (name + ext)
+            out.write_bytes(data)
+            return name, out.name, len(data), (src / name).stat().st_size
+
+        lock = threading.Lock()
+        with open(manifest, "a") as mf, ThreadPoolExecutor(jobs) as ex:
+            futs = {ex.submit(_one, n): n for n in todo}
+            for fut in as_completed(futs):
+                name = futs[fut]
                 try:
-                    data = jpegcoef.import_jpeg(src / name, codec=args.entropy)
+                    name, out_name, nbytes, src_bytes = fut.result()
                 except (OSError, ValueError) as e:
-                    mf.write(json.dumps({"file": name, "error": str(e)}) + "\n")
-                    mf.flush()
-                    failed += 1
+                    with lock:
+                        mf.write(json.dumps(
+                            {"file": name, "error": str(e)}) + "\n")
+                        mf.flush()
+                        failed += 1
                     continue
-                ext = ".tdcc" if serialize.is_color_stream(data) else ".tdc"
-                out = dst / (name + ext)
-                out.write_bytes(data)
-                src_bytes = (src / name).stat().st_size
-                bytes_in += src_bytes
-                bytes_out += len(data)
-                mf.write(json.dumps({
-                    "file": name, "tdc": out.name, "bytes": len(data),
-                    "src_bytes": src_bytes, "transcode": True,
-                }) + "\n")
-                mf.flush()
-                coded += 1
+                with lock:
+                    bytes_in += src_bytes
+                    bytes_out += nbytes
+                    mf.write(json.dumps({
+                        "file": name, "tdc": out_name, "bytes": nbytes,
+                        "src_bytes": src_bytes, "transcode": True,
+                    }) + "\n")
+                    mf.flush()
+                    coded += 1
         rep = {
             "transcoded": coded, "skipped": len(files) - len(todo),
             "failed": failed, "total": len(files), "manifest": str(manifest),
