@@ -130,7 +130,9 @@ typedef struct {
 } BitWriter;
 
 static void bw_put(BitWriter *w, uint32_t v, int n) {
-    if (!n) return;
+    if (!n || w->overflow) return;  /* sticky: once over, stop accumulating
+                                     * (unbounded nbits growth would be
+                                     * signed-overflow UB on huge inputs) */
     w->acc = (w->acc << n) | (v & ((1u << n) - 1));
     w->nbits += n;
     while (w->nbits >= 8) {
@@ -300,6 +302,9 @@ long tpudct_huff_encode(const int16_t *coeffs, int h, int w,
     emit_blocks(coeffs, h, w, enc_sink, &e);
     total_bits = bw_flush(&bw);
     if (e.bad || bw.overflow) return -1;
+    if ((unsigned long)total_bits > 0xFFFFFFFFul)
+        return -1;  /* the u32le header field cannot express it (the rANS
+                     * path refuses oversized fields the same way) */
     out[bits_pos + 0] = (uint8_t)(total_bits & 0xff);
     out[bits_pos + 1] = (uint8_t)((total_bits >> 8) & 0xff);
     out[bits_pos + 2] = (uint8_t)((total_bits >> 16) & 0xff);

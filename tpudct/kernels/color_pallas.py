@@ -204,6 +204,14 @@ def color_merge_420_u8(
 ):
     """(y (H, W), cb, cr (H/2, W/2)) u8 -> (3, H, W) u8 RGB, one kernel."""
     h, w = y_u8.shape
+    if cb_u8.shape != (h // 2, w // 2) or cr_u8.shape != (h // 2, w // 2):
+        # All geometry derives from the luma plane; a mismatched chroma
+        # plane would index blocks past its bounds, which Mosaic CLAMPS
+        # (silent garbage RGB) rather than rejects.
+        raise ValueError(
+            f"chroma planes must be ({h // 2}, {w // 2}) for a ({h}, {w}) "
+            f"luma plane, got {cb_u8.shape} / {cr_u8.shape}"
+        )
     br, tc = _geometry(h, w, band_rows, tile_cols)
     urm = _up_mat(tc)
     grid = (h // br, w // tc)

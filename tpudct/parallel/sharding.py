@@ -60,6 +60,30 @@ def gather(x):
     return _np.asarray(multihost_utils.process_allgather(x, tiled=True))
 
 
+def _psum_metrics(xf, rf, axes, coeffs=None, images=None) -> dict:
+    """Distributed quality metrics from per-shard partial sums (the ONE
+    copy of the psum/PSNR block shared by every sharded step builder —
+    SURVEY.md §2 row 20's distributed MSE/PEEN).  `coeffs` adds
+    peen_pct/nonzero_frac; `images` adds the served-image count."""
+    d = xf - rf
+    err = jax.lax.psum(jnp.sum(d * d), axes)
+    count = jax.lax.psum(jnp.asarray(xf.size, jnp.float32), axes)
+    m = {
+        "mse": err / count,
+        "psnr_db": 10.0 * jnp.log10(255.0**2 * count / jnp.maximum(err, 1e-30)),
+    }
+    if coeffs is not None:
+        energy = jax.lax.psum(jnp.sum(xf * xf), axes)
+        nonzero = jax.lax.psum(
+            jnp.sum(jnp.asarray(coeffs != 0, jnp.float32)), axes
+        )
+        m["peen_pct"] = 100.0 * err / energy
+        m["nonzero_frac"] = nonzero / count
+    if images is not None:
+        m["images"] = jax.lax.psum(jnp.asarray(images, jnp.float32), axes)
+    return m
+
+
 def sharded_roundtrip(pipeline: Pipeline, cfg: CodecConfig, mesh: Mesh):
     """Compiled band-parallel codec pass: sharded image -> (coeffs, recon_u8),
     both left band-sharded (no gather inside)."""
@@ -87,20 +111,10 @@ def sharded_codec_step(pipeline: Pipeline, cfg: CodecConfig, mesh: Mesh):
 
     def band_fn(x):
         c, r = pipeline.roundtrip(x, cfg)
-        xf = jnp.asarray(x, jnp.float32)
-        rf = jnp.asarray(r, jnp.float32)
-        d = xf - rf
-        # Partial sums -> psum: the distributed MSE/PEEN of SURVEY.md §2 row 20.
-        err = jax.lax.psum(jnp.sum(d * d), BAND_AXIS)
-        energy = jax.lax.psum(jnp.sum(xf * xf), BAND_AXIS)
-        count = jax.lax.psum(jnp.asarray(x.size, jnp.float32), BAND_AXIS)
-        nonzero = jax.lax.psum(jnp.sum(jnp.asarray(c != 0, jnp.float32)), BAND_AXIS)
-        metrics = {
-            "mse": err / count,
-            "psnr_db": 10.0 * jnp.log10(255.0**2 * count / jnp.maximum(err, 1e-30)),
-            "peen_pct": 100.0 * err / energy,
-            "nonzero_frac": nonzero / count,
-        }
+        metrics = _psum_metrics(
+            jnp.asarray(x, jnp.float32), jnp.asarray(r, jnp.float32),
+            BAND_AXIS, coeffs=c,
+        )
         return (c, r), metrics
 
     fn = jax.shard_map(
@@ -114,14 +128,32 @@ def sharded_codec_step(pipeline: Pipeline, cfg: CodecConfig, mesh: Mesh):
 
 
 def shard_image_grid(x, mesh: Mesh):
-    """Place an (H, W) image as a 2-D tile grid across a (band, col) mesh."""
+    """Place an (H, W) image as a 2-D tile grid across a (band, col) mesh.
+
+    Multi-host contract matches :func:`shard_image`: each process passes
+    its own tile of the global image; the assembled GLOBAL shape is
+    validated."""
     nb, nc = mesh.shape[BAND_AXIS], mesh.shape[COL_AXIS]
-    h, w = x.shape
-    if h % nb or (h // nb) % 8:
-        raise ValueError(f"height {h} must split into {nb} bands of 8-row multiples")
-    if w % nc or (w // nc) % 8:
-        raise ValueError(f"width {w} must split into {nc} tiles of 8-col multiples")
-    return jax.device_put(x, NamedSharding(mesh, grid_spec()))
+    sh = NamedSharding(mesh, grid_spec())
+
+    def check(h, w):
+        if h % nb or (h // nb) % 8:
+            raise ValueError(
+                f"height {h} must split into {nb} bands of 8-row multiples"
+            )
+        if w % nc or (w // nc) % 8:
+            raise ValueError(
+                f"width {w} must split into {nc} tiles of 8-col multiples"
+            )
+
+    if sh.is_fully_addressable:
+        check(*x.shape)
+        return jax.device_put(x, sh)
+    import numpy as _np
+
+    g = jax.make_array_from_process_local_data(sh, _np.asarray(x))
+    check(*g.shape)
+    return g
 
 
 def sharded_codec_step_grid(pipeline: Pipeline, cfg: CodecConfig, mesh: Mesh):
@@ -132,19 +164,10 @@ def sharded_codec_step_grid(pipeline: Pipeline, cfg: CodecConfig, mesh: Mesh):
 
     def tile_fn(x):
         c, r = pipeline.roundtrip(x, cfg)
-        xf = jnp.asarray(x, jnp.float32)
-        d = xf - jnp.asarray(r, jnp.float32)
-        axes = (BAND_AXIS, COL_AXIS)
-        err = jax.lax.psum(jnp.sum(d * d), axes)
-        energy = jax.lax.psum(jnp.sum(xf * xf), axes)
-        count = jax.lax.psum(jnp.asarray(x.size, jnp.float32), axes)
-        nonzero = jax.lax.psum(jnp.sum(jnp.asarray(c != 0, jnp.float32)), axes)
-        metrics = {
-            "mse": err / count,
-            "psnr_db": 10.0 * jnp.log10(255.0**2 * count / jnp.maximum(err, 1e-30)),
-            "peen_pct": 100.0 * err / energy,
-            "nonzero_frac": nonzero / count,
-        }
+        metrics = _psum_metrics(
+            jnp.asarray(x, jnp.float32), jnp.asarray(r, jnp.float32),
+            (BAND_AXIS, COL_AXIS), coeffs=c,
+        )
         return (c, r), metrics
 
     fn = jax.shard_map(
@@ -237,14 +260,10 @@ def sharded_color_step(pipeline: Pipeline, cfg: CodecConfig, mesh: Mesh):
         ph = cb.shape[0]
         hb, w = y.shape
         rgb = _color.ycbcr_merge_420_u8(ry, rc[:ph], rc[ph:], hb, w)
-        xf = jnp.asarray(x, jnp.float32)
-        d = xf - jnp.asarray(rgb, jnp.float32)
-        err = jax.lax.psum(jnp.sum(d * d), BAND_AXIS)
-        count = jax.lax.psum(jnp.asarray(x.size, jnp.float32), BAND_AXIS)
-        metrics = {
-            "mse": err / count,
-            "psnr_db": 10.0 * jnp.log10(255.0**2 * count / jnp.maximum(err, 1e-30)),
-        }
+        metrics = _psum_metrics(
+            jnp.asarray(x, jnp.float32), jnp.asarray(rgb, jnp.float32),
+            BAND_AXIS,
+        )
         return rgb, metrics
 
     fn = jax.shard_map(
@@ -260,18 +279,28 @@ def batch_spec() -> P:
 
 
 def shard_batch(x, mesh: Mesh):
-    """Place a (B, H, W) batch with B/n images per device."""
+    """Place a (B, H, W) batch with B/n images per device.
+
+    Multi-host: each process passes its LOCAL slab of the batch (same
+    contract as shard_image); the batch-divisibility check runs on the
+    assembled GLOBAL batch, not the local slab."""
     n = mesh.shape[BAND_AXIS]
-    if x.shape[0] % n:
-        raise ValueError(
-            f"batch of {x.shape[0]} images must split across {n} devices"
-        )
     sh = NamedSharding(mesh, batch_spec())
+
+    def check(b):
+        if b % n:
+            raise ValueError(
+                f"batch of {b} images must split across {n} devices"
+            )
+
     if sh.is_fully_addressable:
+        check(x.shape[0])
         return jax.device_put(x, sh)
     import numpy as _np
 
-    return jax.make_array_from_process_local_data(sh, _np.asarray(x))
+    g = jax.make_array_from_process_local_data(sh, _np.asarray(x))
+    check(g.shape[0])
+    return g
 
 
 def sharded_serving_step(pipeline: Pipeline, cfg: CodecConfig, mesh: Mesh):
@@ -293,15 +322,10 @@ def sharded_serving_step(pipeline: Pipeline, cfg: CodecConfig, mesh: Mesh):
         b, h, w = xb.shape
         tall = xb.reshape(b * h, w)
         c, r = pipeline.roundtrip_u8(tall, cfg)
-        xf = tall.astype(jnp.float32)
-        d = xf - r.astype(jnp.float32)
-        err = jax.lax.psum(jnp.sum(d * d), BAND_AXIS)
-        count = jax.lax.psum(jnp.asarray(xb.size, jnp.float32), BAND_AXIS)
-        metrics = {
-            "mse": err / count,
-            "psnr_db": 10.0 * jnp.log10(255.0**2 * count / jnp.maximum(err, 1e-30)),
-            "images": jax.lax.psum(jnp.asarray(b, jnp.float32), BAND_AXIS),
-        }
+        metrics = _psum_metrics(
+            tall.astype(jnp.float32), r.astype(jnp.float32),
+            BAND_AXIS, images=b,
+        )
         return (c.reshape(b, h, w), r.reshape(b, h, w)), metrics
 
     fn = jax.shard_map(
@@ -369,14 +393,9 @@ def sharded_color_step_grid(pipeline: Pipeline, cfg: CodecConfig, mesh: Mesh):
         ph = cb.shape[0]
         hb, wb = y.shape
         rgb = _color.ycbcr_merge_420_u8(ry, rc[:ph], rc[ph:], hb, wb)
-        xf = jnp.asarray(x, jnp.float32)
-        d = xf - jnp.asarray(rgb, jnp.float32)
-        err = jax.lax.psum(jnp.sum(d * d), axes)
-        count = jax.lax.psum(jnp.asarray(x.size, jnp.float32), axes)
-        metrics = {
-            "mse": err / count,
-            "psnr_db": 10.0 * jnp.log10(255.0**2 * count / jnp.maximum(err, 1e-30)),
-        }
+        metrics = _psum_metrics(
+            jnp.asarray(x, jnp.float32), jnp.asarray(rgb, jnp.float32), axes
+        )
         return rgb, metrics
 
     fn = jax.shard_map(

@@ -65,6 +65,13 @@ def roundtrip_u8_streamed(
         out_recon = np.empty((h, w), np.uint8)
     if out_coeffs.shape != (h, w) or out_recon.shape != (h, w):
         raise ValueError("preallocated outputs must match the image shape")
+    if out_coeffs.dtype != np.int8 or out_recon.dtype != np.uint8:
+        # a u8 coefficient buffer would silently WRAP negative int8
+        # coefficients on assignment (-5 -> 251) — refuse, don't corrupt
+        raise ValueError(
+            f"preallocated outputs must be int8 coefficients / uint8 recon, "
+            f"got {out_coeffs.dtype} / {out_recon.dtype}"
+        )
 
     for a in range(0, h, band_rows):
         b = min(a + band_rows, h)
@@ -102,7 +109,7 @@ def roundtrip_color_u8_streamed(
         )
     _c, h, w = rgb.shape
     band_rows = max(64, band_rows - band_rows % 64)
-    if h % 64 or not supports_color_u8(pipeline, cfg, max(h, 64), w):
+    if h == 0 or h % 64 or not supports_color_u8(pipeline, cfg, h, w):
         raise ValueError(
             f"u8 color streaming needs H % 64 == 0, W % 256 == 0 and an "
             f"int8-safe config; got {h}x{w}"
