@@ -60,12 +60,17 @@ def structured_image(size: int = 512, seed: int = 7) -> np.ndarray:
         for px in range(int(x) + 4, int(x + w) - 4, 8):
             img[y - 3 : y, px : px + 4] = 230.0
             img[y + h : y + h + 3, px : px + 4] = 230.0
-    # solder pads (bright disks)
-    yy, xx = np.mgrid[0:size, 0:size]
+    # solder pads (bright disks) — windowed: each disk only touches a
+    # (2r+1)^2 neighborhood, so don't evaluate a full-frame mask per pad
+    # (that was O(size^3) setup — minutes at 8192 before a bench started)
     for _ in range(size // 32):
         cy, cx = rng.integers(0, size, size=2)
         r = int(rng.integers(3, 9))
-        img[(yy - cy) ** 2 + (xx - cx) ** 2 <= r * r] = 255.0
+        y0, y1 = max(0, int(cy) - r), min(size, int(cy) + r + 1)
+        x0, x1 = max(0, int(cx) - r), min(size, int(cx) + r + 1)
+        wy = np.arange(y0, y1)[:, None]
+        wx = np.arange(x0, x1)[None, :]
+        img[y0:y1, x0:x1][(wy - cy) ** 2 + (wx - cx) ** 2 <= r * r] = 255.0
     # mild sensor noise
     img = img + rng.normal(0.0, 2.0, img.shape)
     return np.clip(np.round(img), 0, 255).astype(np.float32)
@@ -338,12 +343,20 @@ def bench_color_serving(
             f"color serving path needs (B*S) % 64 == 0, S % 256 == 0 and an "
             f"int8-safe q_scale; got B={batch}, S={size}"
         )
-    rgb8 = jnp.asarray(
-        np.stack(
-            [synthetic_image(size, seed=s).reshape(size, size) for s in (1, 2, 3)],
-            axis=0,
-        ).astype(np.uint8).repeat(batch, axis=1)
-    )
+    # A real batch: B independent frames stacked as taller planes (the
+    # previous row-repeat produced duplicated-row content that was never
+    # a batch of images; timing is content-independent but the reported
+    # figure should describe what actually ran).
+    rgb8 = jnp.asarray(np.concatenate(
+        [
+            np.stack(
+                [synthetic_image(size, seed=3 * b + c) for c in range(3)],
+                axis=0,
+            )
+            for b in range(batch)
+        ],
+        axis=1,
+    ).astype(np.uint8))
 
     def fn(v):
         planes, meta = encode_color_u8(p, v, cfg)
@@ -361,6 +374,26 @@ def bench_color_serving(
     }
 
 
+def _host_dct_quant(img: np.ndarray, cfg: CodecConfig) -> np.ndarray:
+    """Vectorized host-numpy blockwise DCT + quantize honoring the FULL
+    config (transform / q_table / q_scale) -> (nbY, nbX, 8, 8) f32
+    quantized blocks.  The ONE copy of the host einsum, shared by
+    bench_cpu_numpy (where it is the timed body) and bench_host_entropy
+    (where it prepares the coefficient map)."""
+    from tpudct.constants import get_q_table, get_transform
+
+    t = get_transform(cfg.transform).t.astype(np.float32)
+    q = (get_q_table(cfg.q_table) * np.float32(cfg.q_scale)).astype(np.float32)
+    bs = 8
+    h, w = img.shape
+    xb = (
+        img.reshape(h // bs, bs, w // bs, bs).transpose(0, 2, 1, 3)
+        - np.float32(128.0)
+    )
+    z = np.einsum("ij,abjk,lk->abil", t, xb, t) / q
+    return np.sign(z) * np.floor(np.abs(z) + np.float32(0.5))
+
+
 def bench_cpu_numpy(size: int, cfg: Optional[CodecConfig] = None, reps: int = 3) -> dict:
     """Host-CPU baseline: the codec as vectorized numpy f32 on this host.
 
@@ -370,28 +403,13 @@ def bench_cpu_numpy(size: int, cfg: Optional[CodecConfig] = None, reps: int = 3)
     CPU / fast / Hp table shape for `bench --cpu`."""
     import time
 
-    from tpudct.constants import Q, T
-
     cfg = cfg or CodecConfig()
-    q = (Q * np.float32(cfg.q_scale)).astype(np.float32)
-    t = T.astype(np.float32)
     img = synthetic_image(size)
-    bs = 8
-
-    def blocks(x):
-        h, w = x.shape
-        return x.reshape(h // bs, bs, w // bs, bs).transpose(0, 2, 1, 3)
-
-    def cpu_dct(x):
-        xb = blocks(x) - np.float32(128.0)
-        yb = np.einsum("ij,abjk,lk->abil", t, xb, t)
-        z = yb / q
-        return np.sign(z) * np.floor(np.abs(z) + np.float32(0.5))
 
     best = None
     for _ in range(reps):
         t0 = time.perf_counter()
-        cpu_dct(img)
+        _host_dct_quant(img, cfg)
         dt = (time.perf_counter() - t0) * 1e3
         best = dt if best is None else min(best, dt)
     out = {"pipeline": "cpu-numpy", "size": size, "dct_ms": best}
@@ -415,7 +433,6 @@ def bench_host_entropy(
     timing is reported."""
     import time as _time
 
-    from tpudct.constants import get_q_table, get_transform
     from tpudct.utils import serialize
     from tpudct.utils.entropy import native_entropy_available, rans_available
 
@@ -428,16 +445,12 @@ def bench_host_entropy(
         img = gen[image](size)
     except KeyError:
         raise ValueError(f"unknown image {image!r}; available: {sorted(gen)}")
-    t = get_transform(cfg.transform).t.astype(np.float32)
-    q = (get_q_table(cfg.q_table) * np.float32(cfg.q_scale)).astype(np.float32)
-    bs = 8
-    xb = img.reshape(size // bs, bs, size // bs, bs).transpose(0, 2, 1, 3) - np.float32(128.0)
-    z = np.einsum("ij,abjk,lk->abil", t, xb, t) / q
     c = np.ascontiguousarray(
-        (np.sign(z) * np.floor(np.abs(z) + np.float32(0.5)))
-        .transpose(0, 2, 1, 3).reshape(size, size)
+        _host_dct_quant(img, cfg).transpose(0, 2, 1, 3).reshape(size, size)
     ).astype(np.int16)
-    codecs = ["spectral", "xz", "raw", "auto"]
+    codecs = ["spectral", "raw", "auto"]
+    if serialize.lzma is not None:  # CPython built without liblzma: skip
+        codecs.insert(1, "xz")
     if native_entropy_available():
         codecs.insert(0, "huffman")
     if rans_available():

@@ -115,9 +115,14 @@ class HpApprPipeline(Pipeline):
         """uint8 image -> int8 coefficient map (4x less HBM traffic)."""
         h, w = image_u8.shape
         if not hp_pallas.supports_u8(h, w, cfg.q_scale, cfg.transform, cfg.q_table):
+            bound = hp_pallas._max_coeff(cfg.transform, cfg.q_table)
+            why = (
+                f"transform {cfg.transform!r} has no integer core"
+                if bound == float("inf")
+                else f"q_scale>={bound / 127.0:.2f} for int8 coefficients"
+            )
             raise ValueError(
-                f"u8 path needs h%32==0, w%128==0, an integer-core transform and "
-                f"q_scale>={hp_pallas._max_coeff(cfg.transform, cfg.q_table)/127.0:.2f} "
+                f"u8 path needs h%32==0, w%128==0 and {why} "
                 f"(got {h}x{w}, q_scale={cfg.q_scale}, transform={cfg.transform})"
             )
         return hp_pallas.hp_encode_u8(
@@ -149,8 +154,11 @@ class HpApprPipeline(Pipeline):
             # int8 coefficients would wrap around (or the transform has no
             # integer core) — refuse rather than silently corrupt.
             raise ValueError(
-                f"q_scale={cfg.q_scale} with transform={cfg.transform} does not "
-                "fit int8 coefficients; use roundtrip()"
+                f"transform={cfg.transform} has no integer core; use roundtrip()"
+                if hp_pallas._max_coeff(cfg.transform, cfg.q_table)
+                == float("inf")
+                else f"q_scale={cfg.q_scale} with transform={cfg.transform} "
+                "does not fit int8 coefficients; use roundtrip()"
             )
         if not hp_pallas.supports_u8(h, w, cfg.q_scale, cfg.transform, cfg.q_table):
             import jax.numpy as jnp

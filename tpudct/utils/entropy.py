@@ -69,7 +69,8 @@ def huff_encode(coeffs: np.ndarray) -> bytes:
     h, w = c.shape
     if h % 8 or w % 8:
         raise ValueError(f"coefficient map {h}x{w} is not block-aligned")
-    # worst case: ~26 bits/AC symbol; 2 bytes/coeff + tables is generous
+    # worst case approaches 4 bytes/coeff (~26 bits/AC symbol, 33-bit DC
+    # path) — do not shrink this below 4 or valid encodes start failing
     cap = int(c.size * 4 + 4096)
     out = np.empty(cap, np.uint8)
     n = lib.tpudct_huff_encode(
@@ -156,14 +157,22 @@ def _py_decode(data: bytes, h: int, w: int) -> np.ndarray:
         raise ValueError("corrupt huffman coefficient stream (header)")
     dbits = [0] + list(data[1:17])
     ndc = sum(dbits)
+    if ndc > 256:  # parity with the C decoder's -4 (ndc > NSYM)
+        raise ValueError("corrupt huffman coefficient stream (DC table)")
     dval = list(data[17 : 17 + ndc])
     abits = [0] + list(data[17 + ndc : 33 + ndc])
     nac = sum(abits)
+    if nac > 256:
+        raise ValueError("corrupt huffman coefficient stream (AC table)")
     aval = list(data[33 + ndc : 33 + ndc + nac])
     off = 33 + ndc + nac
     if len(data) < off + 4:
         raise ValueError("corrupt huffman coefficient stream (length)")
     nbits = int.from_bytes(data[off : off + 4], "little")
+    if (len(data) - off - 4) * 8 < nbits:
+        # parity with the C decoder's upfront -4 length check: the u32
+        # field must not claim more bits than the payload holds
+        raise ValueError("corrupt huffman coefficient stream (length)")
     r = _Reader(data[off + 4 :], nbits)
     dct, act = _Table(dbits, dval), _Table(abits, aval)
     out = np.zeros((h, w), np.int16)

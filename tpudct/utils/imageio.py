@@ -316,9 +316,11 @@ def save_image(path: str, image: np.ndarray, quality: int = 100) -> None:
     lossless).  Other extensions are refused rather than silently routed
     through a lossy PIL default (e.g. .webp saves quality-80)."""
     ext = pathlib.Path(path).suffix.lower()
-    if ext in JPEG_EXTS or ext == "":
+    if ext in JPEG_EXTS:
         return save_jpeg(path, image, quality=quality)
     if ext not in LOSSLESS_EXTS:
+        # extensionless paths are refused too — silently writing a LOSSY
+        # jpeg to a bare name would contradict the policy above
         raise ValueError(
             f"unsupported output extension {ext!r}: use one of "
             f"{sorted(JPEG_EXTS)} (lossy, quality honored) or "
