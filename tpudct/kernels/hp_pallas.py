@@ -83,13 +83,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 from tpudct.constants import (
     BLOCK_SIZE,
-    HAWEEL_TS,
     LEVEL_SHIFT,
     block_diag_T,
     block_diag_Ts,
     get_q_table,
     get_transform,
-    haweel_row_norms,
 )
 
 LANE = 128
@@ -105,9 +103,6 @@ def _max_coeff(transform: str = "haweel", q_table: str = "luma") -> float:
         return float("inf")
     row_abs = np.abs(tr.ts.astype(np.float64)).sum(axis=1) * tr.d  # sum|T_i| per row
     return float((np.outer(row_abs, row_abs) * 128.0 / get_q_table(q_table)).max())  # haweel/luma: ~97.2
-
-
-_MAX_COEFF = _max_coeff("haweel")
 
 
 def supports(h: int, w: int) -> bool:
@@ -158,6 +153,11 @@ def _geometry(h: int, w: int, band_rows: int, tile_cols: int, row_align: int = B
     br -= br % row_align
     tc = min(tile_cols, w)
     tc -= tc % LANE
+    if br <= 0 or tc <= 0:
+        raise ValueError(
+            f"band_rows/tile_cols must be at least {row_align}/{LANE} "
+            f"(got {band_rows}/{tile_cols})"
+        )
     while h % br:
         br -= row_align
     while w % tc:

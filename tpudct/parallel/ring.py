@@ -134,7 +134,7 @@ def ring_all_gather(x_sharded, mesh, interpret: bool = False):
 def _ring_decode_kernel(
     coeff_ref, qdd_ref, ts_ref, wts_ref, crep_ref, out_ref,
     band_vmem, res_vmem, local_sem, send_sem, recv_sem, out_sem,
-    *, num_devices: int, band_rows: int, use_barrier: bool
+    *, num_devices: int, band_rows: int, tile_cols: int, use_barrier: bool
 ):
     """Ring all-gather of int8 coefficient bands with the DECODE of each
     already-held band overlapping the in-flight RDMA hop.
@@ -164,17 +164,35 @@ def _ring_decode_kernel(
     if use_barrier:
         _neighbor_barrier(my_id, num_devices)
 
+    n_col_tiles = out_ref.shape[1] // tile_cols
+
     def decode_band(src):
-        """crep[src band] (HBM, i8) -> out[src band] (HBM, u8)."""
-        fetch = pltpu.make_async_copy(crep_ref.at[slot(src), :], band_vmem, local_sem)
-        fetch.start()
-        fetch.wait()
-        # i8 -> f32 via i32 (Mosaic has no direct narrow-int<->float cast).
-        c = band_vmem[:].astype(jnp.int32).astype(jnp.float32)
-        res_vmem[:] = _to_u8(_inv_tile_bf(c, qdd_ref[:], ts_ref[:], wts_ref[:]))
-        put = pltpu.make_async_copy(res_vmem, out_ref.at[slot(src), :], out_sem)
-        put.start()
-        put.wait()
+        """crep[src band] (HBM, i8) -> out[src band] (HBM, u8), in
+        column tiles so the VMEM working set stays bounded regardless of
+        band size (a whole 8192-wide band's f32 intermediates alone
+        would blow the 16 MiB scoped-VMEM budget)."""
+
+        def col_tile(j, _):
+            cs = pl.ds(j * tile_cols, tile_cols)
+            fetch = pltpu.make_async_copy(
+                crep_ref.at[slot(src), cs], band_vmem, local_sem
+            )
+            fetch.start()
+            fetch.wait()
+            # i8 -> f32 via i32 (matches the hp kernels' int path; qdd is
+            # LANE-periodic so any 128-multiple column tile reuses it)
+            c = band_vmem[:].astype(jnp.int32).astype(jnp.float32)
+            res_vmem[:] = _to_u8(
+                _inv_tile_bf(c, qdd_ref[:], ts_ref[:], wts_ref[:])
+            )
+            put = pltpu.make_async_copy(
+                res_vmem, out_ref.at[slot(src), cs], out_sem
+            )
+            put.start()
+            put.wait()
+            return 0
+
+        lax.fori_loop(0, n_col_tiles, col_tile, 0)
 
     def step(i, _):
         src = lax.rem(my_id - i + num_devices, num_devices)
@@ -208,15 +226,35 @@ def _ring_decode_builder(
 
     n = mesh.shape[BAND_AXIS]
     band_rows = h // n
-    if band_rows * n != h or band_rows % 8 or w % 128:
+    # Compiled (Mosaic) lowering needs 32-row bands — the i8 staging tile
+    # has the int8 sublane minimum, same constraint as every i8 hp kernel
+    # (hp_pallas.supports_u8); interpret mode has no sublane constraints,
+    # so the CPU-mesh dryrun can keep its tiny 8-row bands.
+    row_align = 8 if interpret else 32
+    if band_rows * n != h or band_rows % row_align or w % 128:
         raise ValueError(
-            f"ring decode needs h split into {n} 8-row-multiple bands and "
-            f"w % 128 == 0, got {h}x{w}"
+            f"ring decode needs h split into {n} {row_align}-row-multiple "
+            f"bands and w % 128 == 0, got {h}x{w}"
         )
+    # Column-tile size: largest 128-multiple divisor of w keeping the
+    # per-tile decode working set (~12 B/elem of f32/bf16 intermediates)
+    # inside the scoped-VMEM budget.
+    max_elems = 512 * 1024
+    cands = [
+        d for d in range(128, w + 1, 128)
+        if w % d == 0 and band_rows * d <= max_elems
+    ]
+    if not cands:
+        raise ValueError(
+            f"ring decode band ({band_rows}x{w}) too tall for VMEM even at "
+            "128-wide column tiles; shard over more devices or gather with "
+            "ring_all_gather and decode via hp_decode_u8"
+        )
+    tile_cols = max(cands)
     qdd, ts, wts = _consts_bf(band_rows, q_scale, transform, q_table)
     kernel = functools.partial(
         _ring_decode_kernel, num_devices=n, band_rows=band_rows,
-        use_barrier=not interpret,
+        tile_cols=tile_cols, use_barrier=not interpret,
     )
     call = pl.pallas_call(
         kernel,
@@ -235,8 +273,8 @@ def _ring_decode_builder(
             pl.BlockSpec(memory_space=pl.ANY),
         ),
         scratch_shapes=[
-            pltpu.VMEM((band_rows, w), jnp.int8),
-            pltpu.VMEM((band_rows, w), jnp.uint8),
+            pltpu.VMEM((band_rows, tile_cols), jnp.int8),
+            pltpu.VMEM((band_rows, tile_cols), jnp.uint8),
             pltpu.SemaphoreType.DMA,  # local placement / fetches
             pltpu.SemaphoreType.DMA,  # ring send
             pltpu.SemaphoreType.DMA,  # ring recv

@@ -68,9 +68,12 @@ def _psum_metrics(xf, rf, axes, coeffs=None, images=None) -> dict:
     d = xf - rf
     err = jax.lax.psum(jnp.sum(d * d), axes)
     count = jax.lax.psum(jnp.asarray(xf.size, jnp.float32), axes)
+    mse = err / count
     m = {
-        "mse": err / count,
-        "psnr_db": 10.0 * jnp.log10(255.0**2 * count / jnp.maximum(err, 1e-30)),
+        "mse": mse,
+        # clamp the MEAN (not the sum): the perfect-reconstruction cap then
+        # agrees with utils.metrics.psnr regardless of image size
+        "psnr_db": 10.0 * jnp.log10(255.0**2 / jnp.maximum(mse, 1e-30)),
     }
     if coeffs is not None:
         energy = jax.lax.psum(jnp.sum(xf * xf), axes)

@@ -13,8 +13,9 @@ Definitions used (documented because the reference leaves them implicit):
           normalized to the input energy (the PEEN of the approximate-DCT
           literature, e.g. the Haweel line of papers)
   compression factor = compressed_size(original) / compressed_size(coded)
-          where both sides use the same lossless entropy stage (zlib) —
-          the quantized+truncated coefficient stream vs the raw image.
+          where the original side is zlib and the coefficient side is the
+          .tdc 'auto' entropy stage (smallest of rans/huffman/xz/spectral
+          — what encode actually stores; see utils/serialize.py).
           An alternative JPEG-file-based factor is provided for parity
           with the reference's libjpeg-re-encode storage model.
 """
