@@ -234,15 +234,21 @@ def test_partial_color_coefficients_progressive(tmp_path, capsys):
     assert imageio.load_image(out, force_gray=False).shape == (64, 96, 3)
 
 
-@pytest.mark.parametrize("mode", ["420", "422", "444"])
-def test_color_roi_decode_matches_full(tmp_path, mode, capsys):
+@pytest.mark.parametrize("mode,h,rows", [
+    ("420", 96, "21:75"), ("422", 96, "21:75"), ("444", 96, "21:75"),
+    # padded luma height 8-mod-16 with a TAIL range: the 4:2:0 chroma
+    # slice must take whole blocks (regression: y1//2 off the block grid
+    # made decode_color concatenate a half-cb/half-cr 8-row block)
+    ("420", 40, "33:40"), ("420", 40, "0:9"),
+])
+def test_color_roi_decode_matches_full(tmp_path, mode, h, rows, capsys):
     """decode --rows on a .tdcc must equal the same rows of the full
     decode (replication upsampling is local, so a block-row slice decode
     is exact) — for every chroma mode, on an unaligned range."""
     from tpudct.cli import main
     from tpudct.utils import imageio
 
-    rgb = _smooth_rgb(96, 64).astype(np.uint8)
+    rgb = _smooth_rgb(h, 64).astype(np.uint8)
     p = get_pipeline("batched")
     cfg = CodecConfig(interpret=True)
     from tpudct.models.color import decode_color, encode_color
@@ -257,11 +263,12 @@ def test_color_roi_decode_matches_full(tmp_path, mode, capsys):
     full = tmp_path / "full.png"
     roi = tmp_path / "roi.png"
     assert main(["decode", str(tdcc), str(full), "--pipeline", "batched"]) == 0
-    assert main(["decode", str(tdcc), str(roi), "--rows", "21:75",
+    assert main(["decode", str(tdcc), str(roi), "--rows", rows,
                  "--pipeline", "batched"]) == 0
+    ra, rb = (int(v) for v in rows.split(":"))
     np.testing.assert_array_equal(
         imageio.load_image(roi, force_gray=False),
-        imageio.load_image(full, force_gray=False)[21:75],
+        imageio.load_image(full, force_gray=False)[ra:rb],
     )
 
 

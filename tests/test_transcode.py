@@ -325,6 +325,13 @@ def test_batch_unbatch_transcode(tmp_path, rng, capsys):
     rep = json.loads(capsys.readouterr().out.strip())
     assert rep["transcoded"] == 0 and rep["skipped"] == 5
 
+    # resume is per-CONFIGURATION: a different --entropy re-encodes the 4
+    # good files (the corrupt one stays skipped — stream-intrinsic error)
+    assert main(["batch", "--transcode", "--entropy", "spectral",
+                 str(src), str(mid)]) == 0
+    rep = json.loads(capsys.readouterr().out.strip())
+    assert rep["transcoded"] == 4 and rep["skipped"] == 1
+
     assert main(["unbatch", "--transcode", str(mid), str(back)]) == 0
     rep = json.loads(capsys.readouterr().out.strip())
     assert rep["decoded"] == 4 and rep["failed"] == 0

@@ -526,7 +526,8 @@ def accuracy_table_color(
         )
         rows.append({
             "mse": mse,
-            "psnr_db": 10 * np.log10(255.0**2 / mse) if mse else float("inf"),
+            # perfect-recon cap matching metrics.psnr: inf is not valid JSON
+            "psnr_db": 10 * np.log10(255.0**2 / max(mse, 1e-30)),
             "compression_factor": raw / len(blob),
             "k": "std" if k is None else k,
         })

@@ -141,6 +141,11 @@ def cmd_run(args) -> int:
     if args.color:
         from tpudct.models.color import roundtrip_color_auto
 
+        if args.corners:
+            raise ValueError(
+                "--corners reproduces the reference's grayscale stage dumps "
+                "(main_cublass.cu:63-167); it does not apply to --color"
+            )
         rgb = _load_rgb(args.input)
         # Dispatches to the fused u8 path (Pallas color kernels + int8
         # codec kernels) when the geometry allows it.
@@ -160,7 +165,8 @@ def cmd_run(args) -> int:
         print(json.dumps({
             "pipeline": p.name, "shape": list(rgb.shape), "color": True,
             "subsample": meta["subsample"], "mse": mse,
-            "psnr_db": 10 * np.log10(255.0 ** 2 / mse) if mse else float("inf"),
+            # same perfect-recon cap as metrics.psnr: inf is not valid JSON
+            "psnr_db": 10 * np.log10(255.0 ** 2 / max(mse, 1e-30)),
         }))
         return 0
     img = imageio.load_image(args.input)
@@ -193,9 +199,12 @@ def cmd_run(args) -> int:
         # 4x less HBM traffic) engage whenever the geometry and cfg allow.
         from tpudct.kernels import hp_pallas
 
+        from tpudct.ops.padding import padded_shape
+
+        # gate on the statically-known padded shape — padding the image
+        # just to read .shape would cost a full device transfer + dispatch
         if hasattr(p, "roundtrip_u8") and hp_pallas.supports_u8(
-            *pad_to_blocks(jnp.asarray(img))[0].shape,
-            cfg.q_scale, cfg.transform, cfg.q_table,
+            *padded_shape(h, w), cfg.q_scale, cfg.transform, cfg.q_table,
         ):
             xu8, _ = pad_to_blocks(jnp.asarray(img, jnp.uint8))
             c, rec = p.roundtrip_u8(xu8, cfg)
@@ -323,10 +332,17 @@ def cmd_decode(args) -> int:
             a0 = a - a % align
             y1 = min(planes["y"].shape[0], -(-bnd // align) * align)
             if mode == "420":
-                c0, c1 = a0 // 2, y1 // 2
+                # Tail slices of images whose PADDED luma height is only
+                # 8-aligned (h % 16 == 8, pad_to_blocks pads to 8s) leave
+                # y1 // 2 off the chroma block grid — take the whole
+                # remaining chroma plane there so both chroma slices stay
+                # 8-row block multiples (a half-block slice would make
+                # decode_color's cb/cr concatenation span one mixed block).
+                c0 = a0 // 2
+                c1 = (planes["cb"].shape[0]
+                      if y1 >= planes["y"].shape[0] else y1 // 2)
             else:
-                c0, c1 = a0, y1
-            c1 = min(c1, planes["cb"].shape[0])
+                c0, c1 = a0, min(y1, planes["cb"].shape[0])
             sl = {"y": planes["y"][a0:y1],
                   "cb": planes["cb"][c0:c1], "cr": planes["cr"][c0:c1]}
             smeta = {
@@ -528,10 +544,14 @@ def cmd_unbatch(args) -> int:
             try:
                 rec = json.loads(line)
                 # Resume is PER OUTPUT FORMAT: a re-run with a different
-                # --ext must decode again (error records stay done — a
-                # corrupt stream is corrupt in every format).
+                # --ext must decode again.  Stream-intrinsic error records
+                # stay done (a corrupt stream is corrupt in every format)
+                # but I/O-class failures (disk full, NFS hiccup) retry.
                 out_name = rec.get("out", rec.get("jpg", ""))  # "jpg": legacy key
-                if "error" in rec or out_name.lower().endswith(ext):
+                if "error" in rec:
+                    if rec.get("error_kind", "stream") != "io":
+                        done.add(rec["file"])
+                elif out_name.lower().endswith(ext):
                     done.add(rec["file"])
             except (json.JSONDecodeError, KeyError):
                 continue
@@ -595,8 +615,11 @@ def cmd_unbatch(args) -> int:
                 imageio.save_image(out, rec, quality=args.quality)
             except (ValueError, OSError) as e:
                 # One corrupt stream must not abort the job (same recovery
-                # contract as `batch`).
-                mf.write(json.dumps({"file": name, "error": str(e)}) + "\n")
+                # contract as `batch`); I/O failures are marked retryable.
+                mf.write(json.dumps({
+                    "file": name, "error": str(e),
+                    "error_kind": "io" if isinstance(e, OSError) else "stream",
+                }) + "\n")
                 mf.flush()
                 failed += 1
                 continue
@@ -632,13 +655,32 @@ def cmd_batch(args) -> int:
     dst = pathlib.Path(args.output_dir)
     dst.mkdir(parents=True, exist_ok=True)
     manifest = dst / "manifest.jsonl"
+    # Resume is PER CONFIGURATION: success records carry a signature of
+    # everything that changes the output, so re-running with different
+    # flags (--color, --entropy, --q-scale, --transcode, ...) re-encodes
+    # instead of silently skipping.  Error records stay done only for
+    # stream-intrinsic failures (corrupt inputs); I/O-class errors retry.
+    # Legacy records (no cfg/kind fields) keep their old always-done
+    # meaning.
+    c0 = _cfg_from(args)
+    sig = (f"t={c0.transform};q={c0.q_scale};k={c0.retain_k};"
+           f"qt={c0.q_table};e={args.entropy};"
+           f"c={int(bool(getattr(args, 'color', False)))};"
+           f"s={_chroma_mode(args)};"
+           f"x={int(bool(getattr(args, 'transcode', False)))}")
     done = set()
     if manifest.exists():
         for line in manifest.read_text().splitlines():
             try:
-                done.add(json.loads(line)["file"])
+                rec = json.loads(line)
+                name = rec["file"]
             except (json.JSONDecodeError, KeyError):
                 continue
+            if "error" in rec:
+                if rec.get("error_kind", "stream") != "io":
+                    done.add(name)
+            elif rec.get("cfg", sig) == sig:
+                done.add(name)
 
     if args.transcode:
         # Lossless archival mode: coefficient-level import (utils/jpegcoef),
@@ -672,32 +714,46 @@ def cmd_batch(args) -> int:
         )
 
         def _one(name):
-            data = jpegcoef.import_jpeg(src / name, codec=args.entropy)
+            # kind classification is by PHASE, not exception type: a parse
+            # failure (jpegcoef raises IOError for those too) is intrinsic
+            # to the file and stays skipped on resume; an output-write
+            # failure (disk full) is transient and retries.
+            try:
+                data = jpegcoef.import_jpeg(src / name, codec=args.entropy)
+            except (OSError, ValueError) as e:
+                return ("err", "stream", str(e))
             ext = ".tdcc" if serialize.is_color_stream(data) else ".tdc"
             out = dst / (name + ext)
-            out.write_bytes(data)
-            return name, out.name, len(data), (src / name).stat().st_size
+            try:
+                out.write_bytes(data)
+                src_bytes = (src / name).stat().st_size
+            except OSError as e:
+                return ("err", "io", str(e))
+            return ("ok", out.name, len(data), src_bytes)
 
         lock = threading.Lock()
         with open(manifest, "a") as mf, ThreadPoolExecutor(jobs) as ex:
             futs = {ex.submit(_one, n): n for n in todo}
             for fut in as_completed(futs):
                 name = futs[fut]
-                try:
-                    name, out_name, nbytes, src_bytes = fut.result()
-                except (OSError, ValueError) as e:
+                res = fut.result()
+                if res[0] == "err":
+                    _tag, kind, msg = res
                     with lock:
-                        mf.write(json.dumps(
-                            {"file": name, "error": str(e)}) + "\n")
+                        mf.write(json.dumps({
+                            "file": name, "error": msg, "error_kind": kind,
+                        }) + "\n")
                         mf.flush()
                         failed += 1
                     continue
+                _tag, out_name, nbytes, src_bytes = res
                 with lock:
                     bytes_in += src_bytes
                     bytes_out += nbytes
                     mf.write(json.dumps({
                         "file": name, "tdc": out_name, "bytes": nbytes,
                         "src_bytes": src_bytes, "transcode": True,
+                        "cfg": sig,
                     }) + "\n")
                     mf.flush()
                     coded += 1
@@ -779,7 +835,7 @@ def cmd_batch(args) -> int:
                         cfg.transform, codec=args.entropy,
                     )
                     rec = {"file": name, "tdc": out.name, "bytes": n,
-                           "shape": [h, w, 3]}
+                           "shape": [h, w, 3], "cfg": sig}
                     mf.write(json.dumps(rec) + "\n")
                     mf.flush()
                     coded += 1
@@ -789,7 +845,8 @@ def cmd_batch(args) -> int:
                 # Full input name in the output avoids a.jpg/a.jpeg collisions.
                 out = dst / (name + ".tdc")
                 n = serialize.save_coefficients(out, np.asarray(c), cfg.q_scale, cfg.retain_k, orig_shape=(h, w), transform=cfg.transform, codec=args.entropy, q_table=cfg.q_table)
-                rec = {"file": name, "tdc": out.name, "bytes": n, "shape": [h, w]}
+                rec = {"file": name, "tdc": out.name, "bytes": n,
+                       "shape": [h, w], "cfg": sig}
                 mf.write(json.dumps(rec) + "\n")
                 mf.flush()
                 coded += 1
@@ -907,11 +964,16 @@ def cmd_transcode(args) -> int:
 
     from tpudct.utils import jpegcoef
 
-    if not jpegcoef.coef_io_available():
-        raise ValueError(
-            "transcode needs the native library (make -C csrc); "
-            "coefficient-level libjpeg access has no pure-Python fallback"
-        )
+    def _need_native():
+        # Only the jpg <-> tdc directions touch libjpeg; the tdc -> tdc
+        # entropy restage is pure host Python and works everywhere.
+        if not jpegcoef.coef_io_available():
+            raise ValueError(
+                "transcode to/from .jpg needs the native library "
+                "(make -C csrc); coefficient-level libjpeg access has no "
+                "pure-Python fallback"
+            )
+
     dst = args.dst.lower()
     if dst.endswith((".tdc", ".tdcc")) and args.src.lower().endswith(
         (".tdc", ".tdcc")
@@ -960,6 +1022,7 @@ def cmd_transcode(args) -> int:
     if dst.endswith((".tdc", ".tdcc")):
         from tpudct.utils.serialize import inspect_stream, is_color_stream
 
+        _need_native()
         data = jpegcoef.import_jpeg(args.src, codec=args.entropy)
         color = is_color_stream(data)
         if color != dst.endswith(".tdcc"):
@@ -979,6 +1042,7 @@ def cmd_transcode(args) -> int:
         }))
         return 0
     if dst.endswith((".jpg", ".jpeg")):
+        _need_native()
         with open(args.src, "rb") as f:
             data = f.read()
         jpegcoef.export_jpeg(data, args.dst)

@@ -306,9 +306,13 @@ def _norm_t(ts: np.ndarray) -> tuple:
 
 
 def _build_transforms() -> dict:
-    rd_t, rd_d = _norm_t(_rdct_core())
-    wh_t, wh_d = _norm_t(_wht_core())
-    ba_t, ba_d = _norm_t(_bas_core())
+    # build each core ONCE: the Transform's .ts must be the same array its
+    # .t/.d were derived from (and the orthogonality asserts in _norm_t
+    # should not run twice per core at import)
+    rd_ts, wh_ts, ba_ts = _rdct_core(), _wht_core(), _bas_core()
+    rd_t, rd_d = _norm_t(rd_ts)
+    wh_t, wh_d = _norm_t(wh_ts)
+    ba_t, ba_d = _norm_t(ba_ts)
     return {
         # Reference parity: the exact float literals from main.cu:135-143.
         "haweel": Transform(
@@ -317,11 +321,11 @@ def _build_transforms() -> dict:
         # Derived rounded-DCT approximation ({0,+-1} core, 0 multiplies);
         # identical to the published Cintra-Bayer 2011 transform (see
         # _rdct_core), hence the "cb2011" alias below.
-        "rdct": Transform("rdct", rd_t, _rdct_core(), rd_d),
+        "rdct": Transform("rdct", rd_t, rd_ts, rd_d),
         # Sequency-ordered Walsh-Hadamard ({+-1} core, 0 multiplies).
-        "wht": Transform("wht", wh_t, _wht_core(), wh_d),
+        "wht": Transform("wht", wh_t, wh_ts, wh_d),
         # Sparsified-rdct sign transform: the cheapest core (see _bas_core).
-        "bas": Transform("bas", ba_t, _bas_core(), ba_d),
+        "bas": Transform("bas", ba_t, ba_ts, ba_d),
         # Exact DCT-II: the quality ceiling; no integer core (irrational
         # entries), so it runs on the f32 MXU paths only.
         "dct": Transform("dct", _exact_dct8(np.float32), None, None),
