@@ -863,7 +863,13 @@ def cmd_scale(args) -> int:
     counts = None
     if args.devices:
         counts = [int(x) for x in args.devices.split(",")]
-    for row in scaling_table(args.size, args.pipeline, counts, _cfg_from(args), reps=args.reps):
+    k_pair = None
+    if args.k_pair:
+        k_pair = tuple(int(x) for x in args.k_pair.split(","))
+        if len(k_pair) != 2:
+            raise ValueError(f"--k-pair expects A,B, got {args.k_pair!r}")
+    for row in scaling_table(args.size, args.pipeline, counts, _cfg_from(args),
+                             reps=args.reps, k_pair=k_pair):
         print(json.dumps(row))
     return 0
 
@@ -1221,6 +1227,8 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--size", type=int, default=2048)
     sp.add_argument("--devices", default=None, help="comma list, default powers of 2 up to available")
     sp.add_argument("--reps", type=int, default=3)
+    sp.add_argument("--k-pair", default=None, dest="k_pair",
+                    help="pin the slope-timing chain lengths, e.g. 8,72 (2 compiles per count instead of the adaptive search's 5+; use on the real chip)")
     sp.set_defaults(fn=cmd_scale)
 
     sp = sub.add_parser("profile", help="capture a per-kernel device trace (TensorBoard/Perfetto)")

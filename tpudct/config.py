@@ -19,7 +19,6 @@ class CodecConfig:
     """Configuration for one codec run.
 
     Attributes:
-      block_size: transform block edge. The Haweel T is 8x8, so 8.
       transform: which 8x8 transform to run (constants.TRANSFORMS).
         "haweel" (default) = the reference's exact matrix; "rdct" = the
         derived rounded-DCT {0,+-1} approximation (PAPERS.md family);
@@ -59,8 +58,6 @@ class CodecConfig:
         truncation (MSE delta ~1e-4, inside the <=1e-3 budget).
         Superseded by "butterfly" (faster AND exact); kept for
         comparison.
-      lane_blocks: how many 8x8 blocks ride one 128-lane tile in the fused
-        Pallas kernel (128 // block_size).
       band_rows: sublane rows per Pallas grid step (multiple of 8).
         None (default) = each kernel's measured-best geometry: the u8
         kernels run (128, 4096), the f32 kernels (256, 2048) — the two
@@ -71,7 +68,9 @@ class CodecConfig:
         None (default) = per-kernel measured best, see band_rows.
     """
 
-    block_size: int = 8
+    # NOTE: the 8x8 block edge is structural (constants.BLOCK_SIZE), not a
+    # config knob — every transform, kernel and container assumes it; a
+    # former block_size field was dead and misleading, so it was removed.
     transform: str = "haweel"
     q_scale: float = 1.0
     q_table: str = "luma"
@@ -81,14 +80,3 @@ class CodecConfig:
     decode_precision: str = "butterfly"
     band_rows: Optional[int] = None
     tile_cols: Optional[int] = None
-
-    @property
-    def lane_blocks(self) -> int:
-        return 128 // self.block_size
-
-    def validate_image(self, h: int, w: int) -> None:
-        bs = self.block_size
-        if h % bs or w % bs:
-            raise ValueError(
-                f"image {h}x{w} not divisible into {bs}x{bs} blocks; pad first"
-            )

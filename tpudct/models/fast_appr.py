@@ -16,7 +16,6 @@ reference).
 
 from __future__ import annotations
 
-import numpy as np
 import jax.numpy as jnp
 
 from tpudct.config import CodecConfig
@@ -49,27 +48,36 @@ class FastApprPipeline(Pipeline):
     def dct(self, image, cfg: CodecConfig):
         h, w = image.shape
         _ts, _d, _bdts = _core(cfg)
-        # Fold D-scaling into quantization: Y/Q = core * (d_i d_l / Q_il).
-        d = jnp.asarray(_d, image.dtype)
-        q = jnp.asarray(get_q_table(cfg.q_table), image.dtype) * jnp.asarray(cfg.q_scale, image.dtype)
+        # All scale math in f32 regardless of input dtype: casting the
+        # fractional row norms to an INTEGER input's dtype would zero them
+        # (verified: uint8 input silently produced an all-zero map).
+        x = jnp.asarray(image, jnp.float32)
+        d = jnp.asarray(_d, jnp.float32)
+        q = jnp.asarray(get_q_table(cfg.q_table), jnp.float32) * jnp.float32(cfg.q_scale)
         scale8 = (d[:, None] * d[None, :]) / q
+
+        def _i8(g):
+            # Level shift + narrow.  rint, not truncate: non-integral f32
+            # pixels (the color path's YCbCr planes) otherwise bias the
+            # whole pipeline -0.28 gray levels (truncation is one-sided).
+            # u8-domain values always fit int8 after the shift.
+            return jnp.rint(g - 128.0).astype(jnp.int8)
+
         if h % _LANE == 0 and w % _LANE == 0:
             ts = jnp.asarray(_bdts, jnp.int8)
-            g = image.reshape(h // _LANE, _LANE, w // _LANE, _LANE)
-            g = (g.astype(jnp.int32) - 128).astype(jnp.int8)
+            g = _i8(x.reshape(h // _LANE, _LANE, w // _LANE, _LANE))
             core = jnp.einsum(
                 "ij,ajbk,lk->aibl", ts, g, ts, preferred_element_type=jnp.int32
             )
             scale = jnp.tile(scale8, (_LANE // BLOCK_SIZE, _LANE // BLOCK_SIZE))
-            y = core.astype(image.dtype) * scale.reshape(1, _LANE, 1, _LANE)
+            y = core.astype(jnp.float32) * scale.reshape(1, _LANE, 1, _LANE)
             return round_half_away(y.reshape(h, w))
         ts = jnp.asarray(_ts, jnp.int8)
-        # Level shift in integer domain: u8 pixel - 128 always fits int8.
-        g = (as_block_grid(image).astype(jnp.int32) - 128).astype(jnp.int8)
+        g = _i8(as_block_grid(x))
         core = jnp.einsum(
             "ij,ajbk,lk->aibl", ts, g, ts, preferred_element_type=jnp.int32
         )
-        y = core.astype(image.dtype) * scale8.reshape(1, BLOCK_SIZE, 1, BLOCK_SIZE)
+        y = core.astype(jnp.float32) * scale8.reshape(1, BLOCK_SIZE, 1, BLOCK_SIZE)
         return round_half_away(from_block_grid(y))
 
     def idct(self, coeffs, cfg: CodecConfig):
@@ -77,18 +85,19 @@ class FastApprPipeline(Pipeline):
         # factored form X = Ts^T @ (D Y D * Q) @ Ts for the same MXU path.
         h, w = coeffs.shape
         _ts, _d, _bdts = _core(cfg)
-        d = jnp.asarray(_d, coeffs.dtype)
-        q = jnp.asarray(get_q_table(cfg.q_table), coeffs.dtype) * jnp.asarray(cfg.q_scale, coeffs.dtype)
+        c = jnp.asarray(coeffs, jnp.float32)  # int coefficient maps: exact
+        d = jnp.asarray(_d, jnp.float32)
+        q = jnp.asarray(get_q_table(cfg.q_table), jnp.float32) * jnp.float32(cfg.q_scale)
         scale8 = (d[:, None] * d[None, :]) * q
         if h % _LANE == 0 and w % _LANE == 0:
-            ts = jnp.asarray(_bdts.astype(np.float32), coeffs.dtype)
+            ts = jnp.asarray(_bdts, jnp.float32)
             scale = jnp.tile(scale8, (_LANE // BLOCK_SIZE, _LANE // BLOCK_SIZE))
-            g = coeffs.reshape(h // _LANE, _LANE, w // _LANE, _LANE)
+            g = c.reshape(h // _LANE, _LANE, w // _LANE, _LANE)
             g = g * scale.reshape(1, _LANE, 1, _LANE)
             x = jnp.einsum("ji,ajbk,kl->aibl", ts, g, ts, precision="highest")
             return level_unshift(x.reshape(h, w))
-        ts = jnp.asarray(_ts.astype(np.float32), coeffs.dtype)
-        g = as_block_grid(coeffs) * scale8.reshape(1, BLOCK_SIZE, 1, BLOCK_SIZE)
+        ts = jnp.asarray(_ts, jnp.float32)
+        g = as_block_grid(c) * scale8.reshape(1, BLOCK_SIZE, 1, BLOCK_SIZE)
         # Ts entries are small integers — exactly representable in bf16 — but
         # the scaled coefficients are not; keep full f32 (see transform.py).
         x = jnp.einsum("ji,ajbk,kl->aibl", ts, g, ts, precision="highest")

@@ -50,6 +50,13 @@ def as_block_grid(x, bs: int = BLOCK_SIZE):
     GEMM (main_cublass_2.cu:225-235).
     """
     h, w = x.shape
+    if h % bs or w % bs:
+        # the central choke point for every einsum pipeline: a clear
+        # message instead of an opaque XLA reshape error
+        raise ValueError(
+            f"image {h}x{w} not divisible into {bs}x{bs} blocks; "
+            "pad first (ops.padding.pad_to_blocks)"
+        )
     return x.reshape(h // bs, bs, w // bs, bs)
 
 

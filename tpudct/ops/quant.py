@@ -20,7 +20,7 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
-from tpudct.constants import BLOCK_SIZE, Q, get_q_table
+from tpudct.constants import BLOCK_SIZE, get_q_table
 from tpudct.ops.rounding import round_half_away
 
 

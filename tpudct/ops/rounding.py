@@ -17,7 +17,12 @@ def round_half_away(x):
     round_half_away(2.5) == 3, round_half_away(-2.5) == -3
     (jnp.round gives 2 and -2 respectively).
 
-    Implemented as sign(x) * floor(|x| + 0.5) — branch-free, VPU-friendly,
-    safe under jit and inside Pallas kernels.
+    Branch-free compare form, safe under jit and inside Pallas kernels.
+    NOT floor(|x| + 0.5): that rounds UP f32 values just below .5 whenever
+    |x| + 0.5 lands on the next representable float (e.g. f32 0.49999997
+    -> 1.0 where CUDA round() gives 0) — the compare never adds, so the
+    equivalence contract 'differs from exact only at true .5 ties' holds.
     """
-    return jnp.sign(x) * jnp.floor(jnp.abs(x) + 0.5)
+    a = jnp.abs(x)
+    f = jnp.floor(a)
+    return jnp.sign(x) * (f + (a - f >= 0.5).astype(a.dtype))

@@ -23,7 +23,10 @@ def distributed_init(coordinator: Optional[str] = None, **kw) -> None:
         else:
             jax.distributed.initialize(**kw)
     except RuntimeError as e:
-        if "already" in str(e).lower():
+        msg = str(e).lower()
+        # jax <=0.4 says "already initialized"; jax 0.9 says
+        # "distributed.initialize should only be called once."
+        if "already" in msg or "only be called once" in msg:
             return  # double-init: harmless
         if coordinator is not None or kw:
             # The caller explicitly asked for a cluster: a silent fallback

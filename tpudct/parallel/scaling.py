@@ -48,9 +48,13 @@ def scaling_table(
     device_counts: Optional[Iterable[int]] = None,
     cfg: Optional[CodecConfig] = None,
     reps: int = 3,
+    k_pair: Optional[tuple] = None,
 ) -> list:
     """Throughput + efficiency per device count.  Device counts default to
-    powers of two up to the available devices."""
+    powers of two up to the available devices.  Pin `k_pair` (e.g. (8, 72))
+    on the real chip: the adaptive chain-length search costs 5+ compiles
+    per count, ruinous through the relay on slow-compile days (CLAUDE.md
+    measurement protocol)."""
     from tpudct.benchmark import synthetic_image
 
     cfg = cfg or CodecConfig()
@@ -68,7 +72,8 @@ def scaling_table(
         mesh = band_mesh(n_devices=n)
         xs = shard_image(jnp.asarray(img), mesh)
         op = _sharded_pair(p, cfg, mesh)
-        ms = device_time_ms(op, xs, reps=reps)
+        ms = (device_time_ms(op, xs, reps=reps, k_pair=k_pair)
+              if k_pair is not None else device_time_ms(op, xs, reps=reps))
         # tiny CI shapes can measure a zero slope; floor to one timer tick
         ms = max(ms, 1e-6)
         mpix = size * size / ms / 1e3

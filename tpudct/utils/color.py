@@ -85,12 +85,28 @@ def downsample_420(plane):
     return (x[:, 0::2] + x[:, 1::2]) * 0.5
 
 
+def _repeat_rows2(x):
+    """Row-doubling via broadcast+reshape: (H, W) -> (2H, W).
+
+    NOT jnp.repeat(axis=0) — interleave-repeat lowers to a gather measured
+    at ~342 ms per plane at 8192² (CLAUDE.md).  Broadcasting a middle axis
+    keeps the minor (lane) dim intact, so this form is a free relayout."""
+    h, w = x.shape
+    return jnp.broadcast_to(x[:, None, :], (h, 2, w)).reshape(2 * h, w)
+
+
 def upsample_420(plane, h: int, w: int):
     """(h2, w2) -> (h, w) by 2x2 nearest replication (box upsample), the
     exact adjoint of :func:`downsample_420`'s pooling grid; crops the
-    replicated edge when h or w is odd."""
+    replicated edge when h or w is odd.
+
+    Column replication rides the same broadcast-reshape form through a
+    transpose pair — the trailing-axis interleave alternatives are the
+    documented catastrophes (jnp.repeat = gather; a trailing 2-dim
+    broadcast pads 64x and OOMs at 8192², CLAUDE.md)."""
     x = jnp.asarray(plane, jnp.float32)
-    x = jnp.repeat(jnp.repeat(x, 2, axis=0), 2, axis=1)
+    x = _repeat_rows2(x)                    # rows: free broadcast-reshape
+    x = _repeat_rows2(x.T).T                # cols: same form, transposed
     return x[:h, :w]
 
 
@@ -106,9 +122,10 @@ def downsample_422(plane):
 
 def upsample_422(plane, h: int, w: int):
     """(h, w2) -> (h, w) by horizontal nearest replication (adjoint of
-    :func:`downsample_422`)."""
+    :func:`downsample_422`); broadcast-reshape through a transpose pair
+    instead of the gather-lowering jnp.repeat (see upsample_420)."""
     x = jnp.asarray(plane, jnp.float32)
-    return jnp.repeat(x, 2, axis=1)[:h, :w]
+    return _repeat_rows2(x.T).T[:h, :w]
 
 
 # ---- u8-native planar fast path --------------------------------------------
