@@ -31,6 +31,19 @@ def _psnr(a, b):
 # ---- color space ----------------------------------------------------------
 
 
+def test_upsample_equals_naive_repeat(rng):
+    """The broadcast-reshape upsample forms (chosen for their TPU lowering;
+    jnp.repeat is a measured ~342 ms gather at 8192²) must be value-exact
+    nearest replication, including odd-crop edges."""
+    for h, w in ((8, 8), (9, 13), (64, 96), (17, 31)):
+        x = rng.uniform(0, 255, ((h + 1) // 2, (w + 1) // 2)).astype(np.float32)
+        ref = np.repeat(np.repeat(x, 2, 0), 2, 1)[:h, :w]
+        np.testing.assert_array_equal(np.asarray(color.upsample_420(x, h, w)), ref)
+        x2 = rng.uniform(0, 255, (h, (w + 1) // 2)).astype(np.float32)
+        ref2 = np.repeat(x2, 2, 1)[:h, :w]
+        np.testing.assert_array_equal(np.asarray(color.upsample_422(x2, h, w)), ref2)
+
+
 def test_ycbcr_inverse_identity(rng):
     rgb = rng.uniform(0, 255, (32, 48, 3)).astype(np.float32)
     y, cb, cr = color.rgb_to_ycbcr(rgb)
