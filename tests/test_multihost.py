@@ -5,9 +5,12 @@ actual 2-process `jax.distributed.initialize` cluster (gloo collectives
 over localhost DCN) and drives the branches that are dead code on a
 single process:
 
-  * `shard_image` / `shard_rgb` non-addressable path
-    (make_array_from_process_local_data from per-process row slabs)
-  * cross-process psum inside `sharded_codec_step` / `sharded_color_step`
+  * `shard_image` / `shard_rgb` / `shard_batch` / `shard_image_grid`
+    non-addressable paths (make_array_from_process_local_data from
+    per-process slabs; the grid mesh's band-major device order makes each
+    process's slab a contiguous row block)
+  * cross-process psum inside `sharded_codec_step[_grid]` /
+    `sharded_color_step` / `sharded_serving_step`
   * `gather`'s `process_allgather` path
 
 and asserts the assembled results are IDENTICAL to a single-process run
@@ -43,9 +46,11 @@ import numpy as np
 
 sys.path.insert(0, sys.argv[5])
 from tpudct import CodecConfig, get_pipeline
-from tpudct.parallel.mesh import band_mesh
+from tpudct.parallel.mesh import band_mesh, grid_mesh
 from tpudct.parallel.sharding import (
-    gather, shard_image, shard_rgb, sharded_codec_step, sharded_color_step,
+    gather, shard_batch, shard_image, shard_image_grid, shard_rgb,
+    sharded_codec_step, sharded_codec_step_grid, sharded_color_step,
+    sharded_serving_step,
 )
 
 assert len(jax.devices()) == 4 * nproc and len(jax.local_devices()) == 4
@@ -70,6 +75,25 @@ assert not xc.is_fully_addressable and xc.shape == (3, 128, 64)
 rgb_rec, mc = sharded_color_step(p, cfg, mesh)(xc)
 rgb_full = gather(rgb_rec)
 
+# ---- serving batch: (B, H, W) local slabs, global batch check ---------------
+hp = get_pipeline("hp")
+icfg = CodecConfig(interpret=True)
+batch = np.random.default_rng(9).integers(0, 256, (8, 32, 128), dtype=np.uint8)
+bslab = batch[pid * (8 // nproc) : (pid + 1) * (8 // nproc)]
+xb = shard_batch(bslab, mesh)
+assert not xb.is_fully_addressable and xb.shape == (8, 32, 128)
+(bc, br), bm = sharded_serving_step(hp, icfg, mesh)(xb)
+b_rec = gather(br)
+
+# ---- 2-D (band, col) grid: contiguous row-slab per process ------------------
+gmesh = grid_mesh()  # 8 devices -> (4, 2): procs own contiguous band halves
+gimg = np.random.default_rng(11).integers(0, 256, (64, 128)).astype(np.float32)
+gslab = gimg[pid * (64 // nproc) : (pid + 1) * (64 // nproc)]
+xg = shard_image_grid(gslab, gmesh)
+assert not xg.is_fully_addressable and xg.shape == (64, 128)
+(gc, gr), gm = sharded_codec_step_grid(p, cfg, gmesh)(xg)
+g_rec = gather(gr)
+
 if pid == 0:
     json.dump(
         {
@@ -82,6 +106,14 @@ if pid == 0:
             "rgb_sha": __import__("hashlib").sha256(
                 np.ascontiguousarray(rgb_full).tobytes()
             ).hexdigest(),
+            "batch_sha": __import__("hashlib").sha256(
+                np.ascontiguousarray(b_rec).tobytes()
+            ).hexdigest(),
+            "batch_images": float(bm["images"]),
+            "grid_sha": __import__("hashlib").sha256(
+                np.ascontiguousarray(g_rec).tobytes()
+            ).hexdigest(),
+            "grid_mse": float(gm["mse"]),
         },
         open(out, "w"),
     )
@@ -145,3 +177,30 @@ def test_two_process_cluster_matches_single_process(tmp_path):
         np.ascontiguousarray(gather(rgb_rec)).tobytes()
     ).hexdigest()
     np.testing.assert_allclose(got["color_mse"], float(mc["mse"]), rtol=1e-6)
+
+    from tpudct.parallel.mesh import grid_mesh
+    from tpudct.parallel.sharding import (
+        shard_batch, shard_image_grid, sharded_codec_step_grid,
+        sharded_serving_step,
+    )
+
+    hp = get_pipeline("hp")
+    icfg = CodecConfig(interpret=True)
+    batch = np.random.default_rng(9).integers(0, 256, (8, 32, 128), dtype=np.uint8)
+    (_bc, br), bm = sharded_serving_step(hp, icfg, mesh)(
+        shard_batch(jnp.asarray(batch), mesh)
+    )
+    assert got["batch_sha"] == hashlib.sha256(
+        np.ascontiguousarray(gather(br)).tobytes()
+    ).hexdigest()
+    assert got["batch_images"] == float(bm["images"]) == 8.0
+
+    gmesh = grid_mesh()
+    gimg = np.random.default_rng(11).integers(0, 256, (64, 128)).astype(np.float32)
+    (_gc, gr), gm = sharded_codec_step_grid(p, cfg, gmesh)(
+        shard_image_grid(jnp.asarray(gimg), gmesh)
+    )
+    assert got["grid_sha"] == hashlib.sha256(
+        np.ascontiguousarray(gather(gr)).tobytes()
+    ).hexdigest()
+    np.testing.assert_allclose(got["grid_mse"], float(gm["mse"]), rtol=1e-6)
