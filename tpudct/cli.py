@@ -560,37 +560,74 @@ def cmd_unbatch(args) -> int:
         raise SystemExit(
             "error: --transcode restores .jpg files; use --ext .jpg"
         )
+    files = sorted(
+        q.name for q in src.iterdir() if q.suffix.lower() in (".tdc", ".tdcc")
+    )
+    todo = [name for name in files if name not in done]
+    decoded = failed = 0
+
     if args.transcode:
+        # Lossless export (inverse of `batch --transcode`): entropy-encode
+        # each coefficient map straight back into a .jpg — bit-exact, no
+        # pixel-domain hop, no device.  Pure C/zlib work that releases the
+        # GIL, so a file-level thread pool mirrors batch --transcode.
+        import os as _os
+        import threading
+        from concurrent.futures import ThreadPoolExecutor, as_completed
+
         from tpudct.utils import jpegcoef
 
         if not jpegcoef.coef_io_available():
             raise ValueError(
                 "unbatch --transcode needs the native library (make -C csrc)"
             )
-        p = None  # purely host-side libjpeg job — no device pipeline
-    else:
-        p = get_pipeline(args.pipeline)
-    files = sorted(
-        q.name for q in src.iterdir() if q.suffix.lower() in (".tdc", ".tdcc")
-    )
-    todo = [name for name in files if name not in done]
-    decoded = failed = 0
+
+        def _one(name):
+            out = dst / (name + ext)
+            try:
+                data = (src / name).read_bytes()
+            except OSError as e:
+                return ("err", "io", str(e))
+            try:
+                jpegcoef.export_jpeg(data, out)
+            except ValueError as e:
+                return ("err", "stream", str(e))
+            except OSError as e:
+                return ("err", "io", str(e))
+            return ("ok", out.name)
+
+        lock = threading.Lock()
+        jobs = min(_os.cpu_count() or 4, 16)
+        with open(manifest, "a") as mf, ThreadPoolExecutor(jobs) as ex:
+            futs = {ex.submit(_one, n): n for n in todo}
+            for fut in as_completed(futs):
+                name = futs[fut]
+                res = fut.result()
+                with lock:
+                    if res[0] == "err":
+                        mf.write(json.dumps({
+                            "file": name, "error": res[2],
+                            "error_kind": res[1],
+                        }) + "\n")
+                        failed += 1
+                    else:
+                        mf.write(json.dumps(
+                            {"file": name, "out": res[1], "transcode": True}
+                        ) + "\n")
+                        decoded += 1
+                    mf.flush()
+        print(json.dumps({
+            "decoded": decoded, "skipped": len(files) - len(todo),
+            "failed": failed, "total": len(files), "manifest": str(manifest),
+        }))
+        return 0
+
+    p = get_pipeline(args.pipeline)
     with open(manifest, "a") as mf:
         for name in todo:
             out = dst / (name + ext)
             try:
                 data = (src / name).read_bytes()
-                if args.transcode:
-                    # Lossless export (inverse of `batch --transcode`):
-                    # entropy-encode the coefficient map straight back into
-                    # a .jpg — bit-exact, no pixel-domain hop.
-                    jpegcoef.export_jpeg(data, out)
-                    mf.write(json.dumps(
-                        {"file": name, "out": out.name, "transcode": True}
-                    ) + "\n")
-                    mf.flush()
-                    decoded += 1
-                    continue
                 if serialize.is_color_stream(data[:4]):
                     from tpudct.models.color import decode_color_auto
 
