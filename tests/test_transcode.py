@@ -343,6 +343,40 @@ def test_batch_unbatch_transcode(tmp_path, rng, capsys):
         )
 
 
+def test_compare_tdc_coefficient_level(tmp_path, gray_jpg, capsys):
+    """compare on two .tdc inputs diffs the coefficient maps directly:
+    restaged archives are bit-exact (exit 0), differing maps report the
+    entry count and flag the tie class."""
+    a = tmp_path / "a.tdc"
+    b = tmp_path / "b.tdc"
+    assert main(["transcode", str(gray_jpg), str(a)]) == 0
+    capsys.readouterr()
+    assert main(["transcode", str(a), str(b), "--entropy", "spectral"]) == 0
+    capsys.readouterr()
+    assert main(["compare", str(a), str(b)]) == 0
+    rep = json.loads(capsys.readouterr().out.strip())
+    assert rep["coefficients"] and rep["differing"] == 0
+    assert rep["within_tie_class"]
+
+    # perturb one coefficient by 2: not close at tol 0, outside tie class
+    c, qs, rk = serialize.bytes_to_coefficients(a.read_bytes())
+    c2 = np.asarray(c).copy()
+    c2[0, 0] += 2
+    (tmp_path / "c.tdc").write_bytes(serialize.coefficients_to_bytes(
+        c2, qs, rk, transform="dct", q_table="luma"))
+    # (the q-table name differs from a's embedded table — compare only
+    # reads coefficient values, so that's fine for this check)
+    assert main(["compare", str(a), str(tmp_path / "c.tdc")]) == 1
+    rep = json.loads(capsys.readouterr().out.strip())
+    assert rep["differing"] == 1 and rep["max_abs_diff"] == 2.0
+    assert not rep["within_tie_class"]
+
+    # shape mismatch -> exit 2
+    (tmp_path / "d.tdc").write_bytes(serialize.coefficients_to_bytes(
+        np.zeros((8, 8), np.float32)))
+    assert main(["compare", str(a), str(tmp_path / "d.tdc")]) == 2
+
+
 def test_restage_entropy(tmp_path, gray_jpg, capsys, rng):
     """transcode a.tdc b.tdc --entropy X re-codes the container without
     decode or loss: coefficients, header fields, embedded custom q table

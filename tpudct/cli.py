@@ -1105,8 +1105,55 @@ def cmd_compare(args) -> int:
     declared but never invoked; here it also reports the full metric
     suite).  Color images compare in their native channels (the diff and
     mse/psnr/peen run on all channels; ssim on BT.601 luma).  Exit code 0
-    when max|a-b| <= --tol, 1 when not close, 2 on shape mismatch."""
+    when max|a-b| <= --tol, 1 when not close, 2 on shape mismatch.
+
+    Two .tdc/.tdcc inputs compare at the COEFFICIENT level instead
+    (differing-entry count, max delta, and whether the diff fits the
+    documented ±1-on-≤0.5% tie class) — the tool for checking chip-vs-CPU
+    encodes or entropy-restaged archives without decoding."""
     from tpudct.utils import imageio, metrics
+
+    def _is_tdc(path):
+        return str(path).lower().endswith((".tdc", ".tdcc"))
+
+    if _is_tdc(args.a) and _is_tdc(args.b):
+        from tpudct.utils import serialize
+
+        def _planes(path):
+            data = open(path, "rb").read()
+            if serialize.is_color_stream(data):
+                pl, _meta = serialize.bytes_to_color(data)
+                return {k: np.asarray(v, np.float64) for k, v in pl.items()}
+            c, _qs, _k = serialize.bytes_to_coefficients(data)
+            return {"y": np.asarray(c, np.float64)}
+
+        pa, pb = _planes(args.a), _planes(args.b)
+        if sorted(pa) != sorted(pb) or any(
+            pa[k].shape != pb[k].shape for k in pa
+        ):
+            print(json.dumps({
+                "error": "shape_mismatch",
+                "a": {k: list(v.shape) for k, v in pa.items()},
+                "b": {k: list(v.shape) for k, v in pb.items()},
+            }))
+            return 2
+        total = sum(v.size for v in pa.values())
+        diff = {k: np.abs(pa[k] - pb[k]) for k in pa}
+        ndiff = int(sum((d > 0).sum() for d in diff.values()))
+        maxd = float(max(d.max() for d in diff.values()))
+        rep = {
+            "coefficients": True,
+            "planes": sorted(pa),
+            "total": total,
+            "differing": ndiff,
+            "differing_pct": round(100.0 * ndiff / total, 4),
+            "max_abs_diff": maxd,
+            "tol": args.tol,
+            # the cross-strategy equivalence class (tests/test_pipelines.py)
+            "within_tie_class": bool(maxd <= 1.0 and ndiff <= total * 0.005),
+        }
+        print(json.dumps(rep))
+        return 0 if maxd <= args.tol else 1
 
     a = imageio.load_image(args.a, force_gray=False).astype(np.float64)
     b = imageio.load_image(args.b, force_gray=False).astype(np.float64)
@@ -1292,7 +1339,7 @@ def build_parser() -> argparse.ArgumentParser:
                     help=".tdc entropy stage for jpg->tdc imports and tdc->tdc restages")
     sp.set_defaults(fn=cmd_transcode)
 
-    sp = sub.add_parser("compare", help="tolerance-compare two images + metric suite (the reference's dead arrays_are_close, activated)")
+    sp = sub.add_parser("compare", help="tolerance-compare two images + metric suite (the reference's dead arrays_are_close, activated); two .tdc/.tdcc inputs diff at the coefficient level")
     sp.add_argument("a")
     sp.add_argument("b")
     sp.add_argument("--tol", type=float, default=0.0, help="max |a-b| accepted as close (default 0: bit-exact)")
