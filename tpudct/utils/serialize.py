@@ -40,7 +40,7 @@ smallest payload wins per file — rans beats huffman 4-9% on measured
 coefficient maps (sub-bit symbol costs + zig-zag-band contexts) and wins
 photographic statistics outright, while the spectral reorder + lzma (xz)
 wins highly repetitive content where cross-block LZ matches dominate
-(~21% under spectral+zlib on the circuit board).  Decode is bit-exact in
+(~26% under spectral+zlib on the circuit board).  Decode is bit-exact in
 every case.
 
 The *spectral* codec reorders coefficients the way JPEG's entropy stage
@@ -100,7 +100,7 @@ _CODEC_HUFF = 2  # JPEG-grade per-block Huffman (utils/entropy.py); payload
 #                  is the Huffman stream itself, NOT zlib-wrapped.
 _CODEC_RANS = 3  # static rANS with positional contexts (utils/entropy.py);
 #                  payload stored raw like huffman.
-_CODEC_XZ = 4  # spectral reorder + lzma (stdlib): ~20% smaller than
+_CODEC_XZ = 4  # spectral reorder + lzma (stdlib): ~26% smaller than
 #                spectral+zlib on repetitive content (circuit board), same
 #                progressive-prefix property (lzma decompresses
 #                incrementally).  Preset is size-aware (_xz_preset).
@@ -111,10 +111,14 @@ _CODECS = {
 
 
 def _xz_preset(n_elems: int) -> int:
-    """lzma preset by map size: 6 below 4M coefficients; 0 above, where
-    preset 0 is both smaller AND faster than zlib-6 on the spectral
-    stream (measured at 8192²: 24.09 MB / 5.9 s vs 24.46 MB / 8.4 s) and
-    rans wins such maps anyway."""
+    """lzma preset by map size: 9|EXTREME up to 1M coefficients (-7 to
+    -10% on the repetitive content xz exists for — circuit 512²: 16,244
+    vs 17,432 bytes at preset 6 — for ~250 ms), 6 up to 4M, 0 above —
+    where preset 0 is both smaller AND faster than zlib-6 on the
+    spectral stream (measured at 8192²: 24.09 MB / 5.9 s vs 24.46 MB /
+    8.4 s) and rans wins such maps anyway."""
+    if n_elems <= (1 << 20):
+        return 9 | lzma.PRESET_EXTREME
     return 6 if n_elems <= (1 << 22) else 0
 
 _BS = 8
