@@ -78,35 +78,39 @@ def main() -> int:
     except ValueError as e:
         record("ring_vmem_gate", raised=True, msg=str(e)[:80])
 
-    # ---- 3. f32 color decode at 8192² (new upsample lowering) ---------------
-    from tpudct.models.color import decode_color, encode_color
+    # ---- 3. f32 color path at 8192² (new upsample lowering) -----------------
+    # device_time_ms chains op(op(x)), so every timed op must be
+    # type-preserving: time the FULL f32 color roundtrip (encode+decode,
+    # which contains the two upsample_420 calls) chained via an f32 view
+    # of the u8 reconstruction, and the down∘up resample pair in isolation.
+    from tpudct.models.color import roundtrip_color
     from tpudct.utils.timing import device_time_ms
 
     p = get_pipeline("hp")
     cfg = CodecConfig()
     rgb = jnp.asarray(
-        np.random.default_rng(5).integers(0, 256, (1024, 1024, 3))
+        np.random.default_rng(5).integers(0, 256, (8192, 8192, 3))
         .astype(np.float32)
     )
-    planes, meta = encode_color(p, rgb, cfg)
+    ms = device_time_ms(
+        lambda v: roundtrip_color(p, v, cfg)[2].astype(jnp.float32),
+        rgb, k_pair=(4, 20), reps=3,
+    )
+    record("f32_color_roundtrip_8192", ms=round(ms, 3),
+           note="contains 2x upsample_420; was ~342 ms PER upsample as jnp.repeat")
 
-    def dec(y):
-        return decode_color(p, {**planes, "y": y}, meta, cfg)
+    from tpudct.utils.color import downsample_420, upsample_420
 
-    ms = device_time_ms(dec, planes["y"], k_pair=(8, 72), reps=3)
-    record("f32_color_decode_1024", ms=round(ms, 3))
-    # scale to 8192²: time the upsample alone at full size
-    from tpudct.utils.color import upsample_420
-
-    half = jnp.asarray(
-        np.random.default_rng(6).integers(0, 256, (4096, 4096))
+    plane = jnp.asarray(
+        np.random.default_rng(6).integers(0, 256, (8192, 8192))
         .astype(np.float32)
     )
-    ms_up = device_time_ms(
-        lambda v: upsample_420(v, 8192, 8192), half, k_pair=(8, 72), reps=3
+    ms_pair = device_time_ms(
+        lambda v: upsample_420(downsample_420(v), 8192, 8192),
+        plane, k_pair=(8, 72), reps=3,
     )
-    record("upsample_420_8192", ms=round(ms_up, 3),
-           note="was ~342 ms as jnp.repeat (CLAUDE.md)")
+    record("resample_420_pair_8192", ms=round(ms_pair, 3),
+           note="down+up pair per plane; jnp.repeat upsample alone was ~342 ms")
     return 0
 
 
