@@ -1099,6 +1099,41 @@ def cmd_transcode(args) -> int:
     )
 
 
+def cmd_edit(args) -> int:
+    """Lossless geometric edits on .tdc/.tdcc streams — the jpegtran
+    transform set (flip/rotate/transpose/crop) applied directly to the
+    quantized coefficients (utils/coefops.py), zero generation loss.
+    The reference would have to decode, edit pixels and re-run the whole
+    lossy pipeline (utils.cu:98-147).  Ops apply left-to-right after the
+    (block-aligned) crop; edits that would move a partial edge block
+    refuse, like `jpegtran -perfect`.  EXIF/ICC metadata (TDCM chunk)
+    carries over verbatim."""
+    from tpudct.utils.coefops import edit_stream
+    from tpudct.utils.serialize import is_color_stream
+
+    ops = args.op or []
+    if not ops and args.crop is None:
+        raise ValueError("nothing to do: pass --op and/or --crop")
+    with open(args.src, "rb") as f:
+        data = f.read()
+    if is_color_stream(data) != args.dst.lower().endswith(".tdcc"):
+        color = is_color_stream(data)
+        raise ValueError(
+            f"{args.src} is a {'.tdcc' if color else '.tdc'} stream; the "
+            "edit destination must keep the container type"
+        )
+    crop = tuple(args.crop) if args.crop is not None else None
+    out = edit_stream(data, ops, crop=crop, codec=args.entropy)
+    with open(args.dst, "wb") as f:
+        f.write(out)
+    print(json.dumps({
+        "src": args.src, "dst": args.dst, "ops": ops,
+        "crop": list(crop) if crop else None, "entropy": args.entropy,
+        "bytes": len(out), "src_bytes": len(data),
+    }))
+    return 0
+
+
 def cmd_compare(args) -> int:
     """Tolerance comparison of two images — the user-facing activation of
     the reference's DEAD arrays_are_close comparator (utils.cu:27-35,
@@ -1338,6 +1373,19 @@ def build_parser() -> argparse.ArgumentParser:
                     choices=("auto", "spectral", "huffman", "rans", "xz", "raw"),
                     help=".tdc entropy stage for jpg->tdc imports and tdc->tdc restages")
     sp.set_defaults(fn=cmd_transcode)
+
+    sp = sub.add_parser("edit", help="lossless coefficient-domain flip/rotate/transpose/crop on .tdc/.tdcc (jpegtran for the native containers)")
+    sp.add_argument("src")
+    sp.add_argument("dst")
+    sp.add_argument("--op", action="append",
+                    choices=("hflip", "vflip", "rot90", "rot180", "rot270", "transpose"),
+                    help="geometric op; repeatable, applied left-to-right (rot90 is clockwise)")
+    sp.add_argument("--crop", nargs=4, type=int, metavar=("Y0", "X0", "H", "W"),
+                    help="block-aligned lossless crop, applied before ops")
+    sp.add_argument("--entropy", default="auto",
+                    choices=("auto", "spectral", "huffman", "rans", "xz", "raw"),
+                    help="entropy stage for the re-serialized output")
+    sp.set_defaults(fn=cmd_edit)
 
     sp = sub.add_parser("compare", help="tolerance-compare two images + metric suite (the reference's dead arrays_are_close, activated); two .tdc/.tdcc inputs diff at the coefficient level")
     sp.add_argument("a")
