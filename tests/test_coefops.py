@@ -235,6 +235,65 @@ def test_mcu_padded_map_trims_before_edit():
     assert np.array_equal(plane["coeffs"], ref["coeffs"])
 
 
+_needs_native = pytest.mark.skipif(
+    not __import__("tpudct.utils.jpegcoef", fromlist=["x"]).coef_io_available(),
+    reason="native coefficient I/O unavailable (make -C csrc)",
+)
+
+
+@_needs_native
+def test_full_jpegtran_loop_color(tmp_path):
+    """jpg → import → rot90 → export → jpg: the literal jpegtran workflow.
+    The coefficient op is bit-exact (proven via reimport); pixel output is
+    within ±1 of the pixel-domain rotation — libjpeg's own IDCT rounding
+    on the rotated layout, the same property real jpegtran has."""
+    from tpudct.utils import imageio, jpegcoef
+
+    rng = np.random.default_rng(13)
+    rgb = rng.integers(0, 256, (128, 160, 3)).astype(np.uint8)
+    src = tmp_path / "c.jpg"
+    imageio.save_jpeg(str(src), rgb, quality=90)
+    data = jpegcoef.import_jpeg(str(src))
+    out = coefops.edit_stream(data, ["rot90"])
+    dst = tmp_path / "r.jpg"
+    jpegcoef.export_jpeg(out, str(dst))
+    # coefficient-level: reimport of the exported file is bit-equal
+    pa, ma = serialize.bytes_to_color(out)
+    pb, mb = serialize.bytes_to_color(jpegcoef.import_jpeg(str(dst)))
+    for k in ("y", "cb", "cr"):
+        a, b = np.asarray(pa[k]), np.asarray(pb[k])
+        hh, ww = min(a.shape[0], b.shape[0]), min(a.shape[1], b.shape[1])
+        assert np.array_equal(a[:hh, :ww], b[:hh, :ww]), k
+    assert ma["orig_shape"] == mb["orig_shape"] == (160, 128)
+    # pixel-level: within libjpeg's IDCT rounding of the true rotation
+    a = np.asarray(imageio.load_image(str(src)))
+    b = np.asarray(imageio.load_image(str(dst)))
+    assert (np.abs(b.astype(int) - a.swapaxes(0, 1)[:, ::-1].astype(int)) <= 1).all()
+
+
+@_needs_native
+def test_jpegtran_loop_ragged_420(tmp_path):
+    """Odd-sized 4:2:0 JPEG: flips refuse at 16-alignment (the MCU pad
+    would move off the trailing edge), transpose stays representable and
+    exports a valid file."""
+    from tpudct.utils import imageio, jpegcoef
+
+    rng = np.random.default_rng(14)
+    rgb = rng.integers(0, 256, (130, 161, 3)).astype(np.uint8)
+    src = tmp_path / "rag.jpg"
+    imageio.save_jpeg(str(src), rgb, quality=90)
+    data = jpegcoef.import_jpeg(str(src))
+    with pytest.raises(ValueError, match="multiple of 16"):
+        coefops.edit_stream(data, ["hflip"])
+    out = coefops.edit_stream(data, ["transpose"])
+    dst = tmp_path / "t.jpg"
+    jpegcoef.export_jpeg(out, str(dst))
+    a = np.asarray(imageio.load_image(str(src)))
+    b = np.asarray(imageio.load_image(str(dst)))
+    assert b.shape[:2] == (161, 130)
+    assert (np.abs(b.astype(int) - a.swapaxes(0, 1).astype(int)) <= 1).all()
+
+
 def test_cli_edit_roundtrip(tmp_path):
     from tpudct.cli import main
 
