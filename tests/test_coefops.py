@@ -294,6 +294,43 @@ def test_jpegtran_loop_ragged_420(tmp_path):
     assert (np.abs(b.astype(int) - a.swapaxes(0, 1).astype(int)) <= 1).all()
 
 
+def test_grayscale_drops_chroma_losslessly():
+    data, planes, meta, p, cfg = _color_stream()
+    out = coefops.edit_stream(data, [], grayscale=True)
+    assert not serialize.is_color_stream(out)
+    plane, _ = serialize._parse_plane(out)
+    assert np.array_equal(plane["coeffs"], np.asarray(planes["y"]))
+    assert plane["orig_shape"] == tuple(meta["orig_shape"])
+    assert plane["q_table"] == meta.get("y_q_table", "luma")
+    # on a gray stream it's a no-op passthrough
+    assert coefops.edit_stream(out, [], grayscale=True) == out
+    # grayscale then flip runs under the laxer 8-alignment rules
+    data56, *_ = _color_stream(shape=(56, 32))  # 4:2:0 vflip would refuse
+    coefops.edit_stream(data56, ["vflip"], grayscale=True)
+
+
+@_needs_native
+def test_cli_edit_jpg_direct(tmp_path):
+    """`edit in.jpg out.jpg --op rot90` — the jpegtran one-liner."""
+    from tpudct.cli import main
+    from tpudct.utils import imageio
+
+    rng = np.random.default_rng(22)
+    rgb = rng.integers(0, 256, (64, 96, 3)).astype(np.uint8)
+    src = tmp_path / "c.jpg"
+    imageio.save_jpeg(str(src), rgb, quality=90)
+    dst = tmp_path / "r.jpg"
+    assert main(["edit", str(src), str(dst), "--op", "rot90"]) == 0
+    a = np.asarray(imageio.load_image(str(src)))
+    b = np.asarray(imageio.load_image(str(dst)))
+    assert b.shape[:2] == (96, 64)
+    assert (np.abs(b.astype(int) - a.swapaxes(0, 1)[:, ::-1].astype(int)) <= 1).all()
+    # --grayscale to a .tdc destination passes the container-type check
+    assert main(["edit", str(src), str(tmp_path / "y.tdc"), "--grayscale"]) == 0
+    # without it, a .tdc destination for a color jpg refuses
+    assert main(["edit", str(src), str(tmp_path / "n.tdc"), "--op", "hflip"]) == 1
+
+
 def test_cli_edit_roundtrip(tmp_path):
     from tpudct.cli import main
 

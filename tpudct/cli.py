@@ -1104,32 +1104,55 @@ def cmd_edit(args) -> int:
     transform set (flip/rotate/transpose/crop) applied directly to the
     quantized coefficients (utils/coefops.py), zero generation loss.
     The reference would have to decode, edit pixels and re-run the whole
-    lossy pipeline (utils.cu:98-147).  Ops apply left-to-right after the
-    (block-aligned) crop; edits that would move a partial edge block
-    refuse, like `jpegtran -perfect`.  EXIF/ICC metadata (TDCM chunk)
-    carries over verbatim."""
+    lossy pipeline (utils.cu:98-147).  Ops apply left-to-right after
+    --grayscale and the (block-aligned) --crop; edits that would move a
+    partial edge block refuse, like `jpegtran -perfect`.  EXIF/ICC
+    metadata (TDCM chunk) carries over verbatim.  A .jpg source is
+    imported at the coefficient level first and a .jpg destination
+    exported the same way, so `edit in.jpg out.jpg --op rot90` is the
+    literal jpegtran workflow with no pixel hop."""
+    import os
+
+    from tpudct.utils import jpegcoef
     from tpudct.utils.coefops import edit_stream
     from tpudct.utils.serialize import is_color_stream
 
+    def _is_jpg(path):
+        return str(path).lower().endswith((".jpg", ".jpeg"))
+
     ops = args.op or []
-    if not ops and args.crop is None:
-        raise ValueError("nothing to do: pass --op and/or --crop")
-    with open(args.src, "rb") as f:
-        data = f.read()
-    if is_color_stream(data) != args.dst.lower().endswith(".tdcc"):
-        color = is_color_stream(data)
+    if not ops and args.crop is None and not args.grayscale:
+        raise ValueError("nothing to do: pass --op, --crop and/or --grayscale")
+    if _is_jpg(args.src):
+        # `edit in.jpg out.jpg --op rot90` IS jpegtran: import, edit the
+        # coefficients, export — never a pixel hop.
+        src_bytes = os.path.getsize(args.src)
+        data = jpegcoef.import_jpeg(args.src)
+    else:
+        with open(args.src, "rb") as f:
+            data = f.read()
+        src_bytes = len(data)
+    color_out = is_color_stream(data) and not args.grayscale
+    if not _is_jpg(args.dst) and color_out != args.dst.lower().endswith(".tdcc"):
         raise ValueError(
-            f"{args.src} is a {'.tdcc' if color else '.tdc'} stream; the "
-            "edit destination must keep the container type"
+            f"the edited stream is {'.tdcc' if color_out else '.tdc'}; "
+            f"write it to a matching destination (or .jpg), got {args.dst!r}"
         )
     crop = tuple(args.crop) if args.crop is not None else None
-    out = edit_stream(data, ops, crop=crop, codec=args.entropy)
-    with open(args.dst, "wb") as f:
-        f.write(out)
+    out = edit_stream(data, ops, crop=crop, codec=args.entropy,
+                      grayscale=args.grayscale)
+    if _is_jpg(args.dst):
+        jpegcoef.export_jpeg(out, args.dst)
+        nbytes = os.path.getsize(args.dst)
+    else:
+        with open(args.dst, "wb") as f:
+            f.write(out)
+        nbytes = len(out)
     print(json.dumps({
         "src": args.src, "dst": args.dst, "ops": ops,
-        "crop": list(crop) if crop else None, "entropy": args.entropy,
-        "bytes": len(out), "src_bytes": len(data),
+        "crop": list(crop) if crop else None,
+        "grayscale": bool(args.grayscale), "entropy": args.entropy,
+        "bytes": nbytes, "src_bytes": src_bytes,
     }))
     return 0
 
@@ -1374,7 +1397,7 @@ def build_parser() -> argparse.ArgumentParser:
                     help=".tdc entropy stage for jpg->tdc imports and tdc->tdc restages")
     sp.set_defaults(fn=cmd_transcode)
 
-    sp = sub.add_parser("edit", help="lossless coefficient-domain flip/rotate/transpose/crop on .tdc/.tdcc (jpegtran for the native containers)")
+    sp = sub.add_parser("edit", help="lossless coefficient-domain flip/rotate/transpose/crop/grayscale on .tdc/.tdcc — or directly jpg->jpg (a jpegtran replacement)")
     sp.add_argument("src")
     sp.add_argument("dst")
     sp.add_argument("--op", action="append",
@@ -1382,6 +1405,8 @@ def build_parser() -> argparse.ArgumentParser:
                     help="geometric op; repeatable, applied left-to-right (rot90 is clockwise)")
     sp.add_argument("--crop", nargs=4, type=int, metavar=("Y0", "X0", "H", "W"),
                     help="block-aligned lossless crop, applied before ops")
+    sp.add_argument("--grayscale", action="store_true",
+                    help="drop the chroma planes (jpegtran -grayscale), before crop/ops")
     sp.add_argument("--entropy", default="auto",
                     choices=("auto", "spectral", "huffman", "rans", "xz", "raw"),
                     help="entropy stage for the re-serialized output")

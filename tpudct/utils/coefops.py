@@ -305,10 +305,38 @@ def edit_color(data: bytes, ops, crop=None, codec: str = "auto") -> bytes:
     )
 
 
-def edit_stream(data: bytes, ops, crop=None, codec: str = "auto") -> bytes:
+def to_grayscale(data: bytes, codec: str = "auto") -> bytes:
+    """.tdcc → .tdc keeping only the luma plane — `jpegtran -grayscale`.
+
+    Lossless for the retained channel: the Y coefficients, their q-table
+    and every header field carry over verbatim; the chroma planes are
+    dropped.  A .tdc input passes through unchanged."""
+    from tpudct.utils.serialize import (
+        _color_plane_slices,
+        _parse_plane,
+        coefficients_to_bytes,
+        is_color_stream,
+    )
+
+    if not is_color_stream(data):
+        return data
+    _sub, slices, _end = _color_plane_slices(data)
+    y, _used = _parse_plane(slices[0])
+    return coefficients_to_bytes(
+        y["coeffs"], y["q_scale"], y["retain_k"],
+        orig_shape=y["orig_shape"], transform=y["transform"],
+        q_table=y["q_table"], codec=codec,
+    )
+
+
+def edit_stream(
+    data: bytes, ops, crop=None, codec: str = "auto", grayscale: bool = False
+) -> bytes:
     """Edit a .tdc or .tdcc stream; preserves the trailing TDCM metadata
     chunk (EXIF/ICC — kept verbatim like jpegtran: orientation tags are
-    NOT rewritten, matching its default behavior)."""
+    NOT rewritten, matching its default behavior).  `grayscale` drops the
+    chroma planes first (jpegtran -grayscale), so subsequent ops run
+    under the laxer gray alignment rules."""
     from tpudct.utils import jpegcoef
     from tpudct.utils.serialize import is_color_stream
 
@@ -317,8 +345,12 @@ def edit_stream(data: bytes, ops, crop=None, codec: str = "auto") -> bytes:
         if o not in OPS:
             raise ValueError(f"unknown op {o!r}; available: {OPS}")
     blob = jpegcoef._extract_metadata(data)
+    if grayscale:
+        data = to_grayscale(data, codec=codec)
     if is_color_stream(data):
         out = edit_color(data, ops, crop=crop, codec=codec)
-    else:
+    elif ops or crop is not None:
         out = edit_gray(data, ops, crop=crop, codec=codec)
+    else:
+        out = data  # grayscale-only edit: already re-serialized above
     return jpegcoef._attach_metadata(out, blob) if blob else out
