@@ -212,6 +212,23 @@ def test_metadata_chunk_survives_edit():
     serialize._parse_plane(out)
 
 
+def test_metadata_not_duplicated_on_passthrough():
+    # grayscale-only edit of an already-gray metadata-bearing stream is a
+    # passthrough: the TDCM chunk must appear exactly once and repeat
+    # edits must be byte-stable (regression: the tail was re-attached on
+    # top of the embedded copy, growing every pass)
+    from tpudct.utils import jpegcoef
+
+    data, *_ = _gray_stream()
+    blob = b"meta!"
+    data_m = jpegcoef._attach_metadata(data, blob)
+    out1 = coefops.edit_stream(data_m, [], grayscale=True)
+    out2 = coefops.edit_stream(out1, [], grayscale=True)
+    assert out1 == out2
+    assert out1.count(b"TDCM") == 1
+    assert jpegcoef._extract_metadata(out1) == blob
+
+
 def test_custom_q_table_transposes_with_the_data():
     rng = np.random.default_rng(7)
     qt = rng.integers(1, 60, (8, 8)).astype(np.float32)

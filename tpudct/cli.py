@@ -1123,11 +1123,20 @@ def cmd_edit(args) -> int:
     ops = args.op or []
     if not ops and args.crop is None and not args.grayscale:
         raise ValueError("nothing to do: pass --op, --crop and/or --grayscale")
+    if (_is_jpg(args.src) or _is_jpg(args.dst)) and not jpegcoef.coef_io_available():
+        raise ValueError(
+            "edit to/from .jpg needs the native library (make -C csrc); "
+            "coefficient-level libjpeg access has no pure-Python fallback"
+        )
+    # A .jpg destination re-encodes through libjpeg's entropy coder, so any
+    # .tdc entropy staging of the intermediates is thrown away — skip the
+    # (twice-run) 4-codec 'auto' trials and carry raw payloads instead.
+    stage = "raw" if _is_jpg(args.dst) else args.entropy
     if _is_jpg(args.src):
         # `edit in.jpg out.jpg --op rot90` IS jpegtran: import, edit the
         # coefficients, export — never a pixel hop.
         src_bytes = os.path.getsize(args.src)
-        data = jpegcoef.import_jpeg(args.src)
+        data = jpegcoef.import_jpeg(args.src, codec=stage)
     else:
         with open(args.src, "rb") as f:
             data = f.read()
@@ -1139,7 +1148,7 @@ def cmd_edit(args) -> int:
             f"write it to a matching destination (or .jpg), got {args.dst!r}"
         )
     crop = tuple(args.crop) if args.crop is not None else None
-    out = edit_stream(data, ops, crop=crop, codec=args.entropy,
+    out = edit_stream(data, ops, crop=crop, codec=stage,
                       grayscale=args.grayscale)
     if _is_jpg(args.dst):
         jpegcoef.export_jpeg(out, args.dst)

@@ -345,6 +345,11 @@ def edit_stream(
         if o not in OPS:
             raise ValueError(f"unknown op {o!r}; available: {OPS}")
     blob = jpegcoef._extract_metadata(data)
+    if blob:
+        # strip the TDCM tail up front: passthrough branches (gray input +
+        # grayscale-only edit) would otherwise return it embedded AND have
+        # it re-attached below — a duplicate chunk growing per edit
+        data = data[: _stream_end(data)]
     if grayscale:
         data = to_grayscale(data, codec=codec)
     if is_color_stream(data):
@@ -354,3 +359,18 @@ def edit_stream(
     else:
         out = data  # grayscale-only edit: already re-serialized above
     return jpegcoef._attach_metadata(out, blob) if blob else out
+
+
+def _stream_end(data: bytes) -> int:
+    """Byte length of the container proper (header walk only, no payload
+    decode) — everything past it is the trailing TDCM metadata chunk."""
+    from tpudct.utils.serialize import (
+        _color_plane_slices,
+        _parse_plane_header,
+        is_color_stream,
+    )
+
+    if is_color_stream(data):
+        return _color_plane_slices(data)[2]
+    (*_fields, psize, hsize, _custom_q, _version) = _parse_plane_header(data)
+    return hsize + psize
