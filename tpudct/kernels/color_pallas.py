@@ -28,9 +28,13 @@ computed vector values measured ~3 ms/plane of relayout at 8192² — so the
   form, lowers cleanly).
 
 No reference analog: the reference is grayscale-only (utils.cu:70-72).
-Measured at 8192² on v5e: split+merge pair 17.0 (XLA) -> 2.3 ms at the
-default (512, 256) geometry — split ~0.95, merge ~1.4, each at its own
-measured component floor; see benchmarks/RESULTS_v5e.md.
+Measured at 8192² on v5e: split+merge pair 17.0 (XLA) -> 2.10 ms at the
+default (512, 256) geometry with the clip-first _to_u8 (was 2.34 with the
+compare-form round — the pair is VPU-bound, so rounding pass count shows
+up ~1:1).  Fusing these stages INTO the codec kernels measured WORSE
+despite 40% less HBM traffic (benchmarks/color_fused_ab.py — launches
+are additive and per-stage-optimal geometries win); composition is the
+production path.  See benchmarks/RESULTS_v5e.md.
 """
 
 from __future__ import annotations
@@ -97,8 +101,16 @@ def _up_mat(tc: int):
 
 
 def _to_u8(z):
-    # via int32: Mosaic has no direct f32 <-> uint8 lowering
-    return jnp.clip(round_half_away(z), 0.0, 255.0).astype(jnp.int32).astype(jnp.uint8)
+    """clip(round_half_away(z), 0, 255) -> u8, clip-FIRST: once z is
+    clamped non-negative the sign/abs legs of the compare-form round
+    drop out (z <= 0 rounds-and-clips to 0 either way, z >= 0 is its own
+    abs), and the trunc rides the mandatory f32->i32 convert — 5 VPU
+    passes instead of ~12.  Bit-identical to the composed form (verified
+    on hardware); via int32 because Mosaic has no f32 <-> u8 lowering."""
+    zp = jnp.minimum(jnp.maximum(z, 0.0), 255.0)
+    f = jnp.floor(zp)
+    u = f + (zp - f >= 0.5).astype(jnp.float32)
+    return u.astype(jnp.int32).astype(jnp.uint8)
 
 
 def _f32(u8_val):
@@ -230,3 +242,4 @@ def color_merge_420_u8(
         interpret=interpret,
     )
     return fn(y_u8, cb_u8, cr_u8, urm)
+
