@@ -28,10 +28,10 @@ computed vector values measured ~3 ms/plane of relayout at 8192² — so the
   form, lowers cleanly).
 
 No reference analog: the reference is grayscale-only (utils.cu:70-72).
-Measured at 8192² on v5e: split+merge pair 17.0 (XLA) -> 2.10 ms at the
-default (512, 256) geometry with the clip-first _to_u8 (was 2.34 with the
-compare-form round — the pair is VPU-bound, so rounding pass count shows
-up ~1:1).  Fusing these stages INTO the codec kernels measured WORSE
+Measured at 8192² on v5e: split+merge pair 17.0 (XLA) -> 1.94 ms at the
+default (512, 256) geometry with the clip-first _to_u8 and integer-domain
+casts (was 2.34 with the compare-form round — the pair is VPU-bound, so
+per-plane pass count shows up ~1:1).  Fusing these stages INTO the codec kernels measured WORSE
 despite 40% less HBM traffic (benchmarks/color_fused_ab.py — launches
 are additive and per-stage-optimal geometries win); composition is the
 production path.  See benchmarks/RESULTS_v5e.md.
@@ -118,9 +118,8 @@ def _f32(u8_val):
 
 
 def _k_split(rgb_ref, pl_ref, pr_ref, y_ref, cb_ref, cr_ref):
-    r = _f32(rgb_ref[0])
-    g = _f32(rgb_ref[1])
-    b = _f32(rgb_ref[2])
+    ri, gi, bi = (rgb_ref[i].astype(jnp.int32) for i in range(3))
+    r, g, b = (v.astype(jnp.float32) for v in (ri, gi, bi))
     y, _cb_full, _cr_full = ycbcr_from_rgb_planes(r, g, b)
     y_ref[...] = _to_u8(y)
 
@@ -132,8 +131,10 @@ def _k_split(rgb_ref, pl_ref, pr_ref, y_ref, cb_ref, cr_ref):
     # exact in one bf16 pass (Mosaic cannot chain i32 @ i8 dots directly).
     pr_bf = pr_ref[...].astype(jnp.bfloat16)
 
-    def pool(ch_f32):
-        c8 = (ch_f32 - 128.0).astype(jnp.int32).astype(jnp.int8)
+    def pool(ch_i32):
+        # level shift in the integer domain straight off the loaded i32 —
+        # one fewer full-res f32 pass per channel than shifting the f32
+        c8 = (ch_i32 - 128).astype(jnp.int8)
         rows = jax.lax.dot(pl_ref[...], c8, preferred_element_type=jnp.int32)
         quad = jax.lax.dot(
             rows.astype(jnp.float32).astype(jnp.bfloat16), pr_bf,
@@ -141,7 +142,7 @@ def _k_split(rgb_ref, pl_ref, pr_ref, y_ref, cb_ref, cr_ref):
         )
         return quad * 0.25 + 128.0
 
-    _yp, cbp, crp = ycbcr_from_rgb_planes(pool(r), pool(g), pool(b))
+    _yp, cbp, crp = ycbcr_from_rgb_planes(pool(ri), pool(gi), pool(bi))
     cb_ref[...] = _to_u8(cbp)
     cr_ref[...] = _to_u8(crp)
 
@@ -153,7 +154,7 @@ def _k_merge(y_ref, cb_ref, cr_ref, ur_ref, o_ref):
     # (u8-valued integers are bf16-exact; one product per output), rows
     # via the free sublane broadcast-reshape.
     def up(c_u8):
-        c = _f32(c_u8).astype(jnp.bfloat16)  # u8 -> bf16 must route via i32/f32
+        c = c_u8.astype(jnp.int32).astype(jnp.bfloat16)  # u8 -> bf16 via i32
         wide = jax.lax.dot(c, ur_ref[...].astype(jnp.bfloat16),
                            preferred_element_type=jnp.float32)
         h2, w = wide.shape
