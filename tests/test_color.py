@@ -676,3 +676,88 @@ def test_color_422_mode():
     # 422 color preview: horizontal-only chroma upsample
     pv = serialize.preview_color_from_bytes(blob)
     assert pv.shape == (8, 8, 3)
+
+
+@pytest.mark.parametrize("mode,cshape", [("422", (128, 128)), (False, (128, 256))])
+def test_u8_color_422_444_roundtrip(mode, cshape):
+    """The other two chroma modes ride the u8 fast path too (4:2:0-only
+    before round 2's kernel extension): fused split/merge kernels + the
+    stacked-chroma codec, agreeing with the f32 path within the
+    documented plane-quantization class."""
+    from tpudct.models.color import (
+        roundtrip_color,
+        roundtrip_color_u8,
+        supports_color_u8,
+    )
+
+    rgb = _smooth_rgb(128, 256).astype(np.uint8)
+    p = get_pipeline("hp")
+    cfg = CodecConfig(interpret=True)
+    assert supports_color_u8(p, cfg, 128, 256, mode)
+    planes, meta, rec = roundtrip_color_u8(p, jnp.asarray(rgb), cfg, subsample=mode)
+    rec = np.asarray(rec)
+    assert rec.shape == (128, 256, 3) and rec.dtype == np.uint8
+    assert meta["subsample"] == mode
+    assert tuple(np.asarray(planes["cb"]).shape) == cshape
+    assert _psnr(rec, rgb) > 30
+    _, _, recf = roundtrip_color(p, jnp.asarray(rgb, jnp.float32), cfg, subsample=mode)
+    d = np.abs(np.asarray(recf).astype(int) - rec.astype(int))
+    assert d.mean() < 2.0
+    # 4:4:4 subsamples nothing: the u8 path must beat the 4:2:0 PSNR on
+    # chroma-rich content
+    if mode is False:
+        _, _, rec420 = roundtrip_color_u8(p, jnp.asarray(rgb), cfg)
+        assert _psnr(rec, rgb) >= _psnr(np.asarray(rec420), rgb) - 0.1
+
+
+def test_u8_color_auto_dispatch_all_modes():
+    """encode/decode_color_auto route every chroma mode through the u8
+    path when eligible and fall back for ineligible geometry."""
+    from tpudct.models.color import (
+        decode_color_auto,
+        encode_color_auto,
+        roundtrip_color_auto,
+    )
+
+    rgb = _smooth_rgb(128, 256).astype(np.uint8)
+    p = get_pipeline("hp")
+    cfg = CodecConfig(interpret=True)
+    for mode in ("420", "422", False):
+        planes, meta = encode_color_auto(p, jnp.asarray(rgb), cfg, subsample=mode)
+        assert np.asarray(planes["y"]).dtype == np.int8, mode  # u8 path taken
+        rec = decode_color_auto(p, planes, meta, cfg)
+        _, _, rec2 = roundtrip_color_auto(p, jnp.asarray(rgb), cfg, subsample=mode)
+        np.testing.assert_array_equal(np.asarray(rec), np.asarray(rec2))
+
+
+def test_u8_kernels_422_444_match_utils_class():
+    """Kernel-vs-XLA agreement for the new modes (the 4:2:0 analog of
+    test above): within the pool-then-transform f32 tie class (±1)."""
+    from tpudct.kernels import color_pallas
+    from tpudct.utils import color
+
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.integers(0, 256, (3, 128, 256), dtype=np.uint8))
+    r, g, b = (jnp.asarray(x[i], jnp.float32) for i in range(3))
+
+    # 4:4:4: pure transform, no resampling
+    y4, cb4, cr4 = color_pallas.color_split_444_u8(x, interpret=True)
+    yr, cbr, crr = color.ycbcr_from_rgb_planes(r, g, b)
+    for a, bref in ((y4, yr), (cb4, cbr), (cr4, crr)):
+        d = np.abs(np.asarray(a).astype(int)
+                   - np.asarray(jnp.clip(jnp.round(bref), 0, 255)).astype(int))
+        assert d.max() <= 1
+
+    # 4:2:2: lane-direction pooling only
+    y2, cb2, cr2 = color_pallas.color_split_422_u8(x, interpret=True)
+    np.testing.assert_array_equal(np.asarray(y2), np.asarray(y4))
+    cbd = color.downsample_422(cbr)
+    d = np.abs(np.asarray(cb2).astype(int)
+               - np.asarray(jnp.clip(jnp.round(cbd), 0, 255)).astype(int))
+    assert d.max() <= 1
+
+    # merges invert their splits to within the quantized-u8 class
+    m4 = color_pallas.color_merge_444_u8(y4, cb4, cr4, interpret=True)
+    assert np.abs(np.asarray(m4).astype(int) - np.asarray(x).astype(int)).max() <= 2
+    m2 = color_pallas.color_merge_422_u8(y2, cb2, cr2, interpret=True)
+    assert m2.shape == x.shape

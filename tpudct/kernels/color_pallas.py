@@ -244,3 +244,199 @@ def color_merge_420_u8(
     )
     return fn(y_u8, cb_u8, cr_u8, urm)
 
+
+# ---------------------------------------------------------------------------
+# 4:2:2 and 4:4:4 variants (the other two JPEG chroma modes, u8-native)
+# ---------------------------------------------------------------------------
+#
+# 4:2:2 pools/replicates in the LANE direction only (chroma (H, W/2)); the
+# row-direction machinery drops out.  4:4:4 has no resampling at all —
+# the kernels are just the BT.601 transform fused with the u8 rounding,
+# which still pays off vs XLA because the planes never materialize in f32
+# (u8 in/out, one VMEM pass).  Same value chains as the 4:2:0 kernels.
+
+
+def _k_split_422(rgb_ref, pr_ref, y_ref, cb_ref, cr_ref):
+    ri, gi, bi = (rgb_ref[i].astype(jnp.int32) for i in range(3))
+    r, g, b = (v.astype(jnp.float32) for v in (ri, gi, bi))
+    y, _cb_full, _cr_full = ycbcr_from_rgb_planes(r, g, b)
+    y_ref[...] = _to_u8(y)
+
+    # 1x2 lane pooling: one int8 MXU dot against the 0/1 matrix (each
+    # output sums exactly 2 integer products in int32 — exact), mean of
+    # the level-shifted pair.
+    def pool(ch_i32):
+        c8 = (ch_i32 - 128).astype(jnp.int8)
+        pairs = jax.lax.dot(c8, pr_ref[...], preferred_element_type=jnp.int32)
+        return pairs.astype(jnp.float32) * 0.5 + 128.0
+
+    _yp, cbp, crp = ycbcr_from_rgb_planes(pool(ri), pool(gi), pool(bi))
+    cb_ref[...] = _to_u8(cbp)
+    cr_ref[...] = _to_u8(crp)
+
+
+def _k_merge_422(y_ref, cb_ref, cr_ref, ur_ref, o_ref):
+    y = _f32(y_ref[...])
+    ur_bf = ur_ref[...].astype(jnp.bfloat16)
+
+    def up(c_u8):
+        c = c_u8.astype(jnp.int32).astype(jnp.bfloat16)
+        return jax.lax.dot(c, ur_bf, preferred_element_type=jnp.float32)
+
+    r, g, b = rgb_from_ycbcr_planes(y, up(cb_ref[...]), up(cr_ref[...]))
+    o_ref[0] = _to_u8(r)
+    o_ref[1] = _to_u8(g)
+    o_ref[2] = _to_u8(b)
+
+
+def _k_split_444(rgb_ref, y_ref, cb_ref, cr_ref):
+    r, g, b = (rgb_ref[i].astype(jnp.int32).astype(jnp.float32) for i in range(3))
+    y, cb, cr = ycbcr_from_rgb_planes(r, g, b)
+    y_ref[...] = _to_u8(y)
+    cb_ref[...] = _to_u8(cb)
+    cr_ref[...] = _to_u8(cr)
+
+
+def _k_merge_444(y_ref, cb_ref, cr_ref, o_ref):
+    r, g, b = rgb_from_ycbcr_planes(
+        _f32(y_ref[...]), _f32(cb_ref[...]), _f32(cr_ref[...])
+    )
+    o_ref[0] = _to_u8(r)
+    o_ref[1] = _to_u8(g)
+    o_ref[2] = _to_u8(b)
+
+
+@functools.lru_cache(maxsize=16)
+def _pool_mat_lane_i8(tc: int):
+    """int8 version of the lane pooling matrix (tc, tc/2) for 4:2:2."""
+    prm = np.zeros((tc, tc // 2), np.int8)
+    prm[2 * np.arange(tc // 2), np.arange(tc // 2)] = 1
+    prm[2 * np.arange(tc // 2) + 1, np.arange(tc // 2)] = 1
+    return prm
+
+
+@_jit("band_rows", "tile_cols", "interpret")
+def color_split_422_u8(
+    rgb_planar_u8,
+    band_rows: int = 512,
+    tile_cols: int = 256,
+    interpret: bool = False,
+):
+    """(3, H, W) u8 RGB -> (y (H, W), cb, cr (H, W/2)) u8, one kernel."""
+    _c, h, w = rgb_planar_u8.shape
+    br, tc = _geometry(h, w, band_rows, tile_cols)
+    grid = (h // br, w // tc)
+    full = pl.BlockSpec((br, tc), lambda i, j: (i, j), memory_space=pltpu.VMEM)
+    half = pl.BlockSpec((br, tc // 2), lambda i, j: (i, j),
+                        memory_space=pltpu.VMEM)
+    prm = _pool_mat_lane_i8(tc)
+    const = lambda a: pl.BlockSpec(a.shape, lambda i, j: (0, 0),
+                                   memory_space=pltpu.VMEM)
+    fn = pl.pallas_call(
+        _k_split_422,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((3, br, tc), lambda i, j: (0, i, j),
+                         memory_space=pltpu.VMEM),
+            const(prm),
+        ],
+        out_specs=(full, half, half),
+        out_shape=(
+            jax.ShapeDtypeStruct((h, w), jnp.uint8),
+            jax.ShapeDtypeStruct((h, w // 2), jnp.uint8),
+            jax.ShapeDtypeStruct((h, w // 2), jnp.uint8),
+        ),
+        interpret=interpret,
+    )
+    return fn(rgb_planar_u8, prm)
+
+
+@_jit("band_rows", "tile_cols", "interpret")
+def color_merge_422_u8(
+    y_u8,
+    cb_u8,
+    cr_u8,
+    band_rows: int = 512,
+    tile_cols: int = 256,
+    interpret: bool = False,
+):
+    """(y (H, W), cb, cr (H, W/2)) u8 -> (3, H, W) u8 RGB, one kernel."""
+    h, w = y_u8.shape
+    if cb_u8.shape != (h, w // 2) or cr_u8.shape != (h, w // 2):
+        raise ValueError(
+            f"chroma planes must be ({h}, {w // 2}) for a ({h}, {w}) "
+            f"luma plane, got {cb_u8.shape} / {cr_u8.shape}"
+        )
+    br, tc = _geometry(h, w, band_rows, tile_cols)
+    urm = _up_mat(tc)
+    grid = (h // br, w // tc)
+    full = pl.BlockSpec((br, tc), lambda i, j: (i, j), memory_space=pltpu.VMEM)
+    half = pl.BlockSpec((br, tc // 2), lambda i, j: (i, j),
+                        memory_space=pltpu.VMEM)
+    const = lambda a: pl.BlockSpec(a.shape, lambda i, j: (0, 0),
+                                   memory_space=pltpu.VMEM)
+    fn = pl.pallas_call(
+        _k_merge_422,
+        grid=grid,
+        in_specs=[full, half, half, const(urm)],
+        out_specs=pl.BlockSpec((3, br, tc), lambda i, j: (0, i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((3, h, w), jnp.uint8),
+        interpret=interpret,
+    )
+    return fn(y_u8, cb_u8, cr_u8, urm)
+
+
+@_jit("band_rows", "tile_cols", "interpret")
+def color_split_444_u8(
+    rgb_planar_u8,
+    band_rows: int = 512,
+    tile_cols: int = 256,
+    interpret: bool = False,
+):
+    """(3, H, W) u8 RGB -> three full-res u8 YCbCr planes, one kernel."""
+    _c, h, w = rgb_planar_u8.shape
+    br, tc = _geometry(h, w, band_rows, tile_cols)
+    grid = (h // br, w // tc)
+    full = pl.BlockSpec((br, tc), lambda i, j: (i, j), memory_space=pltpu.VMEM)
+    fn = pl.pallas_call(
+        _k_split_444,
+        grid=grid,
+        in_specs=[pl.BlockSpec((3, br, tc), lambda i, j: (0, i, j),
+                               memory_space=pltpu.VMEM)],
+        out_specs=(full, full, full),
+        out_shape=tuple(jax.ShapeDtypeStruct((h, w), jnp.uint8) for _ in range(3)),
+        interpret=interpret,
+    )
+    return fn(rgb_planar_u8)
+
+
+@_jit("band_rows", "tile_cols", "interpret")
+def color_merge_444_u8(
+    y_u8,
+    cb_u8,
+    cr_u8,
+    band_rows: int = 512,
+    tile_cols: int = 256,
+    interpret: bool = False,
+):
+    """Three full-res u8 YCbCr planes -> (3, H, W) u8 RGB, one kernel."""
+    h, w = y_u8.shape
+    if cb_u8.shape != (h, w) or cr_u8.shape != (h, w):
+        raise ValueError(
+            f"4:4:4 planes must all be ({h}, {w}), got "
+            f"{cb_u8.shape} / {cr_u8.shape}"
+        )
+    br, tc = _geometry(h, w, band_rows, tile_cols)
+    grid = (h // br, w // tc)
+    full = pl.BlockSpec((br, tc), lambda i, j: (i, j), memory_space=pltpu.VMEM)
+    fn = pl.pallas_call(
+        _k_merge_444,
+        grid=grid,
+        in_specs=[full, full, full],
+        out_specs=pl.BlockSpec((3, br, tc), lambda i, j: (0, i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((3, h, w), jnp.uint8),
+        interpret=interpret,
+    )
+    return fn(y_u8, cb_u8, cr_u8)

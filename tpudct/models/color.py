@@ -172,20 +172,47 @@ def _interleaved_f32(rgb):
     return rgb if layout == "interleaved" else jnp.moveaxis(rgb, 0, -1)
 
 
-def supports_color_u8(p: Pipeline, cfg: CodecConfig, h: int, w: int) -> bool:
+# stacked-chroma (cb|cr vertically) codec geometry per mode, as a function
+# of the luma (h, w): 420 -> (h, w/2); 422 -> (2h, w/2); 444 -> (2h, w)
+_CHROMA_STACK = {
+    "420": lambda h, w: (h, w // 2),
+    "422": lambda h, w: (2 * h, w // 2),
+    False: lambda h, w: (2 * h, w),
+}
+
+
+def supports_color_u8(
+    p: Pipeline, cfg: CodecConfig, h: int, w: int, subsample="420"
+) -> bool:
     """Gate for the fused u8 color path: the pipeline must expose the
     u8-native codec (hp), all three planes must meet the int8 kernel's
-    tiling (chroma: (H/2, W/2) stacked -> H rows x W/2 lanes), and the
-    coefficients must fit int8 against BOTH quantization tables."""
+    tiling (the two chroma planes ride the codec stacked vertically),
+    and the coefficients must fit int8 against BOTH quantization
+    tables.  All three chroma modes have u8 kernels."""
     from tpudct.kernels import hp_pallas
 
+    ch, cw = _CHROMA_STACK[_sub_mode(subsample)](h, w)
     return (
         hasattr(p, "encode_u8")
         and h % 64 == 0
         and w % 256 == 0
         and hp_pallas.supports_u8(h, w, cfg.q_scale, cfg.transform, "luma")
-        and hp_pallas.supports_u8(h, w // 2, cfg.q_scale, cfg.transform, "chroma")
+        and hp_pallas.supports_u8(ch, cw, cfg.q_scale, cfg.transform, "chroma")
     )
+
+
+def _u8_kernels(mode):
+    from tpudct.kernels import color_pallas as cp
+
+    return {
+        "420": (cp.color_split_420_u8, cp.color_merge_420_u8),
+        "422": (cp.color_split_422_u8, cp.color_merge_422_u8),
+        False: (cp.color_split_444_u8, cp.color_merge_444_u8),
+    }[mode]
+
+
+def _chroma_plane_shape(mode, h, w):
+    return {"420": (h // 2, w // 2), "422": (h, w // 2), False: (h, w)}[mode]
 
 
 def encode_color_u8(p: Pipeline, rgb_u8, cfg: CodecConfig, subsample: bool = True):
@@ -193,23 +220,28 @@ def encode_color_u8(p: Pipeline, rgb_u8, cfg: CodecConfig, subsample: bool = Tru
 
     4x less HBM traffic than the f32 path end-to-end (u8 color split +
     the codec's fused int8 kernels); requires :func:`supports_color_u8`.
-    Chroma planes stack vertically through ONE kernel launch."""
+    All three chroma modes (4:2:0 / 4:2:2 / 4:4:4) have fused kernels;
+    chroma planes stack vertically through ONE codec launch."""
     x = _planar_u8(rgb_u8)
     _c, h, w = x.shape
-    if not supports_color_u8(p, cfg, h, w) or _sub_mode(subsample) != "420":
+    mode = _sub_mode(subsample)
+    if not supports_color_u8(p, cfg, h, w, mode):
         raise ValueError(
             f"u8 color path unsupported for {h}x{w} subsample={subsample} "
             "(needs hp pipeline, H%64==0, W%256==0, int8-safe q_scale); "
             "use encode_color"
         )
-    from tpudct.kernels import color_pallas
-
+    split, _merge = _u8_kernels(mode)
     interp = cfg.interpret or jax.default_backend() != "tpu"
-    y, cb, cr = color_pallas.color_split_420_u8(x, interpret=interp)
+    y, cb, cr = split(x, interpret=interp)
     cy = p.encode_u8(y, _luma_cfg(cfg))
     cc = p.encode_u8(jnp.concatenate([cb, cr], axis=0), _chroma_cfg(cfg))
     ph = cb.shape[0]
-    meta = {"orig_shape": (h, w), "chroma_shape": (h // 2, w // 2), "subsample": "420"}
+    meta = {
+        "orig_shape": (h, w),
+        "chroma_shape": _chroma_plane_shape(mode, h, w),
+        "subsample": mode,
+    }
     return {"y": cy, "cb": cc[:ph], "cr": cc[ph:]}, meta
 
 
@@ -230,18 +262,17 @@ def decode_color_u8(p: Pipeline, planes: dict, meta: dict, cfg: CodecConfig):
         ),
         _chroma_cfg(cfg),
     )
-    from tpudct.kernels import color_pallas
-
+    _split, merge = _u8_kernels(_sub_mode(meta["subsample"]))
     interp = cfg.interpret or jax.default_backend() != "tpu"
     ph = planes["cb"].shape[0]
-    rgb = color_pallas.color_merge_420_u8(y, cc[:ph], cc[ph:], interpret=interp)
+    rgb = merge(y, cc[:ph], cc[ph:], interpret=interp)
     return jnp.moveaxis(rgb, 0, -1)
 
 
-def roundtrip_color_u8(p: Pipeline, rgb_u8, cfg: CodecConfig):
+def roundtrip_color_u8(p: Pipeline, rgb_u8, cfg: CodecConfig, subsample=True):
     """Fused u8 color pass: uint8 RGB -> (int8 coefficient planes, meta,
-    uint8 RGB reconstruction).  Always 4:2:0."""
-    planes, meta = encode_color_u8(p, rgb_u8, cfg, subsample=True)
+    uint8 RGB reconstruction).  Any chroma mode (default 4:2:0)."""
+    planes, meta = encode_color_u8(p, rgb_u8, cfg, subsample=subsample)
     return planes, meta, decode_color_u8(p, planes, meta, cfg)
 
 
@@ -252,13 +283,13 @@ def _u8_eligible(p: Pipeline, rgb, cfg: CodecConfig, subsample: bool) -> bool:
     # Inspect dtype/shape without jnp.asarray: that would device-transfer a
     # numpy input just to look at metadata (and again on the real path).
     dt = getattr(rgb, "dtype", None)  # nested lists etc. -> f32 path
-    if dt is None or np.dtype(dt) != np.uint8 or _sub_mode(subsample) != "420":
+    if dt is None or np.dtype(dt) != np.uint8:
         return False
     try:
         _layout_name, h, w = _layout(rgb)
     except ValueError:
         return False
-    return supports_color_u8(p, cfg, h, w)
+    return supports_color_u8(p, cfg, h, w, _sub_mode(subsample))
 
 
 def encode_color_auto(p: Pipeline, rgb, cfg: CodecConfig, subsample: bool = True):
@@ -266,7 +297,7 @@ def encode_color_auto(p: Pipeline, rgb, cfg: CodecConfig, subsample: bool = True
     else the general f32 path.  The single dispatch point for the CLI and
     any caller holding u8 pixels; accepts either (H, W, 3) or (3, H, W)."""
     if _u8_eligible(p, rgb, cfg, subsample):
-        return encode_color_u8(p, rgb, cfg)
+        return encode_color_u8(p, rgb, cfg, subsample=subsample)
     return encode_color(p, _interleaved_f32(rgb), cfg, subsample=subsample)
 
 
@@ -290,14 +321,15 @@ def decode_color_auto(p: Pipeline, planes: dict, meta: dict, cfg: CodecConfig):
         return bool(_abs_bound(np.asarray(v)) <= 127)
 
     h, w = meta["orig_shape"]
+    mode = _sub_mode(meta["subsample"])
     if (
-        _sub_mode(meta["subsample"]) == "420"
         # the fused u8 kernels bake the standard tables; per-stream custom
         # tables (imported JPEGs) take the general f32 path
-        and meta.get("y_q_table", "luma") == "luma"
+        meta.get("y_q_table", "luma") == "luma"
         and meta.get("c_q_table", "chroma") == "chroma"
-        and supports_color_u8(p, cfg, h, w)
+        and supports_color_u8(p, cfg, h, w, mode)
         and tuple(planes["y"].shape) == (h, w)
+        and tuple(planes["cb"].shape) == _chroma_plane_shape(mode, h, w)
         and all(_fits_i8(v) for v in planes.values())
     ):
         return decode_color_u8(p, planes, meta, cfg)
@@ -310,7 +342,7 @@ def roundtrip_color_auto(p: Pipeline, rgb, cfg: CodecConfig, subsample: bool = T
     out-of-[0,255] pixels can exceed int8).  Returns (planes, meta, rgb u8
     interleaved)."""
     if _u8_eligible(p, rgb, cfg, subsample):
-        return roundtrip_color_u8(p, rgb, cfg)
+        return roundtrip_color_u8(p, rgb, cfg, subsample=subsample)
     x = _interleaved_f32(rgb)
     planes, meta = encode_color(p, x, cfg, subsample=subsample)
     return planes, meta, decode_color(p, planes, meta, cfg)
