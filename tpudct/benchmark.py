@@ -278,9 +278,12 @@ def bench_color(
         supports_color_u8,
     )
 
+    from tpudct.models.color import _sub_mode
+
     cfg = cfg or CodecConfig()
     p = get_pipeline(pipeline)
-    if subsample and supports_color_u8(p, cfg, size, size):
+    mode = _sub_mode(subsample)
+    if supports_color_u8(p, cfg, size, size, mode):
         rgb8 = jnp.asarray(
             np.stack(
                 [synthetic_image(size, seed=s) for s in (1, 2, 3)], axis=0
@@ -288,7 +291,7 @@ def bench_color(
         )
 
         def fn(v):
-            planes, meta = encode_color_u8(p, v, cfg)
+            planes, meta = encode_color_u8(p, v, cfg, subsample=mode)
             out = decode_color_u8(p, planes, meta, cfg)
             return jnp.moveaxis(out, -1, 0)  # chain planar
 
@@ -310,7 +313,7 @@ def bench_color(
         "pipeline": f"{pipeline}-color",
         "path": path,
         "size": size,
-        "subsample": subsample,
+        "subsample": mode if mode else "444",
         "rgb_ms": ms,
         "mpix_per_s": size * size / ms / 1e3 if ms > 0 else None,
         "backend": jax.default_backend(),

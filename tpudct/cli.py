@@ -438,7 +438,7 @@ def cmd_bench(args) -> int:
 
         print(json.dumps(bench_color(
             args.size, args.pipelines.split(",")[0].strip(), _cfg_from(args),
-            reps=args.reps,
+            subsample=_chroma_mode(args), reps=args.reps,
         )))
         if args.batch:
             from tpudct.benchmark import bench_color_serving
@@ -1321,6 +1321,8 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--batch", type=int, default=0, help="also time serving throughput for a batch of N images")
     sp.add_argument("--cpu", action="store_true", help="also time the host-CPU numpy baseline (reference CPU column analog)")
     sp.add_argument("--color", action="store_true", help="also time the full RGB color codec pass")
+    sp.add_argument("--chroma", choices=("420", "422", "444"), default=None,
+                    help="with --color: chroma mode for the color bench (default 420)")
     sp.add_argument("--host-entropy", action="store_true", dest="host_entropy",
                     help="benchmark the host entropy stage instead (every .tdc codec's encode/decode on this size; no device work)")
     sp.add_argument("--image", default="photo", choices=("photo", "circuit", "noise"),
