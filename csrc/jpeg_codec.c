@@ -287,12 +287,21 @@ int tpudct_jpeg_read_coefs(const char *filename, short **coef_bufs,
  * width/height_in_blocks*8 for (img_w, img_h) and the sampling factors —
  * validated, returns 6 on mismatch.  Returns 0 ok; 1 open; 2 libjpeg
  * error (includes coefficients outside the Huffman category range);
- * 4 bad component count. */
-int tpudct_jpeg_write_coefs(const char *filename, const short **coef_bufs,
-                            const int *comp_w, const int *comp_h,
-                            const unsigned short *qtabs, const int *h_samp,
-                            const int *v_samp, int ncomp, int img_w,
-                            int img_h) {
+ * 4 bad component count.
+ *
+ * `flags` selects the entropy coding, jpegtran-style: bit 0 = two-pass
+ * optimal Huffman tables (jpegtran -optimize), bit 1 = progressive scan
+ * script (jpegtran -progressive; implies optimize, as jpegtran does —
+ * libjpeg has no canned progressive Huffman tables).  Both are
+ * bit-lossless re-codings of the same coefficients. */
+#define TPUDCT_WC_OPTIMIZE 1
+#define TPUDCT_WC_PROGRESSIVE 2
+
+int tpudct_jpeg_write_coefs_ex(const char *filename, const short **coef_bufs,
+                               const int *comp_w, const int *comp_h,
+                               const unsigned short *qtabs, const int *h_samp,
+                               const int *v_samp, int ncomp, int img_w,
+                               int img_h, int flags) {
     struct jpeg_compress_struct cinfo;
     struct tpudct_err_mgr jerr;
     FILE *outfile;
@@ -331,6 +340,15 @@ int tpudct_jpeg_write_coefs(const char *filename, const short **coef_bufs,
         cinfo.comp_info[c].h_samp_factor = h_samp[c];
         cinfo.comp_info[c].v_samp_factor = v_samp[c];
     }
+
+    if (flags & TPUDCT_WC_PROGRESSIVE) {
+        /* After the component loop: the scan script is built from the
+         * final num_components.  Progressive Huffman coding requires
+         * table optimization (no canned progressive tables exist). */
+        jpeg_simple_progression(&cinfo);
+        cinfo.optimize_coding = TRUE;
+    }
+    if (flags & TPUDCT_WC_OPTIMIZE) cinfo.optimize_coding = TRUE;
 
     /* Request per-component coefficient arrays (padded to MCU multiples;
      * pre-zeroed so dummy edge blocks are valid), realized by
@@ -379,6 +397,17 @@ int tpudct_jpeg_write_coefs(const char *filename, const short **coef_bufs,
     jpeg_destroy_compress(&cinfo);
     fclose(outfile);
     return 0;
+}
+
+/* Baseline-Huffman write with canned tables (flags=0 shorthand). */
+int tpudct_jpeg_write_coefs(const char *filename, const short **coef_bufs,
+                            const int *comp_w, const int *comp_h,
+                            const unsigned short *qtabs, const int *h_samp,
+                            const int *v_samp, int ncomp, int img_w,
+                            int img_h) {
+    return tpudct_jpeg_write_coefs_ex(filename, coef_bufs, comp_w, comp_h,
+                                      qtabs, h_samp, v_samp, ncomp, img_w,
+                                      img_h, 0);
 }
 
 /* ---- threaded batch decode (the data-loader path) ----------------------

@@ -450,3 +450,92 @@ def test_cli_transcode(tmp_path, gray_jpg, capsys):
     capsys.readouterr()
     # extension must match the JPEG's component count
     assert main(["transcode", str(gray_jpg), str(tmp_path / "g.tdcc")]) == 1
+
+
+def _sof_marker(path) -> int:
+    """The frame-type (SOFn) marker byte of a JPEG file."""
+    jpg = open(path, "rb").read()
+    for m, _a, _b in jpegcoef._walk_segments(jpg):
+        if 0xC0 <= m <= 0xCF and m not in (0xC4, 0xC8, 0xCC):  # not DHT/JPG/DAC
+            return m
+    raise AssertionError("no SOF marker found")
+
+
+def test_optimize_progressive_export_bit_exact(tmp_path, gray_jpg, rng):
+    """jpegtran's -optimize / -progressive on the export side: same
+    coefficients re-coded with two-pass Huffman tables or a progressive
+    scan script (csrc tpudct_jpeg_write_coefs_ex flags).  All three
+    encodings must read back the identical map; optimize never grows the
+    file; progressive switches the frame to SOF2."""
+    r = jpegcoef.read_jpeg_coefficients(gray_jpg)
+    base, opt, prog = (tmp_path / n for n in ("b.jpg", "o.jpg", "p.jpg"))
+    jpegcoef.write_jpeg_coefficients(base, r["comps"], r["shape"])
+    jpegcoef.write_jpeg_coefficients(opt, r["comps"], r["shape"], optimize=True)
+    jpegcoef.write_jpeg_coefficients(
+        prog, r["comps"], r["shape"], progressive=True
+    )
+    for p in (opt, prog):
+        r2 = jpegcoef.read_jpeg_coefficients(p)
+        np.testing.assert_array_equal(r2["comps"][0]["map"], r["comps"][0]["map"])
+        np.testing.assert_array_equal(imageio.load_jpeg(p), imageio.load_jpeg(base))
+    assert opt.stat().st_size <= base.stat().st_size
+    assert _sof_marker(base) == 0xC0 and _sof_marker(opt) == 0xC0
+    assert _sof_marker(prog) == 0xC2
+
+    # color: all three components survive both re-codings
+    rgb = rng.integers(0, 256, (38, 54, 3)).astype(np.uint8)
+    cjpg = tmp_path / "c.jpg"
+    imageio.save_jpeg(cjpg, rgb, quality=85)
+    rc = jpegcoef.read_jpeg_coefficients(cjpg)
+    for name, kw in (("co.jpg", {"optimize": True}),
+                     ("cp.jpg", {"progressive": True})):
+        out = tmp_path / name
+        jpegcoef.write_jpeg_coefficients(out, rc["comps"], rc["shape"], **kw)
+        rc2 = jpegcoef.read_jpeg_coefficients(out)
+        for a, b in zip(rc["comps"], rc2["comps"]):
+            np.testing.assert_array_equal(a["map"], b["map"])
+
+
+def test_progressive_jpeg_import(tmp_path, rng):
+    """Progressive (SOF2) inputs import like baseline ones:
+    jpeg_read_coefficients is scan-script-agnostic, so a progressive
+    source's map round-trips to a baseline export and back bit-exactly."""
+    PIL = pytest.importorskip("PIL.Image")
+    img = (rng.normal(128, 40, (43, 61)).clip(0, 255)).astype(np.uint8)
+    src = tmp_path / "prog.jpg"
+    PIL.fromarray(img).save(src, quality=77, progressive=True)
+    assert _sof_marker(src) == 0xC2
+    r = jpegcoef.read_jpeg_coefficients(src)
+    data = jpegcoef.import_jpeg(src)
+    out = tmp_path / "base.jpg"
+    jpegcoef.export_jpeg(data, out)
+    r2 = jpegcoef.read_jpeg_coefficients(out)
+    np.testing.assert_array_equal(r2["comps"][0]["map"], r["comps"][0]["map"])
+    np.testing.assert_array_equal(imageio.load_jpeg(out), imageio.load_jpeg(src))
+
+
+def test_cli_optimize_progressive(tmp_path, gray_jpg, capsys):
+    """CLI surface: transcode/edit --optimize/--progressive reach the
+    export flags; a pure `edit in.jpg out.jpg --optimize` is jpegtran's
+    plain-recompress workflow; non-.jpg destinations refuse."""
+    tdc = tmp_path / "x.tdc"
+    assert main(["transcode", str(gray_jpg), str(tdc)]) == 0
+    capsys.readouterr()
+    prog = tmp_path / "p.jpg"
+    assert main(["transcode", str(tdc), str(prog), "--progressive"]) == 0
+    capsys.readouterr()
+    assert _sof_marker(prog) == 0xC2
+    np.testing.assert_array_equal(imageio.load_jpeg(prog), imageio.load_jpeg(gray_jpg))
+    # edit: pure recompress, no geometric op required
+    opt = tmp_path / "o.jpg"
+    assert main(["edit", str(gray_jpg), str(opt), "--optimize"]) == 0
+    rep = json.loads(capsys.readouterr().out.strip())
+    assert rep["bytes"] <= rep["src_bytes"]
+    np.testing.assert_array_equal(imageio.load_jpeg(opt), imageio.load_jpeg(gray_jpg))
+    # the flags make no sense for container destinations
+    assert main(["transcode", str(gray_jpg), str(tmp_path / "y.tdc"),
+                 "--optimize"]) == 1
+    capsys.readouterr()
+    assert main(["edit", str(gray_jpg), str(tmp_path / "y.tdc"),
+                 "--op", "rot90", "--progressive"]) == 1
+    capsys.readouterr()

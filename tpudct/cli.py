@@ -1018,6 +1018,13 @@ def cmd_transcode(args) -> int:
             )
 
     dst = args.dst.lower()
+    if (args.optimize or args.progressive) and not dst.endswith(
+        (".jpg", ".jpeg")
+    ):
+        raise ValueError(
+            "--optimize/--progressive select the output JPEG's entropy "
+            "coding; they need a .jpg destination"
+        )
     if dst.endswith((".tdc", ".tdcc")) and args.src.lower().endswith(
         (".tdc", ".tdcc")
     ):
@@ -1088,7 +1095,8 @@ def cmd_transcode(args) -> int:
         _need_native()
         with open(args.src, "rb") as f:
             data = f.read()
-        jpegcoef.export_jpeg(data, args.dst)
+        jpegcoef.export_jpeg(data, args.dst, optimize=args.optimize,
+                             progressive=args.progressive)
         print(json.dumps({
             "direction": "tdc->jpg", "src": args.src, "dst": args.dst,
             "bytes": os.path.getsize(args.dst), "src_bytes": len(data),
@@ -1121,8 +1129,17 @@ def cmd_edit(args) -> int:
         return str(path).lower().endswith((".jpg", ".jpeg"))
 
     ops = args.op or []
-    if not ops and args.crop is None and not args.grayscale:
-        raise ValueError("nothing to do: pass --op, --crop and/or --grayscale")
+    if (args.optimize or args.progressive) and not _is_jpg(args.dst):
+        raise ValueError(
+            "--optimize/--progressive select the output JPEG's entropy "
+            "coding; they need a .jpg destination"
+        )
+    if (not ops and args.crop is None and not args.grayscale
+            and not (args.optimize or args.progressive)):
+        raise ValueError(
+            "nothing to do: pass --op, --crop, --grayscale and/or "
+            "--optimize/--progressive"
+        )
     if (_is_jpg(args.src) or _is_jpg(args.dst)) and not jpegcoef.coef_io_available():
         raise ValueError(
             "edit to/from .jpg needs the native library (make -C csrc); "
@@ -1151,7 +1168,8 @@ def cmd_edit(args) -> int:
     out = edit_stream(data, ops, crop=crop, codec=stage,
                       grayscale=args.grayscale)
     if _is_jpg(args.dst):
-        jpegcoef.export_jpeg(out, args.dst)
+        jpegcoef.export_jpeg(out, args.dst, optimize=args.optimize,
+                             progressive=args.progressive)
         nbytes = os.path.getsize(args.dst)
     else:
         with open(args.dst, "wb") as f:
@@ -1406,6 +1424,10 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--entropy", default="auto",
                     choices=("auto", "spectral", "huffman", "rans", "xz", "raw"),
                     help=".tdc entropy stage for jpg->tdc imports and tdc->tdc restages")
+    sp.add_argument("--optimize", action="store_true",
+                    help="with a .jpg destination: two-pass optimal Huffman tables (jpegtran -optimize)")
+    sp.add_argument("--progressive", action="store_true",
+                    help="with a .jpg destination: progressive scan script (jpegtran -progressive; implies --optimize)")
     sp.set_defaults(fn=cmd_transcode)
 
     sp = sub.add_parser("edit", help="lossless coefficient-domain flip/rotate/transpose/crop/grayscale on .tdc/.tdcc — or directly jpg->jpg (a jpegtran replacement)")
@@ -1421,6 +1443,10 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--entropy", default="auto",
                     choices=("auto", "spectral", "huffman", "rans", "xz", "raw"),
                     help="entropy stage for the re-serialized output")
+    sp.add_argument("--optimize", action="store_true",
+                    help="with a .jpg destination: two-pass optimal Huffman tables (jpegtran -optimize)")
+    sp.add_argument("--progressive", action="store_true",
+                    help="with a .jpg destination: progressive scan script (jpegtran -progressive; implies --optimize)")
     sp.set_defaults(fn=cmd_edit)
 
     sp = sub.add_parser("compare", help="tolerance-compare two images + metric suite (the reference's dead arrays_are_close, activated); two .tdc/.tdcc inputs diff at the coefficient level")

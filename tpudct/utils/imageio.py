@@ -57,7 +57,7 @@ def _load_native() -> Optional[ctypes.CDLL]:
             if not _build_native(force=True):
                 return None
             lib = ctypes.CDLL(str(_LIB_PATH))
-        if not hasattr(lib, "tpudct_jpeg_read_coefs"):
+        if not hasattr(lib, "tpudct_jpeg_write_coefs_ex"):
             # Stale prebuilt library from older sources: rebuild once.
             subprocess.run(
                 ["make", "-C", str(_CSRC), "-B"],
@@ -76,7 +76,7 @@ def _load_native() -> Optional[ctypes.CDLL]:
             finally:
                 # The mapping survives the unlink on Linux; don't leak /tmp copies.
                 os.unlink(tmp.name)
-            if not hasattr(lib, "tpudct_jpeg_read_coefs"):
+            if not hasattr(lib, "tpudct_jpeg_write_coefs_ex"):
                 return None
     except (OSError, subprocess.SubprocessError):
         return None

@@ -45,7 +45,7 @@ def _get_lib():
     from tpudct.utils.imageio import _load_native
 
     lib = _load_native()
-    if lib is None or not hasattr(lib, "tpudct_jpeg_read_coefs"):
+    if lib is None or not hasattr(lib, "tpudct_jpeg_write_coefs_ex"):
         return None
     i16p = ctypes.POINTER(ctypes.c_short)
     intp = ctypes.POINTER(ctypes.c_int)
@@ -54,12 +54,12 @@ def _get_lib():
         ctypes.POINTER(ctypes.c_ushort), intp, intp, intp, intp, intp,
     ]
     lib.tpudct_jpeg_read_coefs.restype = ctypes.c_int
-    lib.tpudct_jpeg_write_coefs.argtypes = [
+    lib.tpudct_jpeg_write_coefs_ex.argtypes = [
         ctypes.c_char_p, ctypes.POINTER(i16p), intp, intp,
         ctypes.POINTER(ctypes.c_ushort), intp, intp,
-        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
     ]
-    lib.tpudct_jpeg_write_coefs.restype = ctypes.c_int
+    lib.tpudct_jpeg_write_coefs_ex.restype = ctypes.c_int
     _configured = lib
     return lib
 
@@ -124,12 +124,20 @@ def read_jpeg_coefficients(path: str) -> dict:
     return {"comps": comps, "shape": (ih.value, iw.value)}
 
 
-def write_jpeg_coefficients(path: str, comps: list, shape: tuple) -> None:
+def write_jpeg_coefficients(path: str, comps: list, shape: tuple,
+                            optimize: bool = False,
+                            progressive: bool = False) -> None:
     """Entropy-encode coefficient maps into a .jpg (inverse of
     `read_jpeg_coefficients`; same comps/shape structure).  Maps must be
     int16-valued with per-block magnitudes inside the T.81 Huffman
     category range (|AC| <= 1023, |DC step| <= 2047) — libjpeg rejects
-    the stream otherwise."""
+    the stream otherwise.
+
+    `optimize` computes two-pass optimal Huffman tables (jpegtran
+    -optimize); `progressive` emits libjpeg's standard progressive scan
+    script (jpegtran -progressive; implies optimize — the standard
+    defines no canned progressive tables).  Both re-code the SAME
+    coefficients, so every path through this writer stays bit-lossless."""
     lib = _get_lib()
     if lib is None:
         raise RuntimeError(
@@ -175,8 +183,10 @@ def write_jpeg_coefficients(path: str, comps: list, shape: tuple) -> None:
     hs = (ctypes.c_int * n)(*[int(c["samp"][0]) for c in comps])
     vs = (ctypes.c_int * n)(*[int(c["samp"][1]) for c in comps])
     h, w = shape
-    rc = lib.tpudct_jpeg_write_coefs(
-        str(path).encode(), bufs, cw, ch, qt, hs, vs, n, int(w), int(h)
+    flags = (1 if optimize else 0) | (2 if progressive else 0)
+    rc = lib.tpudct_jpeg_write_coefs_ex(
+        str(path).encode(), bufs, cw, ch, qt, hs, vs, n, int(w), int(h),
+        flags,
     )
     if rc == 6:
         raise ValueError(
@@ -375,12 +385,15 @@ def _require_dct(transform: str) -> None:
         )
 
 
-def export_jpeg(data: bytes, path: str) -> None:
+def export_jpeg(data: bytes, path: str, optimize: bool = False,
+                progressive: bool = False) -> None:
     """`transform="dct"` .tdc/.tdcc -> .jpg at the coefficient level
     (bit-exact; no IDCT/FDCT runs).  The stream's Q·q_scale must round to
     integers in [1, 32767] — exactly the tables JPEG files can carry.
     Metadata captured at import (TDCM chunk: EXIF/ICC/APPn/COM segments)
-    is spliced back into the output header verbatim."""
+    is spliced back into the output header verbatim.  `optimize` /
+    `progressive` select jpegtran's -optimize / -progressive entropy
+    coding for the output scan — same coefficients, smaller file."""
     from tpudct.utils.serialize import (
         bytes_to_coefficients, bytes_to_color, is_color_stream,
     )
@@ -396,7 +409,7 @@ def export_jpeg(data: bytes, path: str) -> None:
             [{"map": planes["y"].astype(np.int16), "qtab": yq, "samp": lsamp},
              {"map": planes["cb"].astype(np.int16), "qtab": cq, "samp": (1, 1)},
              {"map": planes["cr"].astype(np.int16), "qtab": cq, "samp": (1, 1)}],
-            meta["orig_shape"],
+            meta["orig_shape"], optimize=optimize, progressive=progressive,
         )
     else:
         coeffs, q_scale, _rk, orig_shape, transform, q_table = (
@@ -410,7 +423,7 @@ def export_jpeg(data: bytes, path: str) -> None:
             path,
             [{"map": coeffs.astype(np.int16),
               "qtab": _integer_qtab(q_table, q_scale), "samp": (1, 1)}],
-            orig_shape,
+            orig_shape, optimize=optimize, progressive=progressive,
         )
     markers = _extract_metadata(data)
     if markers:
