@@ -292,10 +292,13 @@ int tpudct_jpeg_read_coefs(const char *filename, short **coef_bufs,
  * `flags` selects the entropy coding, jpegtran-style: bit 0 = two-pass
  * optimal Huffman tables (jpegtran -optimize), bit 1 = progressive scan
  * script (jpegtran -progressive; implies optimize, as jpegtran does —
- * libjpeg has no canned progressive Huffman tables).  Both are
- * bit-lossless re-codings of the same coefficients. */
+ * libjpeg has no canned progressive Huffman tables), bit 2 = arithmetic
+ * coding (jpegtran -arithmetic; supersedes Huffman optimization, may
+ * combine with progressive).  All are bit-lossless re-codings of the
+ * same coefficients. */
 #define TPUDCT_WC_OPTIMIZE 1
 #define TPUDCT_WC_PROGRESSIVE 2
+#define TPUDCT_WC_ARITH 4
 
 int tpudct_jpeg_write_coefs_ex(const char *filename, const short **coef_bufs,
                                const int *comp_w, const int *comp_h,
@@ -349,6 +352,11 @@ int tpudct_jpeg_write_coefs_ex(const char *filename, const short **coef_bufs,
         cinfo.optimize_coding = TRUE;
     }
     if (flags & TPUDCT_WC_OPTIMIZE) cinfo.optimize_coding = TRUE;
+    if (flags & TPUDCT_WC_ARITH) {
+        /* Arithmetic entropy coding has no tables to optimize. */
+        cinfo.arith_code = TRUE;
+        cinfo.optimize_coding = FALSE;
+    }
 
     /* Request per-component coefficient arrays (padded to MCU multiples;
      * pre-zeroed so dummy edge blocks are valid), realized by

@@ -539,3 +539,33 @@ def test_cli_optimize_progressive(tmp_path, gray_jpg, capsys):
     assert main(["edit", str(gray_jpg), str(tmp_path / "y.tdc"),
                  "--op", "rot90", "--progressive"]) == 1
     capsys.readouterr()
+
+
+def test_arithmetic_export(tmp_path, gray_jpg, rng):
+    """jpegtran -arithmetic: T.81 arithmetic entropy coding (this libjpeg
+    build supports both directions).  Bit-exact coefficients, a DAC or
+    arith-SOF frame, and (on this content) fewer bytes than optimized
+    Huffman; combines with progressive."""
+    r = jpegcoef.read_jpeg_coefficients(gray_jpg)
+    opt, ari, arip = (tmp_path / n for n in ("o.jpg", "a.jpg", "ap.jpg"))
+    jpegcoef.write_jpeg_coefficients(opt, r["comps"], r["shape"], optimize=True)
+    jpegcoef.write_jpeg_coefficients(ari, r["comps"], r["shape"], arithmetic=True)
+    jpegcoef.write_jpeg_coefficients(
+        arip, r["comps"], r["shape"], arithmetic=True, progressive=True
+    )
+    for p in (ari, arip):
+        r2 = jpegcoef.read_jpeg_coefficients(p)
+        np.testing.assert_array_equal(r2["comps"][0]["map"], r["comps"][0]["map"])
+    assert ari.stat().st_size < opt.stat().st_size
+    # sequential arithmetic keeps SOF0-era frame 0xC9 (SOF9 = extended
+    # sequential, arithmetic); progressive arithmetic is SOF10 (0xCA)
+    assert _sof_marker(ari) == 0xC9
+    assert _sof_marker(arip) == 0xCA
+
+    # CLI surface
+    out = tmp_path / "cli_a.jpg"
+    assert main(["edit", str(gray_jpg), str(out), "--arithmetic"]) == 0
+    r3 = jpegcoef.read_jpeg_coefficients(out)
+    np.testing.assert_array_equal(r3["comps"][0]["map"], r["comps"][0]["map"])
+    assert main(["transcode", str(gray_jpg), str(tmp_path / "n.tdc"),
+                 "--arithmetic"]) == 1

@@ -589,7 +589,9 @@ def cmd_unbatch(args) -> int:
             except OSError as e:
                 return ("err", "io", str(e))
             try:
-                jpegcoef.export_jpeg(data, out)
+                jpegcoef.export_jpeg(data, out, optimize=args.optimize,
+                                     progressive=args.progressive,
+                                     arithmetic=args.arithmetic)
             except ValueError as e:
                 return ("err", "stream", str(e))
             except OSError as e:
@@ -1018,12 +1020,12 @@ def cmd_transcode(args) -> int:
             )
 
     dst = args.dst.lower()
-    if (args.optimize or args.progressive) and not dst.endswith(
-        (".jpg", ".jpeg")
+    if (args.optimize or args.progressive or args.arithmetic) and not (
+        dst.endswith((".jpg", ".jpeg"))
     ):
         raise ValueError(
-            "--optimize/--progressive select the output JPEG's entropy "
-            "coding; they need a .jpg destination"
+            "--optimize/--progressive/--arithmetic select the output "
+            "JPEG's entropy coding; they need a .jpg destination"
         )
     if dst.endswith((".tdc", ".tdcc")) and args.src.lower().endswith(
         (".tdc", ".tdcc")
@@ -1096,7 +1098,8 @@ def cmd_transcode(args) -> int:
         with open(args.src, "rb") as f:
             data = f.read()
         jpegcoef.export_jpeg(data, args.dst, optimize=args.optimize,
-                             progressive=args.progressive)
+                             progressive=args.progressive,
+                             arithmetic=args.arithmetic)
         print(json.dumps({
             "direction": "tdc->jpg", "src": args.src, "dst": args.dst,
             "bytes": os.path.getsize(args.dst), "src_bytes": len(data),
@@ -1129,16 +1132,16 @@ def cmd_edit(args) -> int:
         return str(path).lower().endswith((".jpg", ".jpeg"))
 
     ops = args.op or []
-    if (args.optimize or args.progressive) and not _is_jpg(args.dst):
+    recode = args.optimize or args.progressive or args.arithmetic
+    if recode and not _is_jpg(args.dst):
         raise ValueError(
-            "--optimize/--progressive select the output JPEG's entropy "
-            "coding; they need a .jpg destination"
+            "--optimize/--progressive/--arithmetic select the output "
+            "JPEG's entropy coding; they need a .jpg destination"
         )
-    if (not ops and args.crop is None and not args.grayscale
-            and not (args.optimize or args.progressive)):
+    if not ops and args.crop is None and not args.grayscale and not recode:
         raise ValueError(
             "nothing to do: pass --op, --crop, --grayscale and/or "
-            "--optimize/--progressive"
+            "--optimize/--progressive/--arithmetic"
         )
     if (_is_jpg(args.src) or _is_jpg(args.dst)) and not jpegcoef.coef_io_available():
         raise ValueError(
@@ -1169,7 +1172,8 @@ def cmd_edit(args) -> int:
                       grayscale=args.grayscale)
     if _is_jpg(args.dst):
         jpegcoef.export_jpeg(out, args.dst, optimize=args.optimize,
-                             progressive=args.progressive)
+                             progressive=args.progressive,
+                             arithmetic=args.arithmetic)
         nbytes = os.path.getsize(args.dst)
     else:
         with open(args.dst, "wb") as f:
@@ -1389,6 +1393,12 @@ def build_parser() -> argparse.ArgumentParser:
                     help="output extension: .jpg (default, quality applies) or a lossless format like .png")
     sp.add_argument("--transcode", action="store_true",
                     help="lossless export: entropy-encode transform=dct streams straight back to .jpg (inverse of `batch --transcode`)")
+    sp.add_argument("--optimize", action="store_true",
+                    help="with --transcode: two-pass optimal Huffman tables (jpegtran -optimize)")
+    sp.add_argument("--progressive", action="store_true",
+                    help="with --transcode: progressive scan script (jpegtran -progressive; implies --optimize)")
+    sp.add_argument("--arithmetic", action="store_true",
+                    help="with --transcode: T.81 arithmetic entropy coding (jpegtran -arithmetic; smaller, less widely decodable)")
     sp.add_argument("input_dir")
     sp.add_argument("output_dir")
     sp.set_defaults(fn=cmd_unbatch)
@@ -1428,6 +1438,8 @@ def build_parser() -> argparse.ArgumentParser:
                     help="with a .jpg destination: two-pass optimal Huffman tables (jpegtran -optimize)")
     sp.add_argument("--progressive", action="store_true",
                     help="with a .jpg destination: progressive scan script (jpegtran -progressive; implies --optimize)")
+    sp.add_argument("--arithmetic", action="store_true",
+                    help="with a .jpg destination: T.81 arithmetic entropy coding (jpegtran -arithmetic; smaller, less widely decodable)")
     sp.set_defaults(fn=cmd_transcode)
 
     sp = sub.add_parser("edit", help="lossless coefficient-domain flip/rotate/transpose/crop/grayscale on .tdc/.tdcc — or directly jpg->jpg (a jpegtran replacement)")
@@ -1447,6 +1459,8 @@ def build_parser() -> argparse.ArgumentParser:
                     help="with a .jpg destination: two-pass optimal Huffman tables (jpegtran -optimize)")
     sp.add_argument("--progressive", action="store_true",
                     help="with a .jpg destination: progressive scan script (jpegtran -progressive; implies --optimize)")
+    sp.add_argument("--arithmetic", action="store_true",
+                    help="with a .jpg destination: T.81 arithmetic entropy coding (jpegtran -arithmetic; smaller, less widely decodable)")
     sp.set_defaults(fn=cmd_edit)
 
     sp = sub.add_parser("compare", help="tolerance-compare two images + metric suite (the reference's dead arrays_are_close, activated); two .tdc/.tdcc inputs diff at the coefficient level")

@@ -126,7 +126,8 @@ def read_jpeg_coefficients(path: str) -> dict:
 
 def write_jpeg_coefficients(path: str, comps: list, shape: tuple,
                             optimize: bool = False,
-                            progressive: bool = False) -> None:
+                            progressive: bool = False,
+                            arithmetic: bool = False) -> None:
     """Entropy-encode coefficient maps into a .jpg (inverse of
     `read_jpeg_coefficients`; same comps/shape structure).  Maps must be
     int16-valued with per-block magnitudes inside the T.81 Huffman
@@ -136,8 +137,11 @@ def write_jpeg_coefficients(path: str, comps: list, shape: tuple,
     `optimize` computes two-pass optimal Huffman tables (jpegtran
     -optimize); `progressive` emits libjpeg's standard progressive scan
     script (jpegtran -progressive; implies optimize — the standard
-    defines no canned progressive tables).  Both re-code the SAME
-    coefficients, so every path through this writer stays bit-lossless."""
+    defines no canned progressive tables); `arithmetic` switches to
+    T.81 arithmetic entropy coding (jpegtran -arithmetic; supersedes
+    Huffman optimization, combines with progressive; smaller but less
+    widely decodable).  All re-code the SAME coefficients, so every
+    path through this writer stays bit-lossless."""
     lib = _get_lib()
     if lib is None:
         raise RuntimeError(
@@ -183,7 +187,8 @@ def write_jpeg_coefficients(path: str, comps: list, shape: tuple,
     hs = (ctypes.c_int * n)(*[int(c["samp"][0]) for c in comps])
     vs = (ctypes.c_int * n)(*[int(c["samp"][1]) for c in comps])
     h, w = shape
-    flags = (1 if optimize else 0) | (2 if progressive else 0)
+    flags = ((1 if optimize else 0) | (2 if progressive else 0)
+             | (4 if arithmetic else 0))
     rc = lib.tpudct_jpeg_write_coefs_ex(
         str(path).encode(), bufs, cw, ch, qt, hs, vs, n, int(w), int(h),
         flags,
@@ -386,7 +391,8 @@ def _require_dct(transform: str) -> None:
 
 
 def export_jpeg(data: bytes, path: str, optimize: bool = False,
-                progressive: bool = False) -> None:
+                progressive: bool = False,
+                arithmetic: bool = False) -> None:
     """`transform="dct"` .tdc/.tdcc -> .jpg at the coefficient level
     (bit-exact; no IDCT/FDCT runs).  The stream's Q·q_scale must round to
     integers in [1, 32767] — exactly the tables JPEG files can carry.
@@ -410,6 +416,7 @@ def export_jpeg(data: bytes, path: str, optimize: bool = False,
              {"map": planes["cb"].astype(np.int16), "qtab": cq, "samp": (1, 1)},
              {"map": planes["cr"].astype(np.int16), "qtab": cq, "samp": (1, 1)}],
             meta["orig_shape"], optimize=optimize, progressive=progressive,
+            arithmetic=arithmetic,
         )
     else:
         coeffs, q_scale, _rk, orig_shape, transform, q_table = (
@@ -424,6 +431,7 @@ def export_jpeg(data: bytes, path: str, optimize: bool = False,
             [{"map": coeffs.astype(np.int16),
               "qtab": _integer_qtab(q_table, q_scale), "samp": (1, 1)}],
             orig_shape, optimize=optimize, progressive=progressive,
+            arithmetic=arithmetic,
         )
     markers = _extract_metadata(data)
     if markers:
