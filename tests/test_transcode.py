@@ -569,3 +569,29 @@ def test_arithmetic_export(tmp_path, gray_jpg, rng):
     np.testing.assert_array_equal(r3["comps"][0]["map"], r["comps"][0]["map"])
     assert main(["transcode", str(gray_jpg), str(tmp_path / "n.tdc"),
                  "--arithmetic"]) == 1
+
+
+def test_unbatch_entropy_flags_require_transcode(tmp_path, gray_jpg, capsys):
+    """The entropy-recoding flags are lossless-transcode-only: the plain
+    decode path re-encodes pixels, where silently dropping them would let
+    a user believe their archive was re-coded.  Misuse must raise, like
+    `transcode`/`edit` do."""
+    src = tmp_path / "tdcs"
+    src.mkdir()
+    assert main(["batch", "--transcode", str(gray_jpg.parent), str(src)]) == 0
+    capsys.readouterr()
+    for flag in ("--optimize", "--progressive", "--arithmetic"):
+        with pytest.raises(SystemExit, match="need --transcode"):
+            main(["unbatch", flag, str(src), str(tmp_path / "out")])
+
+
+def test_write_coefs_error_classes(tmp_path, gray_jpg):
+    """Error taxonomy of the coefficient writer: unopenable destination is
+    IOError (transient/environment class — `unbatch --transcode` retries
+    these on resume); libjpeg rejections surface as ValueError (stream- or
+    build-intrinsic — recorded as permanently failed)."""
+    r = jpegcoef.read_jpeg_coefficients(gray_jpg)
+    with pytest.raises(IOError, match="cannot open"):
+        jpegcoef.write_jpeg_coefficients(
+            tmp_path / "no_such_dir" / "x.jpg", r["comps"], r["shape"]
+        )

@@ -274,15 +274,14 @@ def bench_color(
     from tpudct.models.color import (
         decode_color_u8,
         encode_color_u8,
+        normalize_subsample,
         roundtrip_color,
         supports_color_u8,
     )
 
-    from tpudct.models.color import _sub_mode
-
     cfg = cfg or CodecConfig()
     p = get_pipeline(pipeline)
-    mode = _sub_mode(subsample)
+    mode = normalize_subsample(subsample)
     if supports_color_u8(p, cfg, size, size, mode):
         rgb8 = jnp.asarray(
             np.stack(

@@ -560,6 +560,15 @@ def cmd_unbatch(args) -> int:
         raise SystemExit(
             "error: --transcode restores .jpg files; use --ext .jpg"
         )
+    if (args.optimize or args.progressive or args.arithmetic) and (
+        not args.transcode
+    ):
+        raise SystemExit(
+            "error: --optimize/--progressive/--arithmetic re-code the "
+            "output JPEG's entropy stage losslessly; they need --transcode "
+            "(the plain decode path re-encodes pixels, where only "
+            "--quality applies)"
+        )
     files = sorted(
         q.name for q in src.iterdir() if q.suffix.lower() in (".tdc", ".tdcc")
     )

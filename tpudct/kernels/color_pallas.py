@@ -308,11 +308,9 @@ def _k_merge_444(y_ref, cb_ref, cr_ref, o_ref):
 
 @functools.lru_cache(maxsize=16)
 def _pool_mat_lane_i8(tc: int):
-    """int8 version of the lane pooling matrix (tc, tc/2) for 4:2:2."""
-    prm = np.zeros((tc, tc // 2), np.int8)
-    prm[2 * np.arange(tc // 2), np.arange(tc // 2)] = 1
-    prm[2 * np.arange(tc // 2) + 1, np.arange(tc // 2)] = 1
-    return prm
+    """int8 view of `_pool_mats`' lane pooling matrix (tc, tc/2), for the
+    4:2:2 integer-MXU dot (same 0/1 pattern, different consuming core)."""
+    return _pool_mats(2, tc)[1].astype(np.int8)
 
 
 @_jit("band_rows", "tile_cols", "interpret")

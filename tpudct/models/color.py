@@ -41,7 +41,7 @@ from tpudct.utils.color import (
 PLANES = ("y", "cb", "cr")
 
 
-def _sub_mode(subsample) -> "str | bool":
+def normalize_subsample(subsample) -> "str | bool":
     """Normalize the subsample parameter: True/'420' -> '420' (the JPEG
     default), '422' -> '422', False/None/'444' -> False (full-res
     chroma).  Strings join bools so the original boolean API keeps
@@ -79,7 +79,7 @@ def encode_color(
     Coefficient maps keep the padded plane shapes (block-aligned); `meta`
     records everything decode needs: the RGB size, per-plane pre-padding
     sizes and the subsampling flag."""
-    mode = _sub_mode(subsample)
+    mode = normalize_subsample(subsample)
     y, cb, cr = rgb_to_ycbcr(rgb)
     h, w = y.shape
     if mode:
@@ -121,7 +121,7 @@ def decode_color(p: Pipeline, planes: dict, meta: dict, cfg: CodecConfig):
     ph = planes["cb"].shape[0]
     cb = crop(cc[:ph], ch, cw)
     cr = crop(cc[ph:], ch, cw)
-    mode = _sub_mode(meta["subsample"])
+    mode = normalize_subsample(meta["subsample"])
     if mode:
         cb, cr = _UP[mode](cb, h, w), _UP[mode](cr, h, w)
 
@@ -191,7 +191,7 @@ def supports_color_u8(
     tables.  All three chroma modes have u8 kernels."""
     from tpudct.kernels import hp_pallas
 
-    ch, cw = _CHROMA_STACK[_sub_mode(subsample)](h, w)
+    ch, cw = _CHROMA_STACK[normalize_subsample(subsample)](h, w)
     return (
         hasattr(p, "encode_u8")
         and h % 64 == 0
@@ -224,7 +224,7 @@ def encode_color_u8(p: Pipeline, rgb_u8, cfg: CodecConfig, subsample: bool = Tru
     chroma planes stack vertically through ONE codec launch."""
     x = _planar_u8(rgb_u8)
     _c, h, w = x.shape
-    mode = _sub_mode(subsample)
+    mode = normalize_subsample(subsample)
     if not supports_color_u8(p, cfg, h, w, mode):
         raise ValueError(
             f"u8 color path unsupported for {h}x{w} subsample={subsample} "
@@ -262,7 +262,7 @@ def decode_color_u8(p: Pipeline, planes: dict, meta: dict, cfg: CodecConfig):
         ),
         _chroma_cfg(cfg),
     )
-    _split, merge = _u8_kernels(_sub_mode(meta["subsample"]))
+    _split, merge = _u8_kernels(normalize_subsample(meta["subsample"]))
     interp = cfg.interpret or jax.default_backend() != "tpu"
     ph = planes["cb"].shape[0]
     rgb = merge(y, cc[:ph], cc[ph:], interpret=interp)
@@ -289,7 +289,7 @@ def _u8_eligible(p: Pipeline, rgb, cfg: CodecConfig, subsample: bool) -> bool:
         _layout_name, h, w = _layout(rgb)
     except ValueError:
         return False
-    return supports_color_u8(p, cfg, h, w, _sub_mode(subsample))
+    return supports_color_u8(p, cfg, h, w, normalize_subsample(subsample))
 
 
 def encode_color_auto(p: Pipeline, rgb, cfg: CodecConfig, subsample: bool = True):
@@ -321,7 +321,7 @@ def decode_color_auto(p: Pipeline, planes: dict, meta: dict, cfg: CodecConfig):
         return bool(_abs_bound(np.asarray(v)) <= 127)
 
     h, w = meta["orig_shape"]
-    mode = _sub_mode(meta["subsample"])
+    mode = normalize_subsample(meta["subsample"])
     if (
         # the fused u8 kernels bake the standard tables; per-stream custom
         # tables (imported JPEGs) take the general f32 path

@@ -22,8 +22,10 @@ the reference's workflow (decode to pixels, recompute, re-encode) is
 lossy at every hop.
 
 Native backend: csrc/jpeg_codec.c `tpudct_jpeg_read_coefs` /
-`tpudct_jpeg_write_coefs` via ctypes.  No pure-Python fallback — this
-is coefficient-level libjpeg access; `coef_io_available()` gates it.
+`tpudct_jpeg_write_coefs_ex` (the flags arg selects the output entropy
+coding: optimized-Huffman / progressive / arithmetic) via ctypes.  No
+pure-Python fallback — this is coefficient-level libjpeg access;
+`coef_io_available()` gates it.
 """
 
 from __future__ import annotations
@@ -199,11 +201,21 @@ def write_jpeg_coefficients(path: str, comps: list, shape: tuple,
             f"pixel shape {shape} with sampling "
             f"{[c['samp'] for c in comps]}"
         )
+    if rc == 1:
+        raise IOError(f"cannot open {path} for writing")
     if rc != 0:
-        raise IOError(
-            f"coefficient write failed for {path} (rc={rc}); JPEG Huffman "
-            "coding bounds coefficients (|AC| <= 1023, |DC step| <= 2047) — "
-            "very low q_scale streams may not be expressible as .jpg"
+        # rc=2 is libjpeg's setjmp error path — stream- or build-intrinsic
+        # (not transient I/O), so raise ValueError: coefficient magnitudes
+        # outside the entropy coder's range (the Python-side pre-validation
+        # above covers baseline Huffman, but custom callers may bypass it)
+        # or a requested coding this libjpeg build does not support
+        # (e.g. arithmetic without C_ARITH_CODING_SUPPORTED).
+        raise ValueError(
+            f"libjpeg rejected the coefficient write for {path} (rc={rc}): "
+            "coefficients outside the entropy coder's range (Huffman caps "
+            "|AC| <= 1023, |DC step| <= 2047) or the requested entropy "
+            "coding (arithmetic/progressive) is unsupported by this "
+            "libjpeg build"
         )
 
 
