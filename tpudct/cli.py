@@ -267,6 +267,36 @@ def cmd_decode(args) -> int:
 
     with open(args.input, "rb") as f:
         head = f.read(4)
+    if args.scale is not None:
+        # Fractional-scale decode (djpeg -scale M/8 analog): the scaled
+        # basis B = P @ T^T reconstructs straight to H/f x W/f — exactly
+        # the box average of the full decode (ops/scaled.py contract).
+        if args.planes is not None or args.rows is not None or args.preview:
+            raise ValueError("--scale does not combine with --planes/--rows/--preview")
+        from tpudct.ops.scaled import scaled_decode, scaled_shape
+
+        fac = {"1/2": 2, "1/4": 4, "1/8": 8}[args.scale]
+        if serialize.is_color_stream(head):
+            from tpudct.models.color import decode_color_scaled
+
+            planes, meta = serialize.load_color(args.input)
+            cfg = CodecConfig(q_scale=meta["q_scale"], transform=meta["transform"])
+            rec = decode_color_scaled(
+                get_pipeline(args.pipeline), planes, meta, cfg, fac
+            )
+            imageio.save_image(args.output, np.asarray(rec), quality=args.quality)
+        else:
+            coeffs, q_scale, _k, (h, w), transform, q_table = serialize.load_coefficients(
+                args.input, with_orig_shape=True, with_transform=True, with_q_table=True,
+            )
+            cfg = CodecConfig(q_scale=q_scale, transform=transform, q_table=q_table)
+            rec = scaled_decode(jnp.asarray(coeffs), cfg, fac)
+            rec_u8 = np.asarray(to_uint8(rec))[
+                : scaled_shape(h, fac), : scaled_shape(w, fac)
+            ]
+            imageio.save_image(args.output, rec_u8, quality=args.quality)
+        print(f"decoded {args.input} at 1/{fac} scale -> {args.output}")
+        return 0
     if args.preview:
         # Instant 1/8-scale thumbnail: DC-only progressive decode, host
         # arithmetic only (.tdcc streams preview in full color).
@@ -1339,6 +1369,8 @@ def build_parser() -> argparse.ArgumentParser:
                     help="1/8-scale DC-only thumbnail (no transform, no device; works on truncated downloads)")
     sp.add_argument("--rows", default=None,
                     help="region decode: only image rows A:B (blocks are independent, so only covering block rows transform)")
+    sp.add_argument("--scale", default=None, choices=("1/2", "1/4", "1/8"),
+                    help="fractional-scale decode (djpeg -scale analog): reconstruct straight to H/f x W/f — the exact box average of the full decode, never materializing the full image (gray and color)")
     sp.add_argument("input")
     sp.add_argument("output")
     sp.set_defaults(fn=cmd_decode)

@@ -129,6 +129,52 @@ def decode_color(p: Pipeline, planes: dict, meta: dict, cfg: CodecConfig):
     return jnp.clip(round_half_away(rgb), 0.0, 255.0).astype(jnp.uint8)
 
 
+def decode_color_scaled(
+    p: Pipeline, planes: dict, meta: dict, cfg: CodecConfig, factor: int
+):
+    """Fractional-scale color decode: coefficient planes -> (H/f, W/f, 3) u8.
+
+    The djpeg ``-scale M/8`` analog for .tdcc streams (ops/scaled.py has
+    the contract: exact box-average of the full reconstruction).  Chroma
+    planes scale ANISOTROPICALLY so subsampling composes with the scale
+    instead of round-tripping through an upsample: a 4:2:0 plane at 1/f
+    luma scale needs only a 1/(f/2) decode of the stored half-resolution
+    data (pool_f ∘ upsample_2 == pool_{f/2}), and at f=2 the chroma plane
+    is simply decoded at its native resolution — the scaled output IS the
+    stored chroma grid.  ceil-division makes every plane land on the luma
+    scaled shape exactly (ceil(ceil(h/a)/b) == ceil(h/(ab))).
+    """
+    from tpudct.ops.scaled import scaled_decode, scaled_shape
+
+    if factor == 1:
+        return decode_color(p, planes, meta, cfg)
+    h, w = meta["orig_shape"]
+    hs, ws = scaled_shape(h, factor), scaled_shape(w, factor)
+    mode = normalize_subsample(meta["subsample"])
+    f_r = factor // 2 if mode == "420" else factor
+    f_c = factor // 2 if mode in ("420", "422") else factor
+
+    lcfg = _luma_cfg(cfg, meta.get("y_q_table", "luma"))
+    y = scaled_decode(
+        jnp.asarray(planes["y"], jnp.float32), lcfg, factor
+    )[:hs, :ws]
+
+    ccfg = _chroma_cfg(cfg, meta.get("c_q_table", "chroma"))
+    cc = scaled_decode(
+        jnp.concatenate(
+            [jnp.asarray(planes["cb"], jnp.float32),
+             jnp.asarray(planes["cr"], jnp.float32)], axis=0
+        ),
+        ccfg, f_r, f_cols=f_c,
+    )
+    phs = planes["cb"].shape[0] // f_r
+    cb = cc[:phs][:hs, :ws]
+    cr = cc[phs:][:hs, :ws]
+
+    rgb = ycbcr_to_rgb(y, cb, cr)
+    return jnp.clip(round_half_away(rgb), 0.0, 255.0).astype(jnp.uint8)
+
+
 def roundtrip_color(
     p: Pipeline, rgb, cfg: CodecConfig, subsample: bool = True
 ) -> Tuple[dict, dict, "jnp.ndarray"]:
