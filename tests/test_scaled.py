@@ -192,3 +192,63 @@ def test_cli_scale_rejects_combinations(rng, tmp_path):
     out = tmp_path / "o.png"
     assert main(["decode", "--scale", "1/2", "--rows", "0:8",
                  str(tdc), str(out)]) != 0
+
+
+# ---- djpeg drop-in: decode works straight on .jpg inputs -------------------
+
+from tpudct.utils import jpegcoef  # noqa: E402
+
+_needs_native = pytest.mark.skipif(
+    not jpegcoef.coef_io_available(),
+    reason="coefficient-level libjpeg access needs the native library",
+)
+
+
+@_needs_native
+def test_cli_decode_jpg_input_gray(rng, tmp_path, capsys):
+    from tpudct.cli import main
+    from tpudct.utils import imageio
+
+    img = (rng.integers(0, 9, (64, 96)) * 28).astype(np.uint8)
+    src = tmp_path / "in.jpg"
+    imageio.save_jpeg(src, img, quality=95)
+    out = tmp_path / "full.png"
+    assert main(["decode", str(src), str(out)]) == 0
+    dec = imageio.load_image(out)
+    assert dec.shape == (64, 96)
+    # our IDCT of libjpeg's own coefficients: within a couple of gray
+    # levels of the (lossy-compressed) source
+    ref = imageio.load_jpeg(src)
+    assert np.abs(dec.astype(int) - ref.astype(int)).max() <= 2
+    # the user-facing message names the .jpg, not the internal temp file
+    assert "in.jpg" in capsys.readouterr().out
+
+    q = tmp_path / "q.png"
+    assert main(["decode", "--scale", "1/4", str(src), str(q)]) == 0
+    assert imageio.load_image(q).shape == (16, 24)
+
+
+@_needs_native
+def test_cli_decode_jpg_input_color(rng, tmp_path):
+    from tpudct.cli import main
+    from tpudct.utils import imageio
+
+    rgb = rng.integers(0, 256, (48, 64, 3)).astype(np.uint8)
+    src = tmp_path / "in.jpg"
+    imageio.save_image(src, rgb, quality=95)
+    out = tmp_path / "half.png"
+    assert main(["decode", "--scale", "1/2", str(src), str(out)]) == 0
+    assert imageio.load_image(out, force_gray=False).shape == (24, 32, 3)
+
+
+@_needs_native
+def test_cli_decode_jpg_input_preview(rng, tmp_path):
+    from tpudct.cli import main
+    from tpudct.utils import imageio
+
+    img = rng.integers(0, 256, (64, 64)).astype(np.uint8)
+    src = tmp_path / "in.jpg"
+    imageio.save_jpeg(src, img, quality=95)
+    out = tmp_path / "pv.png"
+    assert main(["decode", "--preview", str(src), str(out)]) == 0
+    assert imageio.load_image(out).shape == (8, 8)

@@ -257,7 +257,38 @@ def cmd_encode(args) -> int:
 
 
 def cmd_decode(args) -> int:
+    if args.input.lower().endswith((".jpg", ".jpeg")):
+        # djpeg drop-in: a .jpg input imports its quantized coefficients
+        # LOSSLESSLY (utils/jpegcoef.py, no pixel hop) and decodes through
+        # the same machinery — so --scale/--planes/--preview/--rows all
+        # work straight on JPEG files.  Spectral codec: the progressive
+        # options need a spectral-ordered stream.
+        import os
+        import tempfile
+
+        from tpudct.utils import jpegcoef
+
+        if not jpegcoef.coef_io_available():
+            raise ValueError(
+                "decoding .jpg inputs needs the native library (make -C csrc)"
+            )
+        data = jpegcoef.import_jpeg(args.input, codec="spectral")
+        fd, tmppath = tempfile.mkstemp(suffix=".tdc")
+        try:
+            with os.fdopen(fd, "wb") as f:
+                f.write(data)
+            args.display_input = args.input
+            args.input = tmppath
+            return _decode_stream(args)
+        finally:
+            os.remove(tmppath)
+    return _decode_stream(args)
+
+
+def _decode_stream(args) -> int:
     import jax.numpy as jnp
+
+    shown = getattr(args, "display_input", args.input)
 
     from tpudct.config import CodecConfig
     from tpudct.models import get_pipeline
@@ -295,7 +326,7 @@ def cmd_decode(args) -> int:
                 : scaled_shape(h, fac), : scaled_shape(w, fac)
             ]
             imageio.save_image(args.output, rec_u8, quality=args.quality)
-        print(f"decoded {args.input} at 1/{fac} scale -> {args.output}")
+        print(f"decoded {shown} at 1/{fac} scale -> {args.output}")
         return 0
     if args.preview:
         # Instant 1/8-scale thumbnail: DC-only progressive decode, host
@@ -306,7 +337,7 @@ def cmd_decode(args) -> int:
         else:
             pv = serialize.preview_from_bytes(data)
         imageio.save_image(args.output, pv, quality=args.quality)
-        print(f"preview (1/8 scale, DC-only) {args.input} -> {args.output}")
+        print(f"preview (1/8 scale, DC-only) {shown} -> {args.output}")
         return 0
     if args.planes is not None:
         if serialize.is_color_stream(head):
@@ -323,7 +354,7 @@ def cmd_decode(args) -> int:
                             transform=meta["transform"]),
             )
             imageio.save_image(args.output, np.asarray(rec), quality=args.quality)
-            print(f"decoded {args.input} ({args.planes} spectral planes, "
+            print(f"decoded {shown} ({args.planes} spectral planes, "
                   f"color) -> {args.output}")
             return 0
         p = serialize.partial_coefficients(
@@ -336,7 +367,7 @@ def cmd_decode(args) -> int:
         h, w = p["orig_shape"]
         rec_u8 = np.asarray(to_uint8(rec))[:h, :w]
         imageio.save_image(args.output, rec_u8, quality=args.quality)
-        print(f"decoded {args.input} ({args.planes} spectral planes) -> {args.output}")
+        print(f"decoded {shown} ({args.planes} spectral planes) -> {args.output}")
         return 0
     if serialize.is_color_stream(head):
         from tpudct.models.color import decode_color, decode_color_auto
@@ -387,11 +418,11 @@ def cmd_decode(args) -> int:
                 get_pipeline(args.pipeline), sl, smeta, cfg
             ))[a - a0 : bnd - a0]
             imageio.save_image(args.output, rec, quality=args.quality)
-            print(f"decoded rows {a}:{bnd} of {args.input} (color) -> {args.output}")
+            print(f"decoded rows {a}:{bnd} of {shown} (color) -> {args.output}")
             return 0
         rec = decode_color_auto(get_pipeline(args.pipeline), planes, meta, cfg)
         imageio.save_image(args.output, np.asarray(rec), quality=args.quality)
-        print(f"decoded {args.input} (color) -> {args.output}")
+        print(f"decoded {shown} (color) -> {args.output}")
         return 0
     coeffs, q_scale, _k, (h, w), transform, q_table = serialize.load_coefficients(
         args.input, with_orig_shape=True, with_transform=True, with_q_table=True,
@@ -416,7 +447,7 @@ def cmd_decode(args) -> int:
         rec = p.idct(jnp.asarray(coeffs[a8:b8]), cfg)
         rec_u8 = np.asarray(to_uint8(rec))[a - a8 : bnd - a8, :w]
         imageio.save_image(args.output, rec_u8, quality=args.quality)
-        print(f"decoded rows {a}:{bnd} of {args.input} -> {args.output}")
+        print(f"decoded rows {a}:{bnd} of {shown} -> {args.output}")
         return 0
     from tpudct.kernels import hp_pallas
 
@@ -432,7 +463,7 @@ def cmd_decode(args) -> int:
         rec = p.idct(jnp.asarray(coeffs), cfg)
         rec_u8 = np.asarray(to_uint8(rec))[:h, :w]
     imageio.save_image(args.output, rec_u8, quality=args.quality)
-    print(f"decoded {args.input} -> {args.output}")
+    print(f"decoded {shown} -> {args.output}")
     return 0
 
 
@@ -1360,7 +1391,7 @@ def build_parser() -> argparse.ArgumentParser:
     _add_color_flags(sp)
     sp.set_defaults(fn=cmd_encode)
 
-    sp = sub.add_parser("decode", help=".tdc coefficient file -> image")
+    sp = sub.add_parser("decode", help=".tdc/.tdcc coefficient file (or .jpg: lossless coefficient import, the djpeg drop-in) -> image")
     sp.add_argument("--pipeline", default="hp")
     sp.add_argument("--quality", type=int, default=100)
     sp.add_argument("--planes", type=int, default=None,
