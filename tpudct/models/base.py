@@ -90,17 +90,19 @@ class Pipeline(abc.ABC):
         return c, jnp.moveaxis(r, 0, -1)
 
     def roundtrip_padded(self, image, cfg: CodecConfig):
-        """Arbitrary-size pass: edge-pad to block multiples, crop back.
+        """Arbitrary-size pass: edge-pad, run the fastest eligible path,
+        crop back.
 
-        Returns (coeffs_padded, recon_cropped_u8). The reference silently
-        leaves tail pixels untransformed for non-multiple sizes (grid
-        round-down, main_newAppr.cu:261-264); here they are handled.
+        Returns (coeffs at the 8-aligned padded shape, recon_cropped_u8).
+        The reference silently leaves tail pixels untransformed for
+        non-multiple sizes (grid round-down, main_newAppr.cu:261-264);
+        here they are handled — and padding goes all the way to the fused
+        kernels' tile grid so ragged sizes keep the fast path
+        (models/dispatch.py owns the gate).
         """
-        from tpudct.ops.padding import crop, pad_to_blocks
+        from tpudct.models.dispatch import roundtrip_gray_auto
 
-        padded, (h, w) = pad_to_blocks(image)
-        c, r = self.roundtrip(padded, cfg)
-        return c, crop(r, h, w)
+        return roundtrip_gray_auto(self, image, cfg)
 
     def jit_roundtrip(self, cfg: CodecConfig) -> Callable:
         """One compiled graph for the full codec pass."""
