@@ -27,7 +27,7 @@ import numpy as np
 
 from tpudct.config import CodecConfig
 from tpudct.models.base import Pipeline
-from tpudct.ops.padding import crop, pad_to_blocks
+from tpudct.ops.padding import crop, pad_to_blocks, padded_shape
 from tpudct.ops.rounding import round_half_away
 from tpudct.utils.color import (
     downsample_420,
@@ -258,61 +258,106 @@ def _u8_kernels(mode):
 
 
 def _chroma_plane_shape(mode, h, w):
-    return {"420": (h // 2, w // 2), "422": (h, w // 2), False: (h, w)}[mode]
+    """TRUE chroma plane dims for a luma (h, w) — ceil-division so odd
+    (unaligned) sizes are covered; equals the old floor form when aligned."""
+    return {
+        "420": (-(-h // 2), -(-w // 2)),
+        "422": (h, -(-w // 2)),
+        False: (h, w),
+    }[mode]
+
+
+def color_kernel_shape(h: int, w: int):
+    """Kernel-grid padding for the fused u8 color path: H to 64-multiples,
+    W to 256-multiples (the supports_color_u8 alignment, valid for every
+    chroma mode).  Camera sizes cost <=1.6% extra pixels (4032x3024 ->
+    4032x3072)."""
+    return (max(64, -(-h // 64) * 64), max(256, -(-w // 256) * 256))
 
 
 def encode_color_u8(p: Pipeline, rgb_u8, cfg: CodecConfig, subsample: bool = True):
     """u8-native color encode: uint8 RGB -> int8 coefficient planes.
 
     4x less HBM traffic than the f32 path end-to-end (u8 color split +
-    the codec's fused int8 kernels); requires :func:`supports_color_u8`.
+    the codec's fused int8 kernels).  Any image size: edge-replicate pads
+    to the kernel grid (:func:`color_kernel_shape`) and crops the
+    coefficient planes back to the 8-aligned shapes of the TRUE plane
+    dims, so the serialized container is format-identical to the f32
+    path's.  Requires :func:`supports_color_u8` on the padded dims.
     All three chroma modes (4:2:0 / 4:2:2 / 4:4:4) have fused kernels;
     chroma planes stack vertically through ONE codec launch."""
     x = _planar_u8(rgb_u8)
     _c, h, w = x.shape
     mode = normalize_subsample(subsample)
-    if not supports_color_u8(p, cfg, h, w, mode):
+    hk, wk = color_kernel_shape(h, w)
+    if not supports_color_u8(p, cfg, hk, wk, mode):
         raise ValueError(
             f"u8 color path unsupported for {h}x{w} subsample={subsample} "
-            "(needs hp pipeline, H%64==0, W%256==0, int8-safe q_scale); "
-            "use encode_color"
+            "(needs hp pipeline and an int8-safe q_scale); use encode_color"
         )
+    if (hk, wk) != (h, w):
+        x = jnp.pad(x, ((0, 0), (0, hk - h), (0, wk - w)), mode="edge")
     split, _merge = _u8_kernels(mode)
     interp = cfg.interpret or jax.default_backend() != "tpu"
     y, cb, cr = split(x, interpret=interp)
     cy = p.encode_u8(y, _luma_cfg(cfg))
     cc = p.encode_u8(jnp.concatenate([cb, cr], axis=0), _chroma_cfg(cfg))
     ph = cb.shape[0]
+    ch, cw = _chroma_plane_shape(mode, h, w)
+    y8 = padded_shape(h, w)
+    c8 = padded_shape(ch, cw)
     meta = {
         "orig_shape": (h, w),
-        "chroma_shape": _chroma_plane_shape(mode, h, w),
+        "chroma_shape": (ch, cw),
         "subsample": mode,
     }
-    return {"y": cy, "cb": cc[:ph], "cr": cc[ph:]}, meta
+    return {
+        "y": cy[: y8[0], : y8[1]],
+        "cb": cc[:ph][: c8[0], : c8[1]],
+        "cr": cc[ph:][: c8[0], : c8[1]],
+    }, meta
 
 
 def decode_color_u8(p: Pipeline, planes: dict, meta: dict, cfg: CodecConfig):
-    """Inverse of :func:`encode_color_u8` -> (H, W, 3) uint8 interleaved."""
+    """Inverse of :func:`encode_color_u8` -> (H, W, 3) uint8 interleaved.
+
+    Accepts planes at the 8-aligned shapes of the true plane dims (what
+    encode_color_u8 AND encode_color both produce); zero-pads them up to
+    the kernel grid (all-zero blocks decode to the neutral 128 level in
+    every channel) and crops the merged RGB back to ``orig_shape``."""
     h, w = meta["orig_shape"]
-    if tuple(jnp.asarray(planes["y"]).shape) != (h, w):
+    mode = normalize_subsample(meta["subsample"])
+    y8 = padded_shape(h, w)
+    c8 = padded_shape(*_chroma_plane_shape(mode, h, w))
+    if tuple(jnp.asarray(planes["y"]).shape) != y8 or tuple(
+        jnp.asarray(planes["cb"]).shape
+    ) != c8:
         raise ValueError(
-            f"u8 decode expects unpadded planes: y is "
-            f"{jnp.asarray(planes['y']).shape}, orig_shape {(h, w)}; "
-            "use decode_color for padded streams"
+            f"u8 decode expects 8-aligned planes: y is "
+            f"{jnp.asarray(planes['y']).shape} (want {y8}), cb is "
+            f"{jnp.asarray(planes['cb']).shape} (want {c8}); "
+            "use decode_color for other paddings"
         )
-    y = p.decode_u8(jnp.asarray(planes["y"], jnp.int8), _luma_cfg(cfg))
-    cc = p.decode_u8(
-        jnp.concatenate(
-            [jnp.asarray(planes["cb"], jnp.int8),
-             jnp.asarray(planes["cr"], jnp.int8)], axis=0
-        ),
-        _chroma_cfg(cfg),
+    hk, wk = color_kernel_shape(h, w)
+    chk, cwk = _chroma_plane_shape(mode, hk, wk)  # exact: hk/wk are aligned
+    yk = jnp.pad(
+        jnp.asarray(planes["y"], jnp.int8),
+        ((0, hk - y8[0]), (0, wk - y8[1])),
     )
-    _split, merge = _u8_kernels(normalize_subsample(meta["subsample"]))
+    cbk = jnp.pad(
+        jnp.asarray(planes["cb"], jnp.int8),
+        ((0, chk - c8[0]), (0, cwk - c8[1])),
+    )
+    crk = jnp.pad(
+        jnp.asarray(planes["cr"], jnp.int8),
+        ((0, chk - c8[0]), (0, cwk - c8[1])),
+    )
+    y = p.decode_u8(yk, _luma_cfg(cfg))
+    cc = p.decode_u8(jnp.concatenate([cbk, crk], axis=0), _chroma_cfg(cfg))
+    _split, merge = _u8_kernels(mode)
     interp = cfg.interpret or jax.default_backend() != "tpu"
-    ph = planes["cb"].shape[0]
-    rgb = merge(y, cc[:ph], cc[ph:], interpret=interp)
-    return jnp.moveaxis(rgb, 0, -1)
+    rgb = merge(y, cc[:chk], cc[chk:], interpret=interp)
+    return jnp.moveaxis(rgb, 0, -1)[:h, :w]
 
 
 def roundtrip_color_u8(p: Pipeline, rgb_u8, cfg: CodecConfig, subsample=True):
@@ -335,7 +380,11 @@ def _u8_eligible(p: Pipeline, rgb, cfg: CodecConfig, subsample: bool) -> bool:
         _layout_name, h, w = _layout(rgb)
     except ValueError:
         return False
-    return supports_color_u8(p, cfg, h, w, normalize_subsample(subsample))
+    # gate on the kernel-padded dims: encode_color_u8 pads internally, so
+    # ragged (camera) sizes ride the fused path too
+    return supports_color_u8(
+        p, cfg, *color_kernel_shape(h, w), normalize_subsample(subsample)
+    )
 
 
 def encode_color_auto(p: Pipeline, rgb, cfg: CodecConfig, subsample: bool = True):
@@ -373,9 +422,10 @@ def decode_color_auto(p: Pipeline, planes: dict, meta: dict, cfg: CodecConfig):
         # tables (imported JPEGs) take the general f32 path
         meta.get("y_q_table", "luma") == "luma"
         and meta.get("c_q_table", "chroma") == "chroma"
-        and supports_color_u8(p, cfg, h, w, mode)
-        and tuple(planes["y"].shape) == (h, w)
-        and tuple(planes["cb"].shape) == _chroma_plane_shape(mode, h, w)
+        and supports_color_u8(p, cfg, *color_kernel_shape(h, w), mode)
+        and tuple(planes["y"].shape) == padded_shape(h, w)
+        and tuple(planes["cb"].shape)
+        == padded_shape(*_chroma_plane_shape(mode, h, w))
         and all(_fits_i8(v) for v in planes.values())
     ):
         return decode_color_u8(p, planes, meta, cfg)
