@@ -506,3 +506,14 @@ def test_unbatch_ext_normalized_and_resume_per_format(tmp_path, rng, capsys):
     assert main(["unbatch", "--ext", ".png", str(enc), str(out)]) == 0
     rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep["decoded"] == 0 and rep["skipped"] == 1
+
+
+def test_decode_non_stream_gives_format_hint(tmp_path, capsys):
+    # A mislabeled file fails with a magic/format hint, not a parser
+    # traceback (ADVICE r2); args are no longer mutated for .jpg routing.
+    bad = tmp_path / "not_a_stream.tdc"
+    bad.write_bytes(b"\xff\xd8\xff\xe0 definitely a renamed jpeg")
+    rc = main(["decode", str(bad), str(tmp_path / "o.png")])
+    assert rc != 0
+    err = capsys.readouterr().err
+    assert "not a .tdc/.tdcc stream" in err and "jpg" in err

@@ -253,8 +253,10 @@ def cmd_decode(args) -> int:
         # djpeg drop-in: a .jpg input imports its quantized coefficients
         # LOSSLESSLY (utils/jpegcoef.py, no pixel hop) and decodes through
         # the same machinery — so --scale/--planes/--preview/--rows all
-        # work straight on JPEG files.  Spectral codec: the progressive
-        # options need a spectral-ordered stream.
+        # work straight on JPEG files.  The spectral codec (a full reorder
+        # + entropy pass) is only paid when a progressive option actually
+        # needs spectral-ordered streams; plain/--scale/--rows decodes
+        # import as "raw" (header + memcpy).
         import os
         import tempfile
 
@@ -264,23 +266,28 @@ def cmd_decode(args) -> int:
             raise ValueError(
                 "decoding .jpg inputs needs the native library (make -C csrc)"
             )
-        data = jpegcoef.import_jpeg(args.input, codec="spectral")
+        codec = "spectral" if (args.planes is not None or args.preview) else "raw"
+        data = jpegcoef.import_jpeg(args.input, codec=codec)
         fd, tmppath = tempfile.mkstemp(suffix=".tdc")
         try:
             with os.fdopen(fd, "wb") as f:
                 f.write(data)
-            args.display_input = args.input
-            args.input = tmppath
-            return _decode_stream(args)
+            return _decode_stream(args, tmppath, shown=args.input)
         finally:
             os.remove(tmppath)
-    return _decode_stream(args)
+    return _decode_stream(args, args.input)
 
 
-def _decode_stream(args) -> int:
+def _decode_stream(args, path: str, shown: "str | None" = None) -> int:
+    """Decode the .tdc/.tdcc stream at `path`.
+
+    `shown` is the name printed in messages (the original .jpg for
+    imported inputs); args is never mutated.  A non-stream file fails
+    with a format hint instead of a parser traceback."""
     import jax.numpy as jnp
 
-    shown = getattr(args, "display_input", args.input)
+    if shown is None:
+        shown = path
 
     from tpudct.config import CodecConfig
     from tpudct.models import get_pipeline
@@ -288,8 +295,13 @@ def _decode_stream(args) -> int:
 
     from tpudct.ops.transform import to_uint8
 
-    with open(args.input, "rb") as f:
+    with open(path, "rb") as f:
         head = f.read(4)
+    if not (serialize.is_color_stream(head) or serialize.is_tdc_stream(head)):
+        raise ValueError(
+            f"{shown}: not a .tdc/.tdcc stream (magic {head!r}); "
+            "JPEG inputs must be named .jpg/.jpeg"
+        )
     if args.scale is not None:
         # Fractional-scale decode (djpeg -scale M/8 analog): the scaled
         # basis B = P @ T^T reconstructs straight to H/f x W/f — exactly
@@ -302,7 +314,7 @@ def _decode_stream(args) -> int:
         if serialize.is_color_stream(head):
             from tpudct.models.color import decode_color_scaled
 
-            planes, meta = serialize.load_color(args.input)
+            planes, meta = serialize.load_color(path)
             cfg = CodecConfig(q_scale=meta["q_scale"], transform=meta["transform"])
             rec = decode_color_scaled(
                 get_pipeline(args.pipeline), planes, meta, cfg, fac
@@ -310,7 +322,7 @@ def _decode_stream(args) -> int:
             imageio.save_image(args.output, np.asarray(rec), quality=args.quality)
         else:
             coeffs, q_scale, _k, (h, w), transform, q_table = serialize.load_coefficients(
-                args.input, with_orig_shape=True, with_transform=True, with_q_table=True,
+                path, with_orig_shape=True, with_transform=True, with_q_table=True,
             )
             cfg = CodecConfig(q_scale=q_scale, transform=transform, q_table=q_table)
             rec = scaled_decode(jnp.asarray(coeffs), cfg, fac)
@@ -323,7 +335,7 @@ def _decode_stream(args) -> int:
     if args.preview:
         # Instant 1/8-scale thumbnail: DC-only progressive decode, host
         # arithmetic only (.tdcc streams preview in full color).
-        data = open(args.input, "rb").read()
+        data = open(path, "rb").read()
         if serialize.is_color_stream(head):
             pv = serialize.preview_color_from_bytes(data)
         else:
@@ -338,7 +350,7 @@ def _decode_stream(args) -> int:
             from tpudct.models.color import decode_color
 
             planes, meta = serialize.partial_color_coefficients(
-                open(args.input, "rb").read(), n_planes=args.planes
+                open(path, "rb").read(), n_planes=args.planes
             )
             rec = decode_color(
                 get_pipeline(args.pipeline), planes, meta,
@@ -350,7 +362,7 @@ def _decode_stream(args) -> int:
                   f"color) -> {args.output}")
             return 0
         p = serialize.partial_coefficients(
-            open(args.input, "rb").read(), n_planes=args.planes
+            open(path, "rb").read(), n_planes=args.planes
         )
         pipe = get_pipeline(args.pipeline)
         cfg = CodecConfig(q_scale=p["q_scale"], transform=p["transform"],
@@ -364,7 +376,7 @@ def _decode_stream(args) -> int:
     if serialize.is_color_stream(head):
         from tpudct.models.color import decode_color, decode_color_auto
 
-        planes, meta = serialize.load_color(args.input)
+        planes, meta = serialize.load_color(path)
         cfg = CodecConfig(q_scale=meta["q_scale"], transform=meta["transform"])
         if args.rows is not None:
             # Color region-of-interest decode: luma block rows plus the
@@ -417,7 +429,7 @@ def _decode_stream(args) -> int:
         print(f"decoded {shown} (color) -> {args.output}")
         return 0
     coeffs, q_scale, _k, (h, w), transform, q_table = serialize.load_coefficients(
-        args.input, with_orig_shape=True, with_transform=True, with_q_table=True,
+        path, with_orig_shape=True, with_transform=True, with_q_table=True,
     )
     p = get_pipeline(args.pipeline)
     # The header records which quantization table the plane was coded

@@ -143,6 +143,12 @@ def decode_color_scaled(
     is simply decoded at its native resolution — the scaled output IS the
     stored chroma grid.  ceil-division makes every plane land on the luma
     scaled shape exactly (ceil(ceil(h/a)/b) == ceil(h/(ab))).
+
+    The `p` argument is used only at factor == 1 (full decode): fractional
+    scales are pipeline-INDEPENDENT by construction — the rectangular
+    scaled basis (ops/scaled.py) is its own einsum formulation, not a
+    strategy of any registered pipeline, so `--pipeline` has no effect on
+    `decode --scale` (docs/API.md notes the same).
     """
     from tpudct.ops.scaled import scaled_decode, scaled_shape
 

@@ -766,6 +766,12 @@ def color_to_bytes(
     return b"".join(parts)
 
 
+def is_tdc_stream(data: bytes) -> bool:
+    """True when `data` starts with any grayscale .tdc container magic
+    (current v4 or the legacy v2/v3 loaders' magics)."""
+    return len(data) >= 4 and data[:4] in (_MAGIC2, _MAGIC3, _MAGIC4)
+
+
 def is_color_stream(data: bytes) -> bool:
     return len(data) >= 4 and data[:4] == _MAGICC
 
