@@ -24,7 +24,7 @@ import threading as _threading
 _WATCHDOG_DONE = _threading.Event()
 
 
-def correctness_gate(p, cfg, size: int = 512) -> dict:
+def correctness_gate(p, cfg, size: int = 512, force_f32: bool = False) -> dict:
     """On-chip correctness gate, run BEFORE any timing: one 512^2 image
     through the COMPILED (non-interpret) kernels on the real backend,
     asserted against the float64 golden model.
@@ -52,8 +52,12 @@ def correctness_gate(p, cfg, size: int = 512) -> dict:
 
     img = synthetic_image(size)
     gc, gr = golden_roundtrip(img)
-    u8_path = jax.default_backend() == "tpu" and hp_pallas.supports_u8(
-        size, size, cfg.q_scale, cfg.transform, cfg.q_table
+    u8_path = (
+        not force_f32
+        and jax.default_backend() == "tpu"
+        and hp_pallas.supports_u8(
+            size, size, cfg.q_scale, cfg.transform, cfg.q_table
+        )
     )
     if u8_path:
         xu8 = jnp.asarray(img.astype("uint8"))
@@ -113,6 +117,116 @@ def correctness_gate(p, cfg, size: int = 512) -> dict:
         "coeff_ties": ties, "recon_max_diff": int(rdiff.max()),
         "mse": mse, "golden_mse": gmse,
     }
+
+
+def family_gates(p, cfg) -> list:
+    """One tiny on-backend correctness case per shipped kernel family
+    (VERDICT r2 #4): color 4:2:0 u8, the f32 kernels, fractional-scale
+    decode, and JPEG coefficient import.  Complements `correctness_gate`
+    (which covers the headline u8 gray family): a wrong-but-fast compiled
+    kernel in ANY family must fail the bench loudly, never get timed.
+
+    Shapes are tiny and geometry comes from the cfg defaults, so this
+    costs a handful of small compiles (cached across runs).  This is the
+    automated sweep of what the reference eyeballs every run
+    (main_cublass.cu:63-167) — but across every family that ships.
+    """
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tpudct.benchmark import synthetic_image
+
+    def _check(cond, msg):
+        if not cond:
+            raise AssertionError(msg)
+
+    reports = []
+
+    # --- color 4:2:0 u8: compiled kernels vs interpret-mode reference ----
+    from tpudct.models.color import roundtrip_color_u8
+
+    g = synthetic_image(256)
+    rgb = np.stack([g, np.roll(g, 3, 0), np.roll(g, 5, 1)], -1).astype(np.uint8)
+    icfg = dataclasses.replace(cfg, interpret=True)
+    pl_c, _meta, rec_c = roundtrip_color_u8(p, jnp.asarray(rgb), cfg)
+    pl_i, _m2, rec_i = roundtrip_color_u8(p, jnp.asarray(rgb), icfg)
+    for k in ("y", "cb", "cr"):
+        d = np.abs(np.asarray(pl_c[k], np.int32) - np.asarray(pl_i[k], np.int32))
+        _check(
+            d.max() <= 1 and (d > 0).mean() <= 0.005,
+            f"color420_u8 plane {k}: compiled vs interpret differ beyond "
+            f"the tie class (max {d.max()}, frac {(d > 0).mean():.4f})",
+        )
+    rec_c, rec_i = np.asarray(rec_c), np.asarray(rec_i)
+    m_c = float(((rec_c.astype(np.float64) - rgb) ** 2).mean())
+    m_i = float(((rec_i.astype(np.float64) - rgb) ** 2).mean())
+    _check(
+        abs(m_c - m_i) <= 0.02 * m_i + 1e-9,
+        f"color420_u8 recon MSE drifted: compiled {m_c} vs interpret {m_i}",
+    )
+    _check(
+        np.abs(rec_c.astype(np.int32) - rec_i.astype(np.int32)).mean() <= 0.5,
+        "color420_u8 recon: compiled vs interpret mean diff > 0.5",
+    )
+    reports.append({"gate": "pass", "family": "color420_u8", "mse": m_c})
+
+    # --- f32 kernel family: golden-checked roundtrip at 256^2 ------------
+    rep = correctness_gate(p, cfg, size=256, force_f32=True)
+    reports.append({**rep, "family": "f32"})
+
+    # --- fractional-scale decode: exact box average of the full decode ---
+    from tpudct.ops.scaled import scaled_decode
+
+    img = synthetic_image(256).astype(np.float32)
+    c = p.dct(jnp.asarray(img), cfg)
+    full = np.asarray(p.idct(c, cfg), np.float64)
+    s = np.asarray(scaled_decode(c, cfg, 2), np.float64)
+    box = full.reshape(128, 2, 128, 2).mean(axis=(1, 3))
+    derr = np.abs(s - box).max()
+    _check(derr <= 1e-2, f"scaled 1/2 decode deviates from box average by {derr}")
+    reports.append({"gate": "pass", "family": "scaled", "max_dev": float(derr)})
+
+    # --- JPEG coefficient import -> decode vs libjpeg's own pixels -------
+    from tpudct.utils import imageio, jpegcoef
+
+    if jpegcoef.coef_io_available():
+        import os
+        import tempfile
+
+        from tpudct.config import CodecConfig
+        from tpudct.models.dispatch import decode_gray_auto
+        from tpudct.utils import serialize
+
+        fd, jpath = tempfile.mkstemp(suffix=".jpg")
+        os.close(fd)
+        try:
+            imageio.save_jpeg(jpath, synthetic_image(64).astype(np.uint8), quality=90)
+            data = jpegcoef.import_jpeg(jpath, codec="raw")
+            coeffs, q_scale, _k, (h, w), transform, q_table = (
+                serialize.bytes_to_coefficients(
+                    data, with_orig_shape=True, with_transform=True,
+                    with_q_table=True,
+                )
+            )
+            dcfg = CodecConfig(q_scale=q_scale, transform=transform, q_table=q_table)
+            dec = decode_gray_auto(p, coeffs, dcfg, (h, w))
+            ref = imageio.load_image(jpath)
+            jerr = np.abs(dec.astype(np.int32) - ref.astype(np.int32)).max()
+            _check(
+                jerr <= 1.0,
+                f"jpg-import decode deviates from libjpeg pixels by {jerr}",
+            )
+            reports.append({"gate": "pass", "family": "jpg_import",
+                            "max_dev": int(jerr)})
+        finally:
+            os.remove(jpath)
+    else:
+        reports.append({"gate": "skip", "family": "jpg_import",
+                        "reason": "native library unavailable"})
+    return reports
 
 
 def _arm_watchdog() -> None:
@@ -179,14 +293,24 @@ def main() -> int:
     p = get_pipeline("hp")
 
     # Correctness first: never time garbage.  Exits nonzero on a wrong
-    # compiled kernel; the gate report goes to stderr so stdout stays the
-    # contract's single JSON line.
+    # compiled kernel; the gate reports go to stderr so stdout stays the
+    # contract's single JSON line.  The family sweep (color/f32/scaled/
+    # jpg-import) can be skipped with TPUDCT_GATE=basic for quick manual
+    # runs; the driver always gets the full sweep.
+    import os
+
     try:
         gate = correctness_gate(p, cfg)
+        fams = (
+            [] if os.environ.get("TPUDCT_GATE") == "basic"
+            else family_gates(p, cfg)
+        )
     except AssertionError as e:
         print(json.dumps({"error": f"correctness gate failed: {e}"}))
         return 1
     print(json.dumps(gate), file=sys.stderr)
+    for rep in fams:
+        print(json.dumps(rep), file=sys.stderr)
 
     img = synthetic_image(size)
 

@@ -46,7 +46,29 @@ def test_quality_report_keys(rng):
     rec = img.copy()
     c = np.zeros((64, 64), np.float32)
     rep = metrics.quality_report(img, rec, c)
-    assert set(rep) == {"mse", "psnr_db", "peen_pct", "ssim", "compression_factor"}
+    assert set(rep) == {"mse", "psnr_db", "peen_pct", "ssim",
+                        "compression_factor", "jpeg_factor"}
+    # identical recon => the reference's re-encode model gives factor ~1
+    assert 0.9 < rep["jpeg_factor"] < 1.1
+
+
+def test_jpeg_factor_tracks_reference_model(rng):
+    """The reference's factor (README.md:69) is size(jpeg(original)) /
+    size(jpeg(reconstruction)) at quality 100 (main_cublass.cu:152): a
+    coarsely quantized reconstruction re-encodes SMALLER, so the factor
+    must rise as quantization gets harsher."""
+    img = rng.integers(0, 256, (128, 128)).astype(np.uint8)
+    import jax.numpy as jnp
+
+    from tpudct import CodecConfig, get_pipeline
+
+    p = get_pipeline("batched")
+    facs = []
+    for q in (0.5, 2.0, 8.0):
+        _, rec = p.roundtrip(jnp.asarray(img, jnp.float32), CodecConfig(q_scale=q))
+        facs.append(metrics.jpeg_compression_factor(img, np.asarray(rec)))
+    assert facs[0] < facs[1] < facs[2], facs
+    assert facs[0] > 1.0
 
 
 def test_serialize_roundtrip(tmp_path, rng):

@@ -1020,7 +1020,7 @@ def cmd_selftest(args) -> int:
 
     _sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
     try:
-        from bench import correctness_gate
+        from bench import correctness_gate, family_gates
     except ImportError:
         raise ValueError(
             "selftest needs the repo checkout (bench.py + tests/golden.py)"
@@ -1030,14 +1030,16 @@ def cmd_selftest(args) -> int:
 
     # The golden model covers the reference configuration (haweel/luma,
     # q_scale 1) — the gate always checks that exact config.
+    p = get_pipeline(args.pipeline)
     try:
-        rep = correctness_gate(
-            get_pipeline(args.pipeline), CodecConfig(), size=args.size
-        )
+        rep = correctness_gate(p, CodecConfig(), size=args.size)
+        fams = family_gates(p, CodecConfig()) if args.families else []
     except AssertionError as e:
         print(json.dumps({"gate": "FAIL", "reason": str(e)}))
         return 1
     print(json.dumps(rep))
+    for f in fams:
+        print(json.dumps(f))
     return 0
 
 
@@ -1490,6 +1492,9 @@ def build_parser() -> argparse.ArgumentParser:
     sp = sub.add_parser("selftest", help="on-device correctness gate vs the f64 golden (what bench.py runs before timing; reference config)")
     sp.add_argument("--pipeline", default="hp")
     sp.add_argument("--size", type=int, default=512)
+    sp.add_argument("--families", action="store_true",
+                    help="also sweep one tiny case per kernel family "
+                         "(color 4:2:0 u8, f32, scaled decode, jpg import)")
     sp.set_defaults(fn=cmd_selftest)
 
     sp = sub.add_parser("inspect", help="header-only report on .tdc/.tdcc files (codec, geometry, entropy stage, payload bytes; no decode)")

@@ -117,13 +117,23 @@ def jpeg_compression_factor(image_u8: np.ndarray, recon_u8: np.ndarray, quality:
 
 
 def quality_report(image_u8, recon_u8, coeffs) -> dict:
-    """The README-table triple for one image (README.md:62-69)."""
+    """The README-table triple for one image (README.md:62-69).
+
+    Two compression-factor definitions ride side by side:
+    `compression_factor` is the on-disk .tdc model (this framework's own
+    container — the better number), `jpeg_factor` is the REFERENCE's
+    storage model (the reconstruction re-encoded with libjpeg at quality
+    100, main_cublass.cu:152) so the README.md:69 row (1.29-1.49) is
+    directly comparable."""
     img = np.asarray(image_u8)
     rec = np.asarray(recon_u8)
-    return {
+    rep = {
         "mse": float(mse(img, rec)),
         "psnr_db": float(psnr(img, rec)),
         "peen_pct": float(peen(img, rec)),
         "ssim": float(ssim(img, rec)),
         "compression_factor": compression_factor(img, np.asarray(coeffs)),
     }
+    if img.ndim == 2 and rec.ndim == 2:  # reference model is gray-only
+        rep["jpeg_factor"] = jpeg_compression_factor(img, rec)
+    return rep
