@@ -77,8 +77,13 @@ def test_accuracy_table_shape(image256):
 def test_bench_color_serving_smoke():
     from tpudct.benchmark import bench_color_serving
 
-    row = bench_color_serving(256, 2, reps=1, k_pair=(1, 2))
-    assert row["images_per_s"] > 0 and row["batch"] == 2
+    row = bench_color_serving(256, 2, reps=3, k_pair=(1, 2))
+    assert row["batch"] == 2 and row["pipeline"] == "hp-color-serving"
+    # CPU slope timing at k_pair=(1,2) can go negative under warm-cache
+    # noise (test-order dependent); the bench reports None then — only
+    # check positivity when a slope materialized.
+    if row["images_per_s"] is not None:
+        assert row["images_per_s"] > 0
 
     import pytest
 

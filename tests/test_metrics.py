@@ -668,3 +668,47 @@ def test_rans_decoder_survives_garbage(rng):
             entropy._py_rans_decode(data, 16, 16)
         except ValueError:
             pass
+
+
+# ---- banded codec (the distributed-checkpoint payload, VERDICT r2 #6) ------
+
+
+def test_banded_codec_roundtrip_all_inners(rng):
+    c = rng.integers(-90, 90, (128, 64)).astype(np.int16)
+    for spec in ("banded", "banded:4", "banded:4:rans", "banded:3:spectral",
+                 "banded:16:raw", "banded:2:xz", "banded:2:huffman"):
+        if "rans" in spec or "huffman" in spec:
+            from tpudct.utils import entropy
+            if not entropy.native_entropy_available():
+                continue
+        blob = serialize.coefficients_to_bytes(c, codec=spec)
+        back = serialize.bytes_to_coefficients(blob)[0]
+        np.testing.assert_array_equal(np.asarray(back, np.int16), c)
+
+
+def test_banded_codec_deterministic_and_validated(rng):
+    c = rng.integers(-90, 90, (64, 64)).astype(np.int16)
+    assert serialize.coefficients_to_bytes(c, codec="banded:4") == \
+        serialize.coefficients_to_bytes(c, codec="banded:4")
+    with pytest.raises(ValueError):  # nesting refused
+        serialize.coefficients_to_bytes(c, codec="banded:2:banded")
+    with pytest.raises(ValueError):  # more bands than block rows
+        serialize.coefficients_to_bytes(c, codec="banded:999")
+    # truncation detected
+    blob = serialize.coefficients_to_bytes(c, codec="banded:4")
+    with pytest.raises(ValueError):
+        serialize.bytes_to_coefficients(blob[:-3])
+
+
+def test_banded_inspect_reports_segments(rng):
+    c = rng.integers(-90, 90, (64, 64)).astype(np.int16)
+    blob = serialize.coefficients_to_bytes(c, codec="banded:4:spectral")
+    info = serialize.inspect_stream(blob)
+    assert info["codec"] == "banded" and info["segments"] == 4
+    assert info["segment_codecs"] == ["spectral"] * 4
+
+
+def test_banded_rows_split():
+    assert serialize.banded_rows(128, 8) == [16] * 8
+    assert serialize.banded_rows(88, 3) == [32, 32, 24]  # block-balanced
+    assert sum(serialize.banded_rows(1032, 16)) == 1032

@@ -94,10 +94,22 @@ assert not xg.is_fully_addressable and xg.shape == (64, 128)
 (gc, gr), gm = sharded_codec_step_grid(p, cfg, gmesh)(xg)
 g_rec = gather(gr)
 
+# ---- distributed serialization: sharded .tdc without a full gather ----------
+import pathlib
+from tpudct.parallel.sharding import save_sharded
+
+spath = pathlib.Path(out).parent / "mh_sharded.tdc"
+# collective (two allgathers inside): every process must call it
+n_tdc = save_sharded(spath, c, cfg.q_scale, cfg.retain_k, orig_shape=(64, 64))
+
 if pid == 0:
     json.dump(
         {
             "mse": float(m["mse"]),
+            "tdc_sha": __import__("hashlib").sha256(
+                spath.read_bytes()
+            ).hexdigest(),
+            "tdc_bytes": n_tdc,
             "rec_sha": __import__("hashlib").sha256(
                 np.ascontiguousarray(rec).tobytes()
             ).hexdigest(),
@@ -170,6 +182,24 @@ def test_two_process_cluster_matches_single_process(tmp_path):
     ).hexdigest()
     assert got["coeff_sum"] == float(np.asarray(gather(c), np.float64).sum())
     np.testing.assert_allclose(got["mse"], float(m["mse"]), rtol=1e-6)
+
+    # Distributed serialization: the 2-process sharded save must be
+    # byte-identical to BOTH this single-process sharded save and the
+    # plain banded encode of the gathered map, and decode bit-exactly.
+    from tpudct.parallel.sharding import save_sharded
+    from tpudct.utils import serialize
+
+    f1 = tmp_path / "sp_sharded.tdc"
+    n1 = save_sharded(f1, c, cfg.q_scale, cfg.retain_k, orig_shape=(64, 64))
+    assert got["tdc_bytes"] == n1
+    assert got["tdc_sha"] == hashlib.sha256(f1.read_bytes()).hexdigest()
+    ref = serialize.coefficients_to_bytes(
+        gather(c), q_scale=cfg.q_scale, retain_k=cfg.retain_k,
+        orig_shape=(64, 64), codec="banded:8",
+    )
+    assert f1.read_bytes() == ref
+    back = serialize.load_coefficients(f1)[0]
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(gather(c)))
 
     rgb = np.random.default_rng(7).integers(0, 256, (3, 128, 64)).astype(np.uint8)
     rgb_rec, mc = sharded_color_step(p, cfg, mesh)(shard_rgb(jnp.asarray(rgb), mesh))

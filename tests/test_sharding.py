@@ -295,3 +295,47 @@ def test_shard_rgb_grid_rejects_misaligned():
     with pytest.raises(ValueError):
         # 4 col tiles of 8: not 16-col multiples
         shard_rgb_grid(jnp.zeros((3, 32, 32), jnp.uint8), mesh)
+
+
+def test_save_sharded_byte_identical_and_bit_exact(tmp_path, image256):
+    """Distributed serialization (VERDICT r2 #6): a band-sharded map
+    serializes to .tdc without a full gather, byte-identical to the
+    single-host banded encode of the gathered map, and decodes
+    bit-exactly through the ordinary loader."""
+    from tpudct.parallel.sharding import save_sharded
+    from tpudct.utils import serialize
+
+    mesh = band_mesh()
+    p = get_pipeline("batched")
+    cfg = CodecConfig()
+    xs = shard_image(jnp.asarray(image256), mesh)
+    (c_sh, _r), _m = sharded_codec_step(p, cfg, mesh)(xs)
+    f = tmp_path / "sharded.tdc"
+    n = save_sharded(f, c_sh, cfg.q_scale, cfg.retain_k, orig_shape=(256, 256))
+    assert n == f.stat().st_size
+    full = gather(c_sh)
+    ref = serialize.coefficients_to_bytes(
+        full, codec="banded:8", orig_shape=(256, 256)
+    )
+    assert f.read_bytes() == ref
+    back, q_scale, _k, (h, w) = serialize.load_coefficients(
+        f, with_orig_shape=True
+    )
+    assert (h, w) == (256, 256) and q_scale == cfg.q_scale
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(full))
+
+
+def test_save_sharded_inner_codec_and_gap_detection(tmp_path, image256):
+    from tpudct.parallel.sharding import save_sharded
+    from tpudct.utils import serialize
+
+    mesh = band_mesh()
+    p = get_pipeline("batched")
+    cfg = CodecConfig()
+    xs = shard_image(jnp.asarray(image256), mesh)
+    (c_sh, _r), _m = sharded_codec_step(p, cfg, mesh)(xs)
+    f = tmp_path / "spec.tdc"
+    save_sharded(f, c_sh, inner="spectral")
+    info = serialize.inspect_stream(f.read_bytes())
+    assert info["codec"] == "banded" and info["segments"] == 8
+    assert info["segment_codecs"] == ["spectral"] * 8

@@ -89,8 +89,8 @@ def _add_codec_flags(sp):
     sp.add_argument("--q-table-file", default=None, dest="q_table_file",
                     help="custom 8x8 luma quantization table: 64 numbers, whitespace/comma separated, '#' comments (cjpeg -qtables format); stored in .tdc so decode is self-contained")
     sp.add_argument("--entropy", default="auto", dest="entropy",
-                    choices=("auto", "spectral", "huffman", "rans", "xz", "raw"),
-                    help=".tdc/.tdcc entropy stage: auto (default; smallest of rans/huffman/xz/spectral per file) | spectral (+zlib) | huffman (JPEG-grade) | rans (positional-context rANS) | xz (spectral+lzma) | raw (+zlib); rans/huffman encode needs the native lib")
+                    choices=("auto", "spectral", "huffman", "rans", "xz", "raw", "banded"),
+                    help=".tdc/.tdcc entropy stage: auto (default; smallest of rans/huffman/xz/spectral per file) | spectral (+zlib) | huffman (JPEG-grade) | rans (positional-context rANS) | xz (spectral+lzma) | raw (+zlib) | banded (independent row-band segments, the multi-host archival layout); rans/huffman encode needs the native lib")
 
 
 def _add_color_flags(sp):
@@ -1505,7 +1505,7 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("src")
     sp.add_argument("dst")
     sp.add_argument("--entropy", default="auto",
-                    choices=("auto", "spectral", "huffman", "rans", "xz", "raw"),
+                    choices=("auto", "spectral", "huffman", "rans", "xz", "raw", "banded"),
                     help=".tdc entropy stage for jpg->tdc imports and tdc->tdc restages")
     sp.add_argument("--optimize", action="store_true",
                     help="with a .jpg destination: two-pass optimal Huffman tables (jpegtran -optimize)")
@@ -1526,7 +1526,7 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--grayscale", action="store_true",
                     help="drop the chroma planes (jpegtran -grayscale), before crop/ops")
     sp.add_argument("--entropy", default="auto",
-                    choices=("auto", "spectral", "huffman", "rans", "xz", "raw"),
+                    choices=("auto", "spectral", "huffman", "rans", "xz", "raw", "banded"),
                     help="entropy stage for the re-serialized output")
     sp.add_argument("--optimize", action="store_true",
                     help="with a .jpg destination: two-pass optimal Huffman tables (jpegtran -optimize)")

