@@ -10,6 +10,7 @@ The key invariants:
 """
 
 import json
+import pathlib
 
 import numpy as np
 import pytest
@@ -595,3 +596,119 @@ def test_write_coefs_error_classes(tmp_path, gray_jpg):
         jpegcoef.write_jpeg_coefficients(
             tmp_path / "no_such_dir" / "x.jpg", r["comps"], r["shape"]
         )
+
+
+# ---- wild-file corpus (VERDICT r2 #7): correct import or clean refusal ------
+
+
+def _craft_sampled(tmp_path, samp):
+    """Craft a legal 3-component JPEG with luma sampling `samp` and (1,1)
+    chroma via the coefficient writer (libjpeg validates MCU geometry)."""
+    rng = np.random.default_rng(17)
+    base = tmp_path / "base64.jpg"
+    imageio.save_jpeg(base, rng.integers(0, 256, (64, 64)).astype(np.uint8),
+                      quality=90)
+    r = jpegcoef.read_jpeg_coefficients(base)
+    ymap = r["comps"][0]["map"]
+    h = w = 64
+    yh, yv = samp
+    cshape = (max(8, h // yv), max(8, w // yh))
+    zeros = np.zeros(cshape, np.int16)
+    qt = r["comps"][0]["qtab"]
+    out = tmp_path / f"s{yh}{yv}.jpg"
+    jpegcoef.write_jpeg_coefficients(
+        out,
+        [{"map": ymap, "qtab": qt, "samp": (yh, yv)},
+         {"map": zeros, "qtab": qt, "samp": (1, 1)},
+         {"map": zeros.copy(), "qtab": qt, "samp": (1, 1)}],
+        (h, w),
+    )
+    return out
+
+
+@pytest.mark.parametrize("samp,supported", [
+    ((1, 1), True),   # 4:4:4
+    ((2, 1), True),   # 4:2:2
+    ((2, 2), True),   # 4:2:0
+    ((4, 1), False),  # 4:1:1 — no .tdcc mode
+    ((1, 2), False),  # 4:4:0 — vertical-only, no .tdcc mode
+    ((1, 4), False),
+    ((4, 2), False),
+    ((2, 4), False),
+])
+def test_sampling_factor_corpus(tmp_path, samp, supported):
+    """Every sampling layout libjpeg can emit either imports LOSSLESSLY
+    (maps bit-exact vs the file's own coefficients) or refuses with a
+    clean ValueError — never wrong pixels."""
+    src = _craft_sampled(tmp_path, samp)
+    r = jpegcoef.read_jpeg_coefficients(src)
+    assert r["comps"][0]["samp"] == samp  # the craft held
+    if not supported:
+        with pytest.raises(ValueError, match="unsupported chroma layout"):
+            jpegcoef.import_jpeg(src)
+        return
+    data = jpegcoef.import_jpeg(src)
+    planes, meta = serialize.bytes_to_color(data)
+    np.testing.assert_array_equal(
+        np.asarray(planes["y"], np.int16), r["comps"][0]["map"]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(planes["cb"], np.int16), r["comps"][1]["map"]
+    )
+
+
+def test_restart_interval_import(tmp_path, rng):
+    """DRI/RSTn streams import losslessly (libjpeg's coefficient reader
+    handles restart markers transparently)."""
+    try:
+        from PIL import Image
+    except ImportError:
+        pytest.skip("PIL unavailable")
+    img = rng.integers(0, 256, (64, 64)).astype(np.uint8)
+    plain = tmp_path / "plain.jpg"
+    rst = tmp_path / "rst.jpg"
+    Image.fromarray(img).save(plain, "JPEG", quality=90)
+    try:
+        Image.fromarray(img).save(rst, "JPEG", quality=90,
+                                  restart_marker_blocks=2)
+    except TypeError:
+        pytest.skip("this Pillow cannot emit restart markers")
+    assert b"\xff\xdd" in rst.read_bytes()  # DRI marker present
+    a = jpegcoef.read_jpeg_coefficients(plain)
+    b = jpegcoef.read_jpeg_coefficients(rst)
+    np.testing.assert_array_equal(a["comps"][0]["map"], b["comps"][0]["map"])
+    data = jpegcoef.import_jpeg(rst)
+    back = serialize.bytes_to_coefficients(data)[0]
+    np.testing.assert_array_equal(np.asarray(back, np.int16),
+                                  a["comps"][0]["map"])
+
+
+def _patch_sof(jpg: bytes, offset_in_sof: int, value: int) -> bytes:
+    """Patch one byte inside the first SOF0/SOF1/SOF2 segment."""
+    i = 2
+    while i + 4 <= len(jpg):
+        assert jpg[i] == 0xFF
+        m = jpg[i + 1]
+        if m in (0xC0, 0xC1, 0xC2):
+            j = i + 4 + offset_in_sof
+            return jpg[:j] + bytes([value]) + jpg[j + 1:]
+        if m == 0xD8:
+            i += 2
+            continue
+        seglen = (jpg[i + 2] << 8) | jpg[i + 3]
+        i += 2 + seglen
+    raise AssertionError("no SOF marker found")
+
+
+def test_12bit_and_many_component_refusal(tmp_path, gray_jpg):
+    """12-bit precision and >4-component SOFs refuse cleanly (this libjpeg
+    is an 8-bit build; TPUDCT_MAX_COMPS is 4) — never wrong pixels."""
+    jpg = pathlib.Path(gray_jpg).read_bytes()
+    p12 = tmp_path / "p12.jpg"
+    p12.write_bytes(_patch_sof(jpg, 0, 12))  # SOF precision byte -> 12
+    with pytest.raises((IOError, ValueError)):
+        jpegcoef.import_jpeg(p12)
+    p5 = tmp_path / "c5.jpg"
+    p5.write_bytes(_patch_sof(jpg, 5, 5))  # SOF component count -> 5
+    with pytest.raises((IOError, ValueError)):
+        jpegcoef.import_jpeg(p5)
