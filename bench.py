@@ -148,30 +148,36 @@ def family_gates(p, cfg) -> list:
     # --- color 4:2:0 u8: compiled kernels vs interpret-mode reference ----
     from tpudct.models.color import roundtrip_color_u8
 
-    g = synthetic_image(256)
-    rgb = np.stack([g, np.roll(g, 3, 0), np.roll(g, 5, 1)], -1).astype(np.uint8)
-    icfg = dataclasses.replace(cfg, interpret=True)
-    pl_c, _meta, rec_c = roundtrip_color_u8(p, jnp.asarray(rgb), cfg)
-    pl_i, _m2, rec_i = roundtrip_color_u8(p, jnp.asarray(rgb), icfg)
-    for k in ("y", "cb", "cr"):
-        d = np.abs(np.asarray(pl_c[k], np.int32) - np.asarray(pl_i[k], np.int32))
+    if not hasattr(p, "roundtrip_u8"):
+        reports.append({"gate": "skip", "family": "color420_u8",
+                        "reason": f"pipeline {p.name!r} has no u8 kernels"})
+        g = None
+    else:
+        g = synthetic_image(256)
+    if g is not None:
+        rgb = np.stack([g, np.roll(g, 3, 0), np.roll(g, 5, 1)], -1).astype(np.uint8)
+        icfg = dataclasses.replace(cfg, interpret=True)
+        pl_c, _meta, rec_c = roundtrip_color_u8(p, jnp.asarray(rgb), cfg)
+        pl_i, _m2, rec_i = roundtrip_color_u8(p, jnp.asarray(rgb), icfg)
+        for k in ("y", "cb", "cr"):
+            d = np.abs(np.asarray(pl_c[k], np.int32) - np.asarray(pl_i[k], np.int32))
+            _check(
+                d.max() <= 1 and (d > 0).mean() <= 0.005,
+                f"color420_u8 plane {k}: compiled vs interpret differ beyond "
+                f"the tie class (max {d.max()}, frac {(d > 0).mean():.4f})",
+            )
+        rec_c, rec_i = np.asarray(rec_c), np.asarray(rec_i)
+        m_c = float(((rec_c.astype(np.float64) - rgb) ** 2).mean())
+        m_i = float(((rec_i.astype(np.float64) - rgb) ** 2).mean())
         _check(
-            d.max() <= 1 and (d > 0).mean() <= 0.005,
-            f"color420_u8 plane {k}: compiled vs interpret differ beyond "
-            f"the tie class (max {d.max()}, frac {(d > 0).mean():.4f})",
+            abs(m_c - m_i) <= 0.02 * m_i + 1e-9,
+            f"color420_u8 recon MSE drifted: compiled {m_c} vs interpret {m_i}",
         )
-    rec_c, rec_i = np.asarray(rec_c), np.asarray(rec_i)
-    m_c = float(((rec_c.astype(np.float64) - rgb) ** 2).mean())
-    m_i = float(((rec_i.astype(np.float64) - rgb) ** 2).mean())
-    _check(
-        abs(m_c - m_i) <= 0.02 * m_i + 1e-9,
-        f"color420_u8 recon MSE drifted: compiled {m_c} vs interpret {m_i}",
-    )
-    _check(
-        np.abs(rec_c.astype(np.int32) - rec_i.astype(np.int32)).mean() <= 0.5,
-        "color420_u8 recon: compiled vs interpret mean diff > 0.5",
-    )
-    reports.append({"gate": "pass", "family": "color420_u8", "mse": m_c})
+        _check(
+            np.abs(rec_c.astype(np.int32) - rec_i.astype(np.int32)).mean() <= 0.5,
+            "color420_u8 recon: compiled vs interpret mean diff > 0.5",
+        )
+        reports.append({"gate": "pass", "family": "color420_u8", "mse": m_c})
 
     # --- f32 kernel family: golden-checked roundtrip at 256^2 ------------
     rep = correctness_gate(p, cfg, size=256, force_f32=True)
@@ -305,7 +311,10 @@ def main() -> int:
             [] if os.environ.get("TPUDCT_GATE") == "basic"
             else family_gates(p, cfg)
         )
-    except AssertionError as e:
+    # not just AssertionError: a gate's setup (jpg write, kernel dispatch)
+    # can raise ValueError/OSError — the contract is STILL one JSON line
+    # on stdout and a nonzero exit, never a traceback
+    except (AssertionError, ValueError, OSError, RuntimeError) as e:
         print(json.dumps({"error": f"correctness gate failed: {e}"}))
         return 1
     print(json.dumps(gate), file=sys.stderr)

@@ -712,3 +712,10 @@ def test_banded_rows_split():
     assert serialize.banded_rows(128, 8) == [16] * 8
     assert serialize.banded_rows(88, 3) == [32, 32, 24]  # block-balanced
     assert sum(serialize.banded_rows(1032, 16)) == 1032
+
+
+def test_banded_typo_codecs_rejected(rng):
+    c = rng.integers(-50, 50, (16, 16)).astype(np.int16)
+    for bad in ("banded2", "bandedraw", "bandit"):
+        with pytest.raises(ValueError, match="unknown codec"):
+            serialize.coefficients_to_bytes(c, codec=bad)

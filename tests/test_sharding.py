@@ -339,3 +339,46 @@ def test_save_sharded_inner_codec_and_gap_detection(tmp_path, image256):
     info = serialize.inspect_stream(f.read_bytes())
     assert info["codec"] == "banded" and info["segments"] == 8
     assert info["segment_codecs"] == ["spectral"] * 8
+
+
+def test_sharded_scaled_decode_matches_single_chip(image256):
+    from tpudct.ops.scaled import scaled_decode
+    from tpudct.parallel.sharding import sharded_scaled_decode
+
+    mesh = band_mesh()
+    p = get_pipeline("batched")
+    cfg = CodecConfig()
+    c = p.dct(jnp.asarray(image256), cfg)
+    cs = shard_image(np.asarray(c), mesh)
+    for f in (2, 4):
+        s_sh = gather(sharded_scaled_decode(cfg, mesh, f)(cs))
+        s1 = np.asarray(scaled_decode(c, cfg, f))
+        assert s_sh.shape == (256 // f, 256 // f)
+        np.testing.assert_allclose(s_sh, s1, atol=1e-3)
+
+
+def test_sharded_progressive_decode_matches_single_chip(image256):
+    from tpudct.parallel.sharding import sharded_idct
+    from tpudct.utils import serialize
+
+    mesh = band_mesh()
+    p = get_pipeline("batched")
+    cfg = CodecConfig()
+    c = np.asarray(p.dct(jnp.asarray(image256), cfg))
+    blob = serialize.coefficients_to_bytes(c, codec="spectral")
+    partial = serialize.partial_coefficients(blob, n_planes=4)["coeffs"]
+    r_sh = gather(sharded_idct(p, cfg, mesh)(shard_image(partial, mesh)))
+    r1 = np.asarray(p.idct(jnp.asarray(partial), cfg))
+    np.testing.assert_allclose(r_sh, r1, atol=1e-2)
+
+
+def test_save_sharded_refuses_grid_sharding(tmp_path, image256):
+    """A (band, col) grid shard is not a full-width row band; encoding its
+    first column tile as the band would write a corrupt file — refuse."""
+    from tpudct.parallel import grid_mesh, shard_image_grid
+    from tpudct.parallel.sharding import save_sharded
+
+    gmesh = grid_mesh()
+    xg = shard_image_grid(jnp.asarray(image256), gmesh)
+    with pytest.raises(ValueError, match="column-sharded"):
+        save_sharded(tmp_path / "g.tdc", xg)

@@ -1034,7 +1034,7 @@ def cmd_selftest(args) -> int:
     try:
         rep = correctness_gate(p, CodecConfig(), size=args.size)
         fams = family_gates(p, CodecConfig()) if args.families else []
-    except AssertionError as e:
+    except (AssertionError, ValueError, OSError, RuntimeError) as e:
         print(json.dumps({"gate": "FAIL", "reason": str(e)}))
         return 1
     print(json.dumps(rep))

@@ -100,9 +100,9 @@ class Pipeline(abc.ABC):
         kernels' tile grid so ragged sizes keep the fast path
         (models/dispatch.py owns the gate).
         """
-        from tpudct.models.dispatch import roundtrip_gray_auto
+        from tpudct.models.dispatch import roundtrip_gray_jax
 
-        return roundtrip_gray_auto(self, image, cfg)
+        return roundtrip_gray_jax(self, image, cfg)
 
     def jit_roundtrip(self, cfg: CodecConfig) -> Callable:
         """One compiled graph for the full codec pass."""

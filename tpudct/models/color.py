@@ -335,13 +335,16 @@ def decode_color_u8(p: Pipeline, planes: dict, meta: dict, cfg: CodecConfig):
     mode = normalize_subsample(meta["subsample"])
     y8 = padded_shape(h, w)
     c8 = padded_shape(*_chroma_plane_shape(mode, h, w))
-    if tuple(jnp.asarray(planes["y"]).shape) != y8 or tuple(
-        jnp.asarray(planes["cb"]).shape
-    ) != c8:
+    if (
+        tuple(jnp.asarray(planes["y"]).shape) != y8
+        or tuple(jnp.asarray(planes["cb"]).shape) != c8
+        or tuple(jnp.asarray(planes["cr"]).shape) != c8
+    ):
         raise ValueError(
             f"u8 decode expects 8-aligned planes: y is "
-            f"{jnp.asarray(planes['y']).shape} (want {y8}), cb is "
-            f"{jnp.asarray(planes['cb']).shape} (want {c8}); "
+            f"{jnp.asarray(planes['y']).shape} (want {y8}), cb/cr are "
+            f"{jnp.asarray(planes['cb']).shape}/"
+            f"{jnp.asarray(planes['cr']).shape} (want {c8}); "
             "use decode_color for other paddings"
         )
     hk, wk = color_kernel_shape(h, w)

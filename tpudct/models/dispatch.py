@@ -84,7 +84,13 @@ def _pad_for(path: str, img):
         return pad_to_kernel(jnp.asarray(img, jnp.uint8), _U8_ROWS, _LANE)
     if path == "f32":
         return pad_to_kernel(jnp.asarray(img, jnp.float32), _F32_ROWS, _LANE)
-    return pad_to_blocks(jnp.asarray(img, jnp.float32))
+    # general path: keep the caller's float dtype (f64 callers pad as f64,
+    # exactly like the old Pipeline.roundtrip_padded; Pipeline.encode
+    # coerces non-float inputs itself)
+    x = jnp.asarray(img)
+    if not jnp.issubdtype(x.dtype, jnp.floating):
+        x = x.astype(jnp.float32)
+    return pad_to_blocks(x)
 
 
 def _crop8(c, h: int, w: int):
@@ -150,12 +156,12 @@ def decode_gray_auto(p: Pipeline, coeffs, cfg: CodecConfig, orig_shape) -> np.nd
     return np.asarray(to_uint8(p.idct(jnp.asarray(coeffs), cfg)))[:h, :w]
 
 
-def roundtrip_gray_auto(p: Pipeline, img, cfg: CodecConfig):
-    """Gray roundtrip through the fastest eligible path.
+def roundtrip_gray_jax(p: Pipeline, img, cfg: CodecConfig):
+    """Jit-traceable core of :func:`roundtrip_gray_auto`: the path choice
+    reads only static metadata (shape/dtype), so the whole thing traces.
 
-    Returns (coeffs at the 8-aligned shape, uint8 reconstruction cropped
-    to the original (h, w)).
-    """
+    Returns jnp arrays: (coeffs at the 8-aligned shape, uint8
+    reconstruction cropped to the original (h, w))."""
     h, w = np.shape(img)
     path = _resolve_path(p, img, cfg)
     x, _ = _pad_for(path, img)
@@ -163,4 +169,15 @@ def roundtrip_gray_auto(p: Pipeline, img, cfg: CodecConfig):
         c, r = p.roundtrip_u8(x, cfg)
     else:
         c, r = p.roundtrip(x, cfg)
-    return _crop8(c, h, w), np.asarray(r)[:h, :w]
+    return _crop8(c, h, w), r[:h, :w]
+
+
+def roundtrip_gray_auto(p: Pipeline, img, cfg: CodecConfig):
+    """Gray roundtrip through the fastest eligible path (host-level API).
+
+    Returns (coeffs at the 8-aligned shape, uint8 reconstruction cropped
+    to the original (h, w) as a NumPy array).  Inside jit, use
+    :func:`roundtrip_gray_jax`.
+    """
+    c, r = roundtrip_gray_jax(p, img, cfg)
+    return c, np.asarray(r)

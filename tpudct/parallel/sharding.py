@@ -200,6 +200,46 @@ def gather_recon(pipeline: Pipeline, cfg: CodecConfig, mesh: Mesh):
     return jax.jit(fn)
 
 
+def sharded_idct(pipeline: Pipeline, cfg: CodecConfig, mesh: Mesh):
+    """Band-parallel inverse transform alone: sharded coefficient map ->
+    sharded float reconstruction.  This is the decode half every
+    coefficient-domain feature composes with — in particular PROGRESSIVE
+    decode (serialize.partial_coefficients builds the spectrally-truncated
+    map on the host; the sharded inverse is identical because zeroed
+    planes are just coefficients — zero halo, blocks independent)."""
+
+    def band_fn(c):
+        return pipeline.idct(c, cfg)
+
+    fn = jax.shard_map(
+        band_fn, mesh=mesh, in_specs=band_spec(), out_specs=band_spec(),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+def sharded_scaled_decode(cfg: CodecConfig, mesh: Mesh, factor: int,
+                          f_cols: "int | None" = None):
+    """Band-parallel fractional-scale decode (ops/scaled.py contract):
+    sharded (H, W) coefficient map -> sharded (H/f, W/fc) float raster.
+
+    The rectangular basis B = P·Tᵀ is block-local like everything else in
+    this codec, so bands scale with ZERO halo; each device's band of 8k
+    rows lands as k·8/f output rows, still band-sharded (out spec =
+    band_spec()).  Requires every band height to divide by 8 (the
+    shard_image contract already guarantees it)."""
+    from tpudct.ops.scaled import scaled_decode
+
+    def band_fn(c):
+        return scaled_decode(c, cfg, factor, f_cols)
+
+    fn = jax.shard_map(
+        band_fn, mesh=mesh, in_specs=band_spec(), out_specs=band_spec(),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
 # ---- color (3-plane) distribution -------------------------------------------
 
 
@@ -443,6 +483,15 @@ def save_sharded(
     segs = {}  # row_start -> (rows, inner_code, payload)
     for shard in coeffs.addressable_shards:
         idx = shard.index[0]
+        cidx = shard.index[1] if len(shard.index) > 1 else slice(None)
+        if (cidx.start or 0) != 0 or (cidx.stop is not None and cidx.stop != w):
+            # a (band, col) grid shard is NOT a full-width row band; encoding
+            # its first column tile as the band would write a corrupt file
+            raise ValueError(
+                "save_sharded requires band (row-only) sharding; this array "
+                f"is also column-sharded (shard columns {cidx}); "
+                "reshard with band_spec() first"
+            )
         r0 = idx.start or 0
         if r0 in segs:  # replicated placements encode once
             continue
@@ -479,6 +528,11 @@ def save_sharded(
             off += 13
             allsegs[r0] = (rows, code, blob[off : off + plen])
             off += plen
+    if not 1 <= len(allsegs) <= 255:
+        raise ValueError(
+            f"sharded save: {len(allsegs)} bands cannot serialize "
+            f"(the banded container holds 1..255 segments)"
+        )
     parts = [bytes([len(allsegs)])]
     expect = 0
     for r0 in sorted(allsegs):
@@ -490,7 +544,7 @@ def save_sharded(
         parts.append(_struct.pack("<IBI", rows, code, len(payload)))
         parts.append(payload)
         expect = r0 + rows
-    if expect != h or not 1 <= len(allsegs) <= 255:
+    if expect != h:
         raise ValueError(
             f"sharded save: {len(allsegs)} bands covering {expect} rows "
             f"cannot serialize an {h}-row map"

@@ -287,7 +287,7 @@ def _encode_payload(
     c: np.ndarray, codec: str, level: int, deterministic: bool = False
 ) -> tuple:
     rans_bands = 1 if deterministic else 0
-    if codec.startswith("banded"):
+    if codec == "banded" or codec.startswith("banded:"):
         n, inner = _parse_banded_spec(codec)
         if n == 0:
             # same size heuristic as the rans stream bands: ~1 per 4 Mpix

@@ -200,18 +200,13 @@ def roundtrip_u8_streamed_sharded(
         band_fn, mesh=mesh, in_specs=band_spec(),
         out_specs=(band_spec(), band_spec()), check_vma=False,
     ))
-    # near-uniform host-band heights in `unit` steps: at most TWO distinct
-    # shapes (hb and hb+remainder on the last band), so at most two
-    # compiles regardless of image height
-    nbands = max(1, -(-h // band_rows))
-    hb = (h // nbands) - (h // nbands) % unit or unit
-    nbands = h // hb
-    heights = [hb] * (nbands - 1) + [h - hb * (nbands - 1)]
-    a = 0
-    for rows in heights:
-        b = a + rows
+    # plain band_rows slicing (like roundtrip_u8_streamed): h and band_rows
+    # are both `unit` multiples, so the tail band is automatically valid
+    # and NO band ever exceeds band_rows (the memory bound this function
+    # exists to provide); at most two distinct shapes -> two compiles
+    for a in range(0, h, band_rows):
+        b = min(a + band_rows, h)
         c, r = step(shard_image(jnp.asarray(img[a:b]), mesh))
         out_coeffs[a:b] = gather(c)
         out_recon[a:b] = gather(r)
-        a = b
     return out_coeffs, out_recon
