@@ -715,9 +715,10 @@ def cmd_unbatch(args) -> int:
                     )
                     cfg = CodecConfig(q_scale=q_scale, transform=transform,
                                       q_table=q_table)
-                    rec = np.asarray(
-                        to_uint8(p.idct(jnp.asarray(coeffs), cfg))
-                    )[:h, :w]
+                    # shared gate: u8 fused decode whenever eligible
+                    from tpudct.models.dispatch import decode_gray_auto
+
+                    rec = decode_gray_auto(p, coeffs, cfg, (h, w))
                 imageio.save_image(out, rec, quality=args.quality)
             except (ValueError, OSError) as e:
                 # One corrupt stream must not abort the job (same recovery

@@ -480,7 +480,7 @@ def save_sharded(
     )
 
     h, w = coeffs.shape
-    segs = {}  # row_start -> (rows, inner_code, payload)
+    slabs = {}  # row_start -> validated int16 slab
     for shard in coeffs.addressable_shards:
         idx = shard.index[0]
         cidx = shard.index[1] if len(shard.index) > 1 else slice(None)
@@ -493,11 +493,26 @@ def save_sharded(
                 "reshard with band_spec() first"
             )
         r0 = idx.start or 0
-        if r0 in segs:  # replicated placements encode once
+        if r0 in slabs:  # replicated placements encode once
             continue
-        slab = _validate_map(np.asarray(shard.data))
-        code, payload = _encode_payload(slab, inner, level, deterministic=True)
-        segs[r0] = (slab.shape[0], code, payload)
+        slabs[r0] = _validate_map(np.asarray(shard.data))
+    # per-slab entropy coding on a thread pool (zlib/lzma/C coders release
+    # the GIL) — the per-host parallel leg of the distributed write
+    import os as __os
+    from concurrent.futures import ThreadPoolExecutor
+
+    keys = sorted(slabs)
+    with ThreadPoolExecutor(
+        max_workers=min(max(1, len(keys)), __os.cpu_count() or 4)
+    ) as ex:
+        encoded = list(ex.map(
+            lambda r0: _encode_payload(slabs[r0], inner, level, deterministic=True),
+            keys,
+        ))
+    segs = {
+        r0: (slabs[r0].shape[0], code, payload)
+        for r0, (code, payload) in zip(keys, encoded)
+    }
 
     local = b"".join(
         _struct.pack("<IIBI", r0, rows, code, len(payload)) + payload

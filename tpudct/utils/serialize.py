@@ -65,6 +65,7 @@ plane's is the RGB image size, the Cb/Cr planes' the (possibly
 
 from __future__ import annotations
 
+import os
 import struct
 import zlib
 
@@ -260,16 +261,32 @@ def banded_rows(h: int, n: int) -> list:
 
 
 def _encode_banded(c: np.ndarray, n: int, inner: str, level: int) -> bytes:
+    """Segments encode on a thread pool: every inner stage (zlib, lzma,
+    the native C coders) releases the GIL, so a multi-core host codes
+    bands concurrently — the single-host mirror of the multi-host
+    save_sharded parallelism.  Output bytes are order-deterministic
+    (results are joined in band order regardless of completion order)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     h, _w = c.shape
-    parts = [bytes([n])]
-    r0 = 0
-    for rows in banded_rows(h, n):
-        code, payload = _encode_payload(
-            c[r0 : r0 + rows], inner, level, deterministic=True
+    splits = banded_rows(h, n)
+    starts = [sum(splits[:i]) for i in range(n)]
+
+    def _one(i):
+        return _encode_payload(
+            c[starts[i] : starts[i] + splits[i]], inner, level,
+            deterministic=True,
         )
+
+    if n == 1:
+        encoded = [_one(0)]
+    else:
+        with ThreadPoolExecutor(max_workers=min(n, os.cpu_count() or 4)) as ex:
+            encoded = list(ex.map(_one, range(n)))
+    parts = [bytes([n])]
+    for rows, (code, payload) in zip(splits, encoded):
         parts.append(struct.pack("<IBI", rows, code, len(payload)))
         parts.append(payload)
-        r0 += rows
     return b"".join(parts)
 
 
