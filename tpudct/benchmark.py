@@ -450,7 +450,7 @@ def bench_host_entropy(
     c = np.ascontiguousarray(
         _host_dct_quant(img, cfg).transpose(0, 2, 1, 3).reshape(size, size)
     ).astype(np.int16)
-    codecs = ["spectral", "raw", "auto"]
+    codecs = ["spectral", "raw", "auto", "banded"]
     if serialize.lzma is not None:  # CPython built without liblzma: skip
         codecs.insert(1, "xz")
     if native_entropy_available():

@@ -404,7 +404,7 @@ def _decode_payload(raw: bytes, code: int, h: int, w: int) -> np.ndarray:
             raise ValueError("corrupt .tdc banded payload: empty")
         n = raw[0]
         off = 1
-        segs = []
+        jobs = []  # (bytes, inner, rows)
         total = 0
         for _ in range(n):
             if len(raw) < off + 9:
@@ -417,7 +417,14 @@ def _decode_payload(raw: bytes, code: int, h: int, w: int) -> np.ndarray:
                 raise ValueError("corrupt .tdc banded payload: bad segment rows")
             if len(raw) < off + plen:
                 raise ValueError("corrupt .tdc banded payload: truncated segment")
-            seg = raw[off : off + plen]
+            jobs.append((raw[off : off + plen], inner, rows))
+            off += plen
+            total += rows
+        if total != h or off != len(raw):
+            raise ValueError("corrupt .tdc banded payload: coverage mismatch")
+
+        def _seg(job):
+            seg, inner, rows = job
             if inner in (_CODEC_RAW, _CODEC_SPECTRAL):
                 # those two are zlib-wrapped by _encode_payload (the outer
                 # unwrap in _parse_plane never sees inner segments)
@@ -425,12 +432,18 @@ def _decode_payload(raw: bytes, code: int, h: int, w: int) -> np.ndarray:
                     seg = zlib.decompress(seg)
                 except zlib.error as e:
                     raise ValueError(f"corrupt .tdc banded segment: {e}") from None
-            segs.append(_decode_payload(seg, inner, rows, w))
-            off += plen
-            total += rows
-        if total != h or off != len(raw):
-            raise ValueError("corrupt .tdc banded payload: coverage mismatch")
-        return np.vstack(segs)
+            return _decode_payload(seg, inner, rows, w)
+
+        if len(jobs) == 1:
+            return _seg(jobs[0])
+        # segments decode on a thread pool — same GIL-release argument as
+        # the encode side; order preserved by ex.map
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(
+            max_workers=min(len(jobs), os.cpu_count() or 4)
+        ) as ex:
+            return np.vstack(list(ex.map(_seg, jobs)))
     raise ValueError(f"unknown .tdc payload codec {code}")
 
 
