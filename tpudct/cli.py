@@ -325,7 +325,29 @@ def _decode_stream(args, path: str, shown: "str | None" = None) -> int:
                 path, with_orig_shape=True, with_transform=True, with_q_table=True,
             )
             cfg = CodecConfig(q_scale=q_scale, transform=transform, q_table=q_table)
-            rec = scaled_decode(jnp.asarray(coeffs), cfg, fac)
+            # fast path: fused int8 full decode + exact integer box pool
+            # (~6x the einsum sweeps at 8192²; ±1 contract delta — see
+            # ops.scaled.scaled_decode_u8); einsum path otherwise
+            from tpudct.kernels import hp_pallas
+            from tpudct.ops.padding import kernel_padded_shape, pad_coeffs_to_kernel
+
+            p = get_pipeline(args.pipeline)
+            if (
+                hasattr(p, "decode_u8")
+                and hp_pallas.supports_u8(
+                    *kernel_padded_shape(*coeffs.shape, 32, 128),
+                    q_scale, transform, q_table,
+                )
+                and serialize._abs_bound(coeffs) <= 127
+            ):
+                from tpudct.ops.scaled import scaled_decode_u8
+
+                cpad, _ = pad_coeffs_to_kernel(
+                    jnp.asarray(coeffs, jnp.int8), 32, 128
+                )
+                rec = scaled_decode_u8(p, cpad, cfg, fac)
+            else:
+                rec = scaled_decode(jnp.asarray(coeffs), cfg, fac)
             rec_u8 = np.asarray(to_uint8(rec))[
                 : scaled_shape(h, fac), : scaled_shape(w, fac)
             ]
@@ -367,9 +389,12 @@ def _decode_stream(args, path: str, shown: "str | None" = None) -> int:
         pipe = get_pipeline(args.pipeline)
         cfg = CodecConfig(q_scale=p["q_scale"], transform=p["transform"],
                           q_table=p["q_table"])
-        rec = pipe.idct(jnp.asarray(p["coeffs"]), cfg)
+        # shared gate: a spectrally-truncated map is still integer-valued,
+        # so progressive decode rides the fused int8 kernels when eligible
+        from tpudct.models.dispatch import decode_gray_auto
+
         h, w = p["orig_shape"]
-        rec_u8 = np.asarray(to_uint8(rec))[:h, :w]
+        rec_u8 = decode_gray_auto(pipe, p["coeffs"], cfg, (h, w))
         imageio.save_image(args.output, rec_u8, quality=args.quality)
         print(f"decoded {shown} ({args.planes} spectral planes) -> {args.output}")
         return 0
@@ -448,8 +473,14 @@ def _decode_stream(args, path: str, shown: "str | None" = None) -> int:
             raise ValueError(f"--rows {args.rows}: empty range for height {h}")
         a8 = a - a % 8
         b8 = min(coeffs.shape[0], -(-bnd // 8) * 8)
-        rec = p.idct(jnp.asarray(coeffs[a8:b8]), cfg)
-        rec_u8 = np.asarray(to_uint8(rec))[a - a8 : bnd - a8, :w]
+        # shared gate on the slice: the covering block rows ride the fused
+        # int8 decode when eligible (blocks are independent, so the slice
+        # decode equals the same rows of a full decode)
+        from tpudct.models.dispatch import decode_gray_auto
+
+        rec_u8 = decode_gray_auto(
+            p, coeffs[a8:b8], cfg, (b8 - a8, w)
+        )[a - a8 : bnd - a8]
         imageio.save_image(args.output, rec_u8, quality=args.quality)
         print(f"decoded rows {a}:{bnd} of {shown} -> {args.output}")
         return 0

@@ -161,21 +161,62 @@ def decode_color_scaled(
     f_c = factor // 2 if mode in ("420", "422") else factor
 
     lcfg = _luma_cfg(cfg, meta.get("y_q_table", "luma"))
-    y = scaled_decode(
-        jnp.asarray(planes["y"], jnp.float32), lcfg, factor
-    )[:hs, :ws]
-
     ccfg = _chroma_cfg(cfg, meta.get("c_q_table", "chroma"))
-    cc = scaled_decode(
-        jnp.concatenate(
-            [jnp.asarray(planes["cb"], jnp.float32),
-             jnp.asarray(planes["cr"], jnp.float32)], axis=0
-        ),
-        ccfg, f_r, f_cols=f_c,
-    )
-    phs = planes["cb"].shape[0] // f_r
-    cb = cc[:phs][:hs, :ws]
-    cr = cc[phs:][:hs, :ws]
+
+    # Fast path: fused int8 full decode + exact integer box pool per plane
+    # (ops.scaled.scaled_decode_u8 documents the clamp/truncate contract
+    # delta).  Gate mirrors the gray CLI path; any ineligible plane drops
+    # the WHOLE stream to the f32 sweeps so the planes stay consistent.
+    def _u8_ok(plane, pcfg):
+        from tpudct.kernels import hp_pallas
+        from tpudct.ops.padding import kernel_padded_shape
+        from tpudct.utils.serialize import _abs_bound
+
+        return (
+            hasattr(p, "decode_u8")
+            and hp_pallas.supports_u8(
+                *kernel_padded_shape(*np.shape(plane), 32, 128),
+                pcfg.q_scale, pcfg.transform, pcfg.q_table,
+            )
+            and _abs_bound(np.asarray(plane)) <= 127
+        )
+
+    if _u8_ok(planes["y"], lcfg) and all(
+        _u8_ok(planes[k], ccfg) for k in ("cb", "cr")
+    ):
+        from tpudct.ops.padding import pad_coeffs_to_kernel
+        from tpudct.ops.scaled import scaled_decode_u8
+
+        ypad, _ = pad_coeffs_to_kernel(
+            jnp.asarray(planes["y"], jnp.int8), 32, 128
+        )
+        y = scaled_decode_u8(p, ypad, lcfg, factor)[:hs, :ws]
+        cbpad, _ = pad_coeffs_to_kernel(
+            jnp.asarray(planes["cb"], jnp.int8), 32, 128
+        )
+        crpad, _ = pad_coeffs_to_kernel(
+            jnp.asarray(planes["cr"], jnp.int8), 32, 128
+        )
+        cc = scaled_decode_u8(
+            p, jnp.concatenate([cbpad, crpad], axis=0), ccfg, f_r, f_c
+        )
+        phs = cbpad.shape[0] // f_r
+        cb = cc[:phs][:hs, :ws]
+        cr = cc[phs:][:hs, :ws]
+    else:
+        y = scaled_decode(
+            jnp.asarray(planes["y"], jnp.float32), lcfg, factor
+        )[:hs, :ws]
+        cc = scaled_decode(
+            jnp.concatenate(
+                [jnp.asarray(planes["cb"], jnp.float32),
+                 jnp.asarray(planes["cr"], jnp.float32)], axis=0
+            ),
+            ccfg, f_r, f_cols=f_c,
+        )
+        phs = planes["cb"].shape[0] // f_r
+        cb = cc[:phs][:hs, :ws]
+        cr = cc[phs:][:hs, :ws]
 
     rgb = ycbcr_to_rgb(y, cb, cr)
     return jnp.clip(round_half_away(rgb), 0.0, 255.0).astype(jnp.uint8)

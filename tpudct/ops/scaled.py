@@ -41,6 +41,7 @@ from __future__ import annotations
 
 import functools
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -155,3 +156,80 @@ def scaled_shape(orig: int, f: int) -> int:
     image statistic, same as every block-codec edge).
     """
     return -(-orig // f)
+
+
+@functools.lru_cache(maxsize=8)
+def _pool01_lane(fc: int) -> np.ndarray:
+    """(128, 128/fc) block 0/1 lane-pooling matrix: column j sums lanes
+    j*fc .. j*fc+fc-1."""
+    m = np.zeros((_LANE, _LANE // fc), np.float32)
+    for j in range(_LANE // fc):
+        m[j * fc : (j + 1) * fc, j] = 1.0
+    return m
+
+
+def box_pool_u8(x_u8, f_rows: int, f_cols: int | None = None):
+    """Exact f x f box average of a uint8 raster -> float32.
+
+    Integer-exact and relayout-free at scale: the LANE (minor) direction
+    pools via an MXU dot against a 0/1 block matrix — u8 values are
+    bf16-exact and the MXU accumulates in f32, so window sums are exact
+    integers (lane-strided slices measured ~1.5 ms of relayout at 8192²;
+    the dot is ~0.04 ms) — and the SUBLANE direction pools with
+    major-axis strided adds (cheap: whole-row moves).  The final
+    1/(f_r*f_c) is a power-of-two multiply, exact.  Requires dims
+    divisible by the factors (kernel-padded maps always are)."""
+    fc = f_rows if f_cols is None else f_cols
+    h, w = x_u8.shape
+    if h % f_rows or w % fc:
+        raise ValueError(
+            f"box_pool_u8 needs dims divisible by the factors, got "
+            f"{h}x{w} at ({f_rows}, {fc})"
+        )
+    if fc > 1 and w % _LANE == 0:
+        # direct u8->bf16 convert (exact: u8 <= 255 < 2^8 mantissa); the
+        # i32 hop is a MOSAIC constraint only — in XLA it measured +0.8 ms
+        # of extra materialization at 8192² (pool variant A/B, round 3)
+        xb = jnp.asarray(x_u8).astype(jnp.bfloat16)
+        m = jnp.asarray(_pool01_lane(fc), jnp.bfloat16)
+        s = jax.lax.dot_general(
+            xb.reshape(h * (w // _LANE), _LANE), m,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).reshape(h, w // fc)
+    else:
+        x = jnp.asarray(x_u8, jnp.int32)
+        s = x[:, 0::fc].astype(jnp.float32)
+        for j in range(1, fc):
+            s = s + x[:, j::fc]
+    r = s[0::f_rows]
+    for i in range(1, f_rows):
+        r = r + s[i::f_rows]
+    return r * jnp.float32(1.0 / (f_rows * fc))
+
+
+def scaled_decode_u8(pipeline, coeffs_i8, cfg, factor: int,
+                     f_cols: int | None = None):
+    """Fast-path fractional-scale decode: fused int8 full decode (the
+    0.29 ms/8192² kernel) + exact integer box pooling of its uint8
+    output -> (H/f, W/fc) float32.
+
+    CONTRACT DELTA vs :func:`scaled_decode`: this is the box average of
+    the CLAMPED, ROUNDED full decode (the u8 image a viewer actually
+    sees — i.e. "shrink the decoded picture"), while scaled_decode
+    averages the UNCLAMPED f32 reconstruction ("decode at lower
+    resolution").  They differ by the codec's per-pixel u8 conversion —
+    C-truncation, the reference-faithful cast (utils.cu:18-24), < 1.0
+    per pixel — plus clamping wherever the reconstruction overshoots
+    [0, 255]: bounded by 1 LSB on natural images (overshoot is a
+    ringing-edge phenomenon), up to the overshoot magnitude on
+    adversarial noise content.  For
+    thumbnailing — the use --scale exists for — the clamped semantic is
+    the faithful one.  Measured ~6x faster at 8192² (the einsum path
+    pays 6-pass `highest` sweeps plus a full f32 dequantized
+    intermediate; this path's decode is at its MXU floor and the pool is
+    traffic-bounded).  Requires the u8 decode geometry (h % 32,
+    w % 128) and the factors to divide the dims; callers fall back to
+    scaled_decode otherwise (the gate in cli/_decode_stream)."""
+    rec = pipeline.decode_u8(jnp.asarray(coeffs_i8, jnp.int8), cfg)
+    return box_pool_u8(rec, factor, f_cols)
