@@ -298,12 +298,14 @@ def test_box_pool_u8_exactness(rng):
 
 
 def test_cli_scale_fast_path_engages(tmp_path, capsys):
-    """decode --scale rides the u8 fast path for eligible streams (spy on
-    decode_u8) and produces the same pixels as the documented contract."""
+    """decode --scale rides the u8 fast path for eligible streams — either
+    the fused scaled kernel or the composed decode_u8 + pool (spied on
+    both) — and produces the right geometry."""
     import jax.numpy as jnp
 
     from tpudct import CodecConfig, get_pipeline
     from tpudct.cli import main
+    from tpudct.kernels import hp_pallas
     from tpudct.utils import imageio, serialize
 
     img = (np.random.default_rng(9).integers(0, 256, (100, 130))).astype(np.uint8)
@@ -314,12 +316,236 @@ def test_cli_scale_fast_path_engages(tmp_path, capsys):
     assert main(["encode", str(src), str(tdc)]) == 0
     p = get_pipeline("hp")
     calls = []
-    orig = p.decode_u8
-    p.decode_u8 = lambda x, cfg: calls.append(tuple(x.shape)) or orig(x, cfg)
+    orig_dec = p.decode_u8
+    orig_fused = hp_pallas.hp_scaled_decode_u8
+    p.decode_u8 = lambda x, cfg: calls.append(("composed", tuple(x.shape))) or orig_dec(x, cfg)
+    hp_pallas.hp_scaled_decode_u8 = (
+        lambda c, *a, **k: calls.append(("fused", tuple(c.shape))) or orig_fused(c, *a, **k)
+    )
     try:
         assert main(["decode", "--scale", "1/2", str(tdc), str(out)]) == 0
     finally:
         del p.decode_u8
+        hp_pallas.hp_scaled_decode_u8 = orig_fused
     assert calls, "u8 fast path did not engage for an eligible stream"
+    # the padded 128x256 map satisfies w % 256 == 0, so the fused kernel
+    # specifically should have taken it
+    assert calls[0][0] == "fused", calls
     rec = imageio.load_image(str(out))
     assert rec.shape == (50, 65)
+
+
+def test_fused_scaled_kernel_matches_composed(rng):
+    """hp_scaled_decode_u8 (one kernel) must equal the composed
+    decode_u8 + box_pool_u8 path bit-exactly, every factor pair."""
+    import jax.numpy as jnp
+
+    from tpudct import CodecConfig, get_pipeline
+    from tpudct.kernels import hp_pallas
+    from tpudct.ops.scaled import box_pool_u8
+
+    p = get_pipeline("hp")
+    cfg = CodecConfig()
+    img = rng.integers(0, 256, (64, 1024), dtype=np.uint8)
+    c = p.encode_u8(jnp.asarray(img), cfg)
+    for fr, fc in ((2, 2), (4, 4), (8, 8), (1, 2), (2, 1), (4, 8)):
+        assert hp_pallas.supports_scaled_u8(64, 1024, fr, fc)
+        fused = np.asarray(hp_pallas.hp_scaled_decode_u8(
+            c, fr, fc, interpret=True
+        ))
+        composed = np.asarray(box_pool_u8(p.decode_u8(c, cfg), fr, fc))
+        assert fused.shape == (64 // fr, 1024 // fc)
+        np.testing.assert_array_equal(fused, composed)
+
+
+def test_fused_scaled_kernel_gate():
+    from tpudct.kernels import hp_pallas
+
+    assert not hp_pallas.supports_scaled_u8(64, 128, 2, 2)   # w % 256 != 0
+    assert not hp_pallas.supports_scaled_u8(64, 1024, 3, 2)  # bad factor
+    assert hp_pallas.supports_scaled_u8(64, 1024, 8, 8)
+    assert not hp_pallas.supports_scaled_u8(60, 1024, 2, 2)  # not u8 geometry
+
+
+# ---------------------------------------------------------------------------
+# General M/8 scales (round 3): area_matrix / scaled_decode_m8
+# ---------------------------------------------------------------------------
+
+
+def _area_resample_ref(x, m_r, m_c):
+    """Independent reference for the M/8 contract: replicate each pixel
+    m times per axis (the piecewise-constant signal on a 1/m grid), then
+    an exact 8x8 box average — identical windows to area_matrix by
+    construction (unit pixels at m/8 == 1/m-subpixels in 8-windows)."""
+    x = np.asarray(x, np.float64)
+    up = np.repeat(np.repeat(x, m_r, axis=0), m_c, axis=1)
+    h, w = up.shape
+    return up.reshape(h // 8, 8, w // 8, 8).mean(axis=(1, 3))
+
+
+def test_area_matrix_properties():
+    from tpudct.ops.scaled import M_RANGE, area_matrix
+
+    for m in M_RANGE:
+        a = area_matrix(m)
+        assert a.shape == (m, 8)
+        np.testing.assert_allclose(a.sum(axis=1), 1.0, atol=1e-6)
+        assert (a >= 0).all()
+    # m | 8 degenerates to the exact box-pool matrix
+    for m in (1, 2, 4, 8):
+        np.testing.assert_array_equal(area_matrix(m), pool_matrix(8 // m))
+    # m = 16 is exact 2x nearest replication
+    a16 = area_matrix(16)
+    np.testing.assert_array_equal(a16, np.repeat(np.eye(8, dtype=np.float32), 2, axis=0))
+    with pytest.raises(ValueError):
+        area_matrix(0)
+    with pytest.raises(ValueError):
+        area_matrix(17)
+
+
+@pytest.mark.parametrize("m", [3, 5, 6, 7, 9, 12, 16])
+def test_scaled_decode_m8_matches_area_resample(rng, m):
+    """scaled_decode_m8 == exact area-resample of the full f32 decode."""
+    from tpudct.ops.scaled import scaled_decode_m8
+
+    p = get_pipeline("batched")
+    cfg = CodecConfig()
+    img = rng.integers(0, 256, (40, 64)).astype(np.float32)
+    c = p.dct(jnp.asarray(img), cfg)
+    full = np.asarray(p.idct(c, cfg), np.float64)
+    got = np.asarray(scaled_decode_m8(c, cfg, m))
+    ref = _area_resample_ref(full, m, m)
+    assert got.shape == (40 * m // 8, 64 * m // 8)
+    np.testing.assert_allclose(got, ref, atol=5e-3)
+
+
+def test_scaled_decode_m8_anisotropic(rng):
+    from tpudct.ops.scaled import scaled_decode_m8
+
+    p = get_pipeline("batched")
+    cfg = CodecConfig()
+    img = rng.integers(0, 256, (16, 32)).astype(np.float32)
+    c = p.dct(jnp.asarray(img), cfg)
+    full = np.asarray(p.idct(c, cfg), np.float64)
+    got = np.asarray(scaled_decode_m8(c, cfg, 3, m_cols=6))
+    np.testing.assert_allclose(got, _area_resample_ref(full, 3, 6), atol=5e-3)
+
+
+def test_scaled_shape_m8():
+    from tpudct.ops.scaled import scaled_shape_m8
+
+    assert scaled_shape_m8(100, 3) == 38   # ceil(300/8)
+    assert scaled_shape_m8(64, 8) == 64
+    assert scaled_shape_m8(7, 16) == 14
+    assert scaled_shape_m8(100, 4) == 50
+
+
+def test_parse_scale():
+    from tpudct.cli import _parse_scale
+
+    assert _parse_scale("3/8") == 3
+    assert _parse_scale("16/8") == 16
+    assert _parse_scale("1/2") == 4
+    assert _parse_scale("1/4") == 2
+    assert _parse_scale("1/8") == 1
+    assert _parse_scale("3/4") == 6
+    assert _parse_scale("2/1") == 16
+    for bad in ("0/8", "17/8", "3/7", "x", "8"):
+        with pytest.raises(ValueError):
+            _parse_scale(bad)
+
+
+@pytest.mark.parametrize("m", [3, 6])
+def test_cli_scale_m8_gray(tmp_path, m):
+    from tpudct.cli import main
+    from tpudct.utils import imageio
+
+    img = np.random.default_rng(4).integers(0, 256, (50, 70)).astype(np.uint8)
+    src = tmp_path / "in.png"
+    imageio.save_image(src, img)
+    tdc = tmp_path / "x.tdc"
+    out = tmp_path / "s.png"
+    assert main(["encode", str(src), str(tdc)]) == 0
+    assert main(["decode", "--scale", f"{m}/8", str(tdc), str(out)]) == 0
+    rec = imageio.load_image(str(out))
+    assert rec.shape == (-(-50 * m // 8), -(-70 * m // 8))
+
+
+@pytest.mark.parametrize("mode", ["420", "422", "444"])
+def test_color_scaled_m8(rng, mode):
+    """M/8 color decode: right geometry and close to the area-resample of
+    the full color decode (clamp/round per-plane ordering differs, so a
+    few-LSB tolerance; smooth content keeps clamping out of play)."""
+    p = get_pipeline("batched")
+    cfg = CodecConfig()
+    yy, xx = np.mgrid[0:48, 0:64]
+    rgbf = np.stack(
+        [128 + 60 * np.sin(xx / 9), 128 + 50 * np.cos(yy / 11),
+         128 + 40 * np.sin((xx + yy) / 13)], axis=-1)
+    rgb = np.clip(rgbf, 0, 255).astype(np.uint8)
+    planes, meta = encode_color(p, jnp.asarray(rgb), cfg, subsample=mode)
+    m = 3
+    got = np.asarray(decode_color_scaled(p, planes, meta, cfg, m=m))
+    assert got.shape == (48 * m // 8, 64 * m // 8, 3)
+    full = np.asarray(decode_color(p, planes, meta, cfg), np.float64)
+    ref = np.stack(
+        [_area_resample_ref(full[..., k], m, m) for k in range(3)], axis=-1
+    )
+    assert np.abs(got.astype(np.float64) - ref).max() <= 3.0
+
+
+def test_color_scaled_m8_upscale_gate(rng):
+    p = get_pipeline("batched")
+    cfg = CodecConfig()
+    rgb = rng.integers(0, 256, (16, 16, 3)).astype(np.uint8)
+    planes, meta = encode_color(p, jnp.asarray(rgb), cfg, subsample="420")
+    with pytest.raises(ValueError, match="M <= 8"):
+        decode_color_scaled(p, planes, meta, cfg, m=9)
+    planes4, meta4 = encode_color(p, jnp.asarray(rgb), cfg, subsample="444")
+    up = np.asarray(decode_color_scaled(p, planes4, meta4, cfg, m=12))
+    assert up.shape == (24, 24, 3)
+
+
+def test_cli_scale_pads_to_fused_geometry(tmp_path):
+    """A size whose 128-padding is NOT a 128*fc multiple (300 -> 384)
+    must still ride the fused kernel: the CLI pads to (8*f, 128*f)."""
+    from tpudct.cli import main
+    from tpudct.kernels import hp_pallas
+    from tpudct.utils import imageio
+
+    img = np.random.default_rng(3).integers(0, 256, (300, 300)).astype(np.uint8)
+    src = tmp_path / "in.png"
+    imageio.save_image(src, img)
+    tdc = tmp_path / "x.tdc"
+    out = tmp_path / "q.png"
+    assert main(["encode", str(src), str(tdc)]) == 0
+    calls = []
+    orig = hp_pallas.hp_scaled_decode_u8
+    hp_pallas.hp_scaled_decode_u8 = (
+        lambda c, *a, **k: calls.append(tuple(c.shape)) or orig(c, *a, **k)
+    )
+    try:
+        assert main(["decode", "--scale", "1/4", str(tdc), str(out)]) == 0
+    finally:
+        hp_pallas.hp_scaled_decode_u8 = orig
+    assert calls == [(320, 512)], calls  # padded to (8*4 | 32, 128*4)
+    rec = imageio.load_image(str(out))
+    assert rec.shape == (75, 75)
+    # the extra padding must not change any cropped pixel: compare with
+    # the composed path on the minimal (32, 128) padding
+    import jax.numpy as jnp
+
+    from tpudct import CodecConfig, get_pipeline
+    from tpudct.ops.padding import pad_coeffs_to_kernel
+    from tpudct.ops.scaled import box_pool_u8
+    from tpudct.ops.transform import to_uint8
+    from tpudct.utils import serialize
+
+    coeffs, q_scale, _k, (h, w), transform, q_table = serialize.load_coefficients(
+        str(tdc), with_orig_shape=True, with_transform=True, with_q_table=True,
+    )
+    p = get_pipeline("hp")
+    cfg = CodecConfig(q_scale=q_scale, transform=transform, q_table=q_table)
+    cmin, _ = pad_coeffs_to_kernel(jnp.asarray(coeffs, jnp.int8), 32, 128)
+    ref = np.asarray(to_uint8(box_pool_u8(p.decode_u8(cmin, cfg), 4)))[:75, :75]
+    np.testing.assert_array_equal(rec, ref)

@@ -248,6 +248,27 @@ def cmd_encode(args) -> int:
     return 0
 
 
+def _parse_scale(s: str) -> int:
+    """``--scale`` string -> numerator M of an M/8 scale (djpeg grammar).
+
+    Accepts "M/8" for M = 1..16 plus the reduced aliases djpeg prints
+    ("1/2" = 4/8, "1/4" = 2/8, "3/4" = 6/8, ...).  Returns M."""
+    alias = {"1/1": 8, "1/2": 4, "1/4": 2, "1/8": 1, "3/4": 6,
+             "5/4": 10, "3/2": 12, "7/4": 14, "2/1": 16}
+    if s in alias:
+        return alias[s]
+    num, _, den = s.partition("/")
+    try:
+        if den == "8" and 1 <= int(num) <= 16:
+            return int(num)
+    except ValueError:
+        pass
+    raise ValueError(
+        f"--scale must be M/8 with M in 1..16 (or a reduced alias like "
+        f"1/2, 3/4, 2/1), got {s!r}"
+    )
+
+
 def cmd_decode(args) -> int:
     if args.input.lower().endswith((".jpg", ".jpeg")):
         # djpeg drop-in: a .jpg input imports its quantized coefficients
@@ -303,39 +324,59 @@ def _decode_stream(args, path: str, shown: "str | None" = None) -> int:
             "JPEG inputs must be named .jpg/.jpeg"
         )
     if args.scale is not None:
-        # Fractional-scale decode (djpeg -scale M/8 analog): the scaled
-        # basis B = P @ T^T reconstructs straight to H/f x W/f — exactly
-        # the box average of the full decode (ops/scaled.py contract).
+        # Fractional-scale decode (djpeg -scale M/8): the scaled basis
+        # B = P @ T^T reconstructs straight to ceil(H*M/8) x ceil(W*M/8)
+        # — the exact area-resample of the full decode (ops/scaled.py
+        # contract; integer 8/M rides the fused u8 kernels).
         if args.planes is not None or args.rows is not None or args.preview:
             raise ValueError("--scale does not combine with --planes/--rows/--preview")
-        from tpudct.ops.scaled import scaled_decode, scaled_shape
+        from tpudct.ops.scaled import (
+            scaled_decode, scaled_decode_m8, scaled_shape, scaled_shape_m8,
+        )
 
-        fac = {"1/2": 2, "1/4": 4, "1/8": 8}[args.scale]
+        m = _parse_scale(args.scale)
+        fac = 8 // m if 8 % m == 0 else None
         if serialize.is_color_stream(head):
             from tpudct.models.color import decode_color_scaled
 
             planes, meta = serialize.load_color(path)
             cfg = CodecConfig(q_scale=meta["q_scale"], transform=meta["transform"])
             rec = decode_color_scaled(
-                get_pipeline(args.pipeline), planes, meta, cfg, fac
+                get_pipeline(args.pipeline), planes, meta, cfg, fac,
+                m=None if fac else m,
             )
             imageio.save_image(args.output, np.asarray(rec), quality=args.quality)
+        elif fac is None:
+            coeffs, q_scale, _k, (h, w), transform, q_table = serialize.load_coefficients(
+                path, with_orig_shape=True, with_transform=True, with_q_table=True,
+            )
+            cfg = CodecConfig(q_scale=q_scale, transform=transform, q_table=q_table)
+            rec = scaled_decode_m8(jnp.asarray(coeffs), cfg, m)
+            rec_u8 = np.asarray(to_uint8(rec))[
+                : scaled_shape_m8(h, m), : scaled_shape_m8(w, m)
+            ]
+            imageio.save_image(args.output, rec_u8, quality=args.quality)
         else:
             coeffs, q_scale, _k, (h, w), transform, q_table = serialize.load_coefficients(
                 path, with_orig_shape=True, with_transform=True, with_q_table=True,
             )
             cfg = CodecConfig(q_scale=q_scale, transform=transform, q_table=q_table)
-            # fast path: fused int8 full decode + exact integer box pool
-            # (~6x the einsum sweeps at 8192²; ±1 contract delta — see
-            # ops.scaled.scaled_decode_u8); einsum path otherwise
+            # fast path: ONE fused Pallas kernel (decode + exact integer
+            # box pool; 3.0-3.4x the composed form at 8192², bit-exact —
+            # benchmarks/scaled_ab.py); einsum path otherwise.  Padding to
+            # (8·f, 128·f) multiples makes every stream eligible for the
+            # fused kernel's lane-group geometry (zero blocks decode to
+            # the level shift and pooled windows inside the crop never
+            # reach them — ops/padding.py).
             from tpudct.kernels import hp_pallas
             from tpudct.ops.padding import kernel_padded_shape, pad_coeffs_to_kernel
 
+            ra, la = max(32, 8 * fac), 128 * fac
             p = get_pipeline(args.pipeline)
             if (
                 hasattr(p, "decode_u8")
                 and hp_pallas.supports_u8(
-                    *kernel_padded_shape(*coeffs.shape, 32, 128),
+                    *kernel_padded_shape(*coeffs.shape, ra, la),
                     q_scale, transform, q_table,
                 )
                 and serialize._abs_bound(coeffs) <= 127
@@ -343,7 +384,7 @@ def _decode_stream(args, path: str, shown: "str | None" = None) -> int:
                 from tpudct.ops.scaled import scaled_decode_u8
 
                 cpad, _ = pad_coeffs_to_kernel(
-                    jnp.asarray(coeffs, jnp.int8), 32, 128
+                    jnp.asarray(coeffs, jnp.int8), ra, la
                 )
                 rec = scaled_decode_u8(p, cpad, cfg, fac)
             else:
@@ -352,7 +393,7 @@ def _decode_stream(args, path: str, shown: "str | None" = None) -> int:
                 : scaled_shape(h, fac), : scaled_shape(w, fac)
             ]
             imageio.save_image(args.output, rec_u8, quality=args.quality)
-        print(f"decoded {shown} at 1/{fac} scale -> {args.output}")
+        print(f"decoded {shown} at {m}/8 scale -> {args.output}")
         return 0
     if args.preview:
         # Instant 1/8-scale thumbnail: DC-only progressive decode, host
@@ -1430,8 +1471,8 @@ def build_parser() -> argparse.ArgumentParser:
                     help="1/8-scale DC-only thumbnail (no transform, no device; works on truncated downloads)")
     sp.add_argument("--rows", default=None,
                     help="region decode: only image rows A:B (blocks are independent, so only covering block rows transform)")
-    sp.add_argument("--scale", default=None, choices=("1/2", "1/4", "1/8"),
-                    help="fractional-scale decode (djpeg -scale analog): reconstruct straight to H/f x W/f — the exact box average of the full decode, never materializing the full image (gray and color)")
+    sp.add_argument("--scale", default=None, metavar="M/8",
+                    help="fractional-scale decode (djpeg -scale): reconstruct straight to ceil(H*M/8) x ceil(W*M/8) for M in 1..16 (aliases 1/2, 1/4, 1/8, 3/4, 3/2, 2/1 accepted) — the exact area-resample of the full decode, never materializing the full image (gray and color; subsampled-chroma color caps at M<=8)")
     sp.add_argument("input")
     sp.add_argument("output")
     sp.set_defaults(fn=cmd_decode)

@@ -704,3 +704,142 @@ def hp_roundtrip_u8(
         kern, h, w, br, tc, consts,
         [jnp.int8, jnp.uint8], interpret, {0: 1},
     )(image_u8, *consts)
+
+
+# ---------------------------------------------------------------------------
+# Fused fractional-scale decode (round 3)
+# ---------------------------------------------------------------------------
+#
+# decode --scale thumbnails gigapixel mosaics; the XLA composition
+# (hp_decode_u8 + ops.scaled.box_pool_u8) pays a full-size u8 store + reload
+# + a bf16 re-materialization — measured 2.69/1.91 ms at 8192² (f=2/f=8,
+# slope protocol, benchmarks/scaled_ab.py).  Fusing the pool into the decode
+# kernel stores only the (H/f, W/f) raster: 0.80/0.64 ms same-session —
+# 3.0-3.4x — and bit-exact vs the composed form on the real chip.  Contract
+# = ops.scaled.scaled_decode_u8's: the box average of the CLAMPED,
+# C-TRUNCATED full decode.
+
+
+@functools.lru_cache(maxsize=16)
+def _pool_lane_group(fc: int) -> np.ndarray:
+    """(128*fc, 128) 0/1 matrix: output lane j sums input lanes
+    j*fc .. j*fc+fc-1 of a 128*fc-wide group."""
+    m = np.zeros((LANE * fc, LANE), np.float32)
+    for k in range(LANE * fc):
+        m[k, k // fc] = 1.0
+    return m
+
+
+@functools.lru_cache(maxsize=32)
+def _pool_sublane(br: int, fr: int) -> np.ndarray:
+    """(br/fr, br) 0/1 row-pooling matrix."""
+    m = np.zeros((br // fr, br), np.float32)
+    for i in range(br // fr):
+        m[i, i * fr : (i + 1) * fr] = 1.0
+    return m
+
+
+def _k_scaled_decode_u8_bf(c_ref, s_ref, t_ref, w_ref, pl_ref, pr_ref, o_ref,
+                           *, fr: int, fc: int):
+    x = _inv_tile_bf(c_ref[:].astype(jnp.float32), s_ref[:], t_ref[:], w_ref[:])
+    xi = jnp.clip(jnp.trunc(x), 0.0, 255.0)  # the truncated decode, as f32
+    br, tc = xi.shape
+    if fc > 1:
+        # lane pool: bf16 dot per 128*fc-wide group — xi values <= 255 are
+        # bf16-exact and the MXU accumulates in f32, so sums are exact
+        g = LANE * fc
+        xb = xi.astype(jnp.bfloat16)
+        pm = pl_ref[:].astype(jnp.bfloat16)
+        cols = [
+            jax.lax.dot(xb[:, t * g : (t + 1) * g], pm,
+                        preferred_element_type=jnp.float32)
+            for t in range(tc // g)
+        ]
+        s = jnp.concatenate(cols, axis=1) if len(cols) > 1 else cols[0]
+    else:
+        s = xi
+    if fr > 1:
+        # sublane pool: 0/1 matrix from the left; the f32 sums (<= 255*fc)
+        # split exactly into three bf16 digits, so three dots stay exact
+        pr = pr_ref[:].astype(jnp.bfloat16)
+        s1, s2, s3 = _split3_bf16(s)
+        d = lambda a: jax.lax.dot_general(
+            pr, a, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        s = d(s1) + d(s2) + d(s3)
+    o_ref[:] = s * jnp.float32(1.0 / (fr * fc))
+
+
+def supports_scaled_u8(
+    h: int, w: int, fr: int, fc: int, q_scale: float = 1.0,
+    transform: str = "haweel", q_table: str = "luma",
+) -> bool:
+    """Gate for the fused scaled decode: the u8 decode geometry plus lane
+    groups of 128*fc (so pooled tiles stay 128-lane aligned) and 8-row
+    output tiles."""
+    return (
+        supports_u8(h, w, q_scale, transform, q_table)
+        and fr in (1, 2, 4, 8)
+        and fc in (1, 2, 4, 8)
+        and w % (LANE * fc) == 0
+        and (h // fr) % 8 == 0
+    )
+
+
+@_jit("fr", "fc", "q_scale", "q_table", "band_rows", "tile_cols", "interpret",
+      "transform")
+def hp_scaled_decode_u8(
+    coeffs_i8,
+    fr: int,
+    fc: int,
+    q_scale: float = 1.0,
+    q_table: str = "luma",
+    band_rows=None,
+    tile_cols=None,
+    interpret: bool = False,
+    transform: str = "haweel",
+):
+    """(H, W) int8 coefficients -> (H/fr, W/fc) float32 scaled raster in ONE
+    kernel: dequant + exact butterfly inverse + clamp/truncate + exact
+    integer box pool (djpeg -scale analog at the kernel level).  Bitwise
+    identical to box_pool_u8(hp_decode_u8(c)) — the composed path this
+    fuses (tests/test_scaled.py)."""
+    h, w = coeffs_i8.shape
+    if not supports_scaled_u8(h, w, fr, fc, q_scale, transform, q_table):
+        raise ValueError(
+            f"fused scaled decode needs the u8 geometry, w % {LANE * fc} == 0 "
+            f"and factors in (1, 2, 4, 8); got {h}x{w} at ({fr}, {fc})"
+        )
+    band_rows, tile_cols = _resolve_geom(band_rows, tile_cols, _U8_GEOM)
+    br, tc = _geometry(h, w, band_rows, tile_cols, row_align=32)
+    while tc % (LANE * fc) or w % tc:
+        tc -= LANE
+    if tc < LANE * fc:
+        tc = LANE * fc
+    while br % (8 * fr) or h % br:
+        br -= 32
+    if br < 8 * fr or h % br:
+        raise ValueError(
+            f"no valid band geometry for {h} rows at fr={fr}"
+        )
+    qdd, bdts_l, wts = _consts_bf(br, q_scale, transform, q_table)
+    pl_m = _pool_lane_group(fc)
+    pr_m = _pool_sublane(br, fr)
+    consts = (qdd, bdts_l, wts, pl_m, pr_m)
+    grid = (h // br, w // tc)
+    const_specs = [
+        pl.BlockSpec(c.shape, lambda i, j: (0, 0), memory_space=pltpu.VMEM)
+        for c in consts
+    ]
+    fn = pl.pallas_call(
+        functools.partial(_k_scaled_decode_u8_bf, fr=fr, fc=fc),
+        grid=grid,
+        in_specs=[pl.BlockSpec((br, tc), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM)] + const_specs,
+        out_specs=pl.BlockSpec((br // fr, tc // fc), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((h // fr, w // fc), jnp.float32),
+        interpret=interpret,
+    )
+    return fn(coeffs_i8, *consts)

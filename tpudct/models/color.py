@@ -130,7 +130,8 @@ def decode_color(p: Pipeline, planes: dict, meta: dict, cfg: CodecConfig):
 
 
 def decode_color_scaled(
-    p: Pipeline, planes: dict, meta: dict, cfg: CodecConfig, factor: int
+    p: Pipeline, planes: dict, meta: dict, cfg: CodecConfig,
+    factor: int | None = None, *, m: int | None = None,
 ):
     """Fractional-scale color decode: coefficient planes -> (H/f, W/f, 3) u8.
 
@@ -149,25 +150,76 @@ def decode_color_scaled(
     scaled basis (ops/scaled.py) is its own einsum formulation, not a
     strategy of any registered pipeline, so `--pipeline` has no effect on
     `decode --scale` (docs/API.md notes the same).
-    """
-    from tpudct.ops.scaled import scaled_decode, scaled_shape
 
+    Pass either ``factor`` (integer 1/f scale, f in 1,2,4,8 — rides the
+    u8/fused fast paths) or ``m`` (general M/8 numerator, M = 1..16 —
+    ops.scaled.scaled_decode_m8's exact area-resample contract).
+    Subsampled chroma composes with M/8 by doubling the numerator on the
+    subsampled axes (area averages of a nearest-upsampled signal equal
+    area averages of the stored plane at 2M/8 — piecewise-constant
+    refinement preserves the integral), so subsampled modes support
+    M <= 8 (the chroma numerator caps at 16); 4:4:4 takes all 16.
+    """
+    from tpudct.ops.scaled import (
+        scaled_decode, scaled_decode_m8, scaled_shape, scaled_shape_m8,
+    )
+
+    if factor is not None and m is not None:
+        raise ValueError("pass either factor or m, not both")
+    if factor is None and m is None:
+        raise ValueError("pass factor (1/f) or m (M/8)")
+    if m is not None and 8 % m == 0:
+        factor, m = 8 // m, None
+    h, w = meta["orig_shape"]
+    mode = normalize_subsample(meta["subsample"])
+    lcfg = _luma_cfg(cfg, meta.get("y_q_table", "luma"))
+    ccfg = _chroma_cfg(cfg, meta.get("c_q_table", "chroma"))
+    if m is not None:
+        # General M/8 path (einsum sweeps; the integer factors below keep
+        # the u8/fused fast paths).
+        m_r = 2 * m if mode == "420" else m
+        m_c = 2 * m if mode in ("420", "422") else m
+        if max(m_r, m_c) > 16:
+            raise ValueError(
+                f"M/8 color decode with {mode} chroma supports M <= 8 "
+                f"(chroma numerator {max(m_r, m_c)} > 16); use a 4:4:4 "
+                "stream for upscale numerators"
+            )
+        hs, ws = scaled_shape_m8(h, m), scaled_shape_m8(w, m)
+        y = scaled_decode_m8(
+            jnp.asarray(planes["y"], jnp.float32), lcfg, m
+        )[:hs, :ws]
+        cc = scaled_decode_m8(
+            jnp.concatenate(
+                [jnp.asarray(planes["cb"], jnp.float32),
+                 jnp.asarray(planes["cr"], jnp.float32)], axis=0
+            ),
+            ccfg, m_r, m_cols=m_c,
+        )
+        phs = planes["cb"].shape[0] * m_r // 8
+        cb = cc[:phs][:hs, :ws]
+        cr = cc[phs:][:hs, :ws]
+        rgb = ycbcr_to_rgb(y, cb, cr)
+        return jnp.clip(round_half_away(rgb), 0.0, 255.0).astype(jnp.uint8)
     if factor == 1:
         return decode_color(p, planes, meta, cfg)
-    h, w = meta["orig_shape"]
     hs, ws = scaled_shape(h, factor), scaled_shape(w, factor)
-    mode = normalize_subsample(meta["subsample"])
     f_r = factor // 2 if mode == "420" else factor
     f_c = factor // 2 if mode in ("420", "422") else factor
 
-    lcfg = _luma_cfg(cfg, meta.get("y_q_table", "luma"))
-    ccfg = _chroma_cfg(cfg, meta.get("c_q_table", "chroma"))
+    # Fast path: ONE fused Pallas kernel per plane pass (decode + exact
+    # integer box pool; ops.scaled.scaled_decode_u8 documents the
+    # clamp/truncate contract delta and the 3.0-3.4x on-chip win).  Each
+    # plane pads to its own (8·f_r, 128·f_c) multiples so the fused
+    # kernel's lane-group geometry always holds (zero coefficient blocks
+    # decode to the level shift; pooled windows inside the crop never
+    # reach them).  Gate mirrors the gray CLI path; any ineligible plane
+    # drops the WHOLE stream to the f32 sweeps so the planes stay
+    # consistent.
+    y_al = (max(32, 8 * factor), 128 * factor)
+    c_al = (max(32, 8 * f_r), 128 * f_c)
 
-    # Fast path: fused int8 full decode + exact integer box pool per plane
-    # (ops.scaled.scaled_decode_u8 documents the clamp/truncate contract
-    # delta).  Gate mirrors the gray CLI path; any ineligible plane drops
-    # the WHOLE stream to the f32 sweeps so the planes stay consistent.
-    def _u8_ok(plane, pcfg):
+    def _u8_ok(plane, pcfg, al):
         from tpudct.kernels import hp_pallas
         from tpudct.ops.padding import kernel_padded_shape
         from tpudct.utils.serialize import _abs_bound
@@ -175,27 +227,27 @@ def decode_color_scaled(
         return (
             hasattr(p, "decode_u8")
             and hp_pallas.supports_u8(
-                *kernel_padded_shape(*np.shape(plane), 32, 128),
+                *kernel_padded_shape(*np.shape(plane), *al),
                 pcfg.q_scale, pcfg.transform, pcfg.q_table,
             )
             and _abs_bound(np.asarray(plane)) <= 127
         )
 
-    if _u8_ok(planes["y"], lcfg) and all(
-        _u8_ok(planes[k], ccfg) for k in ("cb", "cr")
+    if _u8_ok(planes["y"], lcfg, y_al) and all(
+        _u8_ok(planes[k], ccfg, c_al) for k in ("cb", "cr")
     ):
         from tpudct.ops.padding import pad_coeffs_to_kernel
         from tpudct.ops.scaled import scaled_decode_u8
 
         ypad, _ = pad_coeffs_to_kernel(
-            jnp.asarray(planes["y"], jnp.int8), 32, 128
+            jnp.asarray(planes["y"], jnp.int8), *y_al
         )
         y = scaled_decode_u8(p, ypad, lcfg, factor)[:hs, :ws]
         cbpad, _ = pad_coeffs_to_kernel(
-            jnp.asarray(planes["cb"], jnp.int8), 32, 128
+            jnp.asarray(planes["cb"], jnp.int8), *c_al
         )
         crpad, _ = pad_coeffs_to_kernel(
-            jnp.asarray(planes["cr"], jnp.int8), 32, 128
+            jnp.asarray(planes["cr"], jnp.int8), *c_al
         )
         cc = scaled_decode_u8(
             p, jnp.concatenate([cbpad, crpad], axis=0), ccfg, f_r, f_c

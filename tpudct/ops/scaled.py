@@ -5,11 +5,13 @@ straight to a smaller raster without ever materializing the full image);
 the reference repo itself always reconstructs at full size
 (main_newAppr.cu:220-250, main_cublass.cu:245-263).  tpudct already has
 the 1/8 endpoint as the DC-only preview (utils/serialize.py
-preview_from_bytes); this module fills in 1/2 and 1/4 — and generalizes
-all three — with one exact contract:
+preview_from_bytes); this module fills in every djpeg numerator M/8
+(M = 1..16, scaled_decode_m8) — with one exact contract:
 
-    scaled decode at 1/f  ==  full inverse transform, then an f x f
-                              box-filter average
+    scaled decode at m/8  ==  full inverse transform, then an exact
+                              area-average resample to m outputs per
+                              8 source pixels (integer m/8: the f x f
+                              box-filter average)
 
 Per 8x8 block, with T the (orthogonal) transform and Yd the dequantized
 coefficients, the full inverse is ``T^T Yd T + 128``; pooling rows with
@@ -56,6 +58,10 @@ _BS = 8
 FACTORS = (1, 2, 4, 8)
 
 
+#: djpeg-parity numerators for --scale M/8 (M > 8 = block-local upscale)
+M_RANGE = tuple(range(1, 17))
+
+
 def pool_matrix(f: int) -> np.ndarray:
     """(8/f, 8) box-average matrix: row i averages entries i*f .. i*f+f-1."""
     if f not in FACTORS:
@@ -67,68 +73,124 @@ def pool_matrix(f: int) -> np.ndarray:
     return p
 
 
-@functools.lru_cache(maxsize=32)
-def scaled_basis(f: int, transform: str = "haweel") -> np.ndarray:
-    """B = P @ T^T, the (8/f, 8) per-block synthesis basis (f=1: plain T^T)."""
+def area_matrix(m: int) -> np.ndarray:
+    """(m, 8) exact area-average matrix for an 8 -> m resample (M/8 scale).
+
+    Output pixel i covers the source interval [i*8/m, (i+1)*8/m); the
+    weight of source pixel j is its overlap length times m/8, so every
+    row sums to 1 (the property the level-shift commutation and the
+    B = P @ T^T factorization rely on — module docstring).  For m | 8
+    this IS pool_matrix(8/m) (integer window boundaries, same exact
+    binary-fraction weights); for other m the boundary pixels split
+    fractionally (exact area resampling, the transform-agnostic analog
+    of djpeg's scaled IDCT); for m > 8 windows are sub-pixel and the
+    matrix replicates/splits source pixels (m = 16 is exact 2x nearest
+    replication)."""
+    if m not in M_RANGE:
+        raise ValueError(f"scale numerator must be in 1..16, got {m}")
+    if _BS % m == 0:
+        return pool_matrix(_BS // m)
+    p = np.zeros((m, _BS), np.float64)
+    for i in range(m):
+        lo = i * _BS / m
+        hi = (i + 1) * _BS / m
+        for j in range(int(np.floor(lo)), min(int(np.ceil(hi)), _BS)):
+            p[i, j] = max(0.0, min(hi, j + 1) - max(lo, j))
+    return (p * (m / _BS)).astype(np.float32)
+
+
+@functools.lru_cache(maxsize=64)
+def scaled_basis_m(m: int, transform: str = "haweel") -> np.ndarray:
+    """B = P @ T^T, the (m, 8) per-block synthesis basis (m=8: plain T^T)."""
     t = get_transform(transform).t.astype(np.float64)
-    return (pool_matrix(f).astype(np.float64) @ t.T).astype(np.float32)
+    return (area_matrix(m).astype(np.float64) @ t.T).astype(np.float32)
 
 
-@functools.lru_cache(maxsize=32)
-def _lane_basis(f: int, transform: str = "haweel") -> np.ndarray:
-    """(16 * 8/f, 128) block-diagonal form for lane-width sweeps."""
+def scaled_basis(f: int, transform: str = "haweel") -> np.ndarray:
+    """Factor-f box form of :func:`scaled_basis_m` (f=1: plain T^T)."""
+    if f not in FACTORS:
+        raise ValueError(f"scale factor must be one of {FACTORS}, got {f}")
+    return scaled_basis_m(_BS // f, transform)
+
+
+@functools.lru_cache(maxsize=64)
+def _lane_basis(m: int, transform: str = "haweel") -> np.ndarray:
+    """(16 * m, 128) block-diagonal form for lane-width sweeps."""
     return np.kron(
-        np.eye(_LANE // _BS, dtype=np.float32), scaled_basis(f, transform)
+        np.eye(_LANE // _BS, dtype=np.float32), scaled_basis_m(m, transform)
     )
 
 
-def _col_sweep(x, f: int, transform: str):
-    """Contract the minor axis: (H, W) -> (H, W/f)."""
+def _col_sweep(x, m: int, transform: str):
+    """Contract the minor axis: (H, W) -> (H, W*m/8)."""
     h, w = x.shape
     if w % _LANE == 0:
-        bd = jnp.asarray(_lane_basis(f, transform), x.dtype)
+        bd = jnp.asarray(_lane_basis(m, transform), x.dtype)
         y = jnp.matmul(
             x.reshape(h * (w // _LANE), _LANE), bd.T, precision="highest"
         )
         return y.reshape(h, (w // _LANE) * bd.shape[0])
-    b = jnp.asarray(scaled_basis(f, transform), x.dtype)
+    b = jnp.asarray(scaled_basis_m(m, transform), x.dtype)
     g = x.reshape(h, w // _BS, _BS)
     y = jnp.einsum("abk,lk->abl", g, b, precision="highest")
     return y.reshape(h, (w // _BS) * b.shape[0])
 
 
-def _row_sweep(x, f: int, transform: str):
-    """Contract the major axis: (H, W) -> (H/f, W)."""
+def _row_sweep(x, m: int, transform: str):
+    """Contract the major axis: (H, W) -> (H*m/8, W)."""
     h, w = x.shape
     if h % _LANE == 0:
-        bd = jnp.asarray(_lane_basis(f, transform), x.dtype)
+        bd = jnp.asarray(_lane_basis(m, transform), x.dtype)
         y = jnp.einsum(
             "ij,ajw->aiw", bd, x.reshape(h // _LANE, _LANE, w),
             precision="highest",
         )
         return y.reshape((h // _LANE) * bd.shape[0], w)
-    b = jnp.asarray(scaled_basis(f, transform), x.dtype)
+    b = jnp.asarray(scaled_basis_m(m, transform), x.dtype)
     y = jnp.einsum(
         "ij,ajw->aiw", b, x.reshape(h // _BS, _BS, w), precision="highest"
     )
     return y.reshape((h // _BS) * b.shape[0], w)
 
 
-def scaled_idct2_blocks(
-    y, f_rows: int, f_cols: int, transform: str = "haweel"
+def scaled_idct2_blocks_m(
+    y, m_rows: int, m_cols: int, transform: str = "haweel"
 ):
     """Blockwise ``B_r @ Y_b @ B_c^T`` on an (H, W) DEQUANTIZED map.
 
     Returns the (H * m_r/8, W * m_c/8) level-SHIFTED reconstruction (no
-    +128); callers add the level shift (it commutes with pooling because
-    P's rows sum to 1 — see module docstring).
+    +128); callers add the level shift (it commutes with the resampling
+    because P's rows sum to 1 — see module docstring).
     """
     h, w = y.shape
     if h % _BS or w % _BS:
         raise ValueError(
             f"coefficient map {h}x{w} not divisible into 8x8 blocks"
         )
-    return _row_sweep(_col_sweep(y, f_cols, transform), f_rows, transform)
+    return _row_sweep(_col_sweep(y, m_cols, transform), m_rows, transform)
+
+
+def scaled_idct2_blocks(
+    y, f_rows: int, f_cols: int, transform: str = "haweel"
+):
+    """Integer-factor form of :func:`scaled_idct2_blocks_m` (f in 1,2,4,8)."""
+    return scaled_idct2_blocks_m(y, _BS // f_rows, _BS // f_cols, transform)
+
+
+def scaled_decode_m8(coeffs, cfg, m_rows: int, m_cols: int | None = None):
+    """Quantized (H, W) coefficient map -> (H*m/8, W*m/8) reconstruction.
+
+    The general M/8 scale (djpeg ``-scale M/8``, M = 1..16): exact
+    area-average (M < 8) / area-resample (M > 8) of the full decode,
+    computed directly in the transform domain with the rectangular basis
+    — the full image is never materialized.  M = 8 degenerates to the
+    plain full inverse.  ``m_cols`` overrides the column numerator for
+    anisotropic chroma scaling (models/color.py)."""
+    mc = m_rows if m_cols is None else m_cols
+    yd = dequantize(
+        jnp.asarray(coeffs, jnp.float32), cfg.q_scale, cfg.q_table
+    )
+    return level_unshift(scaled_idct2_blocks_m(yd, m_rows, mc, cfg.transform))
 
 
 def scaled_decode(coeffs, cfg, factor: int, f_cols: int | None = None):
@@ -142,10 +204,10 @@ def scaled_decode(coeffs, cfg, factor: int, f_cols: int | None = None):
     f32 summation order; quantize to uint8 with ops.transform.to_uint8.
     """
     fc = factor if f_cols is None else f_cols
-    yd = dequantize(
-        jnp.asarray(coeffs, jnp.float32), cfg.q_scale, cfg.q_table
-    )
-    return level_unshift(scaled_idct2_blocks(yd, factor, fc, cfg.transform))
+    if factor not in FACTORS or fc not in FACTORS:
+        raise ValueError(f"scale factors must be in {FACTORS}, got "
+                         f"({factor}, {fc}); use scaled_decode_m8 for M/8")
+    return scaled_decode_m8(coeffs, cfg, _BS // factor, _BS // fc)
 
 
 def scaled_shape(orig: int, f: int) -> int:
@@ -156,6 +218,11 @@ def scaled_shape(orig: int, f: int) -> int:
     image statistic, same as every block-codec edge).
     """
     return -(-orig // f)
+
+
+def scaled_shape_m8(orig: int, m: int) -> int:
+    """Output length of an M/8-scaled axis: ceil(orig * m / 8)."""
+    return -(-orig * m // _BS)
 
 
 @functools.lru_cache(maxsize=8)
@@ -230,6 +297,30 @@ def scaled_decode_u8(pipeline, coeffs_i8, cfg, factor: int,
     intermediate; this path's decode is at its MXU floor and the pool is
     traffic-bounded).  Requires the u8 decode geometry (h % 32,
     w % 128) and the factors to divide the dims; callers fall back to
-    scaled_decode otherwise (the gate in cli/_decode_stream)."""
-    rec = pipeline.decode_u8(jnp.asarray(coeffs_i8, jnp.int8), cfg)
-    return box_pool_u8(rec, factor, f_cols)
+    scaled_decode otherwise (the gate in cli/_decode_stream).
+
+    When the geometry allows (w % (128*fc) == 0 — callers pad to it) the
+    whole thing runs as ONE fused Pallas kernel
+    (kernels.hp_pallas.hp_scaled_decode_u8) that never stores the
+    full-size raster: 0.80/0.64 ms vs 2.69/1.91 ms composed at 8192²
+    f=2/f=8 (same-session slope A/B, benchmarks/scaled_ab.py), bit-exact
+    on the real chip; the composed decode_u8 + box_pool_u8 form is the
+    bit-identical fallback."""
+    import jax
+
+    from tpudct.kernels import hp_pallas
+
+    fc = factor if f_cols is None else f_cols
+    c = jnp.asarray(coeffs_i8, jnp.int8)
+    h, w = c.shape
+    interp = cfg.interpret or jax.default_backend() != "tpu"
+    if hp_pallas.supports_scaled_u8(
+        h, w, factor, fc, cfg.q_scale, cfg.transform, cfg.q_table
+    ):
+        return hp_pallas.hp_scaled_decode_u8(
+            c, factor, fc, q_scale=cfg.q_scale, q_table=cfg.q_table,
+            band_rows=cfg.band_rows, tile_cols=cfg.tile_cols,
+            interpret=interp, transform=cfg.transform,
+        )
+    rec = pipeline.decode_u8(c, cfg)
+    return box_pool_u8(rec, factor, fc)
