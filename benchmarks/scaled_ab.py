@@ -32,7 +32,11 @@ print(f"backend={jax.default_backend()}  coeffs {c.shape} {c.dtype}", flush=True
 
 
 def feedback(out, cin):
-    t = (jnp.sum(out).astype(jnp.int32) & 1).astype(jnp.int8)
+    # a tiny slice keeps the data dependence without adding a full-raster
+    # reduction the feedback-only baseline can't mirror (review finding:
+    # jnp.sum(out) added an unsubtracted ~64 MiB read to both arms); the
+    # pallas output / pool dots cannot be partially dead-code-eliminated
+    t = (jnp.sum(out[:8, :128]).astype(jnp.int32) & 1).astype(jnp.int8)
     return cin ^ t
 
 

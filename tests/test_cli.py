@@ -517,3 +517,41 @@ def test_decode_non_stream_gives_format_hint(tmp_path, capsys):
     assert rc != 0
     err = capsys.readouterr().err
     assert "not a .tdc/.tdcc stream" in err and "jpg" in err
+
+
+def test_unbatch_scale_bulk_thumbnails(tmp_path, rng, capsys):
+    """unbatch --scale: bulk M/8 thumbnailer (gray + color), matching the
+    single-file decode --scale output; resume is per-scale."""
+    src = tmp_path / "in"
+    mid = tmp_path / "tdc"
+    out = tmp_path / "th"
+    src.mkdir()
+    mid.mkdir()
+    imageio.save_image(src / "g.png", rng.integers(0, 256, (64, 96)).astype(np.uint8))
+    imageio.save_image(src / "c.png", rng.integers(0, 256, (64, 96, 3)).astype(np.uint8))
+    assert main(["encode", str(src / "g.png"), str(mid / "g.png.tdc")]) == 0
+    assert main(["encode", "--color", str(src / "c.png"), str(mid / "c.png.tdcc")]) == 0
+    capsys.readouterr()
+    assert main(["unbatch", "--scale", "1/2", "--ext", ".png",
+                 str(mid), str(out)]) == 0
+    rep = json.loads(capsys.readouterr().out.strip())
+    assert rep["decoded"] == 2 and rep["failed"] == 0
+    g = imageio.load_image(out / "g.png.tdc.png")
+    c = imageio.load_image(out / "c.png.tdcc.png", force_gray=False)
+    assert g.shape == (32, 48) and c.shape == (32, 48, 3)
+    single = tmp_path / "single.png"
+    assert main(["decode", "--scale", "1/2", str(mid / "g.png.tdc"), str(single)]) == 0
+    np.testing.assert_array_equal(g, imageio.load_image(single))
+    # re-run same scale: skipped; different scale: decodes again
+    assert main(["unbatch", "--scale", "1/2", "--ext", ".png",
+                 str(mid), str(out)]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["decoded"] == 0 and rep["skipped"] == 2
+    assert main(["unbatch", "--scale", "3/8", "--ext", ".png",
+                 str(mid), str(out)]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["decoded"] == 2
+    assert imageio.load_image(out / "g.png.tdc.png").shape == (24, 36)
+    # --scale does not combine with --transcode
+    with pytest.raises(SystemExit):
+        main(["unbatch", "--scale", "1/2", "--transcode", str(mid), str(out)])

@@ -549,3 +549,53 @@ def test_cli_scale_pads_to_fused_geometry(tmp_path):
     cmin, _ = pad_coeffs_to_kernel(jnp.asarray(coeffs, jnp.int8), 32, 128)
     ref = np.asarray(to_uint8(box_pool_u8(p.decode_u8(cmin, cfg), 4)))[:75, :75]
     np.testing.assert_array_equal(rec, ref)
+
+
+def test_fused_scaled_kernel_custom_geometry(rng):
+    """User band_rows/tile_cols below the pool alignment must land on the
+    minimal valid tiles, not crash (review: the shrink loops underflowed
+    to a modulo-by-zero)."""
+    import jax.numpy as jnp
+
+    from tpudct import CodecConfig, get_pipeline
+    from tpudct.kernels import hp_pallas
+    from tpudct.ops.scaled import box_pool_u8, scaled_decode_u8
+
+    p = get_pipeline("hp")
+    img = rng.integers(0, 256, (64, 2048), dtype=np.uint8)
+    c = p.encode_u8(jnp.asarray(img), CodecConfig())
+    for cfg in (
+        CodecConfig(tile_cols=512, interpret=True),
+        CodecConfig(band_rows=32, interpret=True),
+        CodecConfig(band_rows=32, tile_cols=256, interpret=True),
+    ):
+        fused = np.asarray(scaled_decode_u8(p, c, cfg, 8))
+        composed = np.asarray(box_pool_u8(p.decode_u8(c, cfg), 8, 8))
+        np.testing.assert_array_equal(fused, composed)
+
+
+def test_scaled_u8_honors_decode_precision(rng):
+    """Non-butterfly decode_precision must bypass the fused kernel (it
+    hardwires the butterfly inverse) and stay bit-identical to the
+    composed decode_u8 + pool under the SAME config."""
+    import jax.numpy as jnp
+
+    from tpudct import CodecConfig, get_pipeline
+    from tpudct.kernels import hp_pallas
+    from tpudct.ops.scaled import box_pool_u8, scaled_decode_u8
+
+    p = get_pipeline("hp")
+    img = rng.integers(0, 256, (64, 512), dtype=np.uint8)
+    for prec in ("high", "highest"):
+        cfg = CodecConfig(decode_precision=prec, interpret=True)
+        c = p.encode_u8(jnp.asarray(img), cfg)
+        orig = hp_pallas.hp_scaled_decode_u8
+        hp_pallas.hp_scaled_decode_u8 = lambda *a, **k: (_ for _ in ()).throw(
+            AssertionError("fused kernel must not engage at non-butterfly precision")
+        )
+        try:
+            got = np.asarray(scaled_decode_u8(p, c, cfg, 2))
+        finally:
+            hp_pallas.hp_scaled_decode_u8 = orig
+        ref = np.asarray(box_pool_u8(p.decode_u8(c, cfg), 2, 2))
+        np.testing.assert_array_equal(got, ref)

@@ -330,10 +330,6 @@ def _decode_stream(args, path: str, shown: "str | None" = None) -> int:
         # contract; integer 8/M rides the fused u8 kernels).
         if args.planes is not None or args.rows is not None or args.preview:
             raise ValueError("--scale does not combine with --planes/--rows/--preview")
-        from tpudct.ops.scaled import (
-            scaled_decode, scaled_decode_m8, scaled_shape, scaled_shape_m8,
-        )
-
         m = _parse_scale(args.scale)
         fac = 8 // m if 8 % m == 0 else None
         if serialize.is_color_stream(head):
@@ -346,52 +342,18 @@ def _decode_stream(args, path: str, shown: "str | None" = None) -> int:
                 m=None if fac else m,
             )
             imageio.save_image(args.output, np.asarray(rec), quality=args.quality)
-        elif fac is None:
-            coeffs, q_scale, _k, (h, w), transform, q_table = serialize.load_coefficients(
-                path, with_orig_shape=True, with_transform=True, with_q_table=True,
-            )
-            cfg = CodecConfig(q_scale=q_scale, transform=transform, q_table=q_table)
-            rec = scaled_decode_m8(jnp.asarray(coeffs), cfg, m)
-            rec_u8 = np.asarray(to_uint8(rec))[
-                : scaled_shape_m8(h, m), : scaled_shape_m8(w, m)
-            ]
-            imageio.save_image(args.output, rec_u8, quality=args.quality)
         else:
             coeffs, q_scale, _k, (h, w), transform, q_table = serialize.load_coefficients(
                 path, with_orig_shape=True, with_transform=True, with_q_table=True,
             )
             cfg = CodecConfig(q_scale=q_scale, transform=transform, q_table=q_table)
-            # fast path: ONE fused Pallas kernel (decode + exact integer
-            # box pool; 3.0-3.4x the composed form at 8192², bit-exact —
-            # benchmarks/scaled_ab.py); einsum path otherwise.  Padding to
-            # (8·f, 128·f) multiples makes every stream eligible for the
-            # fused kernel's lane-group geometry (zero blocks decode to
-            # the level shift and pooled windows inside the crop never
-            # reach them — ops/padding.py).
-            from tpudct.kernels import hp_pallas
-            from tpudct.ops.padding import kernel_padded_shape, pad_coeffs_to_kernel
+            # one shared scaled-dispatch gate (models/dispatch.py): fused
+            # kernel / composed u8 / einsum area-resample as eligible
+            from tpudct.models.dispatch import decode_gray_scaled_auto
 
-            ra, la = max(32, 8 * fac), 128 * fac
-            p = get_pipeline(args.pipeline)
-            if (
-                hasattr(p, "decode_u8")
-                and hp_pallas.supports_u8(
-                    *kernel_padded_shape(*coeffs.shape, ra, la),
-                    q_scale, transform, q_table,
-                )
-                and serialize._abs_bound(coeffs) <= 127
-            ):
-                from tpudct.ops.scaled import scaled_decode_u8
-
-                cpad, _ = pad_coeffs_to_kernel(
-                    jnp.asarray(coeffs, jnp.int8), ra, la
-                )
-                rec = scaled_decode_u8(p, cpad, cfg, fac)
-            else:
-                rec = scaled_decode(jnp.asarray(coeffs), cfg, fac)
-            rec_u8 = np.asarray(to_uint8(rec))[
-                : scaled_shape(h, fac), : scaled_shape(w, fac)
-            ]
+            rec_u8 = decode_gray_scaled_auto(
+                get_pipeline(args.pipeline), coeffs, cfg, (h, w), m
+            )
             imageio.save_image(args.output, rec_u8, quality=args.quality)
         print(f"decoded {shown} at {m}/8 scale -> {args.output}")
         return 0
@@ -664,6 +626,7 @@ def cmd_unbatch(args) -> int:
             f"error: --ext {args.ext!r} not supported; use one of "
             f"{sorted(imageio.SUPPORTED_EXTS)}"
         )
+    m_scale = _parse_scale(args.scale) if args.scale is not None else None
     src = pathlib.Path(args.input_dir)
     dst = pathlib.Path(args.output_dir)
     dst.mkdir(parents=True, exist_ok=True)
@@ -673,15 +636,16 @@ def cmd_unbatch(args) -> int:
         for line in manifest.read_text().splitlines():
             try:
                 rec = json.loads(line)
-                # Resume is PER OUTPUT FORMAT: a re-run with a different
-                # --ext must decode again.  Stream-intrinsic error records
-                # stay done (a corrupt stream is corrupt in every format)
-                # but I/O-class failures (disk full, NFS hiccup) retry.
+                # Resume is PER OUTPUT FORMAT and PER SCALE: a re-run with
+                # a different --ext or --scale must decode again.  Stream-
+                # intrinsic error records stay done (a corrupt stream is
+                # corrupt in every format) but I/O-class failures (disk
+                # full, NFS hiccup) retry.
                 out_name = rec.get("out", rec.get("jpg", ""))  # "jpg": legacy key
                 if "error" in rec:
                     if rec.get("error_kind", "stream") != "io":
                         done.add(rec["file"])
-                elif out_name.lower().endswith(ext):
+                elif out_name.lower().endswith(ext) and rec.get("scale") == m_scale:
                     done.add(rec["file"])
             except (json.JSONDecodeError, KeyError):
                 continue
@@ -698,6 +662,11 @@ def cmd_unbatch(args) -> int:
             "output JPEG's entropy stage losslessly; they need --transcode "
             "(the plain decode path re-encodes pixels, where only "
             "--quality applies)"
+        )
+    if m_scale is not None and args.transcode:
+        raise SystemExit(
+            "error: --scale decodes pixels; it does not combine with the "
+            "lossless --transcode export"
         )
     files = sorted(
         q.name for q in src.iterdir() if q.suffix.lower() in (".tdc", ".tdcc")
@@ -770,14 +739,21 @@ def cmd_unbatch(args) -> int:
             try:
                 data = (src / name).read_bytes()
                 if serialize.is_color_stream(data[:4]):
-                    from tpudct.models.color import decode_color_auto
-
                     planes, meta = serialize.bytes_to_color(data)
-                    rec = np.asarray(decode_color_auto(
-                        p, planes, meta,
-                        CodecConfig(q_scale=meta["q_scale"],
-                                    transform=meta["transform"]),
-                    ))
+                    ccfg = CodecConfig(q_scale=meta["q_scale"],
+                                       transform=meta["transform"])
+                    if m_scale is not None:
+                        from tpudct.models.color import decode_color_scaled
+
+                        fac = 8 // m_scale if 8 % m_scale == 0 else None
+                        rec = np.asarray(decode_color_scaled(
+                            p, planes, meta, ccfg, fac,
+                            m=None if fac else m_scale,
+                        ))
+                    else:
+                        from tpudct.models.color import decode_color_auto
+
+                        rec = np.asarray(decode_color_auto(p, planes, meta, ccfg))
                 else:
                     coeffs, q_scale, _k, (h, w), transform, q_table = (
                         serialize.bytes_to_coefficients(
@@ -787,10 +763,17 @@ def cmd_unbatch(args) -> int:
                     )
                     cfg = CodecConfig(q_scale=q_scale, transform=transform,
                                       q_table=q_table)
-                    # shared gate: u8 fused decode whenever eligible
-                    from tpudct.models.dispatch import decode_gray_auto
+                    # shared gates: fused u8 (full) / fused scaled kernel
+                    if m_scale is not None:
+                        from tpudct.models.dispatch import decode_gray_scaled_auto
 
-                    rec = decode_gray_auto(p, coeffs, cfg, (h, w))
+                        rec = decode_gray_scaled_auto(
+                            p, coeffs, cfg, (h, w), m_scale
+                        )
+                    else:
+                        from tpudct.models.dispatch import decode_gray_auto
+
+                        rec = decode_gray_auto(p, coeffs, cfg, (h, w))
                 imageio.save_image(out, rec, quality=args.quality)
             except (ValueError, OSError) as e:
                 # One corrupt stream must not abort the job (same recovery
@@ -802,9 +785,10 @@ def cmd_unbatch(args) -> int:
                 mf.flush()
                 failed += 1
                 continue
-            mf.write(json.dumps(
-                {"file": name, "out": out.name, "shape": list(rec.shape)}
-            ) + "\n")
+            done_rec = {"file": name, "out": out.name, "shape": list(rec.shape)}
+            if m_scale is not None:
+                done_rec["scale"] = m_scale
+            mf.write(json.dumps(done_rec) + "\n")
             mf.flush()
             decoded += 1
     print(json.dumps({
@@ -1534,6 +1518,8 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--quality", type=int, default=100)
     sp.add_argument("--ext", default=".jpg",
                     help="output extension: .jpg (default, quality applies) or a lossless format like .png")
+    sp.add_argument("--scale", default=None, metavar="M/8",
+                    help="bulk thumbnailer: decode every stream at M/8 scale (M in 1..16; integer 8/M rides the fused scaled kernel — see decode --scale)")
     sp.add_argument("--transcode", action="store_true",
                     help="lossless export: entropy-encode transform=dct streams straight back to .jpg (inverse of `batch --transcode`)")
     sp.add_argument("--optimize", action="store_true",

@@ -712,10 +712,10 @@ def hp_roundtrip_u8(
 #
 # decode --scale thumbnails gigapixel mosaics; the XLA composition
 # (hp_decode_u8 + ops.scaled.box_pool_u8) pays a full-size u8 store + reload
-# + a bf16 re-materialization — measured 2.69/1.91 ms at 8192² (f=2/f=8,
+# + a bf16 re-materialization — measured 2.76/1.96 ms at 8192² (f=2/f=8,
 # slope protocol, benchmarks/scaled_ab.py).  Fusing the pool into the decode
-# kernel stores only the (H/f, W/f) raster: 0.80/0.64 ms same-session —
-# 3.0-3.4x — and bit-exact vs the composed form on the real chip.  Contract
+# kernel stores only the (H/f, W/f) raster: 0.72/0.65 ms same-session —
+# 3.0-3.8x — and bit-exact vs the composed form on the real chip.  Contract
 # = ops.scaled.scaled_decode_u8's: the box average of the CLAMPED,
 # C-TRUNCATED full decode.
 
@@ -771,6 +771,15 @@ def _k_scaled_decode_u8_bf(c_ref, s_ref, t_ref, w_ref, pl_ref, pr_ref, o_ref,
     o_ref[:] = s * jnp.float32(1.0 / (fr * fc))
 
 
+def scaled_pad_align(fr: int, fc: int) -> tuple:
+    """(row, lane) padding multiples that make any coefficient map satisfy
+    :func:`supports_scaled_u8` at factors (fr, fc) — the single source of
+    truth for the CLI/color pad-to-fused-geometry callers (zero blocks
+    decode to the level shift; pooled windows inside the crop never reach
+    them — ops/padding.py)."""
+    return max(32, 8 * fr), LANE * fc
+
+
 def supports_scaled_u8(
     h: int, w: int, fr: int, fc: int, q_scale: float = 1.0,
     transform: str = "haweel", q_table: str = "luma",
@@ -813,16 +822,21 @@ def hp_scaled_decode_u8(
         )
     band_rows, tile_cols = _resolve_geom(band_rows, tile_cols, _U8_GEOM)
     br, tc = _geometry(h, w, band_rows, tile_cols, row_align=32)
-    while tc % (LANE * fc) or w % tc:
+    # Shrink the resolved geometry to the pool alignments (tiles must hold
+    # whole 128*fc lane groups / 8*fr row windows).  The gate above
+    # guarantees the minimal tiles (LANE*fc, lcm(32, 8*fr)) always fit, so
+    # the searches bottom out there instead of underflowing (a user
+    # tile_cols/band_rows below the alignment lands on the minimum).
+    t_lo, b_lo = LANE * fc, max(32, 8 * fr)
+    while tc > t_lo and (tc % t_lo or w % tc):
         tc -= LANE
-    if tc < LANE * fc:
-        tc = LANE * fc
-    while br % (8 * fr) or h % br:
+    if tc <= t_lo or tc % t_lo or w % tc:
+        tc = t_lo
+    while br > b_lo and (br % (8 * fr) or h % br):
         br -= 32
-    if br < 8 * fr or h % br:
-        raise ValueError(
-            f"no valid band geometry for {h} rows at fr={fr}"
-        )
+    if br <= b_lo or br % (8 * fr) or h % br:
+        br = b_lo
+    assert w % tc == 0 and h % br == 0  # supports_scaled_u8 guarantees
     qdd, bdts_l, wts = _consts_bf(br, q_scale, transform, q_table)
     pl_m = _pool_lane_group(fc)
     pr_m = _pool_sublane(br, fr)

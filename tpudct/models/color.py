@@ -216,8 +216,10 @@ def decode_color_scaled(
     # reach them).  Gate mirrors the gray CLI path; any ineligible plane
     # drops the WHOLE stream to the f32 sweeps so the planes stay
     # consistent.
-    y_al = (max(32, 8 * factor), 128 * factor)
-    c_al = (max(32, 8 * f_r), 128 * f_c)
+    from tpudct.kernels.hp_pallas import scaled_pad_align
+
+    y_al = scaled_pad_align(factor, factor)
+    c_al = scaled_pad_align(f_r, f_c)
 
     def _u8_ok(plane, pcfg, al):
         from tpudct.kernels import hp_pallas

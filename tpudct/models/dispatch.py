@@ -156,6 +156,50 @@ def decode_gray_auto(p: Pipeline, coeffs, cfg: CodecConfig, orig_shape) -> np.nd
     return np.asarray(to_uint8(p.idct(jnp.asarray(coeffs), cfg)))[:h, :w]
 
 
+def decode_gray_scaled_auto(
+    p: Pipeline, coeffs, cfg: CodecConfig, orig_shape, m: int
+) -> np.ndarray:
+    """M/8 fractional-scale decode of a quantized map -> cropped uint8.
+
+    The scaled twin of :func:`decode_gray_auto` and the ONE copy of the
+    scaled dispatch (CLI `decode --scale` and `unbatch --scale` share it):
+    integer 8/M factors pad to hp_pallas.scaled_pad_align and ride
+    ops.scaled.scaled_decode_u8 (the fused kernel, or its bit-identical
+    composed fallback — 3.0-3.4x the composed XLA form at 8192²,
+    benchmarks/scaled_ab.py); M = 8 is the plain full decode; other
+    numerators take the exact area-resample einsum (scaled_decode_m8).
+    """
+    from tpudct.kernels import hp_pallas
+    from tpudct.ops.scaled import (
+        scaled_decode, scaled_decode_m8, scaled_decode_u8, scaled_shape_m8,
+    )
+    from tpudct.utils.serialize import _abs_bound
+
+    h, w = orig_shape
+    if m == 8:
+        return decode_gray_auto(p, coeffs, cfg, orig_shape)
+    hs, ws = scaled_shape_m8(h, m), scaled_shape_m8(w, m)
+    if 8 % m:
+        rec = scaled_decode_m8(jnp.asarray(coeffs), cfg, m)
+        return np.asarray(to_uint8(rec))[:hs, :ws]
+    fac = 8 // m
+    hc, wc = np.shape(coeffs)
+    ra, la = hp_pallas.scaled_pad_align(fac, fac)
+    if (
+        hasattr(p, "decode_u8")
+        and hp_pallas.supports_u8(
+            *kernel_padded_shape(hc, wc, ra, la),
+            cfg.q_scale, cfg.transform, cfg.q_table,
+        )
+        and _abs_bound(np.asarray(coeffs)) <= 127
+    ):
+        cpad, _ = pad_coeffs_to_kernel(jnp.asarray(coeffs, jnp.int8), ra, la)
+        rec = scaled_decode_u8(p, cpad, cfg, fac)
+    else:
+        rec = scaled_decode(jnp.asarray(coeffs), cfg, fac)
+    return np.asarray(to_uint8(rec))[:hs, :ws]
+
+
 def roundtrip_gray_jax(p: Pipeline, img, cfg: CodecConfig):
     """Jit-traceable core of :func:`roundtrip_gray_auto`: the path choice
     reads only static metadata (shape/dtype), so the whole thing traces.

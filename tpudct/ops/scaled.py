@@ -302,7 +302,7 @@ def scaled_decode_u8(pipeline, coeffs_i8, cfg, factor: int,
     When the geometry allows (w % (128*fc) == 0 — callers pad to it) the
     whole thing runs as ONE fused Pallas kernel
     (kernels.hp_pallas.hp_scaled_decode_u8) that never stores the
-    full-size raster: 0.80/0.64 ms vs 2.69/1.91 ms composed at 8192²
+    full-size raster: 0.72/0.65 ms vs 2.76/1.96 ms composed at 8192²
     f=2/f=8 (same-session slope A/B, benchmarks/scaled_ab.py), bit-exact
     on the real chip; the composed decode_u8 + box_pool_u8 form is the
     bit-identical fallback."""
@@ -314,7 +314,16 @@ def scaled_decode_u8(pipeline, coeffs_i8, cfg, factor: int,
     c = jnp.asarray(coeffs_i8, jnp.int8)
     h, w = c.shape
     interp = cfg.interpret or jax.default_backend() != "tpu"
-    if hp_pallas.supports_scaled_u8(
+    # the fused kernel hardwires the butterfly inverse; any other
+    # EFFECTIVE decode_precision (models.hp_appr._decode_prec: butterfly
+    # needs the transform's integer core, else it falls back to
+    # "highest") must compose with decode_u8 (which honors it) so the
+    # two forms stay bit-identical under EVERY config
+    eff_butterfly = (
+        cfg.decode_precision == "butterfly"
+        and get_transform(cfg.transform).has_integer_core
+    )
+    if eff_butterfly and hp_pallas.supports_scaled_u8(
         h, w, factor, fc, cfg.q_scale, cfg.transform, cfg.q_table
     ):
         return hp_pallas.hp_scaled_decode_u8(
