@@ -599,3 +599,22 @@ def test_scaled_u8_honors_decode_precision(rng):
             hp_pallas.hp_scaled_decode_u8 = orig
         ref = np.asarray(box_pool_u8(p.decode_u8(c, cfg), 2, 2))
         np.testing.assert_array_equal(got, ref)
+
+
+def test_cli_scale_eight_eighths_is_full_decode(rng, tmp_path):
+    """--scale 8/8 (and alias 1/1) is the plain full decode."""
+    from tpudct.cli import main
+    from tpudct.utils import imageio
+
+    img = rng.integers(0, 256, (40, 72)).astype(np.uint8)
+    src = tmp_path / "in.png"
+    imageio.save_image(src, img)
+    tdc = tmp_path / "c.tdc"
+    assert main(["encode", str(src), str(tdc)]) == 0
+    full = tmp_path / "full.png"
+    scaled = tmp_path / "s88.png"
+    assert main(["decode", str(tdc), str(full)]) == 0
+    assert main(["decode", "--scale", "8/8", str(tdc), str(scaled)]) == 0
+    np.testing.assert_array_equal(
+        imageio.load_image(full), imageio.load_image(scaled)
+    )

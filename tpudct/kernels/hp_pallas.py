@@ -759,15 +759,26 @@ def _k_scaled_decode_u8_bf(c_ref, s_ref, t_ref, w_ref, pl_ref, pr_ref, o_ref,
     else:
         s = xi
     if fr > 1:
-        # sublane pool: 0/1 matrix from the left; the f32 sums (<= 255*fc)
-        # split exactly into three bf16 digits, so three dots stay exact
+        # sublane pool: 0/1 matrix from the left.  The operand is exact
+        # INTEGER f32 (<= 255*fc <= 2040 < 2^11), so it splits into base-256
+        # digits that are individually bf16-exact: hi <= 7 and lo <= 255
+        # both fit bf16's 8 mantissa bits — 2 dots, not the generic f32
+        # 3-digit split (and at fc == 1 the values are already <= 255, ONE
+        # bf16-exact dot).  Each dot accumulates in f32 against 0/1
+        # weights, so the pooled sums stay exact.
         pr = pr_ref[:].astype(jnp.bfloat16)
-        s1, s2, s3 = _split3_bf16(s)
         d = lambda a: jax.lax.dot_general(
             pr, a, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        s = d(s1) + d(s2) + d(s3)
+        if fc == 1:
+            s = d(s.astype(jnp.bfloat16))
+        else:
+            hi = jnp.floor(s * jnp.float32(1.0 / 256.0))
+            lo = s - hi * jnp.float32(256.0)
+            s = d(hi.astype(jnp.bfloat16)) * jnp.float32(256.0) + d(
+                lo.astype(jnp.bfloat16)
+            )
     o_ref[:] = s * jnp.float32(1.0 / (fr * fc))
 
 
