@@ -555,3 +555,32 @@ def test_unbatch_scale_bulk_thumbnails(tmp_path, rng, capsys):
     # --scale does not combine with --transcode
     with pytest.raises(SystemExit):
         main(["unbatch", "--scale", "1/2", "--transcode", str(mid), str(out)])
+
+
+def test_decode_grayscale_color_stream(tmp_path, rng, capsys):
+    """decode --grayscale (djpeg -grayscale): luma-only decode of a .tdcc,
+    identical to decoding the stream after a lossless edit --grayscale
+    chroma drop (to_grayscale keeps the luma plane verbatim); composes
+    with --scale."""
+    rgb = rng.integers(0, 256, (48, 80, 3)).astype(np.uint8)
+    src = tmp_path / "in.png"
+    imageio.save_image(src, rgb)
+    tdcc = tmp_path / "c.tdcc"
+    assert main(["encode", "--color", str(src), str(tdcc)]) == 0
+    g1 = tmp_path / "g1.png"
+    assert main(["decode", "--grayscale", str(tdcc), str(g1)]) == 0
+    a = imageio.load_image(g1)
+    assert a.shape == (48, 80)
+    # cross-feature invariant vs the jpegtran-parity chroma drop
+    tdc = tmp_path / "g.tdc"
+    assert main(["edit", "--grayscale", str(tdcc), str(tdc)]) == 0
+    g2 = tmp_path / "g2.png"
+    assert main(["decode", str(tdc), str(g2)]) == 0
+    np.testing.assert_array_equal(a, imageio.load_image(g2))
+    # --scale composition
+    gh = tmp_path / "gh.png"
+    assert main(["decode", "--grayscale", "--scale", "1/2", str(tdcc), str(gh)]) == 0
+    assert imageio.load_image(gh).shape == (24, 40)
+    gm = tmp_path / "gm.png"
+    assert main(["decode", "--grayscale", "--scale", "3/8", str(tdcc), str(gm)]) == 0
+    assert imageio.load_image(gm).shape == (18, 30)

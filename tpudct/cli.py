@@ -333,14 +333,24 @@ def _decode_stream(args, path: str, shown: "str | None" = None) -> int:
         m = _parse_scale(args.scale)
         fac = 8 // m if 8 % m == 0 else None
         if serialize.is_color_stream(head):
-            from tpudct.models.color import decode_color_scaled
+            from tpudct.models.color import _luma_cfg, decode_color_scaled
 
             planes, meta = serialize.load_color(path)
             cfg = CodecConfig(q_scale=meta["q_scale"], transform=meta["transform"])
-            rec = decode_color_scaled(
-                get_pipeline(args.pipeline), planes, meta, cfg, fac,
-                m=None if fac else m,
-            )
+            if args.grayscale:
+                # djpeg -grayscale -scale: luma-only, chroma never decodes
+                from tpudct.models.dispatch import decode_gray_scaled_auto
+
+                rec = decode_gray_scaled_auto(
+                    get_pipeline(args.pipeline), planes["y"],
+                    _luma_cfg(cfg, meta.get("y_q_table", "luma")),
+                    meta["orig_shape"], m,
+                )
+            else:
+                rec = decode_color_scaled(
+                    get_pipeline(args.pipeline), planes, meta, cfg, fac,
+                    m=None if fac else m,
+                )
             imageio.save_image(args.output, np.asarray(rec), quality=args.quality)
         else:
             coeffs, q_scale, _k, (h, w), transform, q_table = serialize.load_coefficients(
@@ -451,6 +461,20 @@ def _decode_stream(args, path: str, shown: "str | None" = None) -> int:
             ))[a - a0 : bnd - a0]
             imageio.save_image(args.output, rec, quality=args.quality)
             print(f"decoded rows {a}:{bnd} of {shown} (color) -> {args.output}")
+            return 0
+        if args.grayscale:
+            # djpeg -grayscale: decode ONLY the luma plane through the
+            # gray fast path — the chroma planes never touch the device
+            from tpudct.models.color import _luma_cfg
+            from tpudct.models.dispatch import decode_gray_auto
+
+            rec_u8 = decode_gray_auto(
+                get_pipeline(args.pipeline), planes["y"],
+                _luma_cfg(cfg, meta.get("y_q_table", "luma")),
+                meta["orig_shape"],
+            )
+            imageio.save_image(args.output, rec_u8, quality=args.quality)
+            print(f"decoded {shown} (luma only) -> {args.output}")
             return 0
         rec = decode_color_auto(get_pipeline(args.pipeline), planes, meta, cfg)
         imageio.save_image(args.output, np.asarray(rec), quality=args.quality)
@@ -1457,6 +1481,8 @@ def build_parser() -> argparse.ArgumentParser:
                     help="region decode: only image rows A:B (blocks are independent, so only covering block rows transform)")
     sp.add_argument("--scale", default=None, metavar="M/8",
                     help="fractional-scale decode (djpeg -scale): reconstruct straight to ceil(H*M/8) x ceil(W*M/8) for M in 1..16 (aliases 1/2, 1/4, 1/8, 3/4, 3/2, 2/1 accepted) — the exact area-resample of the full decode, never materializing the full image (gray and color; subsampled-chroma color caps at M<=8)")
+    sp.add_argument("--grayscale", action="store_true",
+                    help="decode a color stream luma-only (djpeg -grayscale): the chroma planes never decode; composes with --scale")
     sp.add_argument("input")
     sp.add_argument("output")
     sp.set_defaults(fn=cmd_decode)
