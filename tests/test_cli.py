@@ -584,3 +584,28 @@ def test_decode_grayscale_color_stream(tmp_path, rng, capsys):
     gm = tmp_path / "gm.png"
     assert main(["decode", "--grayscale", "--scale", "3/8", str(tdcc), str(gm)]) == 0
     assert imageio.load_image(gm).shape == (18, 30)
+
+
+def test_batch_unbatch_mixed_sizes_match_single(tmp_path, rng, capsys):
+    """Bulk stacked dispatch (one launch per same-width group) must be
+    invisible: batch -> unbatch --ext .png across mixed/ragged sizes gives
+    exactly the pixels of the single-file encode+decode commands."""
+    src = tmp_path / "in"
+    mid = tmp_path / "tdc"
+    out = tmp_path / "png"
+    src.mkdir()
+    shapes = {"a.png": (100, 300), "b.png": (97, 300), "c.png": (40, 44),
+              "d.png": (100, 300)}
+    for name, s in shapes.items():
+        imageio.save_image(src / name, rng.integers(0, 256, s).astype(np.uint8))
+    assert main(["batch", str(src), str(mid)]) == 0
+    assert main(["unbatch", "--ext", ".png", str(mid), str(out)]) == 0
+    capsys.readouterr()
+    for name, s in shapes.items():
+        got = imageio.load_image(out / (name + ".tdc.png"))
+        assert got.shape == s
+        single_t = tmp_path / (name + ".single.tdc")
+        single_p = tmp_path / (name + ".single.png")
+        assert main(["encode", str(src / name), str(single_t)]) == 0
+        assert main(["decode", str(single_t), str(single_p)]) == 0
+        np.testing.assert_array_equal(got, imageio.load_image(single_p))

@@ -820,3 +820,64 @@ def test_u8_kernels_422_444_match_utils_class():
     assert np.abs(np.asarray(m4).astype(int) - np.asarray(x).astype(int)).max() <= 2
     m2 = color_pallas.color_merge_422_u8(y2, cb2, cr2, interpret=True)
     assert m2.shape == x.shape
+
+
+# ---- stacked bulk dispatch (color) -----------------------------------------
+
+
+def test_color_batch_encode_decode_bit_identical(rng):
+    """encode/decode_color_batch_auto == per-frame auto helpers, bitwise,
+    across mixed/ragged sizes, all chroma modes, and a float frame that
+    falls back per-frame."""
+    import numpy as np
+
+    from tpudct.models.color import (
+        decode_color_auto,
+        decode_color_batch_auto,
+        encode_color_auto,
+        encode_color_batch_auto,
+    )
+
+    p = get_pipeline("hp")
+    cfg = CodecConfig()
+    shapes = [(100, 300), (97, 300), (64, 128), (100, 300)]
+    rgbs = [rng.integers(0, 256, (*s, 3)).astype(np.uint8) for s in shapes]
+    rgbs.append(rng.integers(0, 256, (40, 200, 3)).astype(np.float32))
+    for mode in ("420", "422", False):
+        got = encode_color_batch_auto(p, rgbs, cfg, subsample=mode)
+        for rgb, (planes, meta) in zip(rgbs, got):
+            p1, m1 = encode_color_auto(p, rgb, cfg, subsample=mode)
+            assert m1["orig_shape"] == meta["orig_shape"]
+            for k in ("y", "cb", "cr"):
+                np.testing.assert_array_equal(
+                    np.asarray(p1[k]), np.asarray(planes[k]))
+        items = [(planes, meta, cfg) for planes, meta in got]
+        dec = decode_color_batch_auto(p, items)
+        for (planes, meta, icfg), r in zip(items, dec):
+            np.testing.assert_array_equal(
+                np.asarray(decode_color_auto(p, planes, meta, icfg)), r)
+
+
+def test_color_batch_single_split_dispatch(rng, monkeypatch):
+    """Same-width u8 frames must produce exactly ONE luma encode_u8 call
+    (the whole chunk stacks)."""
+    import numpy as np
+
+    from tpudct.models import color as mcolor
+
+    p = get_pipeline("hp")
+    cfg = CodecConfig()
+    rgbs = [rng.integers(0, 256, (40 + 8 * i, 250, 3), dtype=np.uint8)
+            for i in range(3)]
+    calls = []
+    orig = p.encode_u8
+    monkeypatch.setattr(
+        type(p), "encode_u8",
+        lambda self, x, c: calls.append((x.shape, c.q_table)) or orig(x, c),
+    )
+    mcolor.encode_color_batch_auto(p, rgbs, cfg)
+    # one luma launch + one stacked-chroma launch for the whole chunk
+    assert len(calls) == 2
+    assert {qt for _, qt in calls} == {"luma", "chroma"}
+    total_hk = sum(-(-(40 + 8 * i) // 64) * 64 for i in range(3))
+    assert calls[0][0] == (total_hk, 256)

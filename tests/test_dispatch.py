@@ -199,3 +199,86 @@ def test_roundtrip_padded_traceable_and_dtype_preserving(rng):
     # assert no crash and correct shapes for the general path)
     c2, r2 = p.roundtrip_padded(jnp.asarray(img), CFG)
     np.testing.assert_array_equal(np.asarray(r), np.asarray(r2))
+
+
+# ---- stacked bulk dispatch (batch/unbatch ride ONE launch per chunk) --------
+
+
+def test_stacked_encode_bit_identical(rng):
+    """encode_gray_batch_auto == per-image encode_gray_auto, bitwise, across
+    mixed sizes, mixed widths (separate stacking groups), duplicate shapes,
+    and a float image that demotes to the f32 path."""
+    from tpudct.models.dispatch import encode_gray_batch_auto
+
+    p = get_pipeline("hp")
+    shapes = [(100, 300), (97, 300), (40, 40), (64, 128), (100, 300)]
+    imgs = [rng.integers(0, 256, s).astype(np.uint8) for s in shapes]
+    imgs.append(rng.normal(128.0, 40.0, (120, 200)).astype(np.float32))
+    got = encode_gray_batch_auto(p, imgs, CFG)
+    for img, (c, hw) in zip(imgs, got):
+        c1, hw1 = encode_gray_auto(p, img, CFG)
+        assert hw == hw1
+        np.testing.assert_array_equal(np.asarray(c1), c)
+
+
+def test_stacked_decode_bit_identical(rng):
+    """decode_gray_batch_auto == per-stream decode_gray_auto, including a
+    stream with a different config (its own stacking group) and a non-u8
+    (f32-valued) coefficient map."""
+    from tpudct.models.dispatch import (
+        decode_gray_batch_auto, encode_gray_batch_auto)
+
+    p = get_pipeline("hp")
+    imgs = [rng.integers(0, 256, s).astype(np.uint8)
+            for s in [(100, 300), (56, 300), (200, 80)]]
+    enc = encode_gray_batch_auto(p, imgs, CFG)
+    items = [(c, CFG, hw) for c, hw in enc]
+    cfg2 = CodecConfig(q_scale=2.0)
+    c2, hw2 = encode_gray_auto(p, imgs[0], cfg2)
+    items.append((np.asarray(c2), cfg2, hw2))
+    cfgf = CodecConfig(q_scale=0.25)  # int8-unsafe -> f32 kernel path
+    cf, hwf = encode_gray_auto(p, imgs[1], cfgf)
+    items.append((np.asarray(cf), cfgf, hwf))
+    got = decode_gray_batch_auto(p, items)
+    for (c, cfg, hw), r in zip(items, got):
+        assert r.dtype == np.uint8 and r.shape == tuple(hw)
+        np.testing.assert_array_equal(decode_gray_auto(p, c, cfg, hw), r)
+
+
+def test_stacked_chunking_invariant(rng):
+    """A tiny max_pixels forces multi-chunk launches; results must not
+    change (chunk boundaries land on 32-row-aligned image seams)."""
+    from tpudct.models.dispatch import (
+        decode_gray_batch_auto, encode_gray_batch_auto)
+
+    p = get_pipeline("hp")
+    imgs = [rng.integers(0, 256, (64, 256), dtype=np.uint8).astype(np.uint8)
+            for _ in range(5)]
+    full = encode_gray_batch_auto(p, imgs, CFG)
+    tiny = encode_gray_batch_auto(p, imgs, CFG, max_pixels=40_000)
+    for (a, _), (b, _) in zip(full, tiny):
+        np.testing.assert_array_equal(a, b)
+    items = [(c, CFG, hw) for c, hw in full]
+    d_full = decode_gray_batch_auto(p, items)
+    d_tiny = decode_gray_batch_auto(p, items, max_pixels=40_000)
+    for a, b in zip(d_full, d_tiny):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_stacked_single_dispatch(rng, monkeypatch):
+    """Same-width uint8 images must produce exactly ONE encode_u8 call."""
+    from tpudct.models import dispatch
+
+    p = get_pipeline("hp")
+    imgs = [rng.integers(0, 256, (40 + 8 * i, 250), dtype=np.uint8)
+            for i in range(4)]
+    calls = []
+    orig = p.encode_u8
+    monkeypatch.setattr(
+        type(p), "encode_u8",
+        lambda self, x, cfg: calls.append(x.shape) or orig(x, cfg),
+    )
+    dispatch.encode_gray_batch_auto(p, imgs, CFG)
+    assert len(calls) == 1
+    # every padded height is a 32-multiple; the stack is their sum
+    assert calls[0] == (sum(-(-(40 + 8 * i) // 32) * 32 for i in range(4)), 256)

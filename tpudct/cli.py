@@ -757,64 +757,136 @@ def cmd_unbatch(args) -> int:
         return 0
 
     p = get_pipeline(args.pipeline)
+    import os as _os
+    import threading
+    from concurrent.futures import ThreadPoolExecutor, as_completed
+
+    n_threads = min(_os.cpu_count() or 4, 16)
+    chunk = n_threads * 4
+    lock = threading.Lock()
+
+    def _parse(name):
+        """Read + entropy-decode one stream on a host thread (the entropy
+        stages are C/zlib/lzma work that releases the GIL)."""
+        try:
+            data = (src / name).read_bytes()
+        except OSError as e:
+            return ("err", "io", str(e))
+        try:
+            if serialize.is_color_stream(data[:4]):
+                return ("color", *serialize.bytes_to_color(data))
+            coeffs, q_scale, _k, (h, w), transform, q_table = (
+                serialize.bytes_to_coefficients(
+                    data, with_orig_shape=True, with_transform=True,
+                    with_q_table=True,
+                )
+            )
+            return ("gray", coeffs,
+                    CodecConfig(q_scale=q_scale, transform=transform,
+                                q_table=q_table), (h, w))
+        except ValueError as e:
+            return ("err", "stream", str(e))
+        except OSError as e:
+            return ("err", "io", str(e))
+
     with open(manifest, "a") as mf:
-        for name in todo:
-            out = dst / (name + ext)
-            try:
-                data = (src / name).read_bytes()
-                if serialize.is_color_stream(data[:4]):
-                    planes, meta = serialize.bytes_to_color(data)
-                    ccfg = CodecConfig(q_scale=meta["q_scale"],
-                                       transform=meta["transform"])
-                    if m_scale is not None:
+        for ci in range(0, len(todo), chunk):
+            names = todo[ci : ci + chunk]
+            with ThreadPoolExecutor(n_threads) as ex:
+                parsed = list(ex.map(_parse, names))
+            outputs: list = [None] * len(names)
+            # Full-size gray decodes stack as ONE device dispatch per
+            # same-width/same-config group (models/dispatch.py
+            # decode_gray_batch_auto, bit-identical to per-stream) — the
+            # bulk job stops paying per-image launch overhead.
+            gray_idx = [
+                j for j, res in enumerate(parsed) if res[0] == "gray"
+            ]
+            if m_scale is None and gray_idx:
+                from tpudct.models.dispatch import decode_gray_batch_auto
+
+                recs = decode_gray_batch_auto(
+                    p, [(parsed[j][1], parsed[j][2], parsed[j][3])
+                        for j in gray_idx]
+                )
+                for j, r in zip(gray_idx, recs):
+                    outputs[j] = r
+            color_idx = [
+                j for j, res in enumerate(parsed) if res[0] == "color"
+            ]
+            if m_scale is None and color_idx:
+                from tpudct.models.color import decode_color_batch_auto
+
+                recs = decode_color_batch_auto(
+                    p, [(parsed[j][1], parsed[j][2],
+                         CodecConfig(q_scale=parsed[j][2]["q_scale"],
+                                     transform=parsed[j][2]["transform"]))
+                        for j in color_idx]
+                )
+                for j, r in zip(color_idx, recs):
+                    outputs[j] = r
+            for j, res in enumerate(parsed):
+                if outputs[j] is not None or res[0] == "err":
+                    continue
+                try:
+                    if res[0] == "color":
+                        _tag, planes, meta = res
+                        ccfg = CodecConfig(q_scale=meta["q_scale"],
+                                           transform=meta["transform"])
                         from tpudct.models.color import decode_color_scaled
 
                         fac = 8 // m_scale if 8 % m_scale == 0 else None
-                        rec = np.asarray(decode_color_scaled(
+                        outputs[j] = np.asarray(decode_color_scaled(
                             p, planes, meta, ccfg, fac,
                             m=None if fac else m_scale,
                         ))
-                    else:
-                        from tpudct.models.color import decode_color_auto
-
-                        rec = np.asarray(decode_color_auto(p, planes, meta, ccfg))
-                else:
-                    coeffs, q_scale, _k, (h, w), transform, q_table = (
-                        serialize.bytes_to_coefficients(
-                            data, with_orig_shape=True, with_transform=True,
-                            with_q_table=True,
-                        )
-                    )
-                    cfg = CodecConfig(q_scale=q_scale, transform=transform,
-                                      q_table=q_table)
-                    # shared gates: fused u8 (full) / fused scaled kernel
-                    if m_scale is not None:
+                    else:  # gray at fractional scale
                         from tpudct.models.dispatch import decode_gray_scaled_auto
 
-                        rec = decode_gray_scaled_auto(
-                            p, coeffs, cfg, (h, w), m_scale
+                        outputs[j] = decode_gray_scaled_auto(
+                            p, res[1], res[2], res[3], m_scale
                         )
-                    else:
-                        from tpudct.models.dispatch import decode_gray_auto
+                except (ValueError, OSError) as e:
+                    outputs[j] = (
+                        "err", "io" if isinstance(e, OSError) else "stream",
+                        str(e),
+                    )
 
-                        rec = decode_gray_auto(p, coeffs, cfg, (h, w))
-                imageio.save_image(out, rec, quality=args.quality)
-            except (ValueError, OSError) as e:
-                # One corrupt stream must not abort the job (same recovery
-                # contract as `batch`); I/O failures are marked retryable.
-                mf.write(json.dumps({
-                    "file": name, "error": str(e),
-                    "error_kind": "io" if isinstance(e, OSError) else "stream",
-                }) + "\n")
-                mf.flush()
-                failed += 1
-                continue
-            done_rec = {"file": name, "out": out.name, "shape": list(rec.shape)}
-            if m_scale is not None:
-                done_rec["scale"] = m_scale
-            mf.write(json.dumps(done_rec) + "\n")
-            mf.flush()
-            decoded += 1
+            def _save(j):
+                res = outputs[j] if outputs[j] is not None else parsed[j]
+                if isinstance(res, tuple) and res and res[0] == "err":
+                    return ("err", res[1], res[2])
+                out = dst / (names[j] + ext)
+                try:
+                    imageio.save_image(out, res, quality=args.quality)
+                except (ValueError, OSError) as e:
+                    return ("err", "io" if isinstance(e, OSError) else "stream",
+                            str(e))
+                return ("ok", out.name, list(res.shape))
+
+            with ThreadPoolExecutor(n_threads) as ex:
+                futs = {ex.submit(_save, j): j for j in range(len(names))}
+                for fut in as_completed(futs):
+                    j = futs[fut]
+                    res = fut.result()
+                    with lock:
+                        if res[0] == "err":
+                            # One corrupt stream must not abort the job
+                            # (same recovery contract as `batch`); I/O
+                            # failures are marked retryable.
+                            mf.write(json.dumps({
+                                "file": names[j], "error": res[2],
+                                "error_kind": res[1],
+                            }) + "\n")
+                            failed += 1
+                        else:
+                            done_rec = {"file": names[j], "out": res[1],
+                                        "shape": res[2]}
+                            if m_scale is not None:
+                                done_rec["scale"] = m_scale
+                            mf.write(json.dumps(done_rec) + "\n")
+                            decoded += 1
+                        mf.flush()
     print(json.dumps({
         "decoded": decoded, "skipped": len(files) - len(todo),
         "failed": failed, "total": len(files), "manifest": str(manifest),
@@ -835,7 +907,7 @@ def cmd_batch(args) -> int:
     import jax.numpy as jnp
 
     from tpudct.models import get_pipeline
-    from tpudct.models.dispatch import encode_gray_auto
+    from tpudct.models.dispatch import encode_gray_batch_auto
     from tpudct.utils import imageio, serialize
 
     src = pathlib.Path(args.input_dir)
@@ -958,7 +1030,7 @@ def cmd_batch(args) -> int:
     cfg = _cfg_from(args)
     p = get_pipeline(args.pipeline)
     if args.color:
-        from tpudct.models.color import encode_color_auto
+        from tpudct.models.color import encode_color_batch_auto
 
     files = sorted(
         q.name for q in src.iterdir()
@@ -968,9 +1040,12 @@ def cmd_batch(args) -> int:
     skipped = len(files) - len(todo)
     coded = failed = 0
     import os as _os
+    import threading
+    from concurrent.futures import ThreadPoolExecutor, as_completed
 
     n_threads = args.decode_threads if args.decode_threads > 0 else min(_os.cpu_count() or 4, 16)
     chunk = n_threads * 4
+    lock = threading.Lock()
     with open(manifest, "a") as mf:
         for i in range(0, len(todo), chunk):
             names = todo[i : i + chunk]
@@ -997,6 +1072,7 @@ def cmd_batch(args) -> int:
                         ))
                     except (OSError, ValueError):
                         images.append(None)
+            pairs = []
             for name, img in zip(names, images):
                 if img is None:
                     # One corrupt file must not abort the job: record the
@@ -1008,34 +1084,75 @@ def cmd_batch(args) -> int:
                     mf.flush()
                     failed += 1
                     continue
-                if args.color:
-                    if img.ndim == 2:
-                        img = np.stack([img] * 3, axis=-1)
-                    h, w = img.shape[:2]
-                    planes, meta = encode_color_auto(
-                        p, jnp.asarray(img), cfg,
-                        subsample=_chroma_mode(args),
-                    )
+                pairs.append((name, img))
+            if not pairs:
+                continue
+            if args.color:
+                # Stacked device pass (color twin): same-width frames ride
+                # ONE split + luma-codec + chroma-codec launch per chunk
+                # (models/color.py encode_color_batch_auto, bit-identical
+                # to per-frame); serialization threads like the gray path.
+                rgbs = [
+                    np.stack([im] * 3, axis=-1) if im.ndim == 2 else im
+                    for _, im in pairs
+                ]
+                encc = encode_color_batch_auto(
+                    p, rgbs, cfg, subsample=_chroma_mode(args)
+                )
+
+                def _save_color(j):
+                    name = pairs[j][0]
+                    planes, meta = encc[j]
                     out = dst / (name + ".tdcc")
                     n = serialize.save_color(
                         out, planes, meta, cfg.q_scale, cfg.retain_k,
                         cfg.transform, codec=args.entropy,
                     )
-                    rec = {"file": name, "tdc": out.name, "bytes": n,
-                           "shape": [h, w, 3], "cfg": sig}
-                    mf.write(json.dumps(rec) + "\n")
-                    mf.flush()
-                    coded += 1
-                    continue
-                c, (h, w) = encode_gray_auto(p, img, cfg)
+                    return name, out.name, n, meta["orig_shape"]
+
+                with ThreadPoolExecutor(n_threads) as ex:
+                    for fut in as_completed(
+                        ex.submit(_save_color, j) for j in range(len(pairs))
+                    ):
+                        name, out_name, n, (h, w) = fut.result()
+                        with lock:
+                            mf.write(json.dumps({
+                                "file": name, "tdc": out_name, "bytes": n,
+                                "shape": [h, w, 3], "cfg": sig,
+                            }) + "\n")
+                            mf.flush()
+                            coded += 1
+                continue
+            # Stacked device pass: same-width images in the chunk ride ONE
+            # kernel launch as a taller image (models/dispatch.py
+            # encode_gray_batch_auto, bit-identical to per-image), instead
+            # of paying per-image dispatch overhead B times.  The entropy/
+            # serialize stage is C/zlib work that releases the GIL, so the
+            # per-file writes ride the same thread pool as the loads.
+            enc = encode_gray_batch_auto(p, [im for _, im in pairs], cfg)
+
+            def _save(j):
+                name = pairs[j][0]
+                c, (h, w) = enc[j]
                 # Full input name in the output avoids a.jpg/a.jpeg collisions.
                 out = dst / (name + ".tdc")
-                n = serialize.save_coefficients(out, np.asarray(c), cfg.q_scale, cfg.retain_k, orig_shape=(h, w), transform=cfg.transform, codec=args.entropy, q_table=cfg.q_table)
-                rec = {"file": name, "tdc": out.name, "bytes": n,
-                       "shape": [h, w], "cfg": sig}
-                mf.write(json.dumps(rec) + "\n")
-                mf.flush()
-                coded += 1
+                n = serialize.save_coefficients(
+                    out, np.asarray(c), cfg.q_scale, cfg.retain_k,
+                    orig_shape=(h, w), transform=cfg.transform,
+                    codec=args.entropy, q_table=cfg.q_table,
+                )
+                return name, out.name, n, (h, w)
+
+            with ThreadPoolExecutor(n_threads) as ex:
+                for fut in as_completed(ex.submit(_save, j) for j in range(len(pairs))):
+                    name, out_name, n, (h, w) = fut.result()
+                    with lock:
+                        mf.write(json.dumps({
+                            "file": name, "tdc": out_name, "bytes": n,
+                            "shape": [h, w], "cfg": sig,
+                        }) + "\n")
+                        mf.flush()
+                        coded += 1
     print(json.dumps({
         "encoded": coded, "skipped": skipped, "failed": failed,
         "total": len(files), "manifest": str(manifest),

@@ -546,3 +546,164 @@ def roundtrip_color_auto(p: Pipeline, rgb, cfg: CodecConfig, subsample: bool = T
     x = _interleaved_f32(rgb)
     planes, meta = encode_color(p, x, cfg, subsample=subsample)
     return planes, meta, decode_color(p, planes, meta, cfg)
+
+
+# ---- stacked bulk dispatch (color twin of models/dispatch.py helpers) ------
+#
+# 8x8 blocks are independent and the chroma resampling windows are 2-row
+# local, so same-padded-width RGB frames stack as ONE taller planar image
+# through the fused split/codec/merge kernels (every padded height is a
+# 64-multiple — seams never split a pooling window or an 8-row block).
+# Bulk CLI jobs (`batch --color` / `unbatch` over .tdcc) previously paid
+# per-image dispatch overhead; a stacked chunk pays it once.
+
+_STACK_MAX_PIXELS = 1 << 27
+
+
+def encode_color_batch_auto(
+    p: Pipeline, rgbs, cfg: CodecConfig, subsample: bool = True,
+    max_pixels: int = _STACK_MAX_PIXELS,
+):
+    """Bulk color encode: ONE split + luma-codec + chroma-codec dispatch
+    per same-width chunk of u8-eligible frames.
+
+    Takes a list of RGB images (either layout); returns ``[(planes, meta),
+    ...]`` in input order, each bit-identical to
+    :func:`encode_color_auto` on that frame alone.  Frames that fail the
+    u8 gate (float pixels, int8-unsafe config) fall back per-frame.
+    """
+    from tpudct.models.dispatch import _chunk, _stack_groups
+
+    mode = normalize_subsample(subsample)
+    results: list = [None] * len(rgbs)
+    metas = []  # (idx, padded_planar_np, h, w) for eligible frames
+    for i, rgb in enumerate(rgbs):
+        if not _u8_eligible(p, rgb, cfg, subsample):
+            results[i] = encode_color_auto(p, rgb, cfg, subsample=subsample)
+            continue
+        layout, h, w = _layout(rgb)
+        x = np.asarray(rgb)
+        if layout == "interleaved":
+            x = np.moveaxis(x, -1, 0)
+        hk, wk = color_kernel_shape(h, w)
+        if (hk, wk) != (h, w):
+            x = np.pad(x, ((0, 0), (0, hk - h), (0, wk - w)), mode="edge")
+        metas.append((i, x, h, w))
+    if not metas:
+        return results
+
+    interp = cfg.interpret or jax.default_backend() != "tpu"
+    split, _merge = _u8_kernels(mode)
+    keys = [x.shape[2] for _, x, _, _ in metas]
+    sizes = [x.size for _, x, _, _ in metas]
+    for _wk, indices in _stack_groups(keys).items():
+        for chunk in _chunk(indices, sizes, max_pixels):
+            stacked = (
+                metas[chunk[0]][1]
+                if len(chunk) == 1
+                else np.concatenate([metas[j][1] for j in chunk], axis=1)
+            )
+            y, cb, cr = split(jnp.asarray(stacked), interpret=interp)
+            cy = np.asarray(p.encode_u8(y, _luma_cfg(cfg)))
+            ph = cb.shape[0]
+            cc = np.asarray(
+                p.encode_u8(jnp.concatenate([cb, cr], axis=0), _chroma_cfg(cfg))
+            )
+            ccb, ccr = cc[:ph], cc[ph:]
+            y0 = c0 = 0
+            for j in chunk:
+                i, x, h, w = metas[j]
+                hk, wk = x.shape[1], x.shape[2]
+                chk, _cwk = _chroma_plane_shape(mode, hk, wk)
+                ch, cw = _chroma_plane_shape(mode, h, w)
+                y8, c8 = padded_shape(h, w), padded_shape(ch, cw)
+                meta = {
+                    "orig_shape": (h, w),
+                    "chroma_shape": (ch, cw),
+                    "subsample": mode,
+                }
+                results[i] = ({
+                    "y": cy[y0 : y0 + y8[0], : y8[1]].copy(),
+                    "cb": ccb[c0 : c0 + c8[0], : c8[1]].copy(),
+                    "cr": ccr[c0 : c0 + c8[0], : c8[1]].copy(),
+                }, meta)
+                y0 += hk
+                c0 += chk
+    return results
+
+
+def decode_color_batch_auto(
+    p: Pipeline, items, max_pixels: int = _STACK_MAX_PIXELS
+):
+    """Bulk color decode: ONE luma-codec + chroma-codec + merge dispatch
+    per same-width/same-config chunk of u8-eligible streams.
+
+    Takes ``[(planes, meta, cfg), ...]``; returns interleaved (H, W, 3)
+    uint8 NumPy frames in input order, each bit-identical to
+    :func:`decode_color_auto` on that stream alone (ineligible streams
+    fall back per-item).
+    """
+    from tpudct.models.dispatch import _chunk, _stack_groups
+    from tpudct.utils.serialize import _abs_bound
+
+    def _fits_i8(v) -> bool:
+        dt = np.dtype(getattr(v, "dtype", np.float32))
+        if dt in (np.dtype(np.int8), np.dtype(np.uint8)):
+            return True
+        return bool(_abs_bound(np.asarray(v)) <= 127)
+
+    results: list = [None] * len(items)
+    metas = []  # (idx, ypad, cbpad, crpad, mode, cfg, h, w)
+    for i, (planes, meta, cfg) in enumerate(items):
+        h, w = meta["orig_shape"]
+        mode = normalize_subsample(meta["subsample"])
+        y8 = padded_shape(h, w)
+        c8 = padded_shape(*_chroma_plane_shape(mode, h, w))
+        if not (
+            meta.get("y_q_table", "luma") == "luma"
+            and meta.get("c_q_table", "chroma") == "chroma"
+            and supports_color_u8(p, cfg, *color_kernel_shape(h, w), mode)
+            and tuple(np.shape(planes["y"])) == y8
+            and tuple(np.shape(planes["cb"])) == c8
+            and tuple(np.shape(planes["cr"])) == c8
+            and all(_fits_i8(v) for v in planes.values())
+        ):
+            results[i] = np.asarray(decode_color_auto(p, planes, meta, cfg))
+            continue
+        hk, wk = color_kernel_shape(h, w)
+        chk, cwk = _chroma_plane_shape(mode, hk, wk)
+        yp = np.pad(np.asarray(planes["y"], np.int8),
+                    ((0, hk - y8[0]), (0, wk - y8[1])))
+        cbp = np.pad(np.asarray(planes["cb"], np.int8),
+                     ((0, chk - c8[0]), (0, cwk - c8[1])))
+        crp = np.pad(np.asarray(planes["cr"], np.int8),
+                     ((0, chk - c8[0]), (0, cwk - c8[1])))
+        metas.append((i, yp, cbp, crp, mode, cfg, h, w))
+    if not metas:
+        return results
+
+    keys = [(yp.shape[1], mode, cfg)
+            for _, yp, _, _, mode, cfg, _, _ in metas]
+    sizes = [yp.size * 3 for _, yp, _, _, _, _, _, _ in metas]
+    for (_wk, mode, cfg), indices in _stack_groups(keys).items():
+        interp = cfg.interpret or jax.default_backend() != "tpu"
+        _split, merge = _u8_kernels(mode)
+        for chunk in _chunk(indices, sizes, max_pixels):
+            ys = np.concatenate([metas[j][1] for j in chunk], axis=0)
+            cbs = np.concatenate([metas[j][2] for j in chunk], axis=0)
+            crs = np.concatenate([metas[j][3] for j in chunk], axis=0)
+            y = p.decode_u8(jnp.asarray(ys), _luma_cfg(cfg))
+            cc = p.decode_u8(
+                jnp.concatenate([jnp.asarray(cbs), jnp.asarray(crs)], axis=0),
+                _chroma_cfg(cfg),
+            )
+            ph = cbs.shape[0]
+            rgb = np.asarray(
+                jnp.moveaxis(merge(y, cc[:ph], cc[ph:], interpret=interp), 0, -1)
+            )
+            y0 = 0
+            for j in chunk:
+                i, yp, _, _, _, _, h, w = metas[j]
+                results[i] = rgb[y0 : y0 + h, :w].copy()
+                y0 += yp.shape[0]
+    return results

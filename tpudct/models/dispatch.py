@@ -225,3 +225,166 @@ def roundtrip_gray_auto(p: Pipeline, img, cfg: CodecConfig):
     """
     c, r = roundtrip_gray_jax(p, img, cfg)
     return c, np.asarray(r)
+
+
+# ---- stacked bulk dispatch -------------------------------------------------
+#
+# 8x8 blocks are independent and every kernel path tiles by row bands, so a
+# set of same-width images is ONE taller image (models/base.py
+# roundtrip_batch proves the trick at 76k images/s in the serving bench).
+# The bulk CLI commands (`batch`/`unbatch`) previously dispatched per image
+# — one device round-trip each, which on any host pays per-launch overhead
+# B times and through this environment's relay pays a ~24 ms RPC floor per
+# IMAGE.  Stacking turns a chunk into one dispatch + one transfer each way,
+# bit-identically (splits land on 32-row-aligned image boundaries, and the
+# transform/quantization never cross an 8-row seam).
+
+# Cap on pixels per stacked launch: 2x the 8192^2 headline working set,
+# well inside HBM (the 32768^2 = 1 Gpix color pass runs on this chip).
+_STACK_MAX_PIXELS = 1 << 27
+
+
+def _pad_np(path: str, img):
+    """Host-side twin of :func:`_pad_for` (NumPy, no device touch): same
+    alignment, same edge-replicate content, so stacked results are
+    bit-identical to the per-image device path."""
+    if path == "u8":
+        x, align = np.asarray(img, np.uint8), (_U8_ROWS, _LANE)
+    elif path == "f32":
+        x, align = np.asarray(img, np.float32), (_F32_ROWS, _LANE)
+    else:
+        x = np.asarray(img)
+        if not np.issubdtype(x.dtype, np.floating):
+            x = x.astype(np.float32)
+        align = (8, 8)
+    h, w = x.shape
+    ph, pw = kernel_padded_shape(h, w, align[0], align[1])
+    if (ph, pw) != (h, w):
+        x = np.pad(x, ((0, ph - h), (0, pw - w)), mode="edge")
+    return x
+
+
+def _stack_groups(keys):
+    """Group item indices by stacking key, input order preserved."""
+    groups: dict = {}
+    for i, k in enumerate(keys):
+        groups.setdefault(k, []).append(i)
+    return groups
+
+
+def _chunk(indices, sizes, max_pixels: int):
+    out, cur, acc = [], [], 0
+    for i in indices:
+        if cur and acc + sizes[i] > max_pixels:
+            out.append(cur)
+            cur, acc = [], 0
+        cur.append(i)
+        acc += sizes[i]
+    if cur:
+        out.append(cur)
+    return out
+
+
+def encode_gray_batch_auto(
+    p: Pipeline, imgs, cfg: CodecConfig, max_pixels: int = _STACK_MAX_PIXELS
+):
+    """Bulk gray encode: ONE device dispatch per same-width chunk.
+
+    Takes a list of (H_i, W_i) array-likes; returns a list of
+    ``(coeffs_np, (h, w))`` in input order, each bit-identical to
+    :func:`encode_gray_auto` on that image alone.  Images group by
+    (path, padded width, dtype) and stack as a taller image per chunk
+    (block rows never cross an image seam — every padded height is a
+    multiple of the row alignment).
+    """
+    metas = []  # (path, padded, h, w)
+    for img in imgs:
+        h, w = np.shape(img)
+        path = _resolve_path(p, img, cfg)
+        metas.append((path, _pad_np(path, img), h, w))
+    keys = [(path, x.shape[1], str(x.dtype)) for path, x, _, _ in metas]
+    sizes = [x.size for _, x, _, _ in metas]
+    results: list = [None] * len(imgs)
+    for (path, _, _), indices in _stack_groups(keys).items():
+        for chunk in _chunk(indices, sizes, max_pixels):
+            stacked = (
+                metas[chunk[0]][1]
+                if len(chunk) == 1
+                else np.concatenate([metas[i][1] for i in chunk], axis=0)
+            )
+            if path == "u8":
+                c = p.encode_u8(jnp.asarray(stacked), cfg)
+            else:
+                c = p.encode(jnp.asarray(stacked), cfg)
+            c = np.asarray(c)  # one transfer for the whole chunk
+            r0 = 0
+            for i in chunk:
+                _, x, h, w = metas[i]
+                h8, w8 = padded_shape(h, w)
+                results[i] = (c[r0 : r0 + h8, :w8].copy(), (h, w))
+                r0 += x.shape[0]
+    return results
+
+
+def decode_gray_batch_auto(
+    p: Pipeline, items, max_pixels: int = _STACK_MAX_PIXELS
+):
+    """Bulk gray decode: ONE device dispatch per same-width/same-config chunk.
+
+    Takes a list of ``(coeffs, cfg, (h, w))``; returns a list of cropped
+    uint8 NumPy planes in input order, each bit-identical to
+    :func:`decode_gray_auto` on that stream alone.  Streams group by
+    (resolved path, padded width, config) — the config is baked into the
+    fused kernels, so it is part of the stacking key.
+    """
+    from tpudct.kernels import hp_pallas
+    from tpudct.utils.serialize import _abs_bound
+
+    metas = []  # (path, padded_np, h, w)
+    for coeffs, cfg, (h, w) in items:
+        c = np.asarray(coeffs)
+        hc, wc = c.shape
+        if (
+            hasattr(p, "decode_u8")
+            and hp_pallas.supports_u8(
+                *kernel_padded_shape(hc, wc, _U8_ROWS, _LANE),
+                cfg.q_scale, cfg.transform, cfg.q_table,
+            )
+            and _abs_bound(c) <= 127
+        ):
+            path, align, dt = "u8", (_U8_ROWS, _LANE), np.int8
+        elif hasattr(p, "decode_u8") and hp_pallas.supports(
+            *kernel_padded_shape(hc, wc, _F32_ROWS, _LANE)
+        ):
+            path, align, dt = "f32", (_F32_ROWS, _LANE), np.float32
+        else:
+            path, align, dt = "general", (8, 8), None
+        x = c.astype(dt) if dt is not None else c
+        ph, pw = kernel_padded_shape(hc, wc, align[0], align[1])
+        if (ph, pw) != (hc, wc):
+            x = np.pad(x, ((0, ph - hc), (0, pw - wc)))
+        metas.append((path, x, cfg, h, w))
+    keys = [
+        (path, x.shape[1], str(x.dtype), cfg)
+        for path, x, cfg, _, _ in metas
+    ]
+    sizes = [x.size for _, x, _, _, _ in metas]
+    results: list = [None] * len(items)
+    for (path, _, _, cfg), indices in _stack_groups(keys).items():
+        for chunk in _chunk(indices, sizes, max_pixels):
+            stacked = (
+                metas[chunk[0]][1]
+                if len(chunk) == 1
+                else np.concatenate([metas[i][1] for i in chunk], axis=0)
+            )
+            if path == "u8":
+                r = p.decode_u8(jnp.asarray(stacked), cfg)
+            else:
+                r = to_uint8(p.idct(jnp.asarray(stacked), cfg))
+            r = np.asarray(r)
+            r0 = 0
+            for i in chunk:
+                _, x, _, h, w = metas[i]
+                results[i] = r[r0 : r0 + h, :w].copy()
+                r0 += x.shape[0]
+    return results
