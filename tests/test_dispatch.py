@@ -282,3 +282,26 @@ def test_stacked_single_dispatch(rng, monkeypatch):
     assert len(calls) == 1
     # every padded height is a 32-multiple; the stack is their sum
     assert calls[0] == (sum(-(-(40 + 8 * i) // 32) * 32 for i in range(4)), 256)
+
+
+def test_stacked_scaled_decode_bit_identical(rng):
+    """decode_gray_scaled_batch_auto == per-stream decode_gray_scaled_auto
+    for every numerator class: fused integer factors, the full-decode
+    degenerate (m=8), fractional einsum numerators, and a u8-ineligible
+    stream that falls back per item."""
+    from tpudct.models.dispatch import (
+        decode_gray_scaled_auto, decode_gray_scaled_batch_auto)
+
+    p = get_pipeline("hp")
+    items = []
+    for s in [(100, 300), (97, 300), (64, 128)]:
+        c, hw = encode_gray_auto(p, rng.integers(0, 256, s).astype(np.uint8), CFG)
+        items.append((np.asarray(c), CFG, hw))
+    cf = CodecConfig(q_scale=0.25)  # int8-unsafe -> per-item fallback
+    c3, hw3 = encode_gray_auto(p, rng.integers(0, 256, (56, 300)).astype(np.uint8), cf)
+    items.append((np.asarray(c3), cf, hw3))
+    for m in (1, 2, 4, 8, 3, 12):
+        got = decode_gray_scaled_batch_auto(p, items, m)
+        for (c, icfg, hw), r in zip(items, got):
+            np.testing.assert_array_equal(
+                decode_gray_scaled_auto(p, c, icfg, hw, m), r)

@@ -802,13 +802,21 @@ def cmd_unbatch(args) -> int:
             gray_idx = [
                 j for j, res in enumerate(parsed) if res[0] == "gray"
             ]
-            if m_scale is None and gray_idx:
-                from tpudct.models.dispatch import decode_gray_batch_auto
+            if gray_idx:
+                gray_items = [(parsed[j][1], parsed[j][2], parsed[j][3])
+                              for j in gray_idx]
+                if m_scale is None:
+                    from tpudct.models.dispatch import decode_gray_batch_auto
 
-                recs = decode_gray_batch_auto(
-                    p, [(parsed[j][1], parsed[j][2], parsed[j][3])
-                        for j in gray_idx]
-                )
+                    recs = decode_gray_batch_auto(p, gray_items)
+                else:
+                    from tpudct.models.dispatch import (
+                        decode_gray_scaled_batch_auto,
+                    )
+
+                    recs = decode_gray_scaled_batch_auto(
+                        p, gray_items, m_scale
+                    )
                 for j, r in zip(gray_idx, recs):
                     outputs[j] = r
             color_idx = [
@@ -840,12 +848,6 @@ def cmd_unbatch(args) -> int:
                             p, planes, meta, ccfg, fac,
                             m=None if fac else m_scale,
                         ))
-                    else:  # gray at fractional scale
-                        from tpudct.models.dispatch import decode_gray_scaled_auto
-
-                        outputs[j] = decode_gray_scaled_auto(
-                            p, res[1], res[2], res[3], m_scale
-                        )
                 except (ValueError, OSError) as e:
                     outputs[j] = (
                         "err", "io" if isinstance(e, OSError) else "stream",

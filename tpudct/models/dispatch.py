@@ -388,3 +388,83 @@ def decode_gray_batch_auto(
                 results[i] = r[r0 : r0 + h, :w].copy()
                 r0 += x.shape[0]
     return results
+
+
+def decode_gray_scaled_batch_auto(
+    p: Pipeline, items, m: int, max_pixels: int = _STACK_MAX_PIXELS
+):
+    """Bulk M/8 fractional-scale decode: ONE device dispatch per
+    same-width/same-config chunk (the stacked twin of
+    :func:`decode_gray_scaled_auto`, what `unbatch --scale` uses).
+
+    Takes ``[(coeffs, cfg, (h, w)), ...]``; returns cropped uint8 planes
+    in input order, each bit-identical to the per-stream helper.  Integer
+    8/M factors ride the fused scaled kernel on stacked maps (pooling
+    windows are f-row local and frame slabs are 8f-row aligned, so seams
+    are invisible); other numerators stack through the area-resample
+    einsum; streams failing the u8 gate fall back per item.
+    """
+    from tpudct.kernels import hp_pallas
+    from tpudct.ops.scaled import (
+        scaled_decode_m8, scaled_decode_u8, scaled_shape_m8,
+    )
+    from tpudct.utils.serialize import _abs_bound
+
+    if m == 8:
+        return decode_gray_batch_auto(p, items, max_pixels)
+
+    results: list = [None] * len(items)
+    metas = []  # (idx, padded_np, cfg, h, w, kind) kind in {"u8", "m8"}
+    fac = None if 8 % m else 8 // m
+    for i, (coeffs, cfg, (h, w)) in enumerate(items):
+        c = np.asarray(coeffs)
+        hc, wc = c.shape
+        if fac is None:
+            # fractional numerator: blockwise einsum, stack-safe at the
+            # 8-aligned seams every stream already has
+            metas.append((i, c, cfg, h, w, "m8"))
+            continue
+        ra, la = hp_pallas.scaled_pad_align(fac, fac)
+        if (
+            hasattr(p, "decode_u8")
+            and hp_pallas.supports_u8(
+                *kernel_padded_shape(hc, wc, ra, la),
+                cfg.q_scale, cfg.transform, cfg.q_table,
+            )
+            and _abs_bound(c) <= 127
+        ):
+            x = c.astype(np.int8)
+            ph, pw = kernel_padded_shape(hc, wc, ra, la)
+            if (ph, pw) != (hc, wc):
+                x = np.pad(x, ((0, ph - hc), (0, pw - wc)))
+            metas.append((i, x, cfg, h, w, "u8"))
+        else:
+            results[i] = decode_gray_scaled_auto(p, c, cfg, (h, w), m)
+    if not metas:
+        return results
+
+    keys = [(kind, x.shape[1], str(x.dtype), cfg)
+            for _, x, cfg, _, _, kind in metas]
+    sizes = [x.size for _, x, _, _, _, _ in metas]
+    for (kind, _, _, cfg), indices in _stack_groups(keys).items():
+        for chunk in _chunk(indices, sizes, max_pixels):
+            stacked = (
+                metas[chunk[0]][1]
+                if len(chunk) == 1
+                else np.concatenate([metas[j][1] for j in chunk], axis=0)
+            )
+            if kind == "u8":
+                rec = scaled_decode_u8(p, jnp.asarray(stacked), cfg, fac)
+                row_div = fac
+            else:
+                rec = scaled_decode_m8(jnp.asarray(stacked), cfg, m)
+                row_div = None
+            r = np.asarray(to_uint8(rec))
+            r0 = 0
+            for j in chunk:
+                i, x, _, h, w, _ = metas[j]
+                slab = x.shape[0] // fac if row_div else x.shape[0] // 8 * m
+                hs, ws = scaled_shape_m8(h, m), scaled_shape_m8(w, m)
+                results[i] = r[r0 : r0 + hs, :ws].copy()
+                r0 += slab
+    return results
