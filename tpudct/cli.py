@@ -765,13 +765,17 @@ def cmd_unbatch(args) -> int:
     chunk = n_threads * 4
     lock = threading.Lock()
 
-    def _parse(name):
-        """Read + entropy-decode one stream on a host thread (the entropy
-        stages are C/zlib/lzma work that releases the GIL)."""
+    def _read(name):
         try:
-            data = (src / name).read_bytes()
+            return (src / name).read_bytes()
         except OSError as e:
             return ("err", "io", str(e))
+
+    def _parse(data):
+        """Entropy-decode one stream's bytes on a host thread (the entropy
+        stages are C/zlib/lzma work that releases the GIL)."""
+        if isinstance(data, tuple):  # read error, already tagged
+            return data
         try:
             if serialize.is_color_stream(data[:4]):
                 return ("color", *serialize.bytes_to_color(data))
@@ -789,106 +793,145 @@ def cmd_unbatch(args) -> int:
         except OSError as e:
             return ("err", "io", str(e))
 
+    def _map_elems(data) -> int:
+        """Decoded-map elements of a stream, from the header only (sizes
+        the waves below; parse errors surface later in `_parse`)."""
+        if isinstance(data, tuple):
+            return 0
+        try:
+            rep = serialize.inspect_stream(data)
+        except ValueError:
+            return 0
+        if "planes" in rep:
+            return sum(int(np.prod(pl["shape"])) for pl in rep["planes"])
+        return int(np.prod(rep["shape"]))
+
+    # Residency cap for decoded coefficient maps: the old per-file loop
+    # held ONE map at a time; a full 64-name chunk of 8192^2 f32 maps
+    # would hold ~16 GB.  Waves keep <=~1 GiB of decoded maps live while
+    # still stacking/threading within each wave.
+    wave_elems = 1 << 28
+
+    def _process_wave(names, parsed, mf):
+        nonlocal decoded, failed
+        outputs: list = [None] * len(names)
+        # Full-size gray decodes stack as ONE device dispatch per
+        # same-width/same-config group (models/dispatch.py
+        # decode_gray_batch_auto, bit-identical to per-stream) — the
+        # bulk job stops paying per-image launch overhead; --scale rides
+        # the stacked scaled twin.
+        gray_idx = [
+            j for j, res in enumerate(parsed) if res[0] == "gray"
+        ]
+        if gray_idx:
+            gray_items = [(parsed[j][1], parsed[j][2], parsed[j][3])
+                          for j in gray_idx]
+            if m_scale is None:
+                from tpudct.models.dispatch import decode_gray_batch_auto
+
+                recs = decode_gray_batch_auto(p, gray_items)
+            else:
+                from tpudct.models.dispatch import (
+                    decode_gray_scaled_batch_auto,
+                )
+
+                recs = decode_gray_scaled_batch_auto(
+                    p, gray_items, m_scale
+                )
+            for j, r in zip(gray_idx, recs):
+                outputs[j] = r
+        color_idx = [
+            j for j, res in enumerate(parsed) if res[0] == "color"
+        ]
+        if m_scale is None and color_idx:
+            from tpudct.models.color import decode_color_batch_auto
+
+            recs = decode_color_batch_auto(
+                p, [(parsed[j][1], parsed[j][2],
+                     CodecConfig(q_scale=parsed[j][2]["q_scale"],
+                                 transform=parsed[j][2]["transform"]))
+                    for j in color_idx]
+            )
+            for j, r in zip(color_idx, recs):
+                outputs[j] = r
+        for j, res in enumerate(parsed):
+            if outputs[j] is not None or res[0] == "err":
+                continue
+            try:
+                if res[0] == "color":  # color at fractional scale
+                    _tag, planes, meta = res
+                    ccfg = CodecConfig(q_scale=meta["q_scale"],
+                                       transform=meta["transform"])
+                    from tpudct.models.color import decode_color_scaled
+
+                    fac = 8 // m_scale if 8 % m_scale == 0 else None
+                    outputs[j] = np.asarray(decode_color_scaled(
+                        p, planes, meta, ccfg, fac,
+                        m=None if fac else m_scale,
+                    ))
+            except (ValueError, OSError) as e:
+                outputs[j] = (
+                    "err", "io" if isinstance(e, OSError) else "stream",
+                    str(e),
+                )
+
+        def _save(j):
+            res = outputs[j] if outputs[j] is not None else parsed[j]
+            if isinstance(res, tuple) and res and res[0] == "err":
+                return ("err", res[1], res[2])
+            out = dst / (names[j] + ext)
+            try:
+                imageio.save_image(out, res, quality=args.quality)
+            except (ValueError, OSError) as e:
+                return ("err", "io" if isinstance(e, OSError) else "stream",
+                        str(e))
+            return ("ok", out.name, list(res.shape))
+
+        with ThreadPoolExecutor(n_threads) as ex:
+            futs = {ex.submit(_save, j): j for j in range(len(names))}
+            for fut in as_completed(futs):
+                j = futs[fut]
+                res = fut.result()
+                with lock:
+                    if res[0] == "err":
+                        # One corrupt stream must not abort the job
+                        # (same recovery contract as `batch`); I/O
+                        # failures are marked retryable.
+                        mf.write(json.dumps({
+                            "file": names[j], "error": res[2],
+                            "error_kind": res[1],
+                        }) + "\n")
+                        failed += 1
+                    else:
+                        done_rec = {"file": names[j], "out": res[1],
+                                    "shape": res[2]}
+                        if m_scale is not None:
+                            done_rec["scale"] = m_scale
+                        mf.write(json.dumps(done_rec) + "\n")
+                        decoded += 1
+                    mf.flush()
+
     with open(manifest, "a") as mf:
         for ci in range(0, len(todo), chunk):
-            names = todo[ci : ci + chunk]
+            cnames = todo[ci : ci + chunk]
             with ThreadPoolExecutor(n_threads) as ex:
-                parsed = list(ex.map(_parse, names))
-            outputs: list = [None] * len(names)
-            # Full-size gray decodes stack as ONE device dispatch per
-            # same-width/same-config group (models/dispatch.py
-            # decode_gray_batch_auto, bit-identical to per-stream) — the
-            # bulk job stops paying per-image launch overhead.
-            gray_idx = [
-                j for j, res in enumerate(parsed) if res[0] == "gray"
-            ]
-            if gray_idx:
-                gray_items = [(parsed[j][1], parsed[j][2], parsed[j][3])
-                              for j in gray_idx]
-                if m_scale is None:
-                    from tpudct.models.dispatch import decode_gray_batch_auto
+                datas = list(ex.map(_read, cnames))
+            waves, cur, acc = [], [], 0
+            for j, d in enumerate(datas):
+                px = _map_elems(d)
+                if cur and acc + px > wave_elems:
+                    waves.append(cur)
+                    cur, acc = [], 0
+                cur.append(j)
+                acc += px
+            if cur:
+                waves.append(cur)
+            for wave in waves:
+                wnames = [cnames[j] for j in wave]
+                with ThreadPoolExecutor(n_threads) as ex:
+                    parsed = list(ex.map(_parse, (datas[j] for j in wave)))
+                _process_wave(wnames, parsed, mf)
 
-                    recs = decode_gray_batch_auto(p, gray_items)
-                else:
-                    from tpudct.models.dispatch import (
-                        decode_gray_scaled_batch_auto,
-                    )
-
-                    recs = decode_gray_scaled_batch_auto(
-                        p, gray_items, m_scale
-                    )
-                for j, r in zip(gray_idx, recs):
-                    outputs[j] = r
-            color_idx = [
-                j for j, res in enumerate(parsed) if res[0] == "color"
-            ]
-            if m_scale is None and color_idx:
-                from tpudct.models.color import decode_color_batch_auto
-
-                recs = decode_color_batch_auto(
-                    p, [(parsed[j][1], parsed[j][2],
-                         CodecConfig(q_scale=parsed[j][2]["q_scale"],
-                                     transform=parsed[j][2]["transform"]))
-                        for j in color_idx]
-                )
-                for j, r in zip(color_idx, recs):
-                    outputs[j] = r
-            for j, res in enumerate(parsed):
-                if outputs[j] is not None or res[0] == "err":
-                    continue
-                try:
-                    if res[0] == "color":
-                        _tag, planes, meta = res
-                        ccfg = CodecConfig(q_scale=meta["q_scale"],
-                                           transform=meta["transform"])
-                        from tpudct.models.color import decode_color_scaled
-
-                        fac = 8 // m_scale if 8 % m_scale == 0 else None
-                        outputs[j] = np.asarray(decode_color_scaled(
-                            p, planes, meta, ccfg, fac,
-                            m=None if fac else m_scale,
-                        ))
-                except (ValueError, OSError) as e:
-                    outputs[j] = (
-                        "err", "io" if isinstance(e, OSError) else "stream",
-                        str(e),
-                    )
-
-            def _save(j):
-                res = outputs[j] if outputs[j] is not None else parsed[j]
-                if isinstance(res, tuple) and res and res[0] == "err":
-                    return ("err", res[1], res[2])
-                out = dst / (names[j] + ext)
-                try:
-                    imageio.save_image(out, res, quality=args.quality)
-                except (ValueError, OSError) as e:
-                    return ("err", "io" if isinstance(e, OSError) else "stream",
-                            str(e))
-                return ("ok", out.name, list(res.shape))
-
-            with ThreadPoolExecutor(n_threads) as ex:
-                futs = {ex.submit(_save, j): j for j in range(len(names))}
-                for fut in as_completed(futs):
-                    j = futs[fut]
-                    res = fut.result()
-                    with lock:
-                        if res[0] == "err":
-                            # One corrupt stream must not abort the job
-                            # (same recovery contract as `batch`); I/O
-                            # failures are marked retryable.
-                            mf.write(json.dumps({
-                                "file": names[j], "error": res[2],
-                                "error_kind": res[1],
-                            }) + "\n")
-                            failed += 1
-                        else:
-                            done_rec = {"file": names[j], "out": res[1],
-                                        "shape": res[2]}
-                            if m_scale is not None:
-                                done_rec["scale"] = m_scale
-                            mf.write(json.dumps(done_rec) + "\n")
-                            decoded += 1
-                        mf.flush()
     print(json.dumps({
         "decoded": decoded, "skipped": len(files) - len(todo),
         "failed": failed, "total": len(files), "manifest": str(manifest),
