@@ -609,3 +609,103 @@ def test_batch_unbatch_mixed_sizes_match_single(tmp_path, rng, capsys):
         assert main(["encode", str(src / name), str(single_t)]) == 0
         assert main(["decode", str(single_t), str(single_p)]) == 0
         np.testing.assert_array_equal(got, imageio.load_image(single_p))
+
+
+def test_decode_grayscale_composes_with_rows_planes_preview(tmp_path, rng, capsys):
+    """--grayscale must not be silently ignored by the --rows/--planes/
+    --preview branches of a color decode (review r3): each composes,
+    luma-only, consistent with the full --grayscale decode."""
+    rgb = rng.integers(0, 256, (48, 80, 3)).astype(np.uint8)
+    src = tmp_path / "in.png"
+    imageio.save_image(src, rgb)
+    tdcc = tmp_path / "c.tdcc"
+    assert main(["encode", "--color", "--entropy", "spectral",
+                 str(src), str(tdcc)]) == 0
+    full = tmp_path / "full.png"
+    assert main(["decode", "--grayscale", str(tdcc), str(full)]) == 0
+    ref = imageio.load_image(full)
+    # --rows: luma-only region == the same rows of the full luma decode
+    roi = tmp_path / "roi.png"
+    assert main(["decode", "--grayscale", "--rows", "11:37",
+                 str(tdcc), str(roi)]) == 0
+    got = imageio.load_image(roi)
+    assert got.shape == (26, 80)
+    np.testing.assert_array_equal(got, ref[11:37])
+    # --planes: all 64 spectral planes == the full luma decode
+    pl = tmp_path / "pl.png"
+    assert main(["decode", "--grayscale", "--planes", "64",
+                 str(tdcc), str(pl)]) == 0
+    np.testing.assert_array_equal(imageio.load_image(pl), ref)
+    # fewer planes: still gray-shaped (chroma never decodes)
+    pl4 = tmp_path / "pl4.png"
+    assert main(["decode", "--grayscale", "--planes", "4",
+                 str(tdcc), str(pl4)]) == 0
+    assert imageio.load_image(pl4).shape == (48, 80)
+    # --preview: luma-only DC thumbnail == preview of the chroma-dropped
+    # stream (edit --grayscale keeps the luma plane verbatim)
+    pv = tmp_path / "pv.png"
+    assert main(["decode", "--grayscale", "--preview",
+                 str(tdcc), str(pv)]) == 0
+    a = imageio.load_image(pv)
+    assert a.shape == (6, 10)
+    tdc = tmp_path / "g.tdc"
+    assert main(["edit", "--grayscale", "--entropy", "spectral",
+                 str(tdcc), str(tdc)]) == 0
+    pv2 = tmp_path / "pv2.png"
+    assert main(["decode", "--preview", str(tdc), str(pv2)]) == 0
+    np.testing.assert_array_equal(a, imageio.load_image(pv2))
+
+
+def test_unbatch_stacked_failure_falls_back_per_file(tmp_path, rng, capsys, monkeypatch):
+    """Per-file recovery contract under stacking (review r3): if a stacked
+    decode launch rejects, the wave redoes the group per item so only the
+    bad stream fails — one corrupt stream must not abort the job."""
+    import tpudct.models.dispatch as dispatch
+
+    src = tmp_path / "in"
+    mid = tmp_path / "tdc"
+    out = tmp_path / "png"
+    src.mkdir()
+    for i in range(3):
+        imageio.save_jpeg(src / f"g{i}.jpg",
+                          rng.integers(0, 256, (48, 48)).astype(np.uint8))
+    assert main(["batch", "--pipeline", "batched", str(src), str(mid)]) == 0
+    capsys.readouterr()
+
+    def _boom(p, items, max_pixels=None):
+        raise ValueError("stacked launch rejected")
+
+    monkeypatch.setattr(dispatch, "decode_gray_batch_auto", _boom)
+    assert main(["unbatch", "--pipeline", "batched", "--ext", ".png",
+                 str(mid), str(out)]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["decoded"] == 3 and rep["failed"] == 0
+    # per-item fallback produced the same pixels as the single-file command
+    single = tmp_path / "single.png"
+    assert main(["decode", "--pipeline", "batched",
+                 str(mid / "g0.jpg.tdc"), str(single)]) == 0
+    np.testing.assert_array_equal(
+        imageio.load_image(out / "g0.jpg.tdc.png"), imageio.load_image(single)
+    )
+
+
+def test_batch_waves_split_by_probed_pixels(tmp_path, rng, capsys, monkeypatch):
+    """Residency bounding in batch (review r3): header-probed sizes split
+    a chunk into waves; forcing one-file waves must not change outputs."""
+    src = tmp_path / "in"
+    dst = tmp_path / "tdc"
+    src.mkdir()
+    for i in range(4):
+        imageio.save_jpeg(src / f"g{i}.jpg",
+                          rng.integers(0, 256, (32 + 8 * i, 48)).astype(np.uint8))
+    huge = 1 << 62
+
+    monkeypatch.setattr(imageio, "probe_image_size", lambda path: (huge, 1))
+    assert main(["batch", "--pipeline", "batched", str(src), str(dst)]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["encoded"] == 4 and rep["failed"] == 0
+    ref = tmp_path / "ref"
+    assert main(["batch", "--pipeline", "batched", str(src), str(ref)]) == 0
+    for i in range(4):
+        assert (dst / f"g{i}.jpg.tdc").read_bytes() == \
+            (ref / f"g{i}.jpg.tdc").read_bytes()

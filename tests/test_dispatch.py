@@ -305,3 +305,40 @@ def test_stacked_scaled_decode_bit_identical(rng):
         for (c, icfg, hw), r in zip(items, got):
             np.testing.assert_array_equal(
                 decode_gray_scaled_auto(p, c, icfg, hw, m), r)
+
+
+def test_stacked_decode_clamps_oversized_orig_shape(rng):
+    """A claimed orig_shape larger than the coefficient map must NEVER
+    read the next stacked frame's pixels (review r3: cross-file leakage).
+    The stacked decoders clamp to the frame's slab, matching the per-item
+    NumPy-crop behavior; the serializer refuses such streams at parse."""
+    from tpudct.models.dispatch import decode_gray_batch_auto
+
+    p = get_pipeline("hp")
+    a = rng.integers(0, 256, (64, 256)).astype(np.uint8)
+    b = rng.integers(0, 256, (64, 256)).astype(np.uint8)
+    ca, _ = encode_gray_auto(p, a, CFG)
+    cb, _ = encode_gray_auto(p, b, CFG)
+    # frame 0 lies: claims 96 rows but its map covers 64
+    items = [(np.asarray(ca), CFG, (96, 256)), (np.asarray(cb), CFG, (64, 256))]
+    got = decode_gray_batch_auto(p, items)
+    ref0 = decode_gray_auto(p, np.asarray(ca), CFG, (96, 256))
+    assert got[0].shape[0] <= 64  # never fabricates rows from frame 1
+    np.testing.assert_array_equal(got[0], ref0)
+    np.testing.assert_array_equal(
+        got[1], decode_gray_auto(p, np.asarray(cb), CFG, (64, 256))
+    )
+
+
+def test_serializer_refuses_oversized_orig_shape(rng):
+    """Stream-level guard for the same class: a header claiming more
+    pixels than the coefficient map holds is corrupt and must refuse."""
+    from tpudct.utils import serialize
+
+    p = get_pipeline("hp")
+    c, _ = encode_gray_auto(p, rng.integers(0, 256, (64, 256)).astype(np.uint8), CFG)
+    data = serialize.coefficients_to_bytes(
+        np.asarray(c), 1.0, None, orig_shape=(96, 256)
+    )
+    with pytest.raises(ValueError, match="orig_shape"):
+        serialize.bytes_to_coefficients(data, with_orig_shape=True)

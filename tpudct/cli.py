@@ -369,10 +369,15 @@ def _decode_stream(args, path: str, shown: "str | None" = None) -> int:
         return 0
     if args.preview:
         # Instant 1/8-scale thumbnail: DC-only progressive decode, host
-        # arithmetic only (.tdcc streams preview in full color).
+        # arithmetic only (.tdcc streams preview in full color; with
+        # --grayscale only the luma plane's DC terms are read).
         data = open(path, "rb").read()
         if serialize.is_color_stream(head):
-            pv = serialize.preview_color_from_bytes(data)
+            if args.grayscale:
+                _sub, slices, _end = serialize._color_plane_slices(data)
+                pv = serialize.preview_from_bytes(slices[0])
+            else:
+                pv = serialize.preview_color_from_bytes(data)
         else:
             pv = serialize.preview_from_bytes(data)
         imageio.save_image(args.output, pv, quality=args.quality)
@@ -380,6 +385,29 @@ def _decode_stream(args, path: str, shown: "str | None" = None) -> int:
         return 0
     if args.planes is not None:
         if serialize.is_color_stream(head):
+            if args.grayscale:
+                # Progressive luma-only decode: read the first N spectral
+                # planes of the Y stream alone — chroma never decodes.
+                _sub, slices, _end = serialize._color_plane_slices(
+                    open(path, "rb").read()
+                )
+                p = serialize.partial_coefficients(
+                    bytes(slices[0]), n_planes=args.planes
+                )
+                from tpudct.models.dispatch import decode_gray_auto
+
+                cfg = CodecConfig(q_scale=p["q_scale"],
+                                  transform=p["transform"],
+                                  q_table=p["q_table"])
+                rec_u8 = decode_gray_auto(
+                    get_pipeline(args.pipeline), p["coeffs"], cfg,
+                    p["orig_shape"],
+                )
+                imageio.save_image(args.output, rec_u8,
+                                   quality=args.quality)
+                print(f"decoded {shown} ({args.planes} spectral planes, "
+                      f"luma only) -> {args.output}")
+                return 0
             # Progressive COLOR decode: the first N spectral planes of
             # each .tdcc plane stream (f32 path; partial maps are f32).
             from tpudct.models.color import decode_color
@@ -430,6 +458,24 @@ def _decode_stream(args, path: str, shown: "str | None" = None) -> int:
             a, bnd = max(0, a), min(h, bnd)
             if bnd <= a:
                 raise ValueError(f"--rows {args.rows}: empty range for height {h}")
+            if args.grayscale:
+                # Luma-only region decode: only the covering 8-row luma
+                # block rows transform; chroma never decodes, so the
+                # 16-row 4:2:0 alignment below is irrelevant here.
+                from tpudct.models.color import _luma_cfg
+                from tpudct.models.dispatch import decode_gray_auto
+
+                a0 = a - a % 8
+                y1 = min(planes["y"].shape[0], -(-bnd // 8) * 8)
+                rec = decode_gray_auto(
+                    get_pipeline(args.pipeline), planes["y"][a0:y1],
+                    _luma_cfg(cfg, meta.get("y_q_table", "luma")),
+                    (min(h, y1) - a0, w),
+                )[a - a0 : bnd - a0]
+                imageio.save_image(args.output, rec, quality=args.quality)
+                print(f"decoded rows {a}:{bnd} of {shown} (luma only) "
+                      f"-> {args.output}")
+                return 0
             mode = meta["subsample"]
             align = 16 if mode == "420" else 8
             a0 = a - a % align
@@ -815,6 +861,27 @@ def cmd_unbatch(args) -> int:
     def _process_wave(names, parsed, mf):
         nonlocal decoded, failed
         outputs: list = [None] * len(names)
+
+        def _group_decode(stacked_fn, single_fn, items):
+            """Stacked decode with the per-file recovery contract: if the
+            stacked launch rejects (one corrupt-but-parseable stream in
+            the stack), redo the group per item so only the bad file
+            fails — one corrupt stream must not abort the job."""
+            try:
+                return stacked_fn(items)
+            except (ValueError, OSError):
+                recs = []
+                for it in items:
+                    try:
+                        recs.append(single_fn(it))
+                    except (ValueError, OSError) as e:
+                        recs.append((
+                            "err",
+                            "io" if isinstance(e, OSError) else "stream",
+                            str(e),
+                        ))
+                return recs
+
         # Full-size gray decodes stack as ONE device dispatch per
         # same-width/same-config group (models/dispatch.py
         # decode_gray_batch_auto, bit-identical to per-stream) — the
@@ -827,16 +894,26 @@ def cmd_unbatch(args) -> int:
             gray_items = [(parsed[j][1], parsed[j][2], parsed[j][3])
                           for j in gray_idx]
             if m_scale is None:
-                from tpudct.models.dispatch import decode_gray_batch_auto
-
-                recs = decode_gray_batch_auto(p, gray_items)
-            else:
                 from tpudct.models.dispatch import (
-                    decode_gray_scaled_batch_auto,
+                    decode_gray_auto, decode_gray_batch_auto,
                 )
 
-                recs = decode_gray_scaled_batch_auto(
-                    p, gray_items, m_scale
+                recs = _group_decode(
+                    lambda items: decode_gray_batch_auto(p, items),
+                    lambda it: decode_gray_auto(p, *it),
+                    gray_items,
+                )
+            else:
+                from tpudct.models.dispatch import (
+                    decode_gray_scaled_auto, decode_gray_scaled_batch_auto,
+                )
+
+                recs = _group_decode(
+                    lambda items: decode_gray_scaled_batch_auto(
+                        p, items, m_scale
+                    ),
+                    lambda it: decode_gray_scaled_auto(p, *it, m_scale),
+                    gray_items,
                 )
             for j, r in zip(gray_idx, recs):
                 outputs[j] = r
@@ -844,13 +921,17 @@ def cmd_unbatch(args) -> int:
             j for j, res in enumerate(parsed) if res[0] == "color"
         ]
         if m_scale is None and color_idx:
-            from tpudct.models.color import decode_color_batch_auto
+            from tpudct.models.color import (
+                decode_color_auto, decode_color_batch_auto,
+            )
 
-            recs = decode_color_batch_auto(
-                p, [(parsed[j][1], parsed[j][2],
-                     CodecConfig(q_scale=parsed[j][2]["q_scale"],
-                                 transform=parsed[j][2]["transform"]))
-                    for j in color_idx]
+            recs = _group_decode(
+                lambda items: decode_color_batch_auto(p, items),
+                lambda it: np.asarray(decode_color_auto(p, *it)),
+                [(parsed[j][1], parsed[j][2],
+                  CodecConfig(q_scale=parsed[j][2]["q_scale"],
+                              transform=parsed[j][2]["transform"]))
+                 for j in color_idx],
             )
             for j, r in zip(color_idx, recs):
                 outputs[j] = r
@@ -916,16 +997,12 @@ def cmd_unbatch(args) -> int:
             cnames = todo[ci : ci + chunk]
             with ThreadPoolExecutor(n_threads) as ex:
                 datas = list(ex.map(_read, cnames))
-            waves, cur, acc = [], [], 0
-            for j, d in enumerate(datas):
-                px = _map_elems(d)
-                if cur and acc + px > wave_elems:
-                    waves.append(cur)
-                    cur, acc = [], 0
-                cur.append(j)
-                acc += px
-            if cur:
-                waves.append(cur)
+            from tpudct.models.dispatch import _chunk
+
+            waves = _chunk(
+                range(len(datas)), [_map_elems(d) for d in datas],
+                wave_elems,
+            )
             for wave in waves:
                 wnames = [cnames[j] for j in wave]
                 with ThreadPoolExecutor(n_threads) as ex:
@@ -1091,9 +1168,30 @@ def cmd_batch(args) -> int:
     n_threads = args.decode_threads if args.decode_threads > 0 else min(_os.cpu_count() or 4, 16)
     chunk = n_threads * 4
     lock = threading.Lock()
+    # Residency cap (same contract as unbatch's decoded-map waves): the
+    # raw images + padded stacks + coefficient maps of a wave stay within
+    # ~3x this element count; header-only probes size the waves so a
+    # 64-name chunk of 8192^2 frames doesn't hold ~13 GB at once.
+    wave_elems = 1 << 28
+    from tpudct.models.dispatch import _chunk as _split_waves
+
+    def _probe_elems(name) -> int:
+        hw = imageio.probe_image_size(str(src / name))
+        if hw is None:
+            return 0
+        return hw[0] * hw[1] * (3 if args.color else 1)
+
     with open(manifest, "a") as mf:
-        for i in range(0, len(todo), chunk):
-            names = todo[i : i + chunk]
+        file_waves = [
+            [todo[i + j] for j in wave]
+            for i in range(0, len(todo), chunk)
+            for wave in _split_waves(
+                range(len(todo[i : i + chunk])),
+                [_probe_elems(n) for n in todo[i : i + chunk]],
+                wave_elems,
+            )
+        ]
+        for names in file_waves:
             # Host decode is the bulk bottleneck (device encode ~0.1 ms per
             # image); JPEGs ride the native pthread pool per chunk, any
             # other accepted format loads via PIL one-by-one (same
@@ -1644,7 +1742,7 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--scale", default=None, metavar="M/8",
                     help="fractional-scale decode (djpeg -scale): reconstruct straight to ceil(H*M/8) x ceil(W*M/8) for M in 1..16 (aliases 1/2, 1/4, 1/8, 3/4, 3/2, 2/1 accepted) — the exact area-resample of the full decode, never materializing the full image (gray and color; subsampled-chroma color caps at M<=8)")
     sp.add_argument("--grayscale", action="store_true",
-                    help="decode a color stream luma-only (djpeg -grayscale): the chroma planes never decode; composes with --scale")
+                    help="decode a color stream luma-only (djpeg -grayscale): the chroma planes never decode; composes with --scale, --rows, --planes and --preview")
     sp.add_argument("input")
     sp.add_argument("output")
     sp.set_defaults(fn=cmd_decode)

@@ -41,6 +41,21 @@ from tpudct.utils.color import (
 PLANES = ("y", "cb", "cr")
 
 
+def _fits_i8(v) -> bool:
+    """Whether a coefficient plane's VALUES fit int8 (the fused u8 decode
+    casts to int8; out-of-range values from the f32 encode path on
+    out-of-[0,255] pixels would wrap).  int8/narrow-int streams are
+    in-range by construction — checking the dtype avoids a full
+    device->host transfer per plane for in-memory serving callers holding
+    device arrays.  Only float planes need the value scan."""
+    dt = np.dtype(getattr(v, "dtype", np.float32))
+    if dt in (np.dtype(np.int8), np.dtype(np.uint8)):
+        return True
+    from tpudct.utils.serialize import _abs_bound
+
+    return bool(_abs_bound(np.asarray(v)) <= 127)
+
+
 def normalize_subsample(subsample) -> "str | bool":
     """Normalize the subsample parameter: True/'420' -> '420' (the JPEG
     default), '422' -> '422', False/None/'444' -> False (full-res
@@ -504,21 +519,9 @@ def decode_color_auto(p: Pipeline, planes: dict, meta: dict, cfg: CodecConfig):
     """Decode through the fused u8 path when the stream geometry allows it.
 
     Safe for streams from EITHER encode path: besides the geometry/q_scale
-    gate, the ACTUAL plane values are checked against int8 — the f32 path
-    accepts out-of-[0,255] pixels whose coefficients can exceed the
-    theoretical u8-pixel bound, and casting those would wrap."""
-    def _fits_i8(v) -> bool:
-        # int8/narrow-int streams are in-range by construction — checking
-        # the dtype avoids a full device->host transfer per plane for
-        # in-memory serving callers holding device arrays.  Only float
-        # planes (the f32 encode path) need the value scan.
-        dt = np.dtype(getattr(v, "dtype", np.float32))
-        if dt in (np.dtype(np.int8), np.dtype(np.uint8)):
-            return True
-        from tpudct.utils.serialize import _abs_bound
-
-        return bool(_abs_bound(np.asarray(v)) <= 127)
-
+    gate, the ACTUAL plane values are checked against int8 (`_fits_i8`) —
+    the f32 path accepts out-of-[0,255] pixels whose coefficients can
+    exceed the theoretical u8-pixel bound, and casting those would wrap."""
     h, w = meta["orig_shape"]
     mode = normalize_subsample(meta["subsample"])
     if (
@@ -557,7 +560,7 @@ def roundtrip_color_auto(p: Pipeline, rgb, cfg: CodecConfig, subsample: bool = T
 # Bulk CLI jobs (`batch --color` / `unbatch` over .tdcc) previously paid
 # per-image dispatch overhead; a stacked chunk pays it once.
 
-_STACK_MAX_PIXELS = 1 << 27
+from tpudct.models.dispatch import _STACK_MAX_PIXELS  # noqa: E402 — one cap
 
 
 def encode_color_batch_auto(
@@ -644,13 +647,6 @@ def decode_color_batch_auto(
     fall back per-item).
     """
     from tpudct.models.dispatch import _chunk, _stack_groups
-    from tpudct.utils.serialize import _abs_bound
-
-    def _fits_i8(v) -> bool:
-        dt = np.dtype(getattr(v, "dtype", np.float32))
-        if dt in (np.dtype(np.int8), np.dtype(np.uint8)):
-            return True
-        return bool(_abs_bound(np.asarray(v)) <= 127)
 
     results: list = [None] * len(items)
     metas = []  # (idx, ypad, cbpad, crpad, mode, cfg, h, w)

@@ -312,17 +312,21 @@ def encode_gray_batch_auto(
                 if len(chunk) == 1
                 else np.concatenate([metas[i][1] for i in chunk], axis=0)
             )
+            rows = [metas[i][1].shape[0] for i in chunk]
+            for i in chunk:  # free the padded copies; `stacked` has them
+                metas[i] = (*metas[i][:1], None, *metas[i][2:])
             if path == "u8":
                 c = p.encode_u8(jnp.asarray(stacked), cfg)
             else:
                 c = p.encode(jnp.asarray(stacked), cfg)
+            del stacked
             c = np.asarray(c)  # one transfer for the whole chunk
             r0 = 0
-            for i in chunk:
-                _, x, h, w = metas[i]
+            for i, nrows in zip(chunk, rows):
+                _, _, h, w = metas[i]
                 h8, w8 = padded_shape(h, w)
                 results[i] = (c[r0 : r0 + h8, :w8].copy(), (h, w))
-                r0 += x.shape[0]
+                r0 += nrows
     return results
 
 
@@ -377,16 +381,23 @@ def decode_gray_batch_auto(
                 if len(chunk) == 1
                 else np.concatenate([metas[i][1] for i in chunk], axis=0)
             )
+            shapes = [metas[i][1].shape for i in chunk]
+            for i in chunk:  # free the padded copies; `stacked` has them
+                metas[i] = (*metas[i][:1], None, *metas[i][2:])
             if path == "u8":
                 r = p.decode_u8(jnp.asarray(stacked), cfg)
             else:
                 r = to_uint8(p.idct(jnp.asarray(stacked), cfg))
+            del stacked
             r = np.asarray(r)
             r0 = 0
-            for i in chunk:
-                _, x, _, h, w = metas[i]
-                results[i] = r[r0 : r0 + h, :w].copy()
-                r0 += x.shape[0]
+            for i, (ph, pw) in zip(chunk, shapes):
+                _, _, _, h, w = metas[i]
+                # Clamp to this frame's slab (matches the per-item path's
+                # NumPy-crop behavior if a caller hands an oversized
+                # orig_shape) so a bad frame can never read its neighbor.
+                results[i] = r[r0 : r0 + min(h, ph), : min(w, pw)].copy()
+                r0 += ph
     return results
 
 
@@ -453,18 +464,27 @@ def decode_gray_scaled_batch_auto(
                 if len(chunk) == 1
                 else np.concatenate([metas[j][1] for j in chunk], axis=0)
             )
+            shapes = [metas[j][1].shape for j in chunk]
+            for j in chunk:  # free the padded copies; `stacked` has them
+                metas[j] = (metas[j][0], None, *metas[j][2:])
             if kind == "u8":
                 rec = scaled_decode_u8(p, jnp.asarray(stacked), cfg, fac)
                 row_div = fac
             else:
                 rec = scaled_decode_m8(jnp.asarray(stacked), cfg, m)
                 row_div = None
+            del stacked
             r = np.asarray(to_uint8(rec))
             r0 = 0
-            for j in chunk:
-                i, x, _, h, w, _ = metas[j]
-                slab = x.shape[0] // fac if row_div else x.shape[0] // 8 * m
+            for j, (xh, xw) in zip(chunk, shapes):
+                i, _, _, h, w, _ = metas[j]
+                slab = xh // fac if row_div else xh // 8 * m
+                ws_max = xw // fac if row_div else xw // 8 * m
                 hs, ws = scaled_shape_m8(h, m), scaled_shape_m8(w, m)
-                results[i] = r[r0 : r0 + hs, :ws].copy()
+                # Clamp to the frame's scaled slab (see the full-decode
+                # twin above) so a bad orig_shape can't cross a seam.
+                results[i] = r[
+                    r0 : r0 + min(hs, slab), : min(ws, ws_max)
+                ].copy()
                 r0 += slab
     return results

@@ -307,6 +307,23 @@ def load_image(path: str, force_gray: bool = True) -> np.ndarray:
     return np.asarray(img)
 
 
+def probe_image_size(path: str):
+    """(height, width) from the file header only — no pixel decode.
+
+    Used by the bulk commands to bound per-wave host residency before
+    loading anything.  Returns None when the header can't be read (the
+    caller treats the file as size-unknown; the actual load surfaces the
+    error with the per-file recovery contract)."""
+    from PIL import Image
+
+    try:
+        with Image.open(path) as img:
+            w, h = img.size
+        return h, w
+    except (OSError, ValueError):
+        return None
+
+
 def save_image(path: str, image: np.ndarray, quality: int = 100) -> None:
     """Save dispatched on extension: .jpg/.jpeg goes through `save_jpeg`
     (native libjpeg, `quality` honored — the reference's output path);

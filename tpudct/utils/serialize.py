@@ -586,6 +586,15 @@ def _parse_plane(data: bytes) -> tuple:
         except zlib.error as e:
             raise ValueError(f"corrupt .tdc payload: {e}") from None
     coeffs = _decode_payload(raw, code, h, w)
+    if (oh and oh > h) or (ow and ow > w):
+        # The stored map must cover the original image (it is written at
+        # the 8-aligned shape or larger); a header claiming more pixels
+        # than the map holds is corrupt, and downstream croppers (incl.
+        # the stacked bulk decoders) rely on orig <= map.
+        raise ValueError(
+            f"corrupt .tdc: orig_shape ({oh}, {ow}) exceeds the "
+            f"coefficient map ({h}, {w})"
+        )
     if custom_q is not None:
         # Register only now, after the whole stream parsed — a corrupt
         # payload must not leave entries in the process-global registry.
