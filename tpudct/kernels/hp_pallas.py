@@ -740,7 +740,7 @@ def _pool_sublane(br: int, fr: int) -> np.ndarray:
 
 
 def _k_scaled_decode_u8_bf(c_ref, s_ref, t_ref, w_ref, pl_ref, pr_ref, o_ref,
-                           *, fr: int, fc: int):
+                           *, fr: int, fc: int, out_u8: bool = False):
     x = _inv_tile_bf(c_ref[:].astype(jnp.float32), s_ref[:], t_ref[:], w_ref[:])
     xi = jnp.clip(jnp.trunc(x), 0.0, 255.0)  # the truncated decode, as f32
     br, tc = xi.shape
@@ -779,7 +779,19 @@ def _k_scaled_decode_u8_bf(c_ref, s_ref, t_ref, w_ref, pl_ref, pr_ref, o_ref,
             s = d(hi.astype(jnp.bfloat16)) * jnp.float32(256.0) + d(
                 lo.astype(jnp.bfloat16)
             )
-    o_ref[:] = s * jnp.float32(1.0 / (fr * fc))
+    avg = s * jnp.float32(1.0 / (fr * fc))
+    if out_u8:
+        # In-kernel u8 store (VERDICT r3 #4): bit-identical to
+        # to_uint8(avg) with no extra VPU pass — `s` is an exact integer
+        # f32 (sum of clamped truncated pixels, <= 255*fr*fc < 2^14) and
+        # 1/(fr*fc) is a power of two, so `avg` is exact, non-negative and
+        # <= 255; clip is a no-op and the f32->i32 convert IS the
+        # truncation (same truncless-cast argument as _fwd_tile_int's
+        # out_i8 — verified bit-exact on hardware there and for this
+        # kernel in tests/test_scaled.py + the bench family gate).
+        o_ref[:] = avg.astype(jnp.int32).astype(jnp.uint8)
+    else:
+        o_ref[:] = avg
 
 
 def scaled_pad_align(fr: int, fc: int) -> tuple:
@@ -808,7 +820,7 @@ def supports_scaled_u8(
 
 
 @_jit("fr", "fc", "q_scale", "q_table", "band_rows", "tile_cols", "interpret",
-      "transform")
+      "transform", "out_u8")
 def hp_scaled_decode_u8(
     coeffs_i8,
     fr: int,
@@ -819,12 +831,19 @@ def hp_scaled_decode_u8(
     tile_cols=None,
     interpret: bool = False,
     transform: str = "haweel",
+    out_u8: bool = False,
 ):
-    """(H, W) int8 coefficients -> (H/fr, W/fc) float32 scaled raster in ONE
+    """(H, W) int8 coefficients -> (H/fr, W/fc) scaled raster in ONE
     kernel: dequant + exact butterfly inverse + clamp/truncate + exact
     integer box pool (djpeg -scale analog at the kernel level).  Bitwise
     identical to box_pool_u8(hp_decode_u8(c)) — the composed path this
-    fuses (tests/test_scaled.py)."""
+    fuses (tests/test_scaled.py).
+
+    out_u8=False returns the float32 box averages (the color path's
+    contract — the fractional averages feed the YCbCr merge unrounded);
+    out_u8=True truncates in the epilogue and stores uint8 directly —
+    bit-identical to to_uint8(f32 output) with 4x less output traffic and
+    no post-pass (the gray `decode --scale` path, VERDICT r3 #4)."""
     h, w = coeffs_i8.shape
     if not supports_scaled_u8(h, w, fr, fc, q_scale, transform, q_table):
         raise ValueError(
@@ -858,13 +877,15 @@ def hp_scaled_decode_u8(
         for c in consts
     ]
     fn = pl.pallas_call(
-        functools.partial(_k_scaled_decode_u8_bf, fr=fr, fc=fc),
+        functools.partial(_k_scaled_decode_u8_bf, fr=fr, fc=fc, out_u8=out_u8),
         grid=grid,
         in_specs=[pl.BlockSpec((br, tc), lambda i, j: (i, j),
                                memory_space=pltpu.VMEM)] + const_specs,
         out_specs=pl.BlockSpec((br // fr, tc // fc), lambda i, j: (i, j),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((h // fr, w // fc), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(
+            (h // fr, w // fc), jnp.uint8 if out_u8 else jnp.float32
+        ),
         interpret=interpret,
     )
     return fn(coeffs_i8, *consts)

@@ -194,9 +194,12 @@ def decode_gray_scaled_auto(
         and _abs_bound(np.asarray(coeffs)) <= 127
     ):
         cpad, _ = pad_coeffs_to_kernel(jnp.asarray(coeffs, jnp.int8), ra, la)
-        rec = scaled_decode_u8(p, cpad, cfg, fac)
-    else:
-        rec = scaled_decode(jnp.asarray(coeffs), cfg, fac)
+        # out_u8: the truncation rides the kernel epilogue — no post-pass,
+        # 4x less output traffic, bit-identical to to_uint8 of the f32 form
+        return np.asarray(
+            scaled_decode_u8(p, cpad, cfg, fac, out_u8=True)
+        )[:hs, :ws]
+    rec = scaled_decode(jnp.asarray(coeffs), cfg, fac)
     return np.asarray(to_uint8(rec))[:hs, :ws]
 
 
@@ -468,13 +471,16 @@ def decode_gray_scaled_batch_auto(
             for j in chunk:  # free the padded copies; `stacked` has them
                 metas[j] = (metas[j][0], None, *metas[j][2:])
             if kind == "u8":
-                rec = scaled_decode_u8(p, jnp.asarray(stacked), cfg, fac)
+                # in-kernel u8 store (see decode_gray_scaled_auto)
+                rec = scaled_decode_u8(
+                    p, jnp.asarray(stacked), cfg, fac, out_u8=True
+                )
                 row_div = fac
             else:
-                rec = scaled_decode_m8(jnp.asarray(stacked), cfg, m)
+                rec = to_uint8(scaled_decode_m8(jnp.asarray(stacked), cfg, m))
                 row_div = None
             del stacked
-            r = np.asarray(to_uint8(rec))
+            r = np.asarray(rec)
             r0 = 0
             for j, (xh, xw) in zip(chunk, shapes):
                 i, _, _, h, w, _ = metas[j]

@@ -276,10 +276,13 @@ def box_pool_u8(x_u8, f_rows: int, f_cols: int | None = None):
 
 
 def scaled_decode_u8(pipeline, coeffs_i8, cfg, factor: int,
-                     f_cols: int | None = None):
+                     f_cols: int | None = None, out_u8: bool = False):
     """Fast-path fractional-scale decode: fused int8 full decode (the
     0.29 ms/8192² kernel) + exact integer box pooling of its uint8
-    output -> (H/f, W/fc) float32.
+    output -> (H/f, W/fc) float32 (``out_u8=True``: uint8, truncated
+    in-kernel — bit-identical to to_uint8 of the f32 result with 4x less
+    output traffic; the gray dispatch path uses it, while the color path
+    keeps f32 so the fractional averages feed the YCbCr merge unrounded).
 
     CONTRACT DELTA vs :func:`scaled_decode`: this is the box average of
     the CLAMPED, ROUNDED full decode (the u8 image a viewer actually
@@ -329,7 +332,12 @@ def scaled_decode_u8(pipeline, coeffs_i8, cfg, factor: int,
         return hp_pallas.hp_scaled_decode_u8(
             c, factor, fc, q_scale=cfg.q_scale, q_table=cfg.q_table,
             band_rows=cfg.band_rows, tile_cols=cfg.tile_cols,
-            interpret=interp, transform=cfg.transform,
+            interpret=interp, transform=cfg.transform, out_u8=out_u8,
         )
     rec = pipeline.decode_u8(c, cfg)
-    return box_pool_u8(rec, factor, fc)
+    pooled = box_pool_u8(rec, factor, fc)
+    if out_u8:
+        from tpudct.ops.transform import to_uint8
+
+        return to_uint8(pooled)
+    return pooled
