@@ -102,6 +102,17 @@ spath = pathlib.Path(out).parent / "mh_sharded.tdc"
 # collective (two allgathers inside): every process must call it
 n_tdc = save_sharded(spath, c, cfg.q_scale, cfg.retain_k, orig_shape=(64, 64))
 
+# ---- distributed color serialization: sharded .tdcc, no gather --------------
+from tpudct.parallel.sharding import save_color_sharded, sharded_color_encode
+
+cstep, cmeta_fn = sharded_color_encode(p, cfg, mesh)
+ccy, ccb, ccr = cstep(xc)
+cpath = pathlib.Path(out).parent / "mh_sharded.tdcc"
+n_tdcc = save_color_sharded(
+    cpath, {"y": ccy, "cb": ccb, "cr": ccr}, cmeta_fn(128, 64),
+    cfg.q_scale, cfg.retain_k,
+)
+
 if pid == 0:
     json.dump(
         {
@@ -110,6 +121,10 @@ if pid == 0:
                 spath.read_bytes()
             ).hexdigest(),
             "tdc_bytes": n_tdc,
+            "tdcc_sha": __import__("hashlib").sha256(
+                cpath.read_bytes()
+            ).hexdigest(),
+            "tdcc_bytes": n_tdcc,
             "rec_sha": __import__("hashlib").sha256(
                 np.ascontiguousarray(rec).tobytes()
             ).hexdigest(),
@@ -207,6 +222,33 @@ def test_two_process_cluster_matches_single_process(tmp_path):
         np.ascontiguousarray(gather(rgb_rec)).tobytes()
     ).hexdigest()
     np.testing.assert_allclose(got["color_mse"], float(mc["mse"]), rtol=1e-6)
+
+    # Distributed color serialization: the 2-process sharded .tdcc must be
+    # byte-identical to this single-process sharded save AND the banded
+    # save_color of the gathered planes, and load bit-exactly.
+    from tpudct.parallel.sharding import save_color_sharded, sharded_color_encode
+
+    cstep, cmeta_fn = sharded_color_encode(p, cfg, mesh)
+    ccy, ccb, ccr = cstep(shard_rgb(jnp.asarray(rgb), mesh))
+    cmeta = cmeta_fn(128, 64)
+    f2 = tmp_path / "sp_sharded.tdcc"
+    n2 = save_color_sharded(
+        f2, {"y": ccy, "cb": ccb, "cr": ccr}, cmeta, cfg.q_scale, cfg.retain_k
+    )
+    assert got["tdcc_bytes"] == n2
+    assert got["tdcc_sha"] == hashlib.sha256(f2.read_bytes()).hexdigest()
+    gathered = {"y": gather(ccy), "cb": gather(ccb), "cr": gather(ccr)}
+    cref = serialize.color_to_bytes(
+        gathered, cmeta, cfg.q_scale, cfg.retain_k, cfg.transform,
+        codec="banded:8",
+    )
+    assert f2.read_bytes() == cref
+    back_planes, back_meta = serialize.load_color(f2)
+    assert back_meta["orig_shape"] == (128, 64)
+    for k in ("y", "cb", "cr"):
+        np.testing.assert_array_equal(
+            np.asarray(back_planes[k]), np.asarray(gathered[k])
+        )
 
     from tpudct.parallel.mesh import grid_mesh
     from tpudct.parallel.sharding import (

@@ -382,3 +382,100 @@ def test_save_sharded_refuses_grid_sharding(tmp_path, image256):
     xg = shard_image_grid(jnp.asarray(image256), gmesh)
     with pytest.raises(ValueError, match="column-sharded"):
         save_sharded(tmp_path / "g.tdc", xg)
+
+
+def test_save_color_sharded_byte_identical_and_bit_exact(tmp_path):
+    """Distributed .tdcc (VERDICT r3 #6): three band-sharded coefficient
+    planes serialize with no gather, byte-identical to the single-host
+    banded save_color of the gathered planes, and load_color reads them
+    back bit-exactly."""
+    from tpudct.parallel.sharding import (
+        save_color_sharded, shard_rgb, sharded_color_encode,
+    )
+    from tpudct.utils import color as _color
+    from tpudct.utils import serialize
+
+    mesh = band_mesh()
+    p = get_pipeline("batched")
+    cfg = CodecConfig()
+    rng = np.random.default_rng(9)
+    rgb = rng.integers(0, 256, (3, 256, 128), dtype=np.uint8)
+    xs = shard_rgb(jnp.asarray(rgb), mesh)
+    step, meta_fn = sharded_color_encode(p, cfg, mesh)
+    cy, cb, cr = step(xs)
+    meta = meta_fn(256, 128)
+    planes_sh = {"y": cy, "cb": cb, "cr": cr}
+    f = tmp_path / "sharded.tdcc"
+    n = save_color_sharded(f, planes_sh, meta, cfg.q_scale, cfg.retain_k)
+    assert n == f.stat().st_size
+
+    gathered = {k: gather(v) for k, v in planes_sh.items()}
+    ref = serialize.color_to_bytes(
+        gathered, meta, cfg.q_scale, cfg.retain_k, cfg.transform,
+        codec="banded:8",
+    )
+    assert f.read_bytes() == ref
+
+    back, bmeta = serialize.load_color(f)
+    assert bmeta["orig_shape"] == (256, 128)
+    assert bmeta["chroma_shape"] == (128, 64)
+    assert bmeta["subsample"] == "420"
+    assert bmeta["y_q_table"] == "luma" and bmeta["c_q_table"] == "chroma"
+    for k in ("y", "cb", "cr"):
+        np.testing.assert_array_equal(
+            np.asarray(back[k]), np.asarray(gathered[k])
+        )
+
+    # the sharded encode equals the SAME band math applied per band
+    # unsharded (bit-exact: shard_map runs exactly this; blocks and 2x2
+    # pools are band-local, zero halo).  The whole-image encode differs
+    # by the documented .5-tie class instead — its 256-row planes take
+    # the lane-width contraction branch the 32-row bands cannot.
+    import dataclasses
+
+    lcfg = dataclasses.replace(cfg, q_table="luma")
+    ccfg = dataclasses.replace(cfg, q_table="chroma")
+    ys, cbs, crs = [], [], []
+    for a in range(0, 256, 32):
+        y1, cb1, cr1 = _color.ycbcr_split_420_u8(jnp.asarray(rgb[:, a : a + 32]))
+        ys.append(np.asarray(p.encode(jnp.asarray(y1, jnp.float32), lcfg)))
+        cc1 = np.asarray(p.encode(
+            jnp.concatenate([cb1, cr1], axis=0).astype(jnp.float32), ccfg
+        ))
+        ph = cb1.shape[0]
+        cbs.append(cc1[:ph])
+        crs.append(cc1[ph:])
+    np.testing.assert_array_equal(np.asarray(gathered["y"]), np.vstack(ys))
+    np.testing.assert_array_equal(np.asarray(gathered["cb"]), np.vstack(cbs))
+    np.testing.assert_array_equal(np.asarray(gathered["cr"]), np.vstack(crs))
+
+
+def test_save_color_sharded_inner_codec_and_decode(tmp_path):
+    """Sharded .tdcc with an explicit inner stage: segments report the
+    stage, the full color decode runs from the distributed file."""
+    from tpudct.models.color import decode_color
+    from tpudct.parallel.sharding import (
+        save_color_sharded, shard_rgb, sharded_color_encode,
+    )
+    from tpudct.utils import serialize
+
+    mesh = band_mesh()
+    p = get_pipeline("batched")
+    cfg = CodecConfig()
+    rng = np.random.default_rng(10)
+    rgb = rng.integers(0, 256, (3, 128, 128), dtype=np.uint8)
+    xs = shard_rgb(jnp.asarray(rgb), mesh)
+    step, meta_fn = sharded_color_encode(p, cfg, mesh)
+    cy, cb, cr = step(xs)
+    f = tmp_path / "spec.tdcc"
+    save_color_sharded(
+        f, {"y": cy, "cb": cb, "cr": cr}, meta_fn(128, 128), inner="spectral"
+    )
+    info = serialize.inspect_stream(f.read_bytes())
+    assert info["container"] == "tdcc (color)"
+    for pl in info["planes"]:
+        assert pl["codec"] == "banded"
+        assert pl["segment_codecs"] == ["spectral"] * pl["segments"]
+    planes, meta = serialize.load_color(f)
+    rec = np.asarray(decode_color(p, planes, meta, cfg))
+    assert rec.shape == (128, 128, 3) and rec.dtype == np.uint8

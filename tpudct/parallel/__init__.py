@@ -12,11 +12,14 @@ critical path.
 
 from tpudct.parallel.mesh import band_mesh, band_spec, distributed_init, grid_mesh, grid_spec
 from tpudct.parallel.sharding import (
+    save_color_sharded,
+    save_sharded,
     shard_batch,
     shard_image,
     shard_image_grid,
     shard_rgb,
     shard_rgb_grid,
+    sharded_color_encode,
     sharded_color_step,
     sharded_color_step_grid,
     sharded_roundtrip,
@@ -34,11 +37,14 @@ __all__ = [
     "band_spec",
     "grid_mesh",
     "grid_spec",
+    "save_color_sharded",
+    "save_sharded",
     "shard_batch",
     "shard_image",
     "shard_image_grid",
     "shard_rgb",
     "shard_rgb_grid",
+    "sharded_color_encode",
     "sharded_color_step",
     "sharded_color_step_grid",
     "sharded_roundtrip",

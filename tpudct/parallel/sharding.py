@@ -316,6 +316,46 @@ def sharded_color_step(pipeline: Pipeline, cfg: CodecConfig, mesh: Mesh):
     return jax.jit(fn)
 
 
+def sharded_color_encode(pipeline: Pipeline, cfg: CodecConfig, mesh: Mesh):
+    """Distributed color ENCODE: band-sharded (3, H, W) u8 RGB ->
+    ({y, cb, cr} coefficient planes, all band-sharded) + the encode meta.
+
+    The encode half of :func:`sharded_color_step`, split out so the
+    coefficient planes can feed :func:`save_color_sharded` without ever
+    gathering (zero halo: YCbCr is pixel-local, 4:2:0 pooling 2x2-local,
+    bands 16-row aligned per shard_rgb).  Returns (jit fn, meta_fn) where
+    ``meta_fn(h, w)`` builds the serialize meta for the global shape."""
+    import dataclasses
+
+    from tpudct.utils import color as _color
+
+    lcfg = dataclasses.replace(cfg, q_table="luma")
+    ccfg = dataclasses.replace(cfg, q_table="chroma")
+
+    def band_fn(x):  # (3, hb, W) u8
+        y, cb, cr = _color.ycbcr_split_420_u8(x)
+        cy = pipeline.encode(jnp.asarray(y, jnp.float32), lcfg)
+        cc = pipeline.encode(
+            jnp.concatenate([cb, cr], axis=0).astype(jnp.float32), ccfg
+        )
+        ph = cb.shape[0]
+        return cy, cc[:ph], cc[ph:]
+
+    fn = jax.shard_map(
+        band_fn, mesh=mesh, in_specs=rgb_band_spec(),
+        out_specs=(band_spec(), band_spec(), band_spec()), check_vma=False,
+    )
+
+    def meta_fn(h: int, w: int) -> dict:
+        return {
+            "orig_shape": (h, w),
+            "chroma_shape": (h // 2, w // 2),
+            "subsample": "420",
+        }
+
+    return jax.jit(fn), meta_fn
+
+
 def batch_spec() -> P:
     """(B, H, W) image batches shard on the leading batch axis."""
     return P(BAND_AXIS, None, None)
@@ -451,33 +491,20 @@ def sharded_color_step_grid(pipeline: Pipeline, cfg: CodecConfig, mesh: Mesh):
 # ---- distributed serialization (the codec's "distributed checkpoint") ------
 
 
-def save_sharded(
-    path, coeffs, q_scale: float = 1.0, retain_k=None, orig_shape=None,
-    transform: str = "haweel", q_table: str = "luma", inner: str = "auto",
-    level: int = 6,
-) -> int:
-    """Serialize a band-sharded coefficient array to a .tdc WITHOUT ever
-    gathering the map on one host (VERDICT r2 #6; SURVEY.md §5 checkpoint).
+def _banded_payload_sharded(coeffs, inner: str, level: int) -> bytes:
+    """Entropy-code a band-sharded coefficient array into the `banded`
+    payload (leading segment count + per-segment directory) WITHOUT
+    gathering the map — the one copy shared by the gray (.tdc) and color
+    (.tdcc) distributed writers.
 
-    Each process entropy-codes only its addressable row slabs (one banded
-    segment per device band, serialize._CODEC_BANDED layout); only the
+    Each process codes only its addressable row slabs; only the
     COMPRESSED segments cross hosts (two small allgathers: lengths, then
-    padded payload bytes).  The assembled file is byte-identical to the
-    single-host `save_coefficients(..., codec=f"banded:{n_bands}:{inner}")`
-    of the gathered map — bit-exact decode through the ordinary loaders.
-
-    Every process computes the identical bytes; only process 0 writes.
-    Returns the byte count on all processes.  The reference persists
-    nothing but one output JPEG (SURVEY.md §5) — this is the multi-host
-    archival path its design could never express.
-    """
+    padded payload bytes).  Every process assembles identical bytes."""
     import struct as _struct
 
     import numpy as np
 
-    from tpudct.utils.serialize import (
-        _CODEC_BANDED, _encode_payload, _validate_map, _wrap_v4,
-    )
+    from tpudct.utils.serialize import _CODEC_BANDED, _encode_payload, _validate_map
 
     h, w = coeffs.shape
     slabs = {}  # row_start -> validated int16 slab
@@ -564,10 +591,92 @@ def save_sharded(
             f"sharded save: {len(allsegs)} bands covering {expect} rows "
             f"cannot serialize an {h}-row map"
         )
+    return b"".join(parts)
+
+
+def save_sharded(
+    path, coeffs, q_scale: float = 1.0, retain_k=None, orig_shape=None,
+    transform: str = "haweel", q_table: str = "luma", inner: str = "auto",
+    level: int = 6,
+) -> int:
+    """Serialize a band-sharded coefficient array to a .tdc WITHOUT ever
+    gathering the map on one host (VERDICT r2 #6; SURVEY.md §5 checkpoint).
+
+    Each process entropy-codes only its addressable row slabs (one banded
+    segment per device band, serialize._CODEC_BANDED layout); only the
+    COMPRESSED segments cross hosts (two small allgathers: lengths, then
+    padded payload bytes).  The assembled file is byte-identical to the
+    single-host `save_coefficients(..., codec=f"banded:{n_bands}:{inner}")`
+    of the gathered map — bit-exact decode through the ordinary loaders.
+
+    Every process computes the identical bytes; only process 0 writes.
+    Returns the byte count on all processes.  The reference persists
+    nothing but one output JPEG (SURVEY.md §5) — this is the multi-host
+    archival path its design could never express.
+    """
+    from tpudct.utils.serialize import _CODEC_BANDED, _wrap_v4
+
+    h, w = coeffs.shape
+    payload = _banded_payload_sharded(coeffs, inner, level)
     data = _wrap_v4(
-        h, w, _CODEC_BANDED, b"".join(parts), q_scale, retain_k, orig_shape,
+        h, w, _CODEC_BANDED, payload, q_scale, retain_k, orig_shape,
         transform, q_table,
     )
+    if jax.process_index() == 0:
+        with open(path, "wb") as f:
+            f.write(data)
+    return len(data)
+
+
+def save_color_sharded(
+    path, planes: dict, meta: dict, q_scale: float = 1.0, retain_k=None,
+    transform: str = "haweel", inner: str = "auto", level: int = 6,
+) -> int:
+    """Distributed .tdcc: serialize THREE band-sharded coefficient planes
+    (y / cb / cr, e.g. from :func:`sharded_color_encode`) with no gather
+    (VERDICT r3 #6 — the color half of the distributed-checkpoint story).
+
+    Per plane this is exactly :func:`save_sharded`'s flow (each host
+    entropy-codes its addressable slabs into banded segments; only
+    compressed bytes cross hosts); the three plane streams then wrap in
+    the same TDCC container framing as `serialize.color_to_bytes`.  The
+    assembled file is byte-identical to the single-host
+    `save_color(..., codec=f"banded:{{n}}:{{inner}}")` of the gathered
+    planes (asserted in tests/test_sharding.py and test_multihost.py),
+    so every ordinary loader — decode, preview, inspect, transcode —
+    reads it unchanged.
+
+    `meta` is the encode_color/encode_color_u8 meta dict (orig_shape,
+    chroma_shape, subsample, optional per-plane q tables).  Every process
+    computes identical bytes; only process 0 writes.  Returns the byte
+    count on all processes.
+    """
+    import struct as _struct
+
+    from tpudct.utils.serialize import (
+        _CODEC_BANDED, _HEADERC, _MAGICC, _wrap_v4,
+    )
+
+    h, w = meta["orig_shape"]
+    yq = meta.get("y_q_table", "luma")
+    cq = meta.get("c_q_table", "chroma")
+    _SUB_CODE = {False: 0, True: 1, "420": 1, "422": 2}
+    parts = [_struct.pack(_HEADERC, _MAGICC, 3, _SUB_CODE[meta["subsample"]])]
+    for name, q_table, oshape in (
+        ("y", yq, (h, w)),
+        ("cb", cq, meta["chroma_shape"]),
+        ("cr", cq, meta["chroma_shape"]),
+    ):
+        plane = planes[name]
+        ph, pw = plane.shape
+        payload = _banded_payload_sharded(plane, inner, level)
+        blob = _wrap_v4(
+            ph, pw, _CODEC_BANDED, payload, q_scale, retain_k, oshape,
+            transform, q_table,
+        )
+        parts.append(_struct.pack("<I", len(blob)))
+        parts.append(blob)
+    data = b"".join(parts)
     if jax.process_index() == 0:
         with open(path, "wb") as f:
             f.write(data)
