@@ -719,3 +719,115 @@ def test_banded_typo_codecs_rejected(rng):
     for bad in ("banded2", "bandedraw", "bandit"):
         with pytest.raises(ValueError, match="unknown codec"):
             serialize.coefficients_to_bytes(c, codec=bad)
+
+
+def test_auto_exact_is_the_trial_loop(rng):
+    """codec='auto-exact' runs every stage and keeps the smallest; decode
+    bit-exact."""
+    c = rng.integers(-90, 90, (64, 64)).astype(np.float32)
+    c[rng.random((64, 64)) < 0.8] = 0.0
+    blob = serialize.coefficients_to_bytes(c, codec="auto-exact")
+    for stage in ("spectral", "raw", "xz"):
+        assert len(blob) <= len(
+            serialize.coefficients_to_bytes(c, codec=stage)
+        )
+    back, _, _ = serialize.bytes_to_coefficients(blob)
+    np.testing.assert_array_equal(back, c)
+
+
+def test_auto_small_maps_stay_exact(monkeypatch, rng):
+    """Below the 4M-coefficient threshold 'auto' IS the exact trial loop:
+    the sampled estimator must never run there."""
+    def _boom(*a, **k):
+        raise AssertionError("predictive path ran on a small map")
+
+    monkeypatch.setattr(serialize, "_predictive_auto", _boom)
+    c = rng.integers(-30, 30, (64, 64)).astype(np.float32)
+    blob = serialize.coefficients_to_bytes(c, codec="auto")
+    back, _, _ = serialize.bytes_to_coefficients(blob)
+    np.testing.assert_array_equal(back, c)
+
+
+def test_auto_predictive_path(monkeypatch, rng):
+    """Above the threshold 'auto' estimates on a sample and runs only the
+    winner: decode stays bit-exact and the chosen stage is within 10% of
+    the exact trial loop's pick (estimation may tip only near-ties)."""
+    from tpudct.benchmark import photographic_image
+
+    monkeypatch.setattr(serialize, "_AUTO_EXACT_MAX", 0)
+    img = photographic_image(128)
+    # quantized-DCT-statistics map without a device: host einsum
+    from tpudct.benchmark import _host_dct_quant
+    from tpudct.config import CodecConfig
+
+    c = np.ascontiguousarray(
+        _host_dct_quant(img, CodecConfig()).transpose(0, 2, 1, 3)
+    ).reshape(128, 128).astype(np.float32)
+    blob = serialize.coefficients_to_bytes(c, codec="auto")
+    back, _, _ = serialize.bytes_to_coefficients(blob)
+    np.testing.assert_array_equal(back, c)
+    exact = serialize.coefficients_to_bytes(c, codec="auto-exact")
+    assert len(blob) <= 1.10 * len(exact)
+
+
+def test_auto_sample_deterministic_and_block_aligned():
+    c = np.arange(512 * 256, dtype=np.int16).reshape(512, 256)
+    s1 = serialize._auto_sample(c)
+    s2 = serialize._auto_sample(c)
+    np.testing.assert_array_equal(s1, s2)
+    assert s1.shape[0] % 8 == 0 and s1.shape[1] == 256
+    # the sample is a subset of whole block rows of c
+    assert s1.shape[0] <= c.shape[0]
+    # tiny maps sample to themselves (estimates degenerate to exact sizes)
+    tiny = np.ones((8, 8), np.int16)
+    np.testing.assert_array_equal(serialize._auto_sample(tiny), tiny)
+
+
+def test_auto_predictive_inside_banded_segments(monkeypatch, rng):
+    """banded:N:auto segments go predictive on big slabs too, and the
+    banded stream stays bit-exact + byte-deterministic."""
+    monkeypatch.setattr(serialize, "_AUTO_EXACT_MAX", 0)
+    c = rng.integers(-60, 60, (128, 64)).astype(np.float32)
+    c[rng.random((128, 64)) < 0.7] = 0.0
+    b1 = serialize.coefficients_to_bytes(c, codec="banded:4:auto")
+    b2 = serialize.coefficients_to_bytes(c, codec="banded:4:auto")
+    assert b1 == b2
+    back, _, _ = serialize.bytes_to_coefficients(b1)
+    np.testing.assert_array_equal(back, c)
+
+
+def test_bd_rate_known_shifts():
+    """BD metrics on analytically known curves: a uniform -10% rate shift
+    reads as BD-rate = -10%; identical curves read as 0; a +1 dB PSNR
+    shift reads as BD-PSNR = +1."""
+    from tpudct.benchmark import bd_psnr_db, bd_rate_pct
+
+    psnr = np.array([30.0, 33.0, 36.0, 39.0, 42.0])
+    rate = np.array([1e4, 2e4, 4e4, 8e4, 1.6e5])
+    anchor = list(zip(rate, psnr))
+    assert abs(bd_rate_pct(anchor, anchor)) < 1e-9
+    shifted = list(zip(rate * 0.9, psnr))
+    assert abs(bd_rate_pct(anchor, shifted) - (-10.0)) < 1e-6
+    assert abs(bd_psnr_db(anchor, anchor)) < 1e-9
+    better = list(zip(rate, psnr + 1.0))
+    assert abs(bd_psnr_db(anchor, better) - 1.0) < 1e-6
+    with pytest.raises(ValueError, match=">= 4"):
+        bd_rate_pct(anchor[:3], anchor[:3])
+    with pytest.raises(ValueError, match="overlap"):
+        bd_rate_pct(anchor, [(r, p + 50.0) for r, p in anchor])
+
+
+def test_curve_cli_prints_bd_summary(capsys):
+    from tpudct.cli import main
+
+    rc = main(["curve", "--qualities", "20,40,60,80,90", "--image", "photo"])
+    assert rc == 0
+    import json as _json
+
+    lines = [
+        _json.loads(l) for l in capsys.readouterr().out.strip().splitlines()
+    ]
+    assert len(lines) == 6
+    summary = lines[-1]
+    assert "bd_rate_pct_vs_libjpeg" in summary and summary["points"] == 5
+    assert summary["transform"] == "haweel"

@@ -35,13 +35,24 @@ Plane format v4 (little-endian), used by grayscale .tdc and inside color
                     incrementally)
   uint32 payload_size, then payload (zlib-wrapped for codecs 0-1)
 
-The default codec is "auto": the real entropy stages are run and the
-smallest payload wins per file — rans beats huffman 4-9% on measured
-coefficient maps (sub-bit symbol costs + zig-zag-band contexts) and wins
-photographic statistics outright, while the spectral reorder + lzma (xz)
-wins highly repetitive content where cross-block LZ matches dominate
-(~26% under spectral+zlib on the circuit board).  Decode is bit-exact in
-every case.
+The default codec is "auto": the smallest entropy stage wins per file —
+rans beats huffman 4-9% on measured coefficient maps (sub-bit symbol
+costs + zig-zag-band contexts) and wins photographic statistics
+outright, while the spectral reorder + lzma (xz) wins highly repetitive
+content where cross-block LZ matches dominate (~26% under spectral+zlib
+on the circuit board).  Decode is bit-exact in every case.
+
+Up to 4M coefficients (2048²) "auto" runs every stage for real and keeps
+the smallest (the exact trial loop).  Above that it switches to SAMPLED
+RATE ESTIMATION (VERDICT r3 #1): each candidate entropy-codes a
+deterministic ~1M-coefficient subset of evenly spaced block rows, the
+per-byte rate extrapolates to the full map, and only the predicted
+winner runs on the full map — auto then costs ~the winning single stage
+instead of the sum of all four (the old loop measured 11.9 s at 8192²
+on a 1-CPU host; the winner alone is ~0.9 s).  Estimation affects WHICH
+codec is chosen, never correctness: the chosen stage is a real full
+encode, bit-exact like any explicit --entropy choice.  The exact
+trial-everything behavior stays available as codec "auto-exact".
 
 The *spectral* codec reorders coefficients the way JPEG's entropy stage
 does (progressive spectral selection, ITU-T T.81 §G): all DC terms first,
@@ -300,6 +311,113 @@ def _parse_banded_spec(codec: str) -> tuple:
     return n, inner
 
 
+def _exact_auto(c: np.ndarray, level: int, rans_bands: int) -> tuple:
+    """The exact trial loop: run EVERY available entropy stage on the full
+    map, keep the smallest (codec "auto-exact"; also "auto" up to 4M
+    coefficients, where the trials are cheap).
+
+    zlib/lzma and the native coders (ctypes calls) release the GIL, so on
+    multi-core hosts the trials overlap and this costs ~max(stage) instead
+    of sum(stage).  The 1-core CI host cannot overlap threads — there it
+    is ≈ sum(stages) (benchmarks/RESULTS_v5e.md host-entropy table),
+    which is why large maps default to the sampled estimator instead."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from tpudct.utils import entropy
+
+    with ThreadPoolExecutor(max_workers=3) as ex:
+        futs = []
+        if entropy.native_entropy_available():
+            futs.append((_CODEC_HUFF, ex.submit(entropy.huff_encode, c)))
+        if entropy.rans_available():
+            futs.append((_CODEC_RANS, ex.submit(
+                entropy.rans_encode, c, rans_bands
+            )))
+        spec = _spectral_pack(c)
+        if lzma is not None:
+            futs.append((_CODEC_XZ, ex.submit(
+                lzma.compress, spec, lzma.FORMAT_XZ, -1, _xz_preset(c.size)
+            )))
+        best = (_CODEC_SPECTRAL, zlib.compress(spec, level))
+        for code_id, fut in futs:
+            try:
+                payload = fut.result()
+            except _TRIAL_ERRORS:
+                continue
+            if len(payload) < len(best[1]):
+                best = (code_id, payload)
+    return best
+
+
+# "auto" runs the exact trial loop up to this many coefficients (4M =
+# 2048², where all four trials cost well under a second even single-core)
+# and the sampled estimator above it.
+_AUTO_EXACT_MAX = 1 << 22
+# Sample budget for the estimator: ~1M coefficients of evenly spaced
+# block rows — large enough that per-stream table overhead (rans/huffman
+# frequency tables, ~1 KB) is <0.1% of the sample payload, small enough
+# that all four trials cost ~0.15 s.
+_AUTO_SAMPLE_ELEMS = 1 << 20
+
+
+def _auto_sample(c: np.ndarray) -> np.ndarray:
+    """Deterministic ~1M-coefficient sample: evenly spaced whole block
+    rows (np.linspace over the block-row index — same rows for the same
+    shape every time, so banded/sharded encodes of identical content make
+    identical choices on every host)."""
+    h, w = c.shape
+    nb = h // _BS
+    k = min(nb, max(1, -(-_AUTO_SAMPLE_ELEMS // (w * _BS))))
+    idx = np.unique(np.linspace(0, nb - 1, k).astype(np.int64))
+    return np.vstack([c[i * _BS : (i + 1) * _BS] for i in idx])
+
+
+def _predictive_auto(c: np.ndarray, level: int, rans_bands: int) -> tuple:
+    """Sampled rate estimation (VERDICT r3 #1): entropy-code the sample
+    with every candidate, extrapolate bytes/coefficient to the full map,
+    run ONLY the predicted winner for real.  The xz trial uses the FULL
+    map's size-aware lzma preset so the estimate models the encode that
+    would actually run.  Decode correctness is unconditional — whichever
+    stage wins performs a real full encode."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from tpudct.utils import entropy
+
+    s = _auto_sample(c)
+    scale = c.size / s.size
+    full_preset = _xz_preset(c.size)
+    with ThreadPoolExecutor(max_workers=3) as ex:
+        futs = []
+        if entropy.native_entropy_available():
+            futs.append((_CODEC_HUFF, ex.submit(entropy.huff_encode, s)))
+        if entropy.rans_available():
+            futs.append((_CODEC_RANS, ex.submit(entropy.rans_encode, s, 1)))
+        spec = _spectral_pack(s)
+        if lzma is not None:
+            futs.append((_CODEC_XZ, ex.submit(
+                lzma.compress, spec, lzma.FORMAT_XZ, -1, full_preset
+            )))
+        best_code, best_est = _CODEC_SPECTRAL, len(zlib.compress(spec, level)) * scale
+        for code_id, fut in futs:
+            try:
+                est = len(fut.result()) * scale
+            except _TRIAL_ERRORS:
+                continue
+            if est < best_est:
+                best_code, best_est = code_id, est
+    # the real encode of the predicted winner
+    if best_code == _CODEC_HUFF:
+        return best_code, entropy.huff_encode(c)
+    if best_code == _CODEC_RANS:
+        return best_code, entropy.rans_encode(c, rans_bands)
+    full_spec = _spectral_pack(c)
+    if best_code == _CODEC_XZ:
+        return best_code, lzma.compress(
+            full_spec, lzma.FORMAT_XZ, -1, full_preset
+        )
+    return _CODEC_SPECTRAL, zlib.compress(full_spec, level)
+
+
 def _encode_payload(
     c: np.ndarray, codec: str, level: int, deterministic: bool = False
 ) -> tuple:
@@ -310,50 +428,16 @@ def _encode_payload(
             # same size heuristic as the rans stream bands: ~1 per 4 Mpix
             n = max(1, min(16, c.size >> 22, c.shape[0] // _BS))
         return _CODEC_BANDED, _encode_banded(c, n, inner, level)
+    if codec == "auto-exact" or (codec == "auto" and c.size <= _AUTO_EXACT_MAX):
+        return _exact_auto(c, level, rans_bands)
     if codec == "auto":
-        # Pick the smallest of the real entropy stages per file: rans
-        # usually wins photographic statistics (sub-bit costs + positional
-        # contexts, 4-9% under huffman), the spectral-reorder + lzma (xz)
-        # stage wins highly repetitive content (cross-block LZ matches),
-        # with spectral+zlib as the always-available floor.  All decode
-        # bit-exactly; the header's codec byte records the choice.
-        # zlib/lzma and the native coders (ctypes calls) release the GIL,
-        # so on multi-core hosts the trials overlap and auto costs
-        # ~max(stage) instead of sum(stage).  The 1-core CI host cannot
-        # overlap threads — there auto ≈ sum(stages)
-        # (benchmarks/RESULTS_v5e.md host-entropy table).
-        from concurrent.futures import ThreadPoolExecutor
-
-        from tpudct.utils import entropy
-
-        with ThreadPoolExecutor(max_workers=3) as ex:
-            futs = []
-            if entropy.native_entropy_available():
-                futs.append((_CODEC_HUFF, ex.submit(entropy.huff_encode, c)))
-            if entropy.rans_available():
-                futs.append((_CODEC_RANS, ex.submit(
-                    entropy.rans_encode, c, rans_bands
-                )))
-            spec = _spectral_pack(c)
-            if lzma is not None:
-                futs.append((_CODEC_XZ, ex.submit(
-                    lzma.compress, spec, lzma.FORMAT_XZ, -1, _xz_preset(c.size)
-                )))
-            best = (_CODEC_SPECTRAL, zlib.compress(spec, level))
-            for code_id, fut in futs:
-                try:
-                    payload = fut.result()
-                except _TRIAL_ERRORS:
-                    continue
-                if len(payload) < len(best[1]):
-                    best = (code_id, payload)
-        return best
+        return _predictive_auto(c, level, rans_bands)
     try:
         code = _CODECS[codec]
     except KeyError:
         raise ValueError(
             f"unknown codec {codec!r}; available: "
-            f"{sorted(_CODECS) + ['auto', 'banded[:N[:inner]]']}"
+            f"{sorted(_CODECS) + ['auto', 'auto-exact', 'banded[:N[:inner]]']}"
         ) from None
     if code == _CODEC_HUFF:
         from tpudct.utils.entropy import huff_encode
