@@ -90,7 +90,7 @@ def test_inspect_reports_headers(tmp_path, jpg, capsys):
 def test_encode_entropy_choices(tmp_path, jpg, capsys):
     # every entropy stage must produce a decodable .tdc
     outs = {}
-    for codec in ("auto", "spectral", "huffman", "rans", "xz", "raw"):
+    for codec in ("auto", "auto-exact", "spectral", "huffman", "rans", "xz", "raw"):
         tdc = tmp_path / f"{codec}.tdc"
         rc = main(["encode", "--entropy", codec, str(jpg), str(tdc)])
         assert rc == 0, codec
@@ -98,7 +98,7 @@ def test_encode_entropy_choices(tmp_path, jpg, capsys):
         dec = tmp_path / f"{codec}.jpg"
         assert main(["decode", str(tdc), str(dec)]) == 0
         outs[codec] = imageio.load_jpeg(dec)
-    for codec in ("spectral", "huffman", "rans", "xz", "raw"):
+    for codec in ("auto-exact", "spectral", "huffman", "rans", "xz", "raw"):
         np.testing.assert_array_equal(outs["auto"], outs[codec])
 
 
@@ -709,3 +709,21 @@ def test_batch_waves_split_by_probed_pixels(tmp_path, rng, capsys, monkeypatch):
     for i in range(4):
         assert (dst / f"g{i}.jpg.tdc").read_bytes() == \
             (ref / f"g{i}.jpg.tdc").read_bytes()
+
+
+def test_bench_e2e_small(capsys):
+    """bench --e2e: phase-decomposed wall times + the bulk flow with its
+    chosen-codec histogram."""
+    rc = main(["bench", "--e2e", "--size", "64", "--batch", "3"])
+    assert rc == 0
+    lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    enc = next(l for l in lines if l.get("bench") == "e2e-encode")
+    for k in ("load_s", "device_wall_s", "entropy_s", "write_s", "total_s"):
+        assert enc[k] >= 0
+    assert abs(
+        enc["total_s"]
+        - (enc["load_s"] + enc["device_wall_s"] + enc["entropy_s"] + enc["write_s"])
+    ) < 0.05
+    assert enc["chosen_codec"] in ("rans", "huffman", "xz", "spectral", "raw")
+    bat = next(l for l in lines if l.get("bench") == "e2e-batch")
+    assert bat["images"] == 3 and sum(bat["codec_histogram"].values()) == 3
