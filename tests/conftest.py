@@ -28,6 +28,27 @@ assert jax.default_backend() == "cpu" and len(jax.devices()) == 8, (
 )
 
 
+# Smoke tier (`pytest -m quick`, ~2 min): the fast modules that together
+# touch every layer — constants/derivations, blockwise ops, all four
+# pipelines vs golden, transforms registry, serialization/metrics, I/O.
+# The slow modules (scaled/color/dispatch/sharding CLI drives) stay in the
+# full ~12-min suite.
+_QUICK_MODULES = {
+    "test_constants", "test_ops", "test_pipelines", "test_transforms",
+    "test_metrics", "test_io", "test_qtables", "test_kernels",
+}
+
+
+def pytest_configure(config):
+    config.addinivalue_line("markers", "quick: fast broad-coverage smoke tier")
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if getattr(item.module, "__name__", "") in _QUICK_MODULES:
+            item.add_marker(pytest.mark.quick)
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(42)
