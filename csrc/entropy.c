@@ -437,11 +437,25 @@ int tpudct_huff_decode(const uint8_t *data, long n, int h, int w, int16_t *out) 
  * the per-band DC-reset rounding.  Output bytes are deterministic for
  * a given input regardless of thread scheduling.
  *
- * Stream layout (payload of .tdc codec 3, version 2):
- *   u8  version (=2)
+ * Stream v3 (round 4) refines the positional model: SIX AC zig-zag band
+ * contexts (k in [1,2] / [3,5] / [6,10] / [11,20] / [21,35] / [36,63])
+ * instead of three.  Measured on 512² std-Q maps (entropy-model sweep,
+ * benchmarks/RESULTS_v5e.md): -2.6% photo, -3.5% circuit, -1.5% noise
+ * net of the three extra tables' overhead; richer schemes (prev-block
+ * activity, prev-DC-size, per-position tables) measured worse once
+ * table bytes are counted — static tables already capture what those
+ * contexts would add.  The v3 bands nest exactly inside v2's, so the
+ * encoder computes the Shannon cost of BOTH layouts from one histogram
+ * pass and emits whichever is smaller including table bytes (small maps
+ * keep v2 — three extra tables cost ~300 B, which outweighs the ~2%
+ * model gain below ~15 KB of symbol payload).  The decoders (C and the
+ * pure-Python fallback) accept v2 and v3.
+ *
+ * Stream layout (payload of .tdc codec 3, version 2 or 3):
+ *   u8  version (2 = 4 contexts, 3 = 7 contexts)
  *   u8  n_bands
  *   u32le rows_per_band  (pixel rows, multiple of 8; last band: remainder)
- *   4 tables (DC, AC band0, AC band1, AC band2), each:
+ *   NCTX tables (DC, then the AC bands in k order), each:
  *       u16le n_entries, then n_entries x { u8 symbol, u16le freq }
  *       (freqs normalized to sum 1<<RANS_BITS; entries sorted by symbol)
  *   per band: u32le rans_bytes, u32le extra_bits
@@ -452,20 +466,33 @@ int tpudct_huff_decode(const uint8_t *data, long n, int h, int w, int16_t *out) 
  * bits are incompressible by construction and ride a plain bit stream.
  */
 
+#include <math.h>
 #include <pthread.h>
 #include <unistd.h>
 
 #define RANS_BITS 12
 #define RANS_M (1u << RANS_BITS)
 #define RANS_L (1u << 23) /* normalization lower bound */
-#define NCTX 4            /* DC + 3 AC zig-zag bands */
+#define NCTX_V2 4 /* DC + 3 AC zig-zag bands */
+#define NCTX_V3 7 /* DC + 6 AC zig-zag bands */
+#define NCTX_MAX NCTX_V3
 #define RANS_MAX_BANDS 16
 
-static int rans_ctx_of(int table, int kpos) {
+static int rans_ctx_of_v2(int table, int kpos) {
     if (!table) return 0;
     if (kpos <= 5) return 1;
     if (kpos <= 20) return 2;
     return 3;
+}
+
+static int rans_ctx_of_v3(int table, int kpos) {
+    if (!table) return 0;
+    if (kpos <= 2) return 1;
+    if (kpos <= 5) return 2;
+    if (kpos <= 10) return 3;
+    if (kpos <= 20) return 4;
+    if (kpos <= 35) return 5;
+    return 6;
 }
 
 typedef struct {
@@ -548,11 +575,12 @@ typedef struct {
     const int16_t *c;
     int w, rows;
     const RansTable *tabs;
+    const uint8_t *ctx_map; /* v3 context id -> emitted table id */
     const uint64_t (*recip)[NSYM]; /* ceil(2^48/freq) per context symbol */
     /* pass A out */
     RansSym *syms;
     long n, cap;
-    long hist[NCTX][NSYM];
+    long hist[NCTX_MAX][NSYM];
     BitWriter xw;
     long xbits_total;
     /* pass B out */
@@ -564,7 +592,7 @@ typedef struct {
 static void rans_collect_sink(void *ctx, int table, int kpos, int sym,
                               int eb, uint32_t ev) {
     RansBand *b = (RansBand *)ctx;
-    int c = rans_ctx_of(table, kpos);
+    int c = rans_ctx_of_v3(table, kpos);
     if (b->n >= b->cap) { b->bad = 1; return; }
     b->syms[b->n].tab = (uint8_t)c;
     b->syms[b->n].sym = (uint8_t)sym;
@@ -586,7 +614,8 @@ static void *rans_encode_worker(void *arg) {
     long i, rpos = b->rcap;
     uint32_t state = RANS_L;
     for (i = b->n - 1; i >= 0; i--) {
-        const RansTable *t = &b->tabs[b->syms[i].tab];
+        int tab = b->ctx_map[b->syms[i].tab];
+        const RansTable *t = &b->tabs[tab];
         uint32_t f = t->freq[b->syms[i].sym];
         uint32_t x_max = ((RANS_L >> RANS_BITS) << 8) * f;
         uint32_t q;
@@ -601,7 +630,7 @@ static void *rans_encode_worker(void *arg) {
          * (Granlund-Montgomery bound).  The hardware div/mod pair was the
          * encoder's hottest instruction. */
         q = (uint32_t)(((__uint128_t)state *
-                        b->recip[b->syms[i].tab][b->syms[i].sym]) >> 48);
+                        b->recip[tab][b->syms[i].sym]) >> 48);
         state = (q << RANS_BITS) + (state - q * f) + t->start[b->syms[i].sym];
     }
     if (rpos < 4) { b->bad = 1; return NULL; }
@@ -633,9 +662,11 @@ long tpudct_rans_encode(const int16_t *coeffs, int h, int w,
     long rpb, pos, i;
     RansBand bands[RANS_MAX_BANDS];
     pthread_t tids[RANS_MAX_BANDS];
-    long hist[NCTX][NSYM];
-    RansTable tabs[NCTX];
-    uint64_t recip[NCTX][NSYM]; /* per-call: concurrent encodes are legal
+    long hist[NCTX_V3][NSYM];
+    RansTable tabs[NCTX_V3];
+    int version_out = 3, nctx_out = NCTX_V3;
+    const uint8_t *ctx_map = NULL;
+    uint64_t recip[NCTX_V3][NSYM]; /* per-call: concurrent encodes are legal
                                  * (ctypes releases the GIL) */
     if (h <= 0 || w <= 0 || (h % 8) || (w % 8)) return -1;
     if (force_bands < 0 || force_bands > RANS_MAX_BANDS) return -1;
@@ -667,11 +698,59 @@ long tpudct_rans_encode(const int16_t *coeffs, int h, int w,
     memset(hist, 0, sizeof(hist));
     for (bi = 0; bi < nbands; bi++) {
         if (bands[bi].bad) { rans_bands_free(bands, nbands); return -1; }
-        for (c = 0; c < NCTX; c++)
+        for (c = 0; c < NCTX_V3; c++)
             for (i = 0; i < NSYM; i++) hist[c][i] += bands[bi].hist[c][i];
     }
-    for (c = 0; c < NCTX; c++) rans_normalize(hist[c], &tabs[c]);
-    for (c = 0; c < NCTX; c++)
+    /* v2's AC bands are the pairwise union of v3's, so both layouts cost
+     * out exactly from this one histogram: Shannon bits + table bytes.
+     * Emit whichever is smaller (rANS with 12-bit tables tracks the
+     * Shannon sum within ~0.1%). */
+    {
+        long hist2[NCTX_V2][NSYM];
+        double cost2 = 0, cost3 = 0;
+        int s;
+        static const uint8_t fold[NCTX_V3] = {0, 1, 1, 2, 2, 3, 3};
+        static const uint8_t ident[NCTX_V3] = {0, 1, 2, 3, 4, 5, 6};
+        memset(hist2, 0, sizeof(hist2));
+        for (c = 0; c < NCTX_V3; c++)
+            for (s = 0; s < NSYM; s++) hist2[fold[c]][s] += hist[c][s];
+        for (c = 0; c < NCTX_V3; c++) {
+            long tot = 0;
+            int npres = 0;
+            for (s = 0; s < NSYM; s++) tot += hist[c][s];
+            for (s = 0; s < NSYM; s++)
+                if (hist[c][s]) {
+                    npres++;
+                    cost3 -= (double)hist[c][s] *
+                             log2((double)hist[c][s] / (double)tot);
+                }
+            cost3 += (2 + 3.0 * npres) * 8.0;
+        }
+        for (c = 0; c < NCTX_V2; c++) {
+            long tot = 0;
+            int npres = 0;
+            for (s = 0; s < NSYM; s++) tot += hist2[c][s];
+            for (s = 0; s < NSYM; s++)
+                if (hist2[c][s]) {
+                    npres++;
+                    cost2 -= (double)hist2[c][s] *
+                             log2((double)hist2[c][s] / (double)tot);
+                }
+            cost2 += (2 + 3.0 * npres) * 8.0;
+        }
+        if (cost3 < cost2) {
+            version_out = 3;
+            nctx_out = NCTX_V3;
+            ctx_map = ident;
+            for (c = 0; c < NCTX_V3; c++) rans_normalize(hist[c], &tabs[c]);
+        } else {
+            version_out = 2;
+            nctx_out = NCTX_V2;
+            ctx_map = fold;
+            for (c = 0; c < NCTX_V2; c++) rans_normalize(hist2[c], &tabs[c]);
+        }
+    }
+    for (c = 0; c < nctx_out; c++)
         for (i = 0; i < NSYM; i++)
             recip[c][i] = tabs[c].freq[i]
                 ? (uint64_t)((((__uint128_t)1 << 48) + tabs[c].freq[i] - 1) /
@@ -680,6 +759,7 @@ long tpudct_rans_encode(const int16_t *coeffs, int h, int w,
     for (bi = 0; bi < nbands; bi++) {
         RansBand *b = &bands[bi];
         b->tabs = tabs;
+        b->ctx_map = ctx_map;
         b->recip = (const uint64_t (*)[NSYM])recip;
         b->rcap = b->n * 4 + 64;
         b->rbuf = (uint8_t *)malloc(b->rcap);
@@ -698,10 +778,10 @@ long tpudct_rans_encode(const int16_t *coeffs, int h, int w,
     /* assemble */
     pos = 0;
     if (cap < 6) goto fail;
-    out[pos++] = 2;
+    out[pos++] = (uint8_t)version_out;
     out[pos++] = (uint8_t)nbands;
     pos += put_u32le(out + pos, (unsigned long)rpb);
-    for (c = 0; c < NCTX; c++) {
+    for (c = 0; c < nctx_out; c++) {
         int n = 0, s;
         for (s = 0; s < NSYM; s++) n += tabs[c].freq[s] != 0;
         if (pos + 2 + 3L * n > cap) goto fail;
@@ -752,7 +832,8 @@ typedef struct {
 
 typedef struct {
     const RansDec *tabs;
-    const uint8_t *rb; /* this band's rans bytes */
+    const uint8_t *ac_ctx; /* zig-zag position -> AC context (per version) */
+    const uint8_t *rb;     /* this band's rans bytes */
     long rans_n;
     BitReader xr;
     int16_t *out; /* first pixel row of this band */
@@ -805,7 +886,7 @@ static void *rans_decode_worker(void *arg) {
             k = 1;
             while (k < 64) {
                 int run, size;
-                RANS_NEXT(rans_ctx_of(1, k), sym);
+                RANS_NEXT(d->ac_ctx[k], sym);
                 if (sym == 0x00) break; /* EOB */
                 if (sym == 0xF0) { k += 16; continue; }
                 run = sym >> 4;
@@ -830,10 +911,18 @@ int tpudct_rans_decode(const uint8_t *data, long n, int h, int w, int16_t *out) 
     RansDec *tabs;
     RansDecBand dbs[RANS_MAX_BANDS];
     pthread_t tids[RANS_MAX_BANDS];
+    uint8_t ac_ctx[64];
     long pos = 0, rpb, off;
-    int c, bi, nbands, rc = 0;
+    int c, bi, nbands, nctx, version, rc = 0;
     if (h <= 0 || w <= 0 || (h % 8) || (w % 8)) return -2;
-    if (n < 6 || data[pos++] != 2) return -3;
+    if (n < 6) return -3;
+    version = data[pos++];
+    if (version != 2 && version != 3) return -3;
+    nctx = version == 2 ? NCTX_V2 : NCTX_V3;
+    for (c = 1; c < 64; c++)
+        ac_ctx[c] = (uint8_t)(version == 2 ? rans_ctx_of_v2(1, c)
+                                           : rans_ctx_of_v3(1, c));
+    ac_ctx[0] = 0;
     nbands = data[pos++];
     rpb = (long)data[pos] | ((long)data[pos + 1] << 8) |
           ((long)data[pos + 2] << 16) | ((long)data[pos + 3] << 24);
@@ -842,9 +931,9 @@ int tpudct_rans_decode(const uint8_t *data, long n, int h, int w, int16_t *out) 
         return -3;
     if (rpb * (nbands - 1) >= h && nbands > 1) return -3;
     if (nbands == 1 && rpb > (long)h) return -3;
-    tabs = (RansDec *)malloc(sizeof(RansDec) * NCTX);
+    tabs = (RansDec *)malloc(sizeof(RansDec) * nctx);
     if (!tabs) return -1;
-    for (c = 0; c < NCTX; c++) {
+    for (c = 0; c < nctx; c++) {
         int ne, i;
         uint32_t sum = 0;
         memset(tabs[c].slot_sym, 0xff, RANS_M);
@@ -882,6 +971,7 @@ int tpudct_rans_decode(const uint8_t *data, long n, int h, int w, int16_t *out) 
         xb = (xbits + 7) / 8;
         if (rans_n < 4 || xbits < 0 || off + rans_n + xb > n) goto corrupt;
         d->tabs = tabs;
+        d->ac_ctx = ac_ctx;
         d->rb = data + off;
         d->rans_n = rans_n;
         d->xr.buf = data + off + rans_n;

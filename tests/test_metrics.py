@@ -831,3 +831,30 @@ def test_curve_cli_prints_bd_summary(capsys):
     summary = lines[-1]
     assert "bd_rate_pct_vs_libjpeg" in summary and summary["points"] == 5
     assert summary["transform"] == "haweel"
+
+
+def test_rans_v3_six_band_contexts(rng):
+    """Stream v3 (6 AC band contexts): real DCT-statistics maps pick v3
+    and shrink 1.5-3.5% vs the v2 layout; tiny maps stay v2 (the three
+    extra tables would cost more than the model gain); both versions
+    decode bit-exactly through the native AND pure-Python decoders."""
+    from tpudct.benchmark import _host_dct_quant, photographic_image
+    from tpudct.config import CodecConfig
+    from tpudct.utils import entropy
+
+    if not entropy.rans_available():
+        pytest.skip("native rans codec unavailable")
+    img = photographic_image(256)
+    c = np.ascontiguousarray(
+        _host_dct_quant(img, CodecConfig()).transpose(0, 2, 1, 3)
+    ).reshape(256, 256).astype(np.int16)
+    blob = entropy.rans_encode(c)
+    assert blob[0] == 3  # rich-enough map: v3 chosen
+    np.testing.assert_array_equal(entropy.rans_decode(blob, 256, 256), c)
+    np.testing.assert_array_equal(entropy._py_rans_decode(blob, 256, 256), c)
+    tiny = np.zeros((16, 16), np.int16)
+    tiny[0, 0] = 5
+    b2 = entropy.rans_encode(tiny)
+    assert b2[0] == 2  # near-empty map: extra tables never pay
+    np.testing.assert_array_equal(entropy.rans_decode(b2, 16, 16), tiny)
+    np.testing.assert_array_equal(entropy._py_rans_decode(b2, 16, 16), tiny)

@@ -211,10 +211,13 @@ def _py_decode(data: bytes, h: int, w: int) -> np.ndarray:
 #
 # Same T.81 symbolization, entropy-coded with a static byte-wise rANS
 # (Duda 2013) instead of prefix codes, with positional contexts: one
-# frequency table for DC sizes and three for AC symbols split by zig-zag
-# band (k in [1,5] / [6,20] / [21,63]).  Sub-bit symbol costs + positional
-# modeling measure 4-9% smaller than the optimal-Huffman stage on real
-# coefficient maps (benchmarks/RESULTS_v5e.md).  Stream v2 splits the
+# frequency table for DC sizes plus per-zig-zag-band AC tables — three
+# bands in stream v2 (k in [1,5] / [6,20] / [21,63]), six in stream v3
+# (k in [1,2] / [3,5] / [6,10] / [11,20] / [21,35] / [36,63]; measured
+# -1.5% to -3.5% over v2 net of table overhead).  Sub-bit symbol costs +
+# positional modeling measure 4-9% smaller than the optimal-Huffman
+# stage on real coefficient maps (benchmarks/RESULTS_v5e.md).  The
+# encoder writes v3; both decoders accept v2 and v3.  Streams split the
 # block rows into up to 16 bands that encode/decode on one pthread each
 # (tables stay global; DC prediction and rANS state reset per band, so
 # bands are fully independent).  The default band count is capped by the
@@ -274,14 +277,26 @@ def rans_decode(data: bytes, h: int, w: int) -> np.ndarray:
     return _py_rans_decode(data, h, w)
 
 
-def _rans_ctx_of(table: int, k: int) -> int:
+def _rans_ctx_of(table: int, k: int, version: int = 2) -> int:
     if table == 0:
         return 0
-    if k <= 5:
+    if version == 2:
+        if k <= 5:
+            return 1
+        if k <= 20:
+            return 2
+        return 3
+    if k <= 2:
         return 1
-    if k <= 20:
+    if k <= 5:
         return 2
-    return 3
+    if k <= 10:
+        return 3
+    if k <= 20:
+        return 4
+    if k <= 35:
+        return 5
+    return 6
 
 
 class _RansTable:
@@ -330,13 +345,15 @@ class _RansState:
 
 
 def _py_rans_decode(data: bytes, h: int, w: int) -> np.ndarray:
-    """Pure-Python decoder for the v2 multi-band stream (csrc/entropy.c
-    layout comment); bands decode sequentially here — band parallelism is
-    the native decoder's job."""
+    """Pure-Python decoder for the v2/v3 multi-band streams
+    (csrc/entropy.c layout comment); bands decode sequentially here —
+    band parallelism is the native decoder's job."""
     if h % 8 or w % 8:
         raise ValueError(f"coefficient map {h}x{w} is not block-aligned")
-    if len(data) < 6 or data[0] != 2:
+    if len(data) < 6 or data[0] not in (2, 3):
         raise ValueError("corrupt rans coefficient stream (header)")
+    version = data[0]
+    nctx = 4 if version == 2 else 7
     nbands = data[1]
     rpb = int.from_bytes(data[2:6], "little")
     if not (1 <= nbands <= 16) or rpb % 8 or rpb < 8:
@@ -347,7 +364,7 @@ def _py_rans_decode(data: bytes, h: int, w: int) -> np.ndarray:
         raise ValueError("corrupt rans coefficient stream (bands)")
     pos = 6
     tabs = []
-    for _ in range(4):
+    for _ in range(nctx):
         if pos + 2 > len(data):
             raise ValueError("corrupt rans coefficient stream (header)")
         ne = int.from_bytes(data[pos : pos + 2], "little")
@@ -393,7 +410,7 @@ def _py_rans_decode(data: bytes, h: int, w: int) -> np.ndarray:
                 out[by * 8, bx * 8] = ((prev + 32768) & 0xFFFF) - 32768
                 k = 1
                 while k < 64:
-                    sym = st.next(tabs[_rans_ctx_of(1, k)])
+                    sym = st.next(tabs[_rans_ctx_of(1, k, version)])
                     if sym == 0x00:
                         break
                     if sym == 0xF0:

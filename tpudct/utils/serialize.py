@@ -781,7 +781,7 @@ def _inspect_plane(data: bytes) -> tuple:
     }
     if code == _CODEC_RANS and psize >= 6:
         pay = data[hsize : hsize + 6]
-        if pay[0] == 2:
+        if pay[0] in (2, 3):
             info["rans_bands"] = pay[1]
     if code == _CODEC_BANDED and psize >= 1:
         pay = data[hsize : hsize + psize]
