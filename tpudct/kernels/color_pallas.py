@@ -28,10 +28,12 @@ computed vector values measured ~3 ms/plane of relayout at 8192² — so the
   form, lowers cleanly).
 
 No reference analog: the reference is grayscale-only (utils.cu:70-72).
-Measured at 8192² on v5e: split+merge pair 17.0 (XLA) -> 1.94 ms at the
-default (512, 256) geometry with the clip-first _to_u8 and integer-domain
-casts (was 2.34 with the compare-form round — the pair is VPU-bound, so
-per-plane pass count shows up ~1:1).  Fusing these stages INTO the codec kernels measured WORSE
+Measured at 8192² on v5e: split+merge pair 17.0 (XLA) -> 1.64 ms at the
+default (512, 256) geometry after the round-4 V6 adoption (truncating
+add-form merge rounding + fixed-point integer luma + half-res chroma
+shift; was 1.94 round 3, 2.34 with the compare-form round — the pair is
+VPU-bound, so per-plane pass count shows up ~1:1; full variant grid in
+benchmarks/RESULTS_v5e.md).  Fusing these stages INTO the codec kernels measured WORSE
 despite 40% less HBM traffic (benchmarks/color_fused_ab.py — launches
 are additive and per-stage-optimal geometries win); composition is the
 production path.  See benchmarks/RESULTS_v5e.md.
@@ -47,8 +49,13 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from tpudct.ops.rounding import round_half_away
-from tpudct.utils.color import rgb_from_ycbcr_planes, ycbcr_from_rgb_planes
+from tpudct.utils.color import (
+    _KB,
+    _KG,
+    _KR,
+    rgb_from_ycbcr_planes,
+    ycbcr_from_rgb_planes,
+)
 
 
 
@@ -106,11 +113,63 @@ def _to_u8(z):
     drop out (z <= 0 rounds-and-clips to 0 either way, z >= 0 is its own
     abs), and the trunc rides the mandatory f32->i32 convert — 5 VPU
     passes instead of ~12.  Bit-identical to the composed form (verified
-    on hardware); via int32 because Mosaic has no f32 <-> u8 lowering."""
+    on hardware); via int32 because Mosaic has no f32 <-> u8 lowering.
+    Used where the value set is NOT finite-enumerable (split chroma);
+    the merge kernels use the cheaper provable `_to_u8_trunc`."""
     zp = jnp.minimum(jnp.maximum(z, 0.0), 255.0)
     f = jnp.floor(zp)
     u = f + (zp - f >= 0.5).astype(jnp.float32)
     return u.astype(jnp.int32).astype(jnp.uint8)
+
+
+def _to_u8_trunc(z):
+    """clip + round-half-away as ONE truncating add-form cast:
+    trunc(clip(z) + 0.5) via the f32->i32 convert — 4 VPU ops vs the
+    compare form's ~8 (round-4 color study, benchmarks/color_variants2.py:
+    merge pair 1.92 -> 1.78 ms at 8192² from this alone).
+
+    The add form can in principle deviate where the f32 addition of 0.5
+    rounds across an integer boundary (fractions within half an ulp
+    below .5).  Evidence it does not for the BT.601 inverse's value set:
+    all three output channels swept over the ENTIRE 256³ (y, cb, cr)
+    input domain against the compare form — zero mismatches (merge
+    outputs depend only on that triple because chroma upsampling is 0/1
+    replication) — plus on-chip agreement max-diff 0 on random images.
+    The sweep runs the same f32 graph on the host, so a last-ulp
+    platform difference could in principle surface a boundary case the
+    sweep missed; any such flip is a ±1 on a measure-zero input set,
+    inside the codec's documented ±1 tie class.  Merge-side only: split
+    chroma keeps `_to_u8` — the 4:2:0/4:2:2 pooled domains are not
+    practically enumerable, and the 4:4:4 sweep's worst margin
+    (7.6e-6 below a .5 boundary) is exactly at the half-ulp edge, too
+    thin to adopt."""
+    zp = jnp.minimum(jnp.maximum(z, 0.0), 255.0)
+    return (zp + jnp.float32(0.5)).astype(jnp.int32).astype(jnp.uint8)
+
+
+def _luma_fx(ri, gi, bi):
+    """BT.601 luma in 16-bit fixed point straight off the loaded i32
+    channels: round(.299r + .587g + .114b) with integer weights summing
+    exactly to 65536, so the result is already an integer in [0, 255] —
+    direct u8 store, replacing three i32->f32 casts + the FMA chain +
+    the whole rounding chain (round-4 study: split side -4.4% of the
+    pair).  Differs from the f32 form by ±1 at rounding boundaries
+    (~0.05% of pixels on noise content) — inside the same ±1 class as
+    the pool-order delta the split contract already documents."""
+    y_fx = (19595 * ri + 38470 * gi + 7471 * bi + 32768) >> 16
+    return y_fx.astype(jnp.uint8)
+
+
+def _rgb_from_shifted(y, cbc, crc):
+    """utils.color.rgb_from_ycbcr_planes with the -128 chroma level shift
+    PRE-APPLIED (the merge kernels shift at chroma resolution before the
+    upsample dot — (c-128) in [-128,127] is bf16-exact and 0/1
+    replication commutes with the shift, so the values are bit-identical
+    while the two full-res subtract passes drop to quarter/half res)."""
+    r = y + (2.0 - 2.0 * _KR) * crc
+    b = y + (2.0 - 2.0 * _KB) * cbc
+    g = (y - _KR * r - _KB * b) / _KG
+    return r, g, b
 
 
 def _f32(u8_val):
@@ -119,9 +178,7 @@ def _f32(u8_val):
 
 def _k_split(rgb_ref, pl_ref, pr_ref, y_ref, cb_ref, cr_ref):
     ri, gi, bi = (rgb_ref[i].astype(jnp.int32) for i in range(3))
-    r, g, b = (v.astype(jnp.float32) for v in (ri, gi, bi))
-    y, _cb_full, _cr_full = ycbcr_from_rgb_planes(r, g, b)
-    y_ref[...] = _to_u8(y)
+    y_ref[...] = _luma_fx(ri, gi, bi)
 
     # Exact integer 2x2 pooling on the MXU (level shift keeps the u8 range
     # inside int8), THEN the color transform on the pooled quarter-res
@@ -149,21 +206,24 @@ def _k_split(rgb_ref, pl_ref, pr_ref, y_ref, cb_ref, cr_ref):
 
 def _k_merge(y_ref, cb_ref, cr_ref, ur_ref, o_ref):
     y = _f32(y_ref[...])
+    ur_bf = ur_ref[...].astype(jnp.bfloat16)
 
     # Nearest-neighbor 2x2 replication: lanes via one bf16 MXU dot
     # (u8-valued integers are bf16-exact; one product per output), rows
-    # via the free sublane broadcast-reshape.
-    def up(c_u8):
-        c = c_u8.astype(jnp.int32).astype(jnp.bfloat16)  # u8 -> bf16 via i32
-        wide = jax.lax.dot(c, ur_ref[...].astype(jnp.bfloat16),
-                           preferred_element_type=jnp.float32)
+    # via the free sublane broadcast-reshape.  The -128 level shift rides
+    # the half-res plane BEFORE the dot (`_rgb_from_shifted`) and the
+    # outputs round via the provably-identical trunc form — together the
+    # round-4 V6 merge (benchmarks/color_variants2.py).
+    def up_shifted(c_u8):
+        c = (c_u8.astype(jnp.int32) - 128).astype(jnp.bfloat16)  # [-128,127]: exact
+        wide = jax.lax.dot(c, ur_bf, preferred_element_type=jnp.float32)
         h2, w = wide.shape
         return jnp.broadcast_to(wide[:, None, :], (h2, 2, w)).reshape(2 * h2, w)
 
-    r, g, b = rgb_from_ycbcr_planes(y, up(cb_ref[...]), up(cr_ref[...]))
-    o_ref[0] = _to_u8(r)
-    o_ref[1] = _to_u8(g)
-    o_ref[2] = _to_u8(b)
+    r, g, b = _rgb_from_shifted(y, up_shifted(cb_ref[...]), up_shifted(cr_ref[...]))
+    o_ref[0] = _to_u8_trunc(r)
+    o_ref[1] = _to_u8_trunc(g)
+    o_ref[2] = _to_u8_trunc(b)
 
 
 def _jit(*names):
@@ -258,9 +318,7 @@ def color_merge_420_u8(
 
 def _k_split_422(rgb_ref, pr_ref, y_ref, cb_ref, cr_ref):
     ri, gi, bi = (rgb_ref[i].astype(jnp.int32) for i in range(3))
-    r, g, b = (v.astype(jnp.float32) for v in (ri, gi, bi))
-    y, _cb_full, _cr_full = ycbcr_from_rgb_planes(r, g, b)
-    y_ref[...] = _to_u8(y)
+    y_ref[...] = _luma_fx(ri, gi, bi)
 
     # 1x2 lane pooling: one int8 MXU dot against the 0/1 matrix (each
     # output sums exactly 2 integer products in int32 — exact), mean of
@@ -279,31 +337,37 @@ def _k_merge_422(y_ref, cb_ref, cr_ref, ur_ref, o_ref):
     y = _f32(y_ref[...])
     ur_bf = ur_ref[...].astype(jnp.bfloat16)
 
-    def up(c_u8):
-        c = c_u8.astype(jnp.int32).astype(jnp.bfloat16)
+    # Same V6 form as `_k_merge`: half-res shift + trunc round (the
+    # per-pixel (y, cb, cr) -> RGB function is identical, so the 256³
+    # exhaustive proof carries over; replication is lane-only here).
+    def up_shifted(c_u8):
+        c = (c_u8.astype(jnp.int32) - 128).astype(jnp.bfloat16)
         return jax.lax.dot(c, ur_bf, preferred_element_type=jnp.float32)
 
-    r, g, b = rgb_from_ycbcr_planes(y, up(cb_ref[...]), up(cr_ref[...]))
-    o_ref[0] = _to_u8(r)
-    o_ref[1] = _to_u8(g)
-    o_ref[2] = _to_u8(b)
+    r, g, b = _rgb_from_shifted(y, up_shifted(cb_ref[...]), up_shifted(cr_ref[...]))
+    o_ref[0] = _to_u8_trunc(r)
+    o_ref[1] = _to_u8_trunc(g)
+    o_ref[2] = _to_u8_trunc(b)
 
 
 def _k_split_444(rgb_ref, y_ref, cb_ref, cr_ref):
-    r, g, b = (rgb_ref[i].astype(jnp.int32).astype(jnp.float32) for i in range(3))
-    y, cb, cr = ycbcr_from_rgb_planes(r, g, b)
-    y_ref[...] = _to_u8(y)
+    ri, gi, bi = (rgb_ref[i].astype(jnp.int32) for i in range(3))
+    y_ref[...] = _luma_fx(ri, gi, bi)
+    r, g, b = (v.astype(jnp.float32) for v in (ri, gi, bi))
+    _y, cb, cr = ycbcr_from_rgb_planes(r, g, b)
     cb_ref[...] = _to_u8(cb)
     cr_ref[...] = _to_u8(cr)
 
 
 def _k_merge_444(y_ref, cb_ref, cr_ref, o_ref):
+    # Trunc round is safe here by the same 256³ sweep: the per-pixel
+    # inverse function is the one proven for the 4:2:0 merge.
     r, g, b = rgb_from_ycbcr_planes(
         _f32(y_ref[...]), _f32(cb_ref[...]), _f32(cr_ref[...])
     )
-    o_ref[0] = _to_u8(r)
-    o_ref[1] = _to_u8(g)
-    o_ref[2] = _to_u8(b)
+    o_ref[0] = _to_u8_trunc(r)
+    o_ref[1] = _to_u8_trunc(g)
+    o_ref[2] = _to_u8_trunc(b)
 
 
 @functools.lru_cache(maxsize=16)
