@@ -533,7 +533,12 @@ def _banded_payload_sharded(coeffs, inner: str, level: int) -> bytes:
         max_workers=min(max(1, len(keys)), __os.cpu_count() or 4)
     ) as ex:
         encoded = list(ex.map(
-            lambda r0: _encode_payload(slabs[r0], inner, level, deterministic=True),
+            # sampled_auto matches serialize._encode_banded's segment
+            # branch — required for byte-identity with the single-host
+            # banded encode (asserted in tests/test_multihost.py)
+            lambda r0: _encode_payload(
+                slabs[r0], inner, level, deterministic=True, sampled_auto=True
+            ),
             keys,
         ))
     segs = {

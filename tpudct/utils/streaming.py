@@ -305,9 +305,11 @@ def encode_gray_streamed_bytes(
             c = np.asarray(pipeline.encode_u8(jnp.asarray(band), cfg))
             slab = c[:keep, :w8]
             # entropy-code on a worker thread while the next band is on
-            # the device (zlib/lzma/C coders release the GIL)
+            # the device (zlib/lzma/C coders release the GIL); sampled
+            # auto keeps the per-band stage choice O(sample), matching
+            # serialize._encode_banded
             futs.append(ex.submit(
-                _encode_payload, slab, inner, level, True
+                _encode_payload, slab, inner, level, True, True
             ))
             splits.append(keep)
         encoded = [f.result() for f in futs]
