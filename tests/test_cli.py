@@ -107,6 +107,9 @@ def test_encode_decode(tmp_path, jpg, capsys):
     assert main(["encode", "--pipeline", "fast", str(jpg), str(tdc)]) == 0
     rep = json.loads(capsys.readouterr().out.strip())
     assert rep["factor_vs_raw"] > 1.0
+    # every encode record carries the e2e phase decomposition (round 4)
+    assert set(rep["ms"]) == {"load", "device_fetch", "entropy", "write"}
+    assert all(v >= 0 for v in rep["ms"].values())
     out = tmp_path / "dec.jpg"
     assert main(["decode", str(tdc), str(out)]) == 0
     img = imageio.load_jpeg(out)

@@ -700,6 +700,37 @@ def test_banded_codec_deterministic_and_validated(rng):
         serialize.bytes_to_coefficients(blob[:-3])
 
 
+def test_banded_large_segments_use_sampled_auto(rng, monkeypatch):
+    """A banded segment above _AUTO_SAMPLE_MIN must pick its inner stage
+    from the sampled estimator, never the exact trial loop (round 4:
+    segments sat just under the whole-map exact threshold and were
+    brute-forcing every stage per band — 13.7 s vs 2.3 s at 8192²).
+    Small segments keep the exact trials (cheap there)."""
+    big = rng.integers(-90, 90, (1024, 1024)).astype(np.int16)  # 1M coeffs
+
+    def _boom(*a, **k):
+        raise AssertionError("exact trials ran on a large banded segment")
+
+    monkeypatch.setattr(serialize, "_exact_auto", _boom)
+    blob = serialize.coefficients_to_bytes(big, codec="banded:1")
+    back = serialize.bytes_to_coefficients(blob)[0]
+    np.testing.assert_array_equal(np.asarray(back, np.int16), big)
+    monkeypatch.undo()
+
+    # determinism across calls (the sample is shape-deterministic)
+    assert blob == serialize.coefficients_to_bytes(big, codec="banded:1")
+
+    # small segments still take the exact loop
+    small = rng.integers(-90, 90, (64, 64)).astype(np.int16)
+    called = []
+    real = serialize._exact_auto
+    monkeypatch.setattr(
+        serialize, "_exact_auto", lambda *a, **k: called.append(1) or real(*a, **k)
+    )
+    serialize.coefficients_to_bytes(small, codec="banded:1")
+    assert called
+
+
 def test_banded_inspect_reports_segments(rng):
     c = rng.integers(-90, 90, (64, 64)).astype(np.int16)
     blob = serialize.coefficients_to_bytes(c, codec="banded:4:spectral")

@@ -216,6 +216,16 @@ def cmd_run(args) -> int:
 
 
 def cmd_encode(args) -> int:
+    """Every record carries an end-to-end "ms" phase decomposition
+    (load / device_fetch / entropy / write): a codec framework's real
+    number is pixels-to-bytes, not the device stage alone (the reference
+    timed only kernels+quant, main_newAppr.cu:266-287 — its wall time
+    was undisclosed).  device_fetch is one synchronous dispatch+transfer
+    through the axon relay (~24 ms flat RPC floor on this hardware);
+    the pure device compute time is the bench headline, 3+ orders of
+    magnitude below the host entropy stage at production sizes."""
+    import time as _time
+
     import jax.numpy as jnp
 
     from tpudct.models import get_pipeline
@@ -225,18 +235,35 @@ def cmd_encode(args) -> int:
     if args.color:
         from tpudct.models.color import encode_color_auto
 
+        t0 = _time.perf_counter()
         rgb = _load_rgb(args.input)
+        t1 = _time.perf_counter()
         planes, meta = encode_color_auto(
             get_pipeline(args.pipeline), jnp.asarray(rgb), cfg,
             subsample=_chroma_mode(args),
         )
-        n = serialize.save_color(
-            args.output, planes, meta, cfg.q_scale, cfg.retain_k, cfg.transform,
+        planes = {k: np.asarray(v) for k, v in planes.items()}
+        t2 = _time.perf_counter()
+        data = serialize.color_to_bytes(
+            planes, meta, cfg.q_scale, cfg.retain_k, cfg.transform,
             codec=args.entropy,
         )
-        print(json.dumps({"bytes": n, "raw_bytes": int(rgb.size), "factor_vs_raw": rgb.size / n, "color": True}))
+        t3 = _time.perf_counter()
+        with open(args.output, "wb") as f:
+            f.write(data)
+        t4 = _time.perf_counter()
+        print(json.dumps({
+            "bytes": len(data), "raw_bytes": int(rgb.size),
+            "factor_vs_raw": rgb.size / len(data), "color": True,
+            "ms": {"load": round((t1 - t0) * 1e3, 1),
+                   "device_fetch": round((t2 - t1) * 1e3, 1),
+                   "entropy": round((t3 - t2) * 1e3, 1),
+                   "write": round((t4 - t3) * 1e3, 1)},
+        }))
         return 0
+    t0 = _time.perf_counter()
     img = imageio.load_image(args.input)
+    t1 = _time.perf_counter()
     from tpudct.utils import streaming
 
     if args.band_rows is not None or img.size > streaming.STREAM_PIXELS:
@@ -245,16 +272,24 @@ def cmd_encode(args) -> int:
         # entropy-coded straight into a banded segment — the coefficient
         # map never materializes whole anywhere.  --entropy picks the
         # per-segment inner stage ("banded" = the default auto inner).
+        # Device and entropy phases OVERLAP by design here (a band
+        # entropy-codes while the next is on the device), so the record
+        # reports the fused stream phase instead of a fake split.
         inner = "auto" if args.entropy == "banded" else args.entropy
         data, (h, w) = streaming.encode_gray_streamed_bytes(
             get_pipeline(args.pipeline), np.asarray(img, np.uint8), cfg,
             band_rows=args.band_rows or 8192, inner=inner,
         )
+        t2 = _time.perf_counter()
         with open(args.output, "wb") as f:
             f.write(data)
+        t3 = _time.perf_counter()
         print(json.dumps({
             "bytes": len(data), "raw_bytes": img.size,
             "factor_vs_raw": img.size / len(data), "streamed": True,
+            "ms": {"load": round((t1 - t0) * 1e3, 1),
+                   "stream_device_entropy": round((t2 - t1) * 1e3, 1),
+                   "write": round((t3 - t2) * 1e3, 1)},
         }))
         return 0
     # Shared gate (models/dispatch.py): the u8-native kernels engage here
@@ -263,8 +298,24 @@ def cmd_encode(args) -> int:
     from tpudct.models.dispatch import encode_gray_auto
 
     c, (h, w) = encode_gray_auto(get_pipeline(args.pipeline), img, cfg)
-    n = serialize.save_coefficients(args.output, np.asarray(c), cfg.q_scale, cfg.retain_k, orig_shape=(h, w), transform=cfg.transform, codec=args.entropy, q_table=cfg.q_table)
-    print(json.dumps({"bytes": n, "raw_bytes": img.size, "factor_vs_raw": img.size / n}))
+    c_np = np.asarray(c)
+    t2 = _time.perf_counter()
+    data = serialize.coefficients_to_bytes(
+        c_np, cfg.q_scale, cfg.retain_k, orig_shape=(h, w),
+        transform=cfg.transform, codec=args.entropy, q_table=cfg.q_table,
+    )
+    t3 = _time.perf_counter()
+    with open(args.output, "wb") as f:
+        f.write(data)
+    t4 = _time.perf_counter()
+    print(json.dumps({
+        "bytes": len(data), "raw_bytes": img.size,
+        "factor_vs_raw": img.size / len(data),
+        "ms": {"load": round((t1 - t0) * 1e3, 1),
+               "device_fetch": round((t2 - t1) * 1e3, 1),
+               "entropy": round((t3 - t2) * 1e3, 1),
+               "write": round((t4 - t3) * 1e3, 1)},
+    }))
     return 0
 
 
@@ -1249,6 +1300,13 @@ def cmd_batch(args) -> int:
             return 0
         return hw[0] * hw[1] * (3 if args.color else 1)
 
+    # Phase accounting for the summary record: host image decode vs the
+    # (deliberately thread-overlapped) device encode + entropy/serialize
+    # block — the bulk analog of `encode`'s per-phase "ms" decomposition.
+    import time as _time
+
+    t_wall0 = _time.perf_counter()
+    load_s = enc_ser_s = 0.0
     with open(manifest, "a") as mf:
         file_waves = [
             [todo[i + j] for j in wave]
@@ -1260,6 +1318,7 @@ def cmd_batch(args) -> int:
             )
         ]
         for names in file_waves:
+            t_w0 = _time.perf_counter()
             # Host decode is the bulk bottleneck (device encode ~0.1 ms per
             # image); JPEGs ride the native pthread pool per chunk, any
             # other accepted format loads via PIL one-by-one (same
@@ -1296,6 +1355,8 @@ def cmd_batch(args) -> int:
                     failed += 1
                     continue
                 pairs.append((name, img))
+            load_s += _time.perf_counter() - t_w0
+            t_w1 = _time.perf_counter()
             if not pairs:
                 continue
             if args.color:
@@ -1333,6 +1394,7 @@ def cmd_batch(args) -> int:
                             }) + "\n")
                             mf.flush()
                             coded += 1
+                enc_ser_s += _time.perf_counter() - t_w1
                 continue
             # Taller-than-HBM frames in a bulk job stream band-by-band
             # into banded containers instead of risking a whole-image
@@ -1367,6 +1429,7 @@ def cmd_batch(args) -> int:
                     mf.flush()
                     coded += 1
                 if not pairs:
+                    enc_ser_s += _time.perf_counter() - t_w1
                     continue
             # Stacked device pass: same-width images in the chunk ride ONE
             # kernel launch as a taller image (models/dispatch.py
@@ -1398,9 +1461,13 @@ def cmd_batch(args) -> int:
                         }) + "\n")
                         mf.flush()
                         coded += 1
+            enc_ser_s += _time.perf_counter() - t_w1
     print(json.dumps({
         "encoded": coded, "skipped": skipped, "failed": failed,
         "total": len(files), "manifest": str(manifest),
+        "ms": {"load": round(load_s * 1e3, 1),
+               "encode_serialize": round(enc_ser_s * 1e3, 1),
+               "wall": round((_time.perf_counter() - t_wall0) * 1e3, 1)},
     }))
     return 0
 
