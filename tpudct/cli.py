@@ -511,9 +511,13 @@ def _decode_stream(args, path: str, shown: "str | None" = None) -> int:
         print(f"decoded {shown} ({args.planes} spectral planes) -> {args.output}")
         return 0
     if serialize.is_color_stream(head):
+        import time as _time
+
         from tpudct.models.color import decode_color, decode_color_auto
 
+        t0 = _time.perf_counter()
         planes, meta = serialize.load_color(path)
+        t_entropy = _time.perf_counter() - t0
         cfg = CodecConfig(q_scale=meta["q_scale"], transform=meta["transform"])
         if args.rows is not None:
             # Color region-of-interest decode: luma block rows plus the
@@ -593,9 +597,19 @@ def _decode_stream(args, path: str, shown: "str | None" = None) -> int:
             imageio.save_image(args.output, rec_u8, quality=args.quality)
             print(f"decoded {shown} (luma only) -> {args.output}")
             return 0
-        rec = decode_color_auto(get_pipeline(args.pipeline), planes, meta, cfg)
-        imageio.save_image(args.output, np.asarray(rec), quality=args.quality)
+        t1 = _time.perf_counter()
+        rec = np.asarray(
+            decode_color_auto(get_pipeline(args.pipeline), planes, meta, cfg)
+        )
+        t2 = _time.perf_counter()
+        imageio.save_image(args.output, rec, quality=args.quality)
+        t3 = _time.perf_counter()
         print(f"decoded {shown} (color) -> {args.output}")
+        print(json.dumps({"ms": {
+            "entropy": round(t_entropy * 1e3, 1),
+            "device_fetch": round((t2 - t1) * 1e3, 1),
+            "save": round((t3 - t2) * 1e3, 1),
+        }}))
         return 0
     if args.rows is None:
         from tpudct.utils import streaming
@@ -615,9 +629,13 @@ def _decode_stream(args, path: str, shown: "str | None" = None) -> int:
             imageio.save_image(args.output, rec, quality=args.quality)
             print(f"decoded {shown} (streamed) -> {args.output}")
             return 0
+    import time as _time
+
+    t0 = _time.perf_counter()
     coeffs, q_scale, _k, (h, w), transform, q_table = serialize.load_coefficients(
         path, with_orig_shape=True, with_transform=True, with_q_table=True,
     )
+    t_entropy = _time.perf_counter() - t0
     p = get_pipeline(args.pipeline)
     # The header records which quantization table the plane was coded
     # against (luma for every CLI-written gray .tdc; chroma possible via
@@ -651,9 +669,18 @@ def _decode_stream(args, path: str, shown: "str | None" = None) -> int:
     # the fused int8 decode instead of the einsum fallback.
     from tpudct.models.dispatch import decode_gray_auto
 
-    rec_u8 = decode_gray_auto(p, coeffs, cfg, (h, w))
+    t1 = _time.perf_counter()
+    rec_u8 = np.asarray(decode_gray_auto(p, coeffs, cfg, (h, w)))
+    t2 = _time.perf_counter()
     imageio.save_image(args.output, rec_u8, quality=args.quality)
+    t3 = _time.perf_counter()
     print(f"decoded {shown} -> {args.output}")
+    # bytes-to-pixels phase decomposition, mirroring `encode`'s record
+    print(json.dumps({"ms": {
+        "entropy": round(t_entropy * 1e3, 1),
+        "device_fetch": round((t2 - t1) * 1e3, 1),
+        "save": round((t3 - t2) * 1e3, 1),
+    }}))
     return 0
 
 
