@@ -112,6 +112,10 @@ def test_encode_decode(tmp_path, jpg, capsys):
     assert all(v >= 0 for v in rep["ms"].values())
     out = tmp_path / "dec.jpg"
     assert main(["decode", str(tdc), str(out)]) == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    # plain decode appends its own phase record (bytes-to-pixels mirror)
+    dec_ms = json.loads(lines[-1])["ms"]
+    assert set(dec_ms) == {"entropy", "device_fetch", "save"}
     img = imageio.load_jpeg(out)
     src = imageio.load_jpeg(jpg)
     mse = ((img.astype(float) - src.astype(float)) ** 2).mean()
