@@ -83,6 +83,97 @@ def test_streamed_decode_rejects_corrupt_banded(hp, rng):
         decode_gray_streamed(hp, data[:-4])
 
 
+def test_cli_band_rows_rejected_where_unsupported(tmp_path, rng, capsys):
+    """--band-rows must refuse, not silently ignore, the modes that do
+    not stream (color encode; color/--scale/--planes/--rows decode) —
+    the flag is a bounded-memory promise (review finding, round 4)."""
+    from tpudct.utils import imageio
+
+    img = rng.integers(0, 256, (64, 128), dtype=np.uint8)
+    src = tmp_path / "in.png"
+    imageio.save_image(src, img)
+    assert main(["encode", "--color", "--band-rows", "32",
+                 str(src), str(tmp_path / "o.tdcc")]) != 0
+    assert "band-rows" in capsys.readouterr().err
+    tdc = tmp_path / "g.tdc"
+    assert main(["encode", str(src), str(tdc)]) == 0
+    capsys.readouterr()
+    assert main(["decode", "--band-rows", "32", "--scale", "1/2",
+                 str(tdc), str(tmp_path / "o.png")]) != 0
+    assert "band-rows" in capsys.readouterr().err
+    assert main(["decode", "--band-rows", "32", "--rows", "0:8",
+                 str(tdc), str(tmp_path / "o.png")]) != 0
+    assert "band-rows" in capsys.readouterr().err
+
+
+def test_streamed_encode_every_inner_roundtrips(hp, rng):
+    """Every --entropy stage survives the streamed path (regression: the
+    int8 device slab fed straight to the `raw` inner wrote 1-byte
+    elements its int16 decoder could not parse — a successfully written,
+    permanently undecodable archive)."""
+    from tpudct.models.dispatch import decode_gray_auto, encode_gray_auto
+    from tpudct.utils.entropy import native_entropy_available
+
+    cfg = CodecConfig()
+    img = rng.integers(0, 256, (96, 136), dtype=np.uint8)
+    c_ref, (h, w) = encode_gray_auto(hp, img, cfg)
+    rec_ref = np.asarray(decode_gray_auto(hp, c_ref, cfg, (h, w)))
+    inners = ["raw", "spectral", "auto"]
+    if native_entropy_available():
+        inners += ["rans", "huffman"]
+    for inner in inners:
+        data, _ = encode_gray_streamed_bytes(
+            hp, img, cfg, band_rows=32, inner=inner
+        )
+        rec = decode_gray_streamed(hp, data, band_rows=32)
+        np.testing.assert_array_equal(rec, rec_ref)
+        # the ordinary whole-map loader reads it too
+        back = serialize.bytes_to_coefficients(data)[0]
+        np.testing.assert_array_equal(
+            np.asarray(back, np.int16), np.asarray(c_ref, np.int16)
+        )
+
+
+def test_streamed_decode_rejects_oversized_orig_shape(hp, rng):
+    """A corrupt header claiming orig_shape beyond the coefficient map
+    must raise, not ship uninitialized np.empty rows (regression: the
+    streamed parser skipped the bounds check the whole-map parser has)."""
+    c = rng.integers(-90, 90, (64, 128)).astype(np.int16)
+    _code, payload = serialize._encode_payload(c, "spectral", 6)
+    bad = serialize._wrap_v4(
+        64, 128, serialize._CODEC_SPECTRAL, payload, 1.0, None,
+        (64 + 8, 128), "haweel", "luma",
+    )
+    with pytest.raises(ValueError, match="exceeds"):
+        decode_gray_streamed(hp, bad)
+
+
+def test_streamed_decode_band_rows_bounds_device_passes(hp, rng, monkeypatch):
+    """--band-rows bounds the per-dispatch rows even when the stream's
+    segments are larger (regression: a banded:1 stream decoded as one
+    whole-image device pass regardless of the requested bound)."""
+    from tpudct.models import dispatch
+
+    img = rng.integers(0, 256, (128, 128), dtype=np.uint8)
+    data, _ = encode_gray_streamed_bytes(
+        hp, img, CodecConfig(), band_rows=4096  # one big segment
+    )
+    seen = []
+    real = dispatch.decode_gray_auto
+
+    def spy(p, c, cfg, shape):
+        seen.append(c.shape[0])
+        return real(p, c, cfg, shape)
+
+    monkeypatch.setattr(dispatch, "decode_gray_auto", spy)
+    rec = decode_gray_streamed(hp, data, band_rows=32)
+    assert seen and max(seen) <= 32
+    np.testing.assert_array_equal(
+        rec, real(hp, serialize.bytes_to_coefficients(data)[0],
+                  CodecConfig(), (128, 128))
+    )
+
+
 def test_cli_encode_decode_band_rows(tmp_path, rng, capsys):
     """`encode --band-rows` writes a banded stream; `decode --band-rows`
     reads it; pixels equal the plain encode/decode of the same image."""

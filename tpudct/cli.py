@@ -233,6 +233,15 @@ def cmd_encode(args) -> int:
 
     cfg = _cfg_from(args)
     if args.color:
+        if args.band_rows is not None:
+            # The streamed path is gray-only; silently taking the
+            # whole-image route would break the flag's bounded-memory
+            # promise exactly when it matters (review finding, round 4).
+            raise ValueError(
+                "--band-rows does not compose with --color: the streamed "
+                "encoder is grayscale-only (color images larger than HBM "
+                "need the gray path per plane via the library API)"
+            )
         from tpudct.models.color import encode_color_auto
 
         t0 = _time.perf_counter()
@@ -393,6 +402,16 @@ def _decode_stream(args, path: str, shown: "str | None" = None) -> int:
         raise ValueError(
             f"{shown}: not a .tdc/.tdcc stream (magic {head!r}); "
             "JPEG inputs must be named .jpg/.jpeg"
+        )
+    if getattr(args, "band_rows", None) is not None and (
+        serialize.is_color_stream(head) or args.scale is not None
+        or args.planes is not None or args.preview or args.rows is not None
+    ):
+        # Only the plain gray decode streams; every other mode would
+        # silently ignore the flag's bounded-memory promise.
+        raise ValueError(
+            "--band-rows only applies to plain grayscale decode (not "
+            "color streams, --scale, --planes, --preview or --rows)"
         )
     if args.scale is not None:
         # Fractional-scale decode (djpeg -scale M/8): the scaled basis
@@ -611,6 +630,7 @@ def _decode_stream(args, path: str, shown: "str | None" = None) -> int:
             "save": round((t3 - t2) * 1e3, 1),
         }}))
         return 0
+    data = None
     if args.rows is None:
         from tpudct.utils import streaming
 
@@ -632,8 +652,13 @@ def _decode_stream(args, path: str, shown: "str | None" = None) -> int:
     import time as _time
 
     t0 = _time.perf_counter()
-    coeffs, q_scale, _k, (h, w), transform, q_table = serialize.load_coefficients(
-        path, with_orig_shape=True, with_transform=True, with_q_table=True,
+    if data is None:  # --rows path never read the file above
+        with open(path, "rb") as fh:
+            data = fh.read()
+    coeffs, q_scale, _k, (h, w), transform, q_table = (
+        serialize.bytes_to_coefficients(
+            data, with_orig_shape=True, with_transform=True, with_q_table=True,
+        )
     )
     t_entropy = _time.perf_counter() - t0
     p = get_pipeline(args.pipeline)

@@ -656,32 +656,24 @@ def save_color_sharded(
     computes identical bytes; only process 0 writes.  Returns the byte
     count on all processes.
     """
-    import struct as _struct
-
     from tpudct.utils.serialize import (
-        _CODEC_BANDED, _HEADERC, _MAGICC, _wrap_v4,
+        _CODEC_BANDED, _wrap_v4, color_container_from_blobs,
     )
 
-    h, w = meta["orig_shape"]
-    yq = meta.get("y_q_table", "luma")
-    cq = meta.get("c_q_table", "chroma")
-    _SUB_CODE = {False: 0, True: 1, "420": 1, "422": 2}
-    parts = [_struct.pack(_HEADERC, _MAGICC, 3, _SUB_CODE[meta["subsample"]])]
-    for name, q_table, oshape in (
-        ("y", yq, (h, w)),
-        ("cb", cq, meta["chroma_shape"]),
-        ("cr", cq, meta["chroma_shape"]),
-    ):
+    def _plane_blob(name, q_table, oshape):
         plane = planes[name]
         ph, pw = plane.shape
         payload = _banded_payload_sharded(plane, inner, level)
-        blob = _wrap_v4(
+        return _wrap_v4(
             ph, pw, _CODEC_BANDED, payload, q_scale, retain_k, oshape,
             transform, q_table,
         )
-        parts.append(_struct.pack("<I", len(blob)))
-        parts.append(blob)
-    data = b"".join(parts)
+
+    # shared framing (serialize.color_container_from_blobs): the header
+    # pack, plane order and q-table defaults cannot drift from
+    # color_to_bytes — only the per-plane payload differs (gather-free
+    # banded segments instead of a host-local encode)
+    data = color_container_from_blobs(meta, _plane_blob)
     if jax.process_index() == 0:
         with open(path, "wb") as f:
             f.write(data)

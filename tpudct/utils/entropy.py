@@ -217,7 +217,10 @@ def _py_decode(data: bytes, h: int, w: int) -> np.ndarray:
 # -1.5% to -3.5% over v2 net of table overhead).  Sub-bit symbol costs +
 # positional modeling measure 4-9% smaller than the optimal-Huffman
 # stage on real coefficient maps (benchmarks/RESULTS_v5e.md).  The
-# encoder writes v3; both decoders accept v2 and v3.  Streams split the
+# encoder is version-ADAPTIVE: it costs both layouts from one histogram
+# pass (Shannon bits + table bytes) and emits the smaller — tiny maps
+# keep v2, where the three extra tables outweigh the model gain; both
+# decoders accept v2 and v3.  Streams split the
 # block rows into up to 16 bands that encode/decode on one pthread each
 # (tables stay global; DC prediction and rANS state reset per band, so
 # bands are fully independent).  The default band count is capped by the

@@ -1000,6 +1000,35 @@ def preview_color_from_bytes(data: bytes) -> np.ndarray:
 # ---- color (.tdcc) containers ---------------------------------------------
 
 
+# subsample byte: 0 = 4:4:4 (none), 1 = 4:2:0 (legacy bool True), 2 = 4:2:2
+_SUB_CODE = {False: 0, True: 1, "420": 1, "422": 2}
+
+
+def color_container_from_blobs(meta: dict, plane_blob) -> bytes:
+    """Assemble a .tdcc container from per-plane stream blobs.
+
+    The ONE copy of the writer-side framing (header pack + plane order +
+    q-table defaulting + per-plane length walk), shared by
+    :func:`color_to_bytes` and the distributed
+    `parallel.sharding.save_color_sharded` — their byte-identity
+    contract holds structurally instead of only by test.
+    ``plane_blob(name, q_table, orig_shape) -> bytes`` supplies each
+    plane's .tdc stream."""
+    h, w = meta["orig_shape"]
+    yq = meta.get("y_q_table", "luma")
+    cq = meta.get("c_q_table", "chroma")
+    parts = [struct.pack(_HEADERC, _MAGICC, 3, _SUB_CODE[meta["subsample"]])]
+    for name, q_table, oshape in (
+        ("y", yq, (h, w)),
+        ("cb", cq, meta["chroma_shape"]),
+        ("cr", cq, meta["chroma_shape"]),
+    ):
+        blob = plane_blob(name, q_table, oshape)
+        parts.append(struct.pack("<I", len(blob)))
+        parts.append(blob)
+    return b"".join(parts)
+
+
 def color_to_bytes(
     planes: dict, meta: dict, q_scale: float = 1.0, retain_k=None,
     transform: str = "haweel", level: int = 6, codec: str = "auto",
@@ -1010,24 +1039,13 @@ def color_to_bytes(
     streams carrying their own tables (imported JPEGs, utils/jpegcoef.py)
     override via meta["y_q_table"] / meta["c_q_table"] (registered names —
     custom "q:..." names embed their 256-byte blocks per plane)."""
-    h, w = meta["orig_shape"]
-    yq = meta.get("y_q_table", "luma")
-    cq = meta.get("c_q_table", "chroma")
-    # subsample byte: 0 = 4:4:4 (none), 1 = 4:2:0 (legacy bool True), 2 = 4:2:2
-    _SUB_CODE = {False: 0, True: 1, "420": 1, "422": 2}
-    parts = [struct.pack(_HEADERC, _MAGICC, 3, _SUB_CODE[meta["subsample"]])]
-    for name, q_table, oshape in (
-        ("y", yq, (h, w)),
-        ("cb", cq, meta["chroma_shape"]),
-        ("cr", cq, meta["chroma_shape"]),
-    ):
-        blob = coefficients_to_bytes(
+    return color_container_from_blobs(
+        meta,
+        lambda name, q_table, oshape: coefficients_to_bytes(
             planes[name], q_scale, retain_k, level=level, orig_shape=oshape,
             transform=transform, q_table=q_table, codec=codec,
-        )
-        parts.append(struct.pack("<I", len(blob)))
-        parts.append(blob)
-    return b"".join(parts)
+        ),
+    )
 
 
 def is_tdc_stream(data: bytes) -> bool:

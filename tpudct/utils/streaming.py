@@ -303,11 +303,22 @@ def encode_gray_streamed_bytes(
                     band, ((0, dev_rows - band.shape[0]), (0, 0)), mode="edge"
                 )
             c = np.asarray(pipeline.encode_u8(jnp.asarray(band), cfg))
-            slab = c[:keep, :w8]
+            # int16 like the in-memory path's _validate_map: the raw
+            # inner's decoder parses int16 elements, so an int8 slab
+            # would write a permanently undecodable payload (review
+            # finding, round 4); also drops the view's reference to the
+            # full padded band
+            slab = np.ascontiguousarray(c[:keep, :w8], np.int16)
             # entropy-code on a worker thread while the next band is on
             # the device (zlib/lzma/C coders release the GIL); sampled
             # auto keeps the per-band stage choice O(sample), matching
             # serialize._encode_banded
+            if len(futs) >= 2:
+                # backpressure: entropy is ~1000x slower than the device
+                # band on a 1-core host, so unbounded submits would queue
+                # every slab and approach full-map residency — the exact
+                # thing this function promises not to do
+                futs[-2].result()
             futs.append(ex.submit(
                 _encode_payload, slab, inner, level, True, True
             ))
@@ -351,6 +362,14 @@ def decode_gray_streamed(
     (h, w, oh, ow, q_scale, retain_k, transform, q_table, code, psize,
      hsize, custom_q, _version) = ser._parse_plane_header(data)
     oh, ow = oh or h, ow or w
+    if oh > h or ow > w:
+        # same check as serialize._parse_plane: without it a corrupt
+        # header makes the preallocated np.empty output ship rows of
+        # uninitialized heap memory to the caller
+        raise ValueError(
+            f"corrupt .tdc header: orig_shape ({oh}, {ow}) exceeds the "
+            f"coefficient map ({h}, {w})"
+        )
     if custom_q is not None:
         # Registration is content-named (q:<hash>), so registering before
         # the payload decodes cannot poison the registry with wrong values
@@ -371,15 +390,23 @@ def decode_gray_streamed(
         )
 
     def _flush(slabs, r0):
-        """Decode a buffered list of coefficient slabs as one device pass."""
+        """Decode a buffered list of coefficient slabs in ≤band_rows
+        device passes.  A stream's segments can be far larger than the
+        requested band_rows (e.g. a `banded:1` file, or any non-banded
+        codec) — slicing here keeps the device working set bounded by
+        the CALLER's band_rows, not the writer's segment choice (blocks
+        are row-band local, so chunked decode equals the whole-map
+        decode on those rows)."""
         if not slabs:
             return r0
         cmap = slabs[0] if len(slabs) == 1 else np.vstack(slabs)
         rows = cmap.shape[0]
-        keep = min(rows, oh - r0)
-        if keep > 0:
-            rec = decode_gray_auto(pipeline, cmap, cfg, (keep, ow))
-            out[r0 : r0 + keep] = rec
+        for a in range(0, rows, band_rows):
+            piece = cmap[a : a + band_rows]
+            keep = min(piece.shape[0], oh - (r0 + a))
+            if keep > 0:
+                rec = decode_gray_auto(pipeline, piece, cfg, (keep, ow))
+                out[r0 + a : r0 + a + keep] = rec
         return r0 + rows
 
     raw = data[hsize : hsize + psize]
