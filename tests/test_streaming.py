@@ -84,17 +84,14 @@ def test_streamed_decode_rejects_corrupt_banded(hp, rng):
 
 
 def test_cli_band_rows_rejected_where_unsupported(tmp_path, rng, capsys):
-    """--band-rows must refuse, not silently ignore, the modes that do
-    not stream (color encode; color/--scale/--planes/--rows decode) —
-    the flag is a bounded-memory promise (review finding, round 4)."""
+    """--band-rows must refuse, not silently ignore, the partial-decode
+    modes that do not stream — the flag is a bounded-memory promise
+    (review finding, round 4)."""
     from tpudct.utils import imageio
 
     img = rng.integers(0, 256, (64, 128), dtype=np.uint8)
     src = tmp_path / "in.png"
     imageio.save_image(src, img)
-    assert main(["encode", "--color", "--band-rows", "32",
-                 str(src), str(tmp_path / "o.tdcc")]) != 0
-    assert "band-rows" in capsys.readouterr().err
     tdc = tmp_path / "g.tdc"
     assert main(["encode", str(src), str(tdc)]) == 0
     capsys.readouterr()
@@ -104,6 +101,63 @@ def test_cli_band_rows_rejected_where_unsupported(tmp_path, rng, capsys):
     assert main(["decode", "--band-rows", "32", "--rows", "0:8",
                  str(tdc), str(tmp_path / "o.png")]) != 0
     assert "band-rows" in capsys.readouterr().err
+
+
+def test_streamed_color_all_modes_bit_identical(hp, rng):
+    """Streamed color encode emits plane-identical coefficients to the
+    in-memory encode, and the streamed decode reproduces the in-memory
+    reconstruction bit-for-bit — for every chroma mode, ragged sizes."""
+    import jax.numpy as jnp
+
+    from tpudct.models.color import decode_color_auto, encode_color_u8
+    from tpudct.utils.streaming import (
+        decode_color_streamed,
+        encode_color_streamed_bytes,
+    )
+
+    cfg = CodecConfig(interpret=True)
+    for mode, (h, w) in (("420", (200, 312)), ("422", (192, 256)),
+                         (False, (130, 200))):
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        data, _ = encode_color_streamed_bytes(
+            hp, img, cfg, band_rows=64, subsample=mode
+        )
+        planes_ref, meta_ref = encode_color_u8(
+            hp, jnp.asarray(img), cfg, subsample=mode
+        )
+        planes, _meta = serialize.bytes_to_color(data)
+        for k in ("y", "cb", "cr"):
+            np.testing.assert_array_equal(
+                np.asarray(planes[k], np.int16),
+                np.asarray(planes_ref[k], np.int16),
+            )
+        rec_ref = np.asarray(decode_color_auto(hp, planes_ref, meta_ref, cfg))
+        rec = decode_color_streamed(hp, data, band_rows=64)
+        np.testing.assert_array_equal(rec, rec_ref)
+
+
+def test_cli_streamed_color_roundtrip(tmp_path, rng, capsys):
+    """`encode --color --band-rows` streams (round 4) and the result
+    decodes — streamed and whole-image paths produce identical pixels."""
+    from tpudct.utils import imageio
+
+    img = rng.integers(0, 256, (192, 256, 3), dtype=np.uint8)
+    src = tmp_path / "in.png"
+    imageio.save_image(src, img)
+    t1, t2 = tmp_path / "whole.tdcc", tmp_path / "stream.tdcc"
+    assert main(["encode", "--color", str(src), str(t1)]) == 0
+    capsys.readouterr()
+    assert main(["encode", "--color", "--band-rows", "64",
+                 str(src), str(t2)]) == 0
+    rep = json.loads(capsys.readouterr().out.strip())
+    assert rep["streamed"] is True and rep["color"] is True
+    o1, o2, o3 = (tmp_path / f"o{i}.png" for i in range(3))
+    assert main(["decode", str(t1), str(o1)]) == 0
+    assert main(["decode", str(t2), str(o2)]) == 0
+    assert main(["decode", "--band-rows", "64", str(t2), str(o3)]) == 0
+    a, b, c = (imageio.load_image(p, force_gray=False) for p in (o1, o2, o3))
+    np.testing.assert_array_equal(b, c)  # streamed decode == plain decode
+    np.testing.assert_array_equal(a, b)  # streamed encode == whole encode
 
 
 def test_streamed_encode_every_inner_roundtrips(hp, rng):

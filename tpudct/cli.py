@@ -233,19 +233,35 @@ def cmd_encode(args) -> int:
 
     cfg = _cfg_from(args)
     if args.color:
-        if args.band_rows is not None:
-            # The streamed path is gray-only; silently taking the
-            # whole-image route would break the flag's bounded-memory
-            # promise exactly when it matters (review finding, round 4).
-            raise ValueError(
-                "--band-rows does not compose with --color: the streamed "
-                "encoder is grayscale-only (color images larger than HBM "
-                "need the gray path per plane via the library API)"
-            )
         from tpudct.models.color import encode_color_auto
+        from tpudct.utils import streaming
 
         t0 = _time.perf_counter()
         rgb = _load_rgb(args.input)
+        if args.band_rows is not None or rgb.size > streaming.STREAM_PIXELS:
+            # Streamed color encode (round 4): RGB bands ride the device
+            # one at a time, each plane's slab entropy-coding into banded
+            # segments — the color twin of the gray streamed path.
+            t1 = _time.perf_counter()
+            data, (h, w) = streaming.encode_color_streamed_bytes(
+                get_pipeline(args.pipeline), np.asarray(rgb, np.uint8), cfg,
+                band_rows=args.band_rows or 8192,
+                inner="auto" if args.entropy == "banded" else args.entropy,
+                subsample=_chroma_mode(args),
+            )
+            t2 = _time.perf_counter()
+            with open(args.output, "wb") as f:
+                f.write(data)
+            t3 = _time.perf_counter()
+            print(json.dumps({
+                "bytes": len(data), "raw_bytes": int(rgb.size),
+                "factor_vs_raw": rgb.size / len(data), "color": True,
+                "streamed": True,
+                "ms": {"load": round((t1 - t0) * 1e3, 1),
+                       "stream_device_entropy": round((t2 - t1) * 1e3, 1),
+                       "write": round((t3 - t2) * 1e3, 1)},
+            }))
+            return 0
         t1 = _time.perf_counter()
         planes, meta = encode_color_auto(
             get_pipeline(args.pipeline), jnp.asarray(rgb), cfg,
@@ -404,14 +420,15 @@ def _decode_stream(args, path: str, shown: "str | None" = None) -> int:
             "JPEG inputs must be named .jpg/.jpeg"
         )
     if getattr(args, "band_rows", None) is not None and (
-        serialize.is_color_stream(head) or args.scale is not None
-        or args.planes is not None or args.preview or args.rows is not None
+        args.scale is not None or args.planes is not None or args.preview
+        or args.rows is not None
     ):
-        # Only the plain gray decode streams; every other mode would
-        # silently ignore the flag's bounded-memory promise.
+        # Only the plain (gray or color) decode streams; the partial-
+        # decode modes would silently ignore the flag's bounded-memory
+        # promise.
         raise ValueError(
-            "--band-rows only applies to plain grayscale decode (not "
-            "color streams, --scale, --planes, --preview or --rows)"
+            "--band-rows only applies to plain decode (not --scale, "
+            "--planes, --preview or --rows)"
         )
     if args.scale is not None:
         # Fractional-scale decode (djpeg -scale M/8): the scaled basis
@@ -617,9 +634,23 @@ def _decode_stream(args, path: str, shown: "str | None" = None) -> int:
             print(f"decoded {shown} (luma only) -> {args.output}")
             return 0
         t1 = _time.perf_counter()
-        rec = np.asarray(
-            decode_color_auto(get_pipeline(args.pipeline), planes, meta, cfg)
-        )
+        h_, w_ = meta["orig_shape"]
+        from tpudct.utils import streaming as _streaming
+
+        if (getattr(args, "band_rows", None) is not None
+                or h_ * w_ * 3 > _streaming.STREAM_PIXELS):
+            # Streamed color decode (round 4): per-band split-plane
+            # decode + fused merge, device memory bounded by ~band_rows
+            # luma rows.
+            with open(path, "rb") as fh:
+                rec = _streaming.decode_color_streamed(
+                    get_pipeline(args.pipeline), fh.read(),
+                    band_rows=getattr(args, "band_rows", None) or 8192,
+                )
+        else:
+            rec = np.asarray(
+                decode_color_auto(get_pipeline(args.pipeline), planes, meta, cfg)
+            )
         t2 = _time.perf_counter()
         imageio.save_image(args.output, rec, quality=args.quality)
         t3 = _time.perf_counter()

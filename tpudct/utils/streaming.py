@@ -460,3 +460,226 @@ def decode_gray_streamed(
         for a in range(0, h, band_rows):
             r0 = _flush([cmap[a : a + band_rows]], r0)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Color streaming (round 4): beyond-HBM RGB encode/decode
+# ---------------------------------------------------------------------------
+#
+# The color kernels are as band-local as the gray ones: block transforms
+# are 8-row local and the 4:2:0 pooling/replication is 2-row local, so a
+# 64-row-aligned band boundary slices the whole-image computation exactly
+# (64 = the color kernels' sublane alignment).  Each RGB band splits to
+# YCbCr on the device, each plane's coefficient slab entropy-codes into
+# banded segments, and the three banded plane streams wrap in the SAME
+# .tdcc container framing as the in-memory writer — every ordinary loader
+# reads the result.  No reference analog (grayscale-only, whole-image
+# buffers: utils.cu:70-72, main_newAppr.cu:94-95).
+
+
+def _planar_band(img: np.ndarray, a: int, b: int) -> np.ndarray:
+    """Rows [a, b) of an (H, W, 3) or (3, H, W) uint8 image as (3, rows, W)
+    — copies only the band (the whole image never goes to the device)."""
+    if img.ndim != 3:
+        raise ValueError(f"expected an RGB image, got shape {img.shape}")
+    if img.shape[0] == 3 and img.shape[-1] != 3:
+        return np.ascontiguousarray(img[:, a:b])
+    return np.ascontiguousarray(np.moveaxis(img[a:b], -1, 0))
+
+
+def encode_color_streamed_bytes(
+    pipeline,
+    rgb_u8: np.ndarray,
+    cfg: Optional[CodecConfig] = None,
+    band_rows: int = 8192,
+    inner: str = "auto",
+    level: int = 6,
+    subsample="420",
+) -> Tuple[bytes, Tuple[int, int]]:
+    """RGB uint8 image of ANY size -> (.tdcc stream bytes, (h, w)).
+
+    The color twin of :func:`encode_gray_streamed_bytes`: device memory
+    is bounded by one band's working set, host memory by one band's
+    coefficient slabs plus the compressed segments (entropy jobs are
+    backpressured like the gray path).  Decodes (via any loader)
+    bit-identically to the in-memory ``encode_color_u8`` + banded save
+    of the same image."""
+    import struct
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    import jax
+    import jax.numpy as jnp
+
+    from tpudct.models.color import (
+        _chroma_cfg,
+        _chroma_plane_shape,
+        _luma_cfg,
+        _u8_kernels,
+        color_kernel_shape,
+        normalize_subsample,
+        supports_color_u8,
+    )
+    from tpudct.ops.padding import padded_shape
+    from tpudct.utils.serialize import (
+        _CODEC_BANDED,
+        _encode_payload,
+        _wrap_v4,
+        color_container_from_blobs,
+    )
+
+    cfg = cfg or CodecConfig()
+    img = np.asarray(rgb_u8)
+    if img.dtype != np.uint8:
+        raise ValueError(
+            f"streamed color encode takes uint8 pixels, got {img.dtype}"
+        )
+    if img.ndim != 3 or (img.shape[0] != 3 and img.shape[-1] != 3):
+        raise ValueError(f"expected an RGB image, got shape {img.shape}")
+    h, w = (img.shape[1:] if img.shape[0] == 3 else img.shape[:2])
+    mode = normalize_subsample(subsample)
+    hk, wk = color_kernel_shape(h, w)
+    if not supports_color_u8(pipeline, cfg, hk, wk, mode):
+        raise ValueError(
+            f"streamed color encode needs the u8 color path (hp pipeline, "
+            f"int8-safe q_scale); got transform={cfg.transform}, "
+            f"q_scale={cfg.q_scale}"
+        )
+    band_rows = max(64, band_rows - band_rows % 64)
+    ch, cw = _chroma_plane_shape(mode, h, w)
+    y8 = padded_shape(h, w)
+    c8 = padded_shape(ch, cw)
+    fy = 2 if mode == "420" else 1  # luma rows per chroma row
+    n_bands = -(-hk // band_rows)
+    if n_bands > 255:
+        raise ValueError(
+            f"{n_bands} bands exceed the banded container's 255-segment "
+            f"limit; raise --band-rows to at least {-(-hk // 255 // 64) * 64}"
+        )
+    split, _merge = _u8_kernels(mode)
+    interp = cfg.interpret or jax.default_backend() != "tpu"
+    lcfg, ccfg = _luma_cfg(cfg), _chroma_cfg(cfg)
+
+    segs = {"y": [], "cb": [], "cr": []}  # (rows, future) per plane
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        pending = []
+        for a in range(0, hk, band_rows):
+            dev_rows = min(band_rows, hk - a)
+            band = _planar_band(img, a, min(a + dev_rows, h))
+            if band.shape[1] < dev_rows:  # bottom kernel pad (edge rows)
+                band = np.pad(
+                    band, ((0, 0), (0, dev_rows - band.shape[1]), (0, 0)),
+                    mode="edge",
+                )
+            if band.shape[2] < wk:
+                band = np.pad(
+                    band, ((0, 0), (0, 0), (0, wk - band.shape[2])),
+                    mode="edge",
+                )
+            y, cb, cr = split(jnp.asarray(band), interpret=interp)
+            cy = np.asarray(pipeline.encode_u8(y, lcfg))
+            cc = np.asarray(pipeline.encode_u8(
+                jnp.concatenate([cb, cr], axis=0), ccfg
+            ))
+            half = cc.shape[0] // 2
+            keep_y = min(dev_rows, y8[0] - a)
+            keep_c = min(dev_rows // fy, c8[0] - a // fy)
+            slabs = {
+                "y": cy[:keep_y, : y8[1]],
+                "cb": cc[:half][:keep_c, : c8[1]],
+                "cr": cc[half:][:keep_c, : c8[1]],
+            }
+            for name, slab in slabs.items():
+                if slab.shape[0] <= 0:
+                    continue
+                if len(pending) >= 6:
+                    pending[-6].result()  # backpressure: <=2 bands in flight
+                fut = ex.submit(
+                    _encode_payload,
+                    np.ascontiguousarray(slab, np.int16), inner, level,
+                    True, True,
+                )
+                pending.append(fut)
+                segs[name].append((slab.shape[0], fut))
+        for fut in pending:
+            fut.result()
+
+    plane_dims = {"y": (y8, (h, w)), "cb": (c8, (ch, cw)), "cr": (c8, (ch, cw))}
+    blobs = {}
+    for name, seg_list in segs.items():
+        parts = [bytes([len(seg_list)])]
+        for rows, fut in seg_list:
+            code, payload = fut.result()
+            parts.append(struct.pack("<IBI", rows, code, len(payload)))
+            parts.append(payload)
+        (p8, oshape) = plane_dims[name]
+        q_table = lcfg.q_table if name == "y" else ccfg.q_table
+        blobs[name] = _wrap_v4(
+            p8[0], p8[1], _CODEC_BANDED, b"".join(parts), cfg.q_scale,
+            cfg.retain_k, oshape, cfg.transform, q_table,
+        )
+    meta = {"orig_shape": (h, w), "chroma_shape": (ch, cw), "subsample": mode}
+    data = color_container_from_blobs(
+        meta, lambda name, _q, _o: blobs[name]
+    )
+    return data, (h, w)
+
+
+def decode_color_streamed(
+    pipeline,
+    data: bytes,
+    band_rows: int = 8192,
+    out: Optional[np.ndarray] = None,
+) -> np.ndarray:
+    """.tdcc stream bytes -> (h, w, 3) uint8 RGB, device memory bounded
+    by ~band_rows luma rows at a time.
+
+    Host entropy decode loads the three coefficient planes whole (like
+    the gray non-banded path — coefficient maps are host RAM, the
+    constraint streaming lifts is DEVICE memory); the per-band device
+    pass runs split-plane decode + the fused merge on 64-row-aligned
+    luma bands, which slice the whole-image computation exactly (merge
+    replication is 2-row local).  Bit-identical to the in-memory
+    ``decode_color_auto``.  ``out`` accepts a preallocated (h, w, 3)
+    uint8 array (memmap-friendly)."""
+    from tpudct.models.color import (
+        _chroma_plane_shape,
+        decode_color_auto,
+        normalize_subsample,
+    )
+    from tpudct.ops.padding import padded_shape
+    from tpudct.utils import serialize as ser
+
+    planes, meta = ser.bytes_to_color(data)
+    h, w = meta["orig_shape"]
+    mode = normalize_subsample(meta["subsample"])
+    fy = 2 if mode == "420" else 1
+    band_rows = max(64, band_rows - band_rows % 64)
+    if out is None:
+        out = np.empty((h, w, 3), np.uint8)
+    if out.shape != (h, w, 3) or out.dtype != np.uint8:
+        raise ValueError(
+            f"preallocated output must be ({h}, {w}, 3) uint8, got "
+            f"{out.dtype} {out.shape}"
+        )
+    y_pl = np.asarray(planes["y"])
+    cb_pl, cr_pl = np.asarray(planes["cb"]), np.asarray(planes["cr"])
+    ch, cw = _chroma_plane_shape(mode, h, w)
+    cfg = CodecConfig(q_scale=meta["q_scale"], transform=meta["transform"])
+    for a in range(0, h, band_rows):
+        keep = min(band_rows, h - a)
+        ca = a // fy
+        ckeep = min(-(-keep // fy), ch - ca)
+        band_meta = {
+            **meta,
+            "orig_shape": (keep, w),
+            "chroma_shape": (ckeep, cw),
+        }
+        yb = y_pl[a : a + padded_shape(keep, w)[0]]
+        cbb = cb_pl[ca : ca + padded_shape(ckeep, cw)[0]]
+        crb = cr_pl[ca : ca + padded_shape(ckeep, cw)[0]]
+        rec = decode_color_auto(
+            pipeline, {"y": yb, "cb": cbb, "cr": crb}, band_meta, cfg
+        )
+        out[a : a + keep] = np.asarray(rec)
+    return out
