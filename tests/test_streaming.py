@@ -136,6 +136,36 @@ def test_streamed_color_all_modes_bit_identical(hp, rng):
         np.testing.assert_array_equal(rec, rec_ref)
 
 
+def test_streamed_color_edge_cases(hp, rng):
+    """Tiny images (below one band), planar input layout, and dtype/shape
+    validation on the streamed color path."""
+    import jax.numpy as jnp
+
+    from tpudct.models.color import decode_color_auto, encode_color_u8
+    from tpudct.utils.streaming import (
+        decode_color_streamed,
+        encode_color_streamed_bytes,
+    )
+
+    cfg = CodecConfig(interpret=True)
+    # smaller than one 64-row band, planar (3, H, W) layout
+    img = rng.integers(0, 256, (3, 40, 150), dtype=np.uint8)
+    data, (h, w) = encode_color_streamed_bytes(hp, img, cfg, band_rows=64)
+    assert (h, w) == (40, 150)
+    pl_ref, meta_ref = encode_color_u8(hp, jnp.asarray(img), cfg)
+    rec_ref = np.asarray(decode_color_auto(hp, pl_ref, meta_ref, cfg))
+    np.testing.assert_array_equal(
+        decode_color_streamed(hp, data, band_rows=64), rec_ref
+    )
+    with pytest.raises(ValueError, match="uint8"):
+        encode_color_streamed_bytes(hp, img.astype(np.float32), cfg)
+    with pytest.raises(ValueError, match="RGB"):
+        encode_color_streamed_bytes(hp, img[0], cfg)
+    # preallocated output validation
+    with pytest.raises(ValueError, match="preallocated"):
+        decode_color_streamed(hp, data, out=np.empty((40, 150), np.uint8))
+
+
 def test_cli_streamed_color_roundtrip(tmp_path, rng, capsys):
     """`encode --color --band-rows` streams (round 4) and the result
     decodes — streamed and whole-image paths produce identical pixels."""
