@@ -1,4 +1,4 @@
-/* ASan fuzz driver for the entropy coders (huffman + rANS v2).
+/* ASan fuzz driver for the entropy coders (huffman + rANS v2/v3).
  *
  * Exercises the exact attack surface of the .tdc container: the native
  * decoders fed (a) valid streams, (b) bit/byte-mutated valid streams,
@@ -29,11 +29,11 @@ static uint64_t rnd(void) { /* splitmix64 */
 }
 
 int main(void) {
-    enum { MAXH = 128, MAXW = 128 };
+    enum { MAXH = 256, MAXW = 256 };
     int16_t *c = malloc(MAXH * MAXW * 2), *back = malloc(MAXH * MAXW * 2);
     long cap = MAXH * MAXW * 4 + 65536;
     uint8_t *buf = malloc(cap), *mut = malloc(cap);
-    int iter, checks = 0;
+    int iter, checks = 0, v3_seen = 0;
     if (!c || !back || !buf || !mut) return 2;
     for (iter = 0; iter < 400; iter++) {
         int h = (int)(1 + rnd() % (MAXH / 8)) * 8;
@@ -41,14 +41,31 @@ int main(void) {
         int bands = (int)(rnd() % 5); /* 0=auto .. 4 */
         long i, n;
         int m;
-        for (i = 0; i < (long)h * w; i++) {
-            uint64_t r = rnd();
-            c[i] = (r & 7) ? 0 : (int16_t)((int)(r >> 8 & 0xff) - 128);
+        if (iter & 1) {
+            /* DCT-like positional statistics: value spread decays with
+             * the within-block position, which is what makes the
+             * version-adaptive encoder pick the six-band v3 layout —
+             * uniform fills never do (their per-band histograms are
+             * identical, so the extra tables cannot pay). */
+            int big = (h >= 128 && w >= 128);
+            for (i = 0; i < (long)h * w; i++) {
+                int bi = (int)((i / w) % 8) + (int)(i % w % 8);
+                int spread = big ? (64 >> (bi > 6 ? 6 : bi)) : 1;
+                uint64_t r = rnd();
+                c[i] = (int16_t)(((int)(r % 3) - 1) *
+                                 (int)((r >> 8) % (unsigned)(spread + 1)));
+            }
+        } else {
+            for (i = 0; i < (long)h * w; i++) {
+                uint64_t r = rnd();
+                c[i] = (r & 7) ? 0 : (int16_t)((int)(r >> 8 & 0xff) - 128);
+            }
         }
         if (!(iter % 37)) { c[0] = 32767; c[(long)h * w - 1] = -32767; }
         /* rANS: valid roundtrip */
         n = tpudct_rans_encode(c, h, w, buf, cap, bands);
         if (n <= 0) { fprintf(stderr, "rans encode failed\n"); return 1; }
+        if (buf[0] == 3) v3_seen++;
         if (tpudct_rans_decode(buf, n, h, w, back) != 0 ||
             memcmp(c, back, (long)h * w * 2) != 0) {
             fprintf(stderr, "rans roundtrip mismatch h=%d w=%d b=%d\n", h, w, bands);
@@ -90,8 +107,13 @@ int main(void) {
             tpudct_huff_decode(mut, ng, h, w, back);
         }
     }
-    printf("fuzz ok: %d valid roundtrips + %d mutated/garbage decodes\n",
-           checks, 400 * (24 + 24 + 16));
+    if (!v3_seen) {
+        /* the v3 decode paths must actually be fuzzed, not just v2 */
+        fprintf(stderr, "no v3 streams generated — fuzz coverage gap\n");
+        return 1;
+    }
+    printf("fuzz ok: %d valid roundtrips (%d rans-v3) + %d mutated/garbage "
+           "decodes\n", checks, v3_seen, 400 * (24 + 24 + 16));
     free(c); free(back); free(buf); free(mut);
     return 0;
 }
