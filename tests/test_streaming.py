@@ -136,6 +136,74 @@ def test_streamed_color_all_modes_bit_identical(hp, rng):
         np.testing.assert_array_equal(rec, rec_ref)
 
 
+def test_streamed_color_decode_f32_path_stream(hp, rng):
+    """A .tdcc from the f32 encode path (non-integer-core transform)
+    streams through decode_color_streamed on the f32 decode for EVERY
+    band — one global path decision, identical to decode_color_auto
+    (review finding: per-band path choice could mix int8/f32 decodes)."""
+    import jax.numpy as jnp
+
+    from tpudct.models.color import decode_color_auto, encode_color
+    from tpudct.utils.serialize import bytes_to_color, color_to_bytes
+    from tpudct.utils.streaming import decode_color_streamed
+
+    cfg = CodecConfig(transform="dct")  # f32-only: u8 gate fails globally
+    img = rng.integers(0, 256, (192, 256, 3), dtype=np.uint8)
+    planes, meta = encode_color(hp, jnp.asarray(img, jnp.float32), cfg)
+    data = color_to_bytes(planes, meta, cfg.q_scale, cfg.retain_k, cfg.transform)
+    pl2, m2 = bytes_to_color(data)
+    rec_ref = np.asarray(decode_color_auto(hp, pl2, m2, CodecConfig(
+        q_scale=m2["q_scale"], transform=m2["transform"])))
+    rec = decode_color_streamed(hp, data, band_rows=64)
+    np.testing.assert_array_equal(rec, rec_ref)
+
+
+def test_streamed_encode_rejects_banded_inner(hp, rng):
+    """inner='banded' would nest containers every decoder rejects —
+    refuse at WRITE time, both gray and color (review finding: silent
+    permanent data loss)."""
+    from tpudct.utils.streaming import (
+        encode_color_streamed_bytes,
+        encode_gray_streamed_bytes,
+    )
+
+    img = rng.integers(0, 256, (64, 128), dtype=np.uint8)
+    with pytest.raises(ValueError, match="banded"):
+        encode_gray_streamed_bytes(hp, img, CodecConfig(), inner="banded")
+    rgb = rng.integers(0, 256, (64, 256, 3), dtype=np.uint8)
+    with pytest.raises(ValueError, match="banded"):
+        encode_color_streamed_bytes(
+            hp, rgb, CodecConfig(interpret=True), inner="banded:4"
+        )
+
+
+def test_cli_color_auto_threshold_falls_back_for_f32_configs(
+    tmp_path, rng, capsys, monkeypatch
+):
+    """The auto-stream size threshold must not turn a non-u8-eligible
+    color encode (f32 transform) into an error: it falls back to the
+    in-memory path; only an EXPLICIT --band-rows errors (review
+    finding)."""
+    from tpudct.utils import imageio, streaming
+
+    img = rng.integers(0, 256, (128, 256, 3), dtype=np.uint8)
+    src = tmp_path / "in.png"
+    imageio.save_image(src, img)
+    monkeypatch.setattr(streaming, "STREAM_PIXELS", 1000)  # force threshold
+    out = tmp_path / "o.tdcc"
+    assert main(["encode", "--color", "--transform", "dct",
+                 str(src), str(out)]) == 0
+    rep = json.loads(capsys.readouterr().out.strip())
+    assert "streamed" not in rep  # in-memory f32 path took it
+    assert main(["decode", str(out), str(tmp_path / "o.png")]) == 0
+    capsys.readouterr()
+    # eligible configs still stream past the threshold
+    out2 = tmp_path / "o2.tdcc"
+    assert main(["encode", "--color", str(src), str(out2)]) == 0
+    rep2 = json.loads(capsys.readouterr().out.strip())
+    assert rep2["streamed"] is True
+
+
 def test_streamed_color_edge_cases(hp, rng):
     """Tiny images (below one band), planar input layout, and dtype/shape
     validation on the streamed color path."""

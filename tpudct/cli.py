@@ -238,7 +238,25 @@ def cmd_encode(args) -> int:
 
         t0 = _time.perf_counter()
         rgb = _load_rgb(args.input)
-        if args.band_rows is not None or rgb.size > streaming.STREAM_PIXELS:
+        if args.band_rows is not None:
+            stream_color = True  # explicit ask: unsupported configs error clearly
+        elif rgb.size > streaming.STREAM_PIXELS:
+            # auto threshold: only when the u8 streamed encoder supports
+            # this config — a non-u8 config (f32 transform, loose
+            # q_scale) falls through to the in-memory f32 path instead
+            # of turning a previously-working encode into an error
+            from tpudct.models.color import (
+                color_kernel_shape, supports_color_u8,
+            )
+
+            h_, w_ = np.asarray(rgb).shape[:2]
+            stream_color = supports_color_u8(
+                get_pipeline(args.pipeline), cfg,
+                *color_kernel_shape(h_, w_), _chroma_mode(args),
+            )
+        else:
+            stream_color = False
+        if stream_color:
             # Streamed color encode (round 4): RGB bands ride the device
             # one at a time, each plane's slab entropy-coding into banded
             # segments — the color twin of the gray streamed path.
@@ -421,14 +439,14 @@ def _decode_stream(args, path: str, shown: "str | None" = None) -> int:
         )
     if getattr(args, "band_rows", None) is not None and (
         args.scale is not None or args.planes is not None or args.preview
-        or args.rows is not None
+        or args.rows is not None or args.grayscale
     ):
         # Only the plain (gray or color) decode streams; the partial-
-        # decode modes would silently ignore the flag's bounded-memory
-        # promise.
+        # decode modes (incl. luma-only --grayscale) would silently
+        # ignore the flag's bounded-memory promise.
         raise ValueError(
             "--band-rows only applies to plain decode (not --scale, "
-            "--planes, --preview or --rows)"
+            "--planes, --preview, --rows or --grayscale)"
         )
     if args.scale is not None:
         # Fractional-scale decode (djpeg -scale M/8): the scaled basis
@@ -552,7 +570,34 @@ def _decode_stream(args, path: str, shown: "str | None" = None) -> int:
         from tpudct.models.color import decode_color, decode_color_auto
 
         t0 = _time.perf_counter()
-        planes, meta = serialize.load_color(path)
+        with open(path, "rb") as fh:
+            cdata = fh.read()
+        if args.rows is None and not args.grayscale:
+            # Plain color decode: size-probe from the HEADER before any
+            # full parse — decode_color_streamed parses internally, so
+            # parsing here first would double host RAM and entropy time
+            # exactly in the beyond-HBM case streaming exists for.
+            from tpudct.utils import streaming as _streaming
+
+            _sub, _slices, _end = serialize._color_plane_slices(cdata)
+            hdr = serialize._parse_plane_header(_slices[0])
+            oh_, ow_ = (hdr[2] or hdr[0]), (hdr[3] or hdr[1])
+            if (getattr(args, "band_rows", None) is not None
+                    or oh_ * ow_ * 3 > _streaming.STREAM_PIXELS):
+                rec = _streaming.decode_color_streamed(
+                    get_pipeline(args.pipeline), cdata,
+                    band_rows=getattr(args, "band_rows", None) or 8192,
+                )
+                t1 = _time.perf_counter()
+                imageio.save_image(args.output, rec, quality=args.quality)
+                t2 = _time.perf_counter()
+                print(f"decoded {shown} (color, streamed) -> {args.output}")
+                print(json.dumps({"ms": {
+                    "entropy_device": round((t1 - t0) * 1e3, 1),
+                    "save": round((t2 - t1) * 1e3, 1),
+                }}))
+                return 0
+        planes, meta = serialize.bytes_to_color(cdata)
         t_entropy = _time.perf_counter() - t0
         cfg = CodecConfig(q_scale=meta["q_scale"], transform=meta["transform"])
         if args.rows is not None:
@@ -634,23 +679,9 @@ def _decode_stream(args, path: str, shown: "str | None" = None) -> int:
             print(f"decoded {shown} (luma only) -> {args.output}")
             return 0
         t1 = _time.perf_counter()
-        h_, w_ = meta["orig_shape"]
-        from tpudct.utils import streaming as _streaming
-
-        if (getattr(args, "band_rows", None) is not None
-                or h_ * w_ * 3 > _streaming.STREAM_PIXELS):
-            # Streamed color decode (round 4): per-band split-plane
-            # decode + fused merge, device memory bounded by ~band_rows
-            # luma rows.
-            with open(path, "rb") as fh:
-                rec = _streaming.decode_color_streamed(
-                    get_pipeline(args.pipeline), fh.read(),
-                    band_rows=getattr(args, "band_rows", None) or 8192,
-                )
-        else:
-            rec = np.asarray(
-                decode_color_auto(get_pipeline(args.pipeline), planes, meta, cfg)
-            )
+        rec = np.asarray(
+            decode_color_auto(get_pipeline(args.pipeline), planes, meta, cfg)
+        )
         t2 = _time.perf_counter()
         imageio.save_image(args.output, rec, quality=args.quality)
         t3 = _time.perf_counter()

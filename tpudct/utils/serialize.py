@@ -271,6 +271,20 @@ def banded_rows(h: int, n: int) -> list:
     return [(per + (i < extra)) * _BS for i in range(n)]
 
 
+def assemble_banded_segments(segments) -> bytes:
+    """[(rows, (code, payload)), ...] -> the banded codec's payload bytes.
+
+    The ONE copy of the writer-side segment framing (count byte +
+    per-segment ``<IBI`` headers), shared by `_encode_banded` and the
+    gray/color streamed encoders — a framing change happens in one
+    place, mirroring `_color_plane_slices` on the reader side."""
+    parts = [bytes([len(segments)])]
+    for rows, (code, payload) in segments:
+        parts.append(struct.pack("<IBI", rows, code, len(payload)))
+        parts.append(payload)
+    return b"".join(parts)
+
+
 def _encode_banded(c: np.ndarray, n: int, inner: str, level: int) -> bytes:
     """Segments encode on a thread pool: every inner stage (zlib, lzma,
     the native C coders) releases the GIL, so a multi-core host codes
@@ -294,11 +308,7 @@ def _encode_banded(c: np.ndarray, n: int, inner: str, level: int) -> bytes:
     else:
         with ThreadPoolExecutor(max_workers=min(n, os.cpu_count() or 4)) as ex:
             encoded = list(ex.map(_one, range(n)))
-    parts = [bytes([n])]
-    for rows, (code, payload) in zip(splits, encoded):
-        parts.append(struct.pack("<IBI", rows, code, len(payload)))
-        parts.append(payload)
-    return b"".join(parts)
+    return assemble_banded_segments(list(zip(splits, encoded)))
 
 
 def _parse_banded_spec(codec: str) -> tuple:

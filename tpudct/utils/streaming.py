@@ -251,16 +251,28 @@ def encode_gray_streamed_bytes(
     (block-local transform: pixels in the original region unaffected) and
     crops segments to the 8-aligned container shape.  Requires a
     u8-eligible config (integer-core transform, int8-safe q_scale)."""
-    import struct
-
     from concurrent.futures import ThreadPoolExecutor
 
     import jax.numpy as jnp
 
     from tpudct.kernels import hp_pallas
     from tpudct.ops.padding import kernel_padded_shape, padded_shape
-    from tpudct.utils.serialize import _CODEC_BANDED, _encode_payload, _wrap_v4
+    from tpudct.utils.serialize import (
+        _CODEC_BANDED,
+        _encode_payload,
+        _wrap_v4,
+        assemble_banded_segments,
+    )
 
+    if inner.startswith("banded"):
+        # each host band already becomes ONE banded segment; a banded
+        # inner would nest containers, which every decoder rejects —
+        # refusing at write time prevents a successfully-saved but
+        # permanently undecodable archive
+        raise ValueError(
+            "streamed encode writes banded segments itself; pass a "
+            "non-banded inner stage (auto/rans/huffman/xz/spectral/raw)"
+        )
     cfg = cfg or CodecConfig()
     img = np.asarray(image_u8)
     if img.ndim != 2:
@@ -324,13 +336,10 @@ def encode_gray_streamed_bytes(
             ))
             splits.append(keep)
         encoded = [f.result() for f in futs]
-    parts = [bytes([len(splits)])]
-    for rows, (code, payload) in zip(splits, encoded):
-        parts.append(struct.pack("<IBI", rows, code, len(payload)))
-        parts.append(payload)
     data = _wrap_v4(
-        h8, w8, _CODEC_BANDED, b"".join(parts), cfg.q_scale, cfg.retain_k,
-        (h, w), cfg.transform, cfg.q_table,
+        h8, w8, _CODEC_BANDED,
+        assemble_banded_segments(list(zip(splits, encoded))),
+        cfg.q_scale, cfg.retain_k, (h, w), cfg.transform, cfg.q_table,
     )
     return data, (h, w)
 
@@ -504,8 +513,6 @@ def encode_color_streamed_bytes(
     backpressured like the gray path).  Decodes (via any loader)
     bit-identically to the in-memory ``encode_color_u8`` + banded save
     of the same image."""
-    import struct
-
     from concurrent.futures import ThreadPoolExecutor
 
     import jax
@@ -525,9 +532,16 @@ def encode_color_streamed_bytes(
         _CODEC_BANDED,
         _encode_payload,
         _wrap_v4,
+        assemble_banded_segments,
         color_container_from_blobs,
     )
 
+    if inner.startswith("banded"):
+        # same nesting refusal as the gray streamed encoder
+        raise ValueError(
+            "streamed encode writes banded segments itself; pass a "
+            "non-banded inner stage (auto/rans/huffman/xz/spectral/raw)"
+        )
     cfg = cfg or CodecConfig()
     img = np.asarray(rgb_u8)
     if img.dtype != np.uint8:
@@ -607,15 +621,13 @@ def encode_color_streamed_bytes(
     plane_dims = {"y": (y8, (h, w)), "cb": (c8, (ch, cw)), "cr": (c8, (ch, cw))}
     blobs = {}
     for name, seg_list in segs.items():
-        parts = [bytes([len(seg_list)])]
-        for rows, fut in seg_list:
-            code, payload = fut.result()
-            parts.append(struct.pack("<IBI", rows, code, len(payload)))
-            parts.append(payload)
+        payload = assemble_banded_segments(
+            [(rows, fut.result()) for rows, fut in seg_list]
+        )
         (p8, oshape) = plane_dims[name]
         q_table = lcfg.q_table if name == "y" else ccfg.q_table
         blobs[name] = _wrap_v4(
-            p8[0], p8[1], _CODEC_BANDED, b"".join(parts), cfg.q_scale,
+            p8[0], p8[1], _CODEC_BANDED, payload, cfg.q_scale,
             cfg.retain_k, oshape, cfg.transform, q_table,
         )
     meta = {"orig_shape": (h, w), "chroma_shape": (ch, cw), "subsample": mode}
@@ -644,8 +656,12 @@ def decode_color_streamed(
     uint8 array (memmap-friendly)."""
     from tpudct.models.color import (
         _chroma_plane_shape,
-        decode_color_auto,
+        _fits_i8,
+        color_kernel_shape,
+        decode_color,
+        decode_color_u8,
         normalize_subsample,
+        supports_color_u8,
     )
     from tpudct.ops.padding import padded_shape
     from tpudct.utils import serialize as ser
@@ -666,6 +682,20 @@ def decode_color_streamed(
     cb_pl, cr_pl = np.asarray(planes["cb"]), np.asarray(planes["cr"])
     ch, cw = _chroma_plane_shape(mode, h, w)
     cfg = CodecConfig(q_scale=meta["q_scale"], transform=meta["transform"])
+    # u8-vs-f32 path decision made ONCE on the WHOLE planes — the same
+    # gate decode_color_auto applies.  Deciding per band would let a
+    # stream whose out-of-int8 coefficients sit in only some bands mix
+    # the int8 and f32 decode pipelines across bands (the mixing
+    # roundtrip_color_auto's contract forbids).
+    use_u8 = (
+        meta.get("y_q_table", "luma") == "luma"
+        and meta.get("c_q_table", "chroma") == "chroma"
+        and supports_color_u8(pipeline, cfg, *color_kernel_shape(h, w), mode)
+        and y_pl.shape == padded_shape(h, w)
+        and cb_pl.shape == padded_shape(ch, cw)
+        and all(_fits_i8(v) for v in (y_pl, cb_pl, cr_pl))
+    )
+    decode_fn = decode_color_u8 if use_u8 else decode_color
     for a in range(0, h, band_rows):
         keep = min(band_rows, h - a)
         ca = a // fy
@@ -678,7 +708,7 @@ def decode_color_streamed(
         yb = y_pl[a : a + padded_shape(keep, w)[0]]
         cbb = cb_pl[ca : ca + padded_shape(ckeep, cw)[0]]
         crb = cr_pl[ca : ca + padded_shape(ckeep, cw)[0]]
-        rec = decode_color_auto(
+        rec = decode_fn(
             pipeline, {"y": yb, "cb": cbb, "cr": crb}, band_meta, cfg
         )
         out[a : a + keep] = np.asarray(rec)
