@@ -83,24 +83,231 @@ def test_streamed_decode_rejects_corrupt_banded(hp, rng):
         decode_gray_streamed(hp, data[:-4])
 
 
-def test_cli_band_rows_rejected_where_unsupported(tmp_path, rng, capsys):
-    """--band-rows must refuse, not silently ignore, the partial-decode
-    modes that do not stream — the flag is a bounded-memory promise
-    (review finding, round 4)."""
+def test_cli_band_rows_streams_partial_modes(tmp_path, rng, capsys):
+    """--band-rows now STREAMS the partial-decode modes (round 5 — the
+    round-4 refusal meant the archival layout could not be thumbnailed,
+    previewed, ROI- or scale-decoded at all): each streamed mode's
+    pixels equal its in-memory twin's bit-for-bit."""
     from tpudct.utils import imageio
 
-    img = rng.integers(0, 256, (64, 128), dtype=np.uint8)
+    img = rng.integers(0, 256, (160, 136), dtype=np.uint8)
     src = tmp_path / "in.png"
     imageio.save_image(src, img)
     tdc = tmp_path / "g.tdc"
-    assert main(["encode", str(src), str(tdc)]) == 0
+    assert main(["encode", "--band-rows", "64", str(src), str(tdc)]) == 0
     capsys.readouterr()
-    assert main(["decode", "--band-rows", "32", "--scale", "1/2",
-                 str(tdc), str(tmp_path / "o.png")]) != 0
-    assert "band-rows" in capsys.readouterr().err
-    assert main(["decode", "--band-rows", "32", "--rows", "0:8",
-                 str(tdc), str(tmp_path / "o.png")]) != 0
-    assert "band-rows" in capsys.readouterr().err
+    for flags in (["--scale", "1/2"], ["--planes", "4"], ["--rows", "37:141"]):
+        o1, o2 = tmp_path / "mem.png", tmp_path / "str.png"
+        assert main(["decode", *flags, str(tdc), str(o1)]) == 0
+        assert main(["decode", "--band-rows", "64", *flags,
+                     str(tdc), str(o2)]) == 0
+        capsys.readouterr()
+        np.testing.assert_array_equal(
+            imageio.load_image(o1), imageio.load_image(o2), err_msg=str(flags)
+        )
+
+
+def test_streamed_partial_modes_bit_identical(hp, rng):
+    """decode_gray_streamed's n_planes / scale_m / row_range modes equal
+    their in-memory twins bit-for-bit on banded AND non-banded streams
+    (VERDICT r4 #1)."""
+    from tpudct.models.dispatch import (
+        decode_gray_auto, decode_gray_scaled_auto,
+    )
+
+    cfg = CodecConfig()
+    img = rng.integers(0, 256, (200, 312), dtype=np.uint8)
+    data, _ = encode_gray_streamed_bytes(hp, img, cfg, band_rows=64)
+    coeffs, _qs, _k, (oh, ow) = serialize.bytes_to_coefficients(
+        data, with_orig_shape=True
+    )
+    c16 = np.asarray(coeffs, np.int16)
+    nonbanded = serialize.coefficients_to_bytes(
+        c16, orig_shape=(oh, ow), codec="rans"
+    )
+    for blob in (data, nonbanded):
+        # progressive
+        ref = decode_gray_auto(
+            hp, serialize._zero_high_planes(c16.copy(), 4), cfg, (oh, ow)
+        )
+        np.testing.assert_array_equal(
+            decode_gray_streamed(hp, blob, band_rows=96, n_planes=4), ref
+        )
+        # fractional scale (one integer, one non-integer numerator)
+        for m in (2, 3):
+            ref = decode_gray_scaled_auto(hp, c16, cfg, (oh, ow), m)
+            np.testing.assert_array_equal(
+                decode_gray_streamed(hp, blob, band_rows=96, scale_m=m), ref
+            )
+        # ROI: only the covering block rows decode
+        a, b = 37, 141
+        a8, b8 = 32, 144
+        ref = decode_gray_auto(
+            hp, c16[a8:b8], cfg, (b8 - a8, ow)
+        )[a - a8 : b - a8]
+        got = decode_gray_streamed(hp, blob, band_rows=64, row_range=(a, b))
+        assert got.shape == (b - a, ow)
+        np.testing.assert_array_equal(got, ref)
+
+
+def test_streamed_roi_skips_out_of_range_segments(hp, rng, monkeypatch):
+    """ROI decode must not entropy-decode segments outside the range —
+    the point of banded ROI on a beyond-HBM archive (VERDICT r4 #1)."""
+    img = rng.integers(0, 256, (256, 128), dtype=np.uint8)
+    data, _ = encode_gray_streamed_bytes(hp, img, CodecConfig(), band_rows=32)
+    seen = []
+    orig = serialize._decode_payload
+
+    def spy(raw, code, h, w):
+        seen.append(h)
+        return orig(raw, code, h, w)
+
+    monkeypatch.setattr(serialize, "_decode_payload", spy)
+    decode_gray_streamed(hp, data, band_rows=32, row_range=(64, 96))
+    assert sum(seen) == 32  # exactly one 32-row segment decoded
+
+
+def test_banded_partial_coefficients_and_preview(rng):
+    """serialize-level: partial_coefficients and preview_from_bytes accept
+    banded streams with every inner stage, equal to the spectral stream's
+    answers (VERDICT r4 #1)."""
+    from tpudct.utils.entropy import native_entropy_available
+
+    c = rng.integers(-90, 90, (96, 128)).astype(np.int16)
+    spec = serialize.coefficients_to_bytes(c, orig_shape=(90, 121), codec="spectral")
+    ref4 = serialize.partial_coefficients(spec, n_planes=4)["coeffs"]
+    ref_pv = serialize.preview_from_bytes(spec)
+    inners = ["spectral", "raw", "auto"]
+    if native_entropy_available():
+        inners += ["rans", "huffman"]
+    for inner in inners:
+        data = serialize.coefficients_to_bytes(
+            c, orig_shape=(90, 121), codec=f"banded:3:{inner}"
+        )
+        np.testing.assert_array_equal(
+            serialize.partial_coefficients(data, n_planes=4)["coeffs"], ref4,
+            err_msg=inner,
+        )
+        np.testing.assert_array_equal(
+            serialize.preview_from_bytes(data), ref_pv, err_msg=inner
+        )
+    # whole-stream interleaved codecs still refuse (nothing to truncate)
+    with pytest.raises(ValueError, match="progressive"):
+        serialize.partial_coefficients(
+            serialize.coefficients_to_bytes(c, codec="raw"), n_planes=4
+        )
+
+
+def test_streamed_color_partial_modes_bit_identical(hp, rng):
+    """decode_color_streamed's n_planes / scale_m / row_range modes equal
+    the in-memory CLI semantics bit-for-bit, incl. the h%16==8
+    chroma-tail case (VERDICT r4 #1, color side)."""
+    from tpudct.models.color import (
+        decode_color, decode_color_scaled, normalize_subsample,
+    )
+    from tpudct.utils.streaming import (
+        decode_color_streamed, encode_color_streamed_bytes,
+    )
+
+    cfg = CodecConfig(interpret=True)
+    for (h, w) in ((200, 312), (104, 260)):  # 104 % 16 == 8: chroma tail
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        data, _ = encode_color_streamed_bytes(hp, img, cfg, band_rows=64)
+        planes, meta = serialize.bytes_to_color(data)
+        dcfg = CodecConfig(q_scale=meta["q_scale"], transform=meta["transform"])
+        # progressive
+        pl, pm = serialize.partial_color_coefficients(data, n_planes=4)
+        ref = np.asarray(decode_color(hp, pl, pm, dcfg))
+        np.testing.assert_array_equal(
+            decode_color_streamed(hp, data, band_rows=64, n_planes=4), ref
+        )
+        # fractional scale
+        for m, fac in ((2, 4), (3, None)):
+            ref = np.asarray(decode_color_scaled(
+                hp, planes, meta, dcfg, fac, m=None if fac else m
+            ))
+            got = decode_color_streamed(hp, data, band_rows=64, scale_m=m)
+            np.testing.assert_array_equal(got, ref, err_msg=f"m={m}")
+        # ROI, same slicing as the in-memory `decode --rows` path
+        a, b = 37, 90
+        mode = normalize_subsample(meta["subsample"])
+        align = 16 if mode == "420" else 8
+        a0 = a - a % align
+        y1 = min(planes["y"].shape[0], -(-b // align) * align)
+        c0 = a0 // 2
+        c1 = (planes["cb"].shape[0]
+              if y1 >= planes["y"].shape[0] else y1 // 2)
+        sl = {"y": planes["y"][a0:y1],
+              "cb": planes["cb"][c0:c1], "cr": planes["cr"][c0:c1]}
+        smeta = {
+            **meta,
+            "orig_shape": (min(h, y1) - a0, w),
+            "chroma_shape": (
+                min(meta["chroma_shape"][0], c1) - c0,
+                meta["chroma_shape"][1],
+            ),
+        }
+        ref = np.asarray(decode_color(hp, sl, smeta, dcfg))[a - a0 : b - a0]
+        got = decode_color_streamed(hp, data, band_rows=64, row_range=(a, b))
+        np.testing.assert_array_equal(got, ref)
+
+
+def test_streamed_color_bounded_residency(hp, rng, monkeypatch):
+    """The color streamed decode's host residency is bounded: plane
+    readers buffer at most ~one band + one segment of decoded rows, and
+    segments arrive lazily (VERDICT r4 #2 — the round-4 version decoded
+    all three planes whole before any device work)."""
+    from tpudct.utils import streaming as st
+    from tpudct.utils.streaming import (
+        decode_color_streamed, encode_color_streamed_bytes,
+    )
+
+    cfg = CodecConfig(interpret=True)
+    img = rng.integers(0, 256, (512, 256, 3), dtype=np.uint8)
+    data, _ = encode_color_streamed_bytes(hp, img, cfg, band_rows=64)
+    max_buf = []
+    orig_pull = st._PlaneRows.pull
+
+    def spy(self, nrows):
+        out = orig_pull(self, nrows)
+        max_buf.append(self._buf_rows)
+        return out
+
+    monkeypatch.setattr(st._PlaneRows, "pull", spy)
+    rec = decode_color_streamed(hp, data, band_rows=64)
+    # leftover buffered rows never exceed one segment (64 luma rows)
+    assert max(max_buf) <= 64
+    planes, meta = serialize.bytes_to_color(data)
+    from tpudct.models.color import decode_color_auto
+
+    np.testing.assert_array_equal(rec, np.asarray(decode_color_auto(
+        hp, planes, meta,
+        CodecConfig(q_scale=meta["q_scale"], transform=meta["transform"]),
+    )))
+
+
+def test_streamed_npy_output(hp, rng, tmp_path):
+    """A .npy output writes the raster through a disk memmap band by band
+    (bounded host output residency, VERDICT r4 #2) and loads back equal
+    to the in-memory decode; the CLI path exercises the same flag."""
+    from tpudct.models.dispatch import decode_gray_auto
+    from tpudct.utils import imageio
+
+    img = rng.integers(0, 256, (128, 136), dtype=np.uint8)
+    data, _ = encode_gray_streamed_bytes(hp, img, CodecConfig(), band_rows=32)
+    npy = tmp_path / "o.npy"
+    rec = decode_gray_streamed(
+        hp, data, band_rows=32, out_npy=str(npy)
+    )
+    assert isinstance(rec, np.memmap)
+    rec.flush()
+    coeffs = serialize.bytes_to_coefficients(data)[0]
+    ref = decode_gray_auto(hp, coeffs, CodecConfig(), (128, 136))
+    np.testing.assert_array_equal(np.load(npy), ref)
+    # imageio round-trips .npy (save + mmap load)
+    p2 = tmp_path / "r.npy"
+    imageio.save_image(p2, ref)
+    np.testing.assert_array_equal(imageio.load_image(p2, force_gray=False), ref)
 
 
 def test_streamed_color_all_modes_bit_identical(hp, rng):

@@ -476,6 +476,7 @@ def decode_gray_streamed(
     n_planes: Optional[int] = None,
     scale_m: Optional[int] = None,
     row_range: Optional[Tuple[int, int]] = None,
+    out_npy: Optional[str] = None,
 ) -> np.ndarray:
     """.tdc stream bytes -> uint8 raster, device memory bounded by
     ~band_rows rows at a time, host memory by one segment + one band.
@@ -537,7 +538,11 @@ def decode_gray_streamed(
     else:
         out_shape = (oh, ow)
     if out is None:
-        out = np.empty(out_shape, np.uint8)
+        # out_npy: write the raster to a .npy on disk band by band — host
+        # residency stays O(band) even when the OUTPUT exceeds RAM
+        out = (np.lib.format.open_memmap(
+                   out_npy, mode="w+", dtype=np.uint8, shape=out_shape)
+               if out_npy else np.empty(out_shape, np.uint8))
     if out.shape != out_shape or out.dtype != np.uint8:
         raise ValueError(
             f"preallocated output must be {out_shape} uint8, got "
@@ -749,6 +754,7 @@ def decode_color_streamed(
     n_planes: Optional[int] = None,
     scale_m: Optional[int] = None,
     row_range: Optional[Tuple[int, int]] = None,
+    out_npy: Optional[str] = None,
 ) -> np.ndarray:
     """.tdcc stream bytes -> uint8 RGB, device memory bounded by
     ~band_rows luma rows at a time, HOST memory by one segment per plane
@@ -851,7 +857,10 @@ def decode_color_streamed(
     else:
         out_shape = (h, w, 3)
     if out is None:
-        out = np.empty(out_shape, np.uint8)
+        # out_npy: same bounded-output contract as the gray twin
+        out = (np.lib.format.open_memmap(
+                   out_npy, mode="w+", dtype=np.uint8, shape=out_shape)
+               if out_npy else np.empty(out_shape, np.uint8))
     if out.shape != out_shape or out.dtype != np.uint8:
         raise ValueError(
             f"preallocated output must be {out_shape} uint8, got "
