@@ -209,6 +209,64 @@ def family_gates(p, cfg) -> list:
         rep["fast_path"] = "pass"
     reports.append(rep)
 
+    # --- streamed banded codec (gray + color): vs the in-memory path -----
+    # One tiny streamed encode -> decode roundtrip per family, asserted
+    # BYTE-identical to the in-memory banded writer and BIT-identical to
+    # the in-memory decode (VERDICT r4 #5: the streamed band-slicing/
+    # padding composition was the one compiled-kernel surface the bench
+    # didn't gate).
+    from tpudct.utils import serialize, streaming
+
+    if hasattr(p, "encode_u8"):
+        from tpudct.models.dispatch import decode_gray_auto, encode_gray_auto
+
+        gimg = synthetic_image(128).astype(np.uint8)[:96]  # 96x128, 3 bands
+        sdata, _ = streaming.encode_gray_streamed_bytes(
+            p, gimg, cfg, band_rows=32
+        )
+        c_ref, (gh, gw) = encode_gray_auto(p, gimg, cfg)
+        mdata = serialize.coefficients_to_bytes(
+            np.asarray(c_ref), cfg.q_scale, cfg.retain_k, orig_shape=(gh, gw),
+            transform=cfg.transform, q_table=cfg.q_table, codec="banded:3",
+        )
+        _check(sdata == mdata,
+               "streamed gray encode bytes differ from the in-memory "
+               "banded writer")
+        rec_s = streaming.decode_gray_streamed(p, sdata, band_rows=32)
+        rec_m = np.asarray(decode_gray_auto(p, c_ref, cfg, (gh, gw)))
+        _check((rec_s == rec_m).all(),
+               "streamed gray decode differs from the in-memory decode")
+        reports.append({"gate": "pass", "family": "streamed_gray",
+                        "bytes": len(sdata)})
+
+        from tpudct.models.color import decode_color_auto, encode_color_u8
+
+        crgb = np.stack(
+            [gimg[:64], np.roll(gimg[:64], 3, 0), np.roll(gimg[:64], 5, 1)],
+            -1,
+        )  # 64x128 RGB -> pads to 64x256 kernel grid internally
+        csdata, _ = streaming.encode_color_streamed_bytes(
+            p, crgb, cfg, band_rows=64
+        )
+        pl_ref, meta_ref = encode_color_u8(p, jnp.asarray(crgb), cfg)
+        pl_np = {k: np.asarray(v) for k, v in pl_ref.items()}
+        cmdata = serialize.color_to_bytes(
+            pl_np, meta_ref, cfg.q_scale, cfg.retain_k, cfg.transform,
+            codec="banded:1",
+        )
+        _check(csdata == cmdata,
+               "streamed color encode bytes differ from the in-memory "
+               "banded writer")
+        crec_s = streaming.decode_color_streamed(p, csdata, band_rows=64)
+        crec_m = np.asarray(decode_color_auto(p, pl_ref, meta_ref, cfg))
+        _check((crec_s == crec_m).all(),
+               "streamed color decode differs from the in-memory decode")
+        reports.append({"gate": "pass", "family": "streamed_color",
+                        "bytes": len(csdata)})
+    else:
+        reports.append({"gate": "skip", "family": "streamed",
+                        "reason": f"pipeline {p.name!r} has no u8 kernels"})
+
     # --- JPEG coefficient import -> decode vs libjpeg's own pixels -------
     from tpudct.utils import imageio, jpegcoef
 
