@@ -187,6 +187,56 @@ static long br_bits(BitReader *r, int n) {
     return v;
 }
 
+/* Windowed bit reader for the rANS magnitude streams: up to 64 bits
+ * buffered left-justified in an accumulator, refilled bytewise only when
+ * short.  Exact parity with br_bits' semantics (MSB-first; n == 0 -> 0;
+ * reading past the declared bit budget -> -1, without consuming) at a
+ * fraction of the per-read work — br_bits' per-call multi-chunk assembly
+ * was the rANS decode loop's largest non-symbol cost (measured round 5;
+ * the magnitude read runs once per nonzero coefficient). */
+typedef struct {
+    const uint8_t *buf;
+    long nbytes;   /* payload bytes available */
+    long nbits;    /* declared bit budget */
+    long bitpos;   /* consumed bits */
+    long bytepos;  /* next byte to load into acc */
+    uint64_t acc;  /* upcoming bits, left-justified */
+    int navail;
+} FastBits;
+
+static void fb_init(FastBits *f, const uint8_t *buf, long nbits, long nbytes) {
+    f->buf = buf;
+    f->nbits = nbits;
+    f->nbytes = nbytes;
+    f->bitpos = 0;
+    f->bytepos = 0;
+    f->acc = 0;
+    f->navail = 0;
+}
+
+static long fb_take(FastBits *f, int n) {
+    long v;
+    if (n == 0) return 0;
+    if (n < 0 || f->bitpos + n > f->nbits) return -1;
+    if (f->navail < n) {
+        /* refill to capacity so ~7 bytes of takes skip this branch */
+        do {
+            if (f->bytepos >= f->nbytes) return -1; /* unreachable given
+                                                     * the budget check;
+                                                     * kept as the hard
+                                                     * buffer bound */
+            f->acc |= (uint64_t)f->buf[f->bytepos++] << (56 - f->navail);
+            f->navail += 8;
+        } while (f->navail <= 56 && f->bytepos < f->nbytes);
+        if (f->navail < n) return -1;
+    }
+    v = (long)(f->acc >> (64 - n));
+    f->acc <<= n;
+    f->navail -= n;
+    f->bitpos += n;
+    return v;
+}
+
 /* A -32768 coefficient has magnitude category 16, which overflows the
  * 4-bit AC size field — the symbol model cannot represent it.  Unreachable
  * through tpudct's serializer (it validates |c| <= 32767 before narrowing,
@@ -207,40 +257,55 @@ static int has_int16_min(const int16_t *c, long n) {
 typedef void (*SymbolSink)(void *ctx, int table, int kpos, int sym,
                            int extra_bits, uint32_t extra);
 
+/* The ONE copy of the T.81 block-scan symbolization, instantiated per
+ * sink via macro so hot sinks inline.  The indirect per-symbol sink call
+ * measured 82% of the whole rANS encode on this host (65 ms of 79 at
+ * 2048², pass-split instrumentation, round 5) — the rANS collector gets
+ * a direct instantiation below; the Huffman paths keep the generic
+ * function-pointer wrapper. */
+#define EMIT_BLOCKS_BODY(CTX, SINK)                                          \
+    do {                                                                     \
+        int by_, bx_, k_;                                                    \
+        int prev_dc_ = 0;                                                    \
+        for (by_ = 0; by_ < h / 8; by_++) {                                  \
+            for (bx_ = 0; bx_ < w / 8; bx_++) {                              \
+                const int16_t *blk_ = c + (long)by_ * 8 * w + bx_ * 8;       \
+                int16_t zz_[64];                                             \
+                int diff_, s_, run_, last_, kcur_;                           \
+                for (k_ = 0; k_ < 64; k_++)                                  \
+                    zz_[k_] = blk_[(ZZ[k_] >> 3) * (long)w + (ZZ[k_] & 7)];  \
+                diff_ = zz_[0] - prev_dc_;                                   \
+                prev_dc_ = zz_[0];                                           \
+                s_ = bit_size(diff_);                                        \
+                SINK(CTX, 0, 0, s_, s_,                                      \
+                     (uint32_t)(diff_ < 0 ? diff_ + ((1L << s_) - 1) : diff_)); \
+                last_ = 63;                                                  \
+                while (last_ >= 1 && zz_[last_] == 0) last_--;               \
+                run_ = 0;                                                    \
+                kcur_ = 1; /* decoder's scan cursor at the next symbol */    \
+                for (k_ = 1; k_ <= last_; k_++) {                            \
+                    if (zz_[k_] == 0) { run_++; continue; }                  \
+                    while (run_ > 15) {                                      \
+                        SINK(CTX, 1, kcur_, 0xF0, 0, 0);                     \
+                        run_ -= 16;                                          \
+                        kcur_ += 16;                                         \
+                    }                                                        \
+                    s_ = bit_size(zz_[k_]);                                  \
+                    SINK(CTX, 1, kcur_, (run_ << 4) | s_, s_,                \
+                         (uint32_t)(zz_[k_] < 0 ? zz_[k_] + ((1 << s_) - 1)  \
+                                                : zz_[k_]));                 \
+                    kcur_ = k_ + 1;                                          \
+                    run_ = 0;                                                \
+                }                                                            \
+                if (last_ < 63) SINK(CTX, 1, kcur_, 0x00, 0, 0); /* EOB */   \
+            }                                                                \
+        }                                                                    \
+    } while (0)
+
+#define SINK_CALL(CTX, t, kp, sym, eb, ev) sink(CTX, t, kp, sym, eb, ev)
+
 static void emit_blocks(const int16_t *c, int h, int w, SymbolSink sink, void *ctx) {
-    int by, bx, k;
-    int prev_dc = 0;
-    for (by = 0; by < h / 8; by++) {
-        for (bx = 0; bx < w / 8; bx++) {
-            const int16_t *blk = c + (long)by * 8 * w + bx * 8;
-            int16_t zz[64];
-            int diff, s, run, last, kcur;
-            for (k = 0; k < 64; k++)
-                zz[k] = blk[(ZZ[k] >> 3) * (long)w + (ZZ[k] & 7)];
-            diff = zz[0] - prev_dc;
-            prev_dc = zz[0];
-            s = bit_size(diff);
-            sink(ctx, 0, 0, s, s, (uint32_t)(diff < 0 ? diff + ((1L << s) - 1) : diff));
-            last = 63;
-            while (last >= 1 && zz[last] == 0) last--;
-            run = 0;
-            kcur = 1; /* decoder's scan cursor when the next symbol arrives */
-            for (k = 1; k <= last; k++) {
-                if (zz[k] == 0) { run++; continue; }
-                while (run > 15) {
-                    sink(ctx, 1, kcur, 0xF0, 0, 0);
-                    run -= 16;
-                    kcur += 16;
-                }
-                s = bit_size(zz[k]);
-                sink(ctx, 1, kcur, (run << 4) | s, s,
-                     (uint32_t)(zz[k] < 0 ? zz[k] + ((1 << s) - 1) : zz[k]));
-                kcur = k + 1;
-                run = 0;
-            }
-            if (last < 63) sink(ctx, 1, kcur, 0x00, 0, 0); /* EOB */
-        }
-    }
+    EMIT_BLOCKS_BODY(ctx, SINK_CALL);
 }
 
 typedef struct { long dc[NSYM]; long ac[NSYM]; } Hist;
@@ -451,15 +516,35 @@ int tpudct_huff_decode(const uint8_t *data, long n, int h, int w, int16_t *out) 
  * model gain below ~15 KB of symbol payload).  The decoders (C and the
  * pure-Python fallback) accept v2 and v3.
  *
- * Stream layout (payload of .tdc codec 3, version 2 or 3):
- *   u8  version (2 = 4 contexts, 3 = 7 contexts)
+ * Stream v4 (round 5) INTERLEAVES FOUR rANS STATES per band (the public
+ * ryg_rans construction): symbol i is coded by state i mod 4, the encoder
+ * runs in reverse emitting renormalization bytes into one shared stream,
+ * and the decoder reads them forward — byte order works out because each
+ * symbol's renorm-emit happens immediately before its (reverse-order)
+ * encode step.  Compression is unchanged (same tables, same contexts; the
+ * only size delta is 1 flags byte + three extra 4-byte seeds per band):
+ * the POINT is throughput.  The v2/v3 decode loop's critical path is one
+ * serial chain of ~5-cycle multiply/renormalize steps per symbol;
+ * interleaving gives the CPU four independent chains to overlap, which is
+ * ILP (useful on this 1-core host), not thread parallelism (the pthread
+ * bands above).  The encoder's pass B has no other cross-symbol
+ * dependency at all, so it pipelines fully.  Version-adaptive: bands
+ * below RANS_V4_MIN_SYMS symbols keep the v2/v3 single-state layout
+ * (seed overhead outweighs a tiny band's decode time); the v2-vs-v3
+ * CONTEXT choice stays independent and rides a v4 flags bit.
+ *
+ * Stream layout (payload of .tdc codec 3, version 2, 3 or 4):
+ *   u8  version (2 = 4 contexts, 3 = 7 contexts, 4 = interleaved)
+ *   [v4 only] u8 flags: low nibble = n_states (4), bit 4 set = 7-context
+ *             layout (clear = the v2 4-context fold)
  *   u8  n_bands
  *   u32le rows_per_band  (pixel rows, multiple of 8; last band: remainder)
  *   NCTX tables (DC, then the AC bands in k order), each:
  *       u16le n_entries, then n_entries x { u8 symbol, u16le freq }
  *       (freqs normalized to sum 1<<RANS_BITS; entries sorted by symbol)
  *   per band: u32le rans_bytes, u32le extra_bits
- *   per band: rans bytes (read forward; 4-byte big-endian seed first),
+ *   per band: rans bytes (read forward; 4-byte big-endian seeds first —
+ *             one for v2/v3, n_states in state order for v4),
  *             then ceil(extra_bits/8) bytes MSB-first
  *
  * The rANS state stream carries only the symbols; magnitude ("extra")
@@ -477,6 +562,7 @@ int tpudct_huff_decode(const uint8_t *data, long n, int h, int w, int16_t *out) 
 #define NCTX_V3 7 /* DC + 6 AC zig-zag bands */
 #define NCTX_MAX NCTX_V3
 #define RANS_MAX_BANDS 16
+#define RANS_NSTATES 4 /* v4 interleave width (power of two; & mask below) */
 
 static int rans_ctx_of_v2(int table, int kpos) {
     if (!table) return 0;
@@ -586,24 +672,33 @@ typedef struct {
     /* pass B out */
     uint8_t *rbuf;
     long rcap, rans_n;
+    int nstates; /* 1 (v2/v3) or RANS_NSTATES (v4 interleave) */
     int bad;
 } RansBand;
 
-static void rans_collect_sink(void *ctx, int table, int kpos, int sym,
-                              int eb, uint32_t ev) {
-    RansBand *b = (RansBand *)ctx;
-    int c = rans_ctx_of_v3(table, kpos);
-    if (b->n >= b->cap) { b->bad = 1; return; }
-    b->syms[b->n].tab = (uint8_t)c;
-    b->syms[b->n].sym = (uint8_t)sym;
-    b->n++;
-    b->hist[c][sym]++;
-    if (eb) bw_put(&b->xw, ev, eb);
-}
+/* Direct (inlined-sink) instantiation of the block scan for the rANS
+ * collector — same semantics as routing rans_collect_sink through the
+ * generic emit_blocks, minus the per-symbol indirect call (the 82%;
+ * measured 2.8x faster pass A).  Fuzz + roundtrip tests pin the two
+ * code paths together. */
+#define SINK_RANS(B, T, KP, SYM, EB, EV)                                     \
+    do {                                                                     \
+        int rc_ = rans_ctx_of_v3((T), (KP));                                 \
+        if ((B)->n >= (B)->cap) { (B)->bad = 1; }                            \
+        else {                                                               \
+            (B)->syms[(B)->n].tab = (uint8_t)rc_;                            \
+            (B)->syms[(B)->n].sym = (uint8_t)(SYM);                          \
+            (B)->n++;                                                        \
+            (B)->hist[rc_][(SYM)]++;                                         \
+            if (EB) bw_put(&(B)->xw, (EV), (EB));                            \
+        }                                                                    \
+    } while (0)
 
 static void *rans_collect_worker(void *arg) {
     RansBand *b = (RansBand *)arg;
-    emit_blocks(b->c, b->rows, b->w, rans_collect_sink, b);
+    const int16_t *c = b->c;
+    int h = b->rows, w = b->w;
+    EMIT_BLOCKS_BODY(b, SINK_RANS);
     b->xbits_total = bw_flush(&b->xw);
     if (b->xw.overflow) b->bad = 1;
     return NULL;
@@ -612,16 +707,22 @@ static void *rans_collect_worker(void *arg) {
 static void *rans_encode_worker(void *arg) {
     RansBand *b = (RansBand *)arg;
     long i, rpos = b->rcap;
-    uint32_t state = RANS_L;
+    uint32_t st[RANS_NSTATES] = {RANS_L, RANS_L, RANS_L, RANS_L};
+    const unsigned mask = (unsigned)b->nstates - 1; /* nstates is 1 or 4 */
+    int j;
     for (i = b->n - 1; i >= 0; i--) {
         int tab = b->ctx_map[b->syms[i].tab];
         const RansTable *t = &b->tabs[tab];
         uint32_t f = t->freq[b->syms[i].sym];
         uint32_t x_max = ((RANS_L >> RANS_BITS) << 8) * f;
-        uint32_t q;
+        uint32_t q, state = st[i & mask];
         if (!f) { b->bad = 1; return NULL; }
+        /* symbol i rides state i mod n (ryg interleave): renorm-emit
+         * right before the reverse-order encode step is exactly what the
+         * forward decoder consumes right after its decode step, so the
+         * shared byte stream orders itself */
         while (state >= x_max) {
-            if (rpos <= 4) { b->bad = 1; return NULL; }
+            if (rpos <= 4 * b->nstates) { b->bad = 1; return NULL; }
             b->rbuf[--rpos] = (uint8_t)(state & 0xff);
             state >>= 8;
         }
@@ -631,13 +732,18 @@ static void *rans_encode_worker(void *arg) {
          * encoder's hottest instruction. */
         q = (uint32_t)(((__uint128_t)state *
                         b->recip[tab][b->syms[i].sym]) >> 48);
-        state = (q << RANS_BITS) + (state - q * f) + t->start[b->syms[i].sym];
+        st[i & mask] =
+            (q << RANS_BITS) + (state - q * f) + t->start[b->syms[i].sym];
     }
-    if (rpos < 4) { b->bad = 1; return NULL; }
-    b->rbuf[--rpos] = (uint8_t)(state & 0xff);
-    b->rbuf[--rpos] = (uint8_t)((state >> 8) & 0xff);
-    b->rbuf[--rpos] = (uint8_t)((state >> 16) & 0xff);
-    b->rbuf[--rpos] = (uint8_t)((state >> 24) & 0xff);
+    if (rpos < 4 * b->nstates) { b->bad = 1; return NULL; }
+    /* seeds flush backwards state (n-1)..0, landing front-to-back as
+     * state 0..n-1 — the order the decoder reads them */
+    for (j = b->nstates - 1; j >= 0; j--) {
+        b->rbuf[--rpos] = (uint8_t)(st[j] & 0xff);
+        b->rbuf[--rpos] = (uint8_t)((st[j] >> 8) & 0xff);
+        b->rbuf[--rpos] = (uint8_t)((st[j] >> 16) & 0xff);
+        b->rbuf[--rpos] = (uint8_t)((st[j] >> 24) & 0xff);
+    }
     b->rans_n = b->rcap - rpos;
     /* move to buffer start so the assembler can memcpy(rbuf, rans_n) */
     memmove(b->rbuf, b->rbuf + rpos, b->rans_n);
@@ -655,9 +761,12 @@ static void rans_bands_free(RansBand *bs, int n) {
 
 /* force_bands: 0 = size-based default (rans_band_count); 1..16 = explicit
  * band count (clamped to the block-row count) — lets tests exercise the
- * multi-band layout on small maps. */
+ * multi-band layout on small maps.
+ * interleave: 0/1 = single-state v2/v3 stream (the measured default);
+ * RANS_NSTATES = the 4-way interleaved v4 stream (opt-in, see above). */
 long tpudct_rans_encode(const int16_t *coeffs, int h, int w,
-                        uint8_t *out, long cap, int force_bands) {
+                        uint8_t *out, long cap, int force_bands,
+                        int interleave) {
     int nbands, bi, c;
     long rpb, pos, i;
     RansBand bands[RANS_MAX_BANDS];
@@ -670,6 +779,8 @@ long tpudct_rans_encode(const int16_t *coeffs, int h, int w,
                                  * (ctypes releases the GIL) */
     if (h <= 0 || w <= 0 || (h % 8) || (w % 8)) return -1;
     if (force_bands < 0 || force_bands > RANS_MAX_BANDS) return -1;
+    if (interleave != 0 && interleave != 1 && interleave != RANS_NSTATES)
+        return -1;
     if (has_int16_min(coeffs, (long)h * w)) return -1;
     nbands = force_bands ? force_bands : rans_band_count(h, w);
     if (nbands > h / 8) nbands = h / 8;
@@ -756,6 +867,17 @@ long tpudct_rans_encode(const int16_t *coeffs, int h, int w,
                 ? (uint64_t)((((__uint128_t)1 << 48) + tabs[c].freq[i] - 1) /
                              tabs[c].freq[i])
                 : 0;
+    /* v4 interleave is an explicit OPT-IN (interleave == RANS_NSTATES),
+     * not the default: on this 1-core Xeon host the 4-way decoder
+     * measured 0.72-0.89x the serial one (benchmarks/rans_interleave_ab
+     * .py; the decode loop is THROUGHPUT-bound at ~40 cycles/symbol —
+     * bit reads, scan branches, block scatter — so removing the ~15-
+     * cycle state chain buys nothing and the extra state bookkeeping
+     * costs).  The knob stays because the construction is sound and a
+     * wide out-of-order host may invert the result; streams decode
+     * everywhere either way (both C decoders + the Python fallback). */
+    for (bi = 0; bi < nbands; bi++)
+        bands[bi].nstates = interleave == RANS_NSTATES ? RANS_NSTATES : 1;
     for (bi = 0; bi < nbands; bi++) {
         RansBand *b = &bands[bi];
         b->tabs = tabs;
@@ -777,8 +899,14 @@ long tpudct_rans_encode(const int16_t *coeffs, int h, int w,
         if (bands[bi].bad) { rans_bands_free(bands, nbands); return -1; }
     /* assemble */
     pos = 0;
-    if (cap < 6) goto fail;
-    out[pos++] = (uint8_t)version_out;
+    if (cap < 7) goto fail;
+    if (bands[0].nstates > 1) {
+        out[pos++] = 4; /* interleaved layout; context choice in flags */
+        out[pos++] = (uint8_t)(bands[0].nstates |
+                               (version_out == 3 ? 0x10 : 0));
+    } else {
+        out[pos++] = (uint8_t)version_out;
+    }
     out[pos++] = (uint8_t)nbands;
     pos += put_u32le(out + pos, (unsigned long)rpb);
     for (c = 0; c < nctx_out; c++) {
@@ -835,9 +963,10 @@ typedef struct {
     const uint8_t *ac_ctx; /* zig-zag position -> AC context (per version) */
     const uint8_t *rb;     /* this band's rans bytes */
     long rans_n;
-    BitReader xr;
+    FastBits xr;
     int16_t *out; /* first pixel row of this band */
     int rows, w;
+    int nstates; /* 1 (v2/v3) or RANS_NSTATES (v4) */
     int rc; /* 0 ok / negative error */
 } RansDecBand;
 
@@ -879,7 +1008,7 @@ static void *rans_decode_worker(void *arg) {
             } while (0)
             RANS_NEXT(0, s);
             if (s > 17) return NULL;
-            v = s ? br_bits(&d->xr, s) : 0;
+            v = s ? fb_take(&d->xr, s) : 0;
             if (v < 0) return NULL;
             prev_dc += extend(v, s);
             blk[0] = (int16_t)prev_dc;
@@ -894,7 +1023,7 @@ static void *rans_decode_worker(void *arg) {
                 if (!size) return NULL;
                 k += run;
                 if (k > 63) return NULL;
-                v = br_bits(&d->xr, size);
+                v = fb_take(&d->xr, size);
                 if (v < 0) return NULL;
                 blk[(ZZ[k] >> 3) * (long)d->w + (ZZ[k] & 7)] =
                     (int16_t)extend(v, size);
@@ -907,21 +1036,111 @@ static void *rans_decode_worker(void *arg) {
     return NULL;
 }
 
+/* v4 interleaved twin of rans_decode_worker: RANS_NSTATES round-robin
+ * states over ONE shared byte stream.  Kept as a separate function (not a
+ * runtime nstates branch in the hot loop) so the single-state v2/v3
+ * decoder keeps its state in a register; here the four states give the
+ * CPU independent multiply/renormalize chains to overlap — the ILP the
+ * serial chain could not expose. */
+static void *rans_decode_worker_il(void *arg) {
+    RansDecBand *d = (RansDecBand *)arg;
+    const RansDec *tabs = d->tabs;
+    const uint8_t *rb = d->rb;
+    long rcur, prev_dc = 0;
+    uint32_t r0, r1, r2, r3, rt;
+    int by, bx;
+    d->rc = -5;
+    if (d->rans_n < 4 * RANS_NSTATES) return NULL;
+    /* The four states live in ROTATING named locals: r0 always holds the
+     * next symbol's state, and a 4-way register rotation follows every
+     * decode step.  Register renaming makes the rotation ~free, and the
+     * rotation keeps each physical state's multiply/renormalize chain
+     * four symbols apart — the ILP this layout exists for.  (An indexed
+     * st[si & 3] array costs a store-to-load hop INSIDE every chain and
+     * measured SLOWER than the serial v3 decoder, 0.72-0.80x.) */
+#define RD_SEED(j) (((uint32_t)rb[4 * (j)] << 24) |                          \
+                    ((uint32_t)rb[4 * (j) + 1] << 16) |                      \
+                    ((uint32_t)rb[4 * (j) + 2] << 8) |                       \
+                    (uint32_t)rb[4 * (j) + 3])
+    r0 = RD_SEED(0); r1 = RD_SEED(1); r2 = RD_SEED(2); r3 = RD_SEED(3);
+#undef RD_SEED
+    rcur = 4 * RANS_NSTATES;
+    memset(d->out, 0, sizeof(int16_t) * (long)d->rows * d->w);
+    for (by = 0; by < d->rows / 8; by++) {
+        for (bx = 0; bx < d->w / 8; bx++) {
+            int16_t *blk = d->out + (long)by * 8 * d->w + bx * 8;
+            int k, s, sym;
+            long v;
+#define RANS_NEXT_IL(ctx, dst)                                               \
+            do {                                                             \
+                const RansDec *t = &tabs[ctx];                               \
+                uint32_t slot = r0 & (RANS_M - 1);                           \
+                int _s;                                                      \
+                if (t->empty) return NULL;                                   \
+                _s = t->slot_sym[slot];                                      \
+                rt = t->freq[_s] * (r0 >> RANS_BITS) + slot - t->start[_s];  \
+                while (rt < RANS_L) {                                        \
+                    if (rcur >= d->rans_n) return NULL;                      \
+                    rt = (rt << 8) | rb[rcur++];                             \
+                }                                                            \
+                r0 = r1; r1 = r2; r2 = r3; r3 = rt;                          \
+                (dst) = _s;                                                  \
+            } while (0)
+            RANS_NEXT_IL(0, s);
+            if (s > 17) return NULL;
+            v = s ? fb_take(&d->xr, s) : 0;
+            if (v < 0) return NULL;
+            prev_dc += extend(v, s);
+            blk[0] = (int16_t)prev_dc;
+            k = 1;
+            while (k < 64) {
+                int run, size;
+                RANS_NEXT_IL(d->ac_ctx[k], sym);
+                if (sym == 0x00) break; /* EOB */
+                if (sym == 0xF0) { k += 16; continue; }
+                run = sym >> 4;
+                size = sym & 15;
+                if (!size) return NULL;
+                k += run;
+                if (k > 63) return NULL;
+                v = fb_take(&d->xr, size);
+                if (v < 0) return NULL;
+                blk[(ZZ[k] >> 3) * (long)d->w + (ZZ[k] & 7)] =
+                    (int16_t)extend(v, size);
+                k++;
+            }
+#undef RANS_NEXT_IL
+        }
+    }
+    d->rc = 0;
+    return NULL;
+}
+
 int tpudct_rans_decode(const uint8_t *data, long n, int h, int w, int16_t *out) {
     RansDec *tabs;
     RansDecBand dbs[RANS_MAX_BANDS];
     pthread_t tids[RANS_MAX_BANDS];
     uint8_t ac_ctx[64];
     long pos = 0, rpb, off;
-    int c, bi, nbands, nctx, version, rc = 0;
+    int c, bi, nbands, nctx, version, nstates = 1, v2ctx, rc = 0;
     if (h <= 0 || w <= 0 || (h % 8) || (w % 8)) return -2;
     if (n < 6) return -3;
     version = data[pos++];
-    if (version != 2 && version != 3) return -3;
-    nctx = version == 2 ? NCTX_V2 : NCTX_V3;
+    if (version != 2 && version != 3 && version != 4) return -3;
+    if (version == 4) {
+        int flags;
+        if (n < 7) return -3;
+        flags = data[pos++];
+        nstates = flags & 0x0f;
+        if (nstates != RANS_NSTATES) return -3; /* only 4-way is emitted */
+        v2ctx = !(flags & 0x10);
+    } else {
+        v2ctx = version == 2;
+    }
+    nctx = v2ctx ? NCTX_V2 : NCTX_V3;
     for (c = 1; c < 64; c++)
-        ac_ctx[c] = (uint8_t)(version == 2 ? rans_ctx_of_v2(1, c)
-                                           : rans_ctx_of_v3(1, c));
+        ac_ctx[c] = (uint8_t)(v2ctx ? rans_ctx_of_v2(1, c)
+                                    : rans_ctx_of_v3(1, c));
     ac_ctx[0] = 0;
     nbands = data[pos++];
     rpb = (long)data[pos] | ((long)data[pos + 1] << 8) |
@@ -969,24 +1188,27 @@ int tpudct_rans_decode(const uint8_t *data, long n, int h, int w, int16_t *out) 
                 ((long)data[pos + 2] << 16) | ((long)data[pos + 3] << 24);
         pos += 4;
         xb = (xbits + 7) / 8;
-        if (rans_n < 4 || xbits < 0 || off + rans_n + xb > n) goto corrupt;
+        if (rans_n < 4L * nstates || xbits < 0 || off + rans_n + xb > n)
+            goto corrupt;
         d->tabs = tabs;
         d->ac_ctx = ac_ctx;
         d->rb = data + off;
         d->rans_n = rans_n;
-        d->xr.buf = data + off + rans_n;
-        d->xr.nbits = xbits;
-        d->xr.pos = 0;
+        fb_init(&d->xr, data + off + rans_n, xbits, xb);
         d->out = out + row0 * w;
         d->rows = (int)(bi == nbands - 1 ? h - row0 : rpb);
         d->w = w;
+        d->nstates = nstates;
         d->rc = -5;
         if (d->rows <= 0 || (bi == nbands - 1 && rpb * bi + d->rows != h))
             goto corrupt;
         off += rans_n + xb;
     }
     for (bi = 0; bi < nbands; bi++)
-        if (pthread_create(&tids[bi], NULL, rans_decode_worker, &dbs[bi])) {
+        if (pthread_create(&tids[bi], NULL,
+                           nstates > 1 ? rans_decode_worker_il
+                                       : rans_decode_worker,
+                           &dbs[bi])) {
             int j;
             for (j = 0; j < bi; j++) pthread_join(tids[j], NULL);
             free(tabs);

@@ -1,4 +1,4 @@
-/* ASan fuzz driver for the entropy coders (huffman + rANS v2/v3).
+/* ASan fuzz driver for the entropy coders (huffman + rANS v2/v3/v4).
  *
  * Exercises the exact attack surface of the .tdc container: the native
  * decoders fed (a) valid streams, (b) bit/byte-mutated valid streams,
@@ -17,7 +17,7 @@
 long tpudct_huff_encode(const int16_t *c, int h, int w, uint8_t *out, long cap);
 int tpudct_huff_decode(const uint8_t *d, long n, int h, int w, int16_t *out);
 long tpudct_rans_encode(const int16_t *c, int h, int w, uint8_t *out, long cap,
-                        int force_bands);
+                        int force_bands, int interleave);
 int tpudct_rans_decode(const uint8_t *d, long n, int h, int w, int16_t *out);
 
 static uint64_t s_ = 0x9e3779b97f4a7c15ull;
@@ -33,12 +33,13 @@ int main(void) {
     int16_t *c = malloc(MAXH * MAXW * 2), *back = malloc(MAXH * MAXW * 2);
     long cap = MAXH * MAXW * 4 + 65536;
     uint8_t *buf = malloc(cap), *mut = malloc(cap);
-    int iter, checks = 0, v3_seen = 0;
+    int iter, checks = 0, v3_seen = 0, v4_seen = 0;
     if (!c || !back || !buf || !mut) return 2;
     for (iter = 0; iter < 400; iter++) {
         int h = (int)(1 + rnd() % (MAXH / 8)) * 8;
         int w = (int)(1 + rnd() % (MAXW / 8)) * 8;
         int bands = (int)(rnd() % 5); /* 0=auto .. 4 */
+        int il = (iter & 2) ? 4 : 0;  /* alternate serial / v4 interleave */
         long i, n;
         int m;
         if (iter & 1) {
@@ -63,9 +64,10 @@ int main(void) {
         }
         if (!(iter % 37)) { c[0] = 32767; c[(long)h * w - 1] = -32767; }
         /* rANS: valid roundtrip */
-        n = tpudct_rans_encode(c, h, w, buf, cap, bands);
+        n = tpudct_rans_encode(c, h, w, buf, cap, bands, il);
         if (n <= 0) { fprintf(stderr, "rans encode failed\n"); return 1; }
         if (buf[0] == 3) v3_seen++;
+        if (buf[0] == 4) v4_seen++;
         if (tpudct_rans_decode(buf, n, h, w, back) != 0 ||
             memcmp(c, back, (long)h * w * 2) != 0) {
             fprintf(stderr, "rans roundtrip mismatch h=%d w=%d b=%d\n", h, w, bands);
@@ -107,13 +109,15 @@ int main(void) {
             tpudct_huff_decode(mut, ng, h, w, back);
         }
     }
-    if (!v3_seen) {
-        /* the v3 decode paths must actually be fuzzed, not just v2 */
-        fprintf(stderr, "no v3 streams generated — fuzz coverage gap\n");
+    if (!v3_seen || !v4_seen) {
+        /* every stream version's decode paths must actually be fuzzed */
+        fprintf(stderr, "missing stream versions (v3 %d, v4 %d) — fuzz "
+                "coverage gap\n", v3_seen, v4_seen);
         return 1;
     }
-    printf("fuzz ok: %d valid roundtrips (%d rans-v3) + %d mutated/garbage "
-           "decodes\n", checks, v3_seen, 400 * (24 + 24 + 16));
+    printf("fuzz ok: %d valid roundtrips (%d rans-v3, %d rans-v4) + %d "
+           "mutated/garbage decodes\n", checks, v3_seen, v4_seen,
+           400 * (24 + 24 + 16));
     free(c); free(back); free(buf); free(mut);
     return 0;
 }

@@ -508,6 +508,34 @@ def test_rans_codec_roundtrip_and_fallback(rng):
     assert len(auto) <= len(serialize.coefficients_to_bytes(c, codec="huffman"))
 
 
+def test_rans_v4_interleaved_stream(rng):
+    """The opt-in 4-way-interleaved v4 stream (round 5): bit-exact
+    roundtrip through both the native and pure-Python decoders, for
+    single- and multi-band layouts, with only the flags byte plus three
+    extra seeds per band of size cost over the serial stream.  (v4 is
+    NOT the default — the interleaved decoder measured slower on this
+    host; benchmarks/rans_interleave_ab.py carries the study.)"""
+    from tpudct.utils import entropy
+
+    if not entropy.rans_available():
+        pytest.skip("native rans codec unavailable")
+    c = rng.integers(-90, 90, (96, 64)).astype(np.int16)
+    c[rng.random((96, 64)) < 0.8] = 0
+    for bands in (1, 3):
+        v4 = entropy.rans_encode(c, bands, interleave=4)
+        serial = entropy.rans_encode(c, bands, interleave=1)
+        assert v4[0] == 4 and serial[0] in (2, 3)
+        # three extra 4-byte seeds per band + the flags byte, minus the
+        # entropy those seeds absorb from the renorm stream (~9 B/band)
+        assert abs(len(v4) - len(serial)) <= 1 + 16 * bands
+        np.testing.assert_array_equal(entropy.rans_decode(v4, 96, 64), c)
+        np.testing.assert_array_equal(
+            entropy._py_rans_decode(v4, 96, 64), c
+        )
+    with pytest.raises(ValueError, match="interleave"):
+        entropy.rans_encode(c, 1, interleave=3)
+
+
 def test_rans_beats_huffman_on_dct_statistics(rng):
     """The positional contexts must pay on DCT-shaped data: large DC,
     band-dependent AC magnitudes (this is the structural edge over a

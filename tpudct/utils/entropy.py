@@ -48,7 +48,9 @@ def _lib() -> Optional[ctypes.CDLL]:
         if hasattr(lib, "tpudct_rans_encode"):
             lib.tpudct_rans_encode.restype = ctypes.c_long
             lib.tpudct_rans_encode.argtypes = [
-                *lib.tpudct_huff_encode.argtypes, ctypes.c_int,  # force_bands
+                *lib.tpudct_huff_encode.argtypes,
+                ctypes.c_int,  # force_bands
+                ctypes.c_int,  # interleave (0/1 serial, 4 = v4 opt-in)
             ]
             lib.tpudct_rans_decode.restype = ctypes.c_int
             lib.tpudct_rans_decode.argtypes = lib.tpudct_huff_decode.argtypes
@@ -241,11 +243,18 @@ def rans_available() -> bool:
     return lib is not None and hasattr(lib, "tpudct_rans_encode")
 
 
-def rans_encode(coeffs: np.ndarray, bands: int = 0) -> bytes:
+def rans_encode(coeffs: np.ndarray, bands: int = 0, interleave: int = 0) -> bytes:
     """(H, W) int16 coefficient map -> rANS stream.  Native-only.
 
     bands: 0 (default) = size-based band count (~1 pthread band per
-    4 Mpixel, up to 16); 1..16 = explicit count (tests / tuning)."""
+    4 Mpixel, up to 16); 1..16 = explicit count (tests / tuning).
+    interleave: 0/1 (default) = single-state v2/v3 stream; 4 = the 4-way
+    interleaved v4 stream — an OPT-IN, not the default, because on this
+    1-core host the interleaved decoder measured 0.72-0.89x the serial
+    one (the decode loop is throughput-bound, not state-chain-bound;
+    benchmarks/rans_interleave_ab.py + RESULTS_v5e.md carry the study).
+    Sizes differ by only the flags byte + three extra seeds per band;
+    every decoder (both C workers and the Python fallback) reads both."""
     lib = _lib()
     if lib is None or not hasattr(lib, "tpudct_rans_encode"):
         raise RuntimeError("native entropy codec unavailable (csrc not built)")
@@ -255,9 +264,13 @@ def rans_encode(coeffs: np.ndarray, bands: int = 0) -> bytes:
         raise ValueError(f"coefficient map {h}x{w} is not block-aligned")
     if not 0 <= bands <= 16:
         raise ValueError(f"bands must be in 0..16, got {bands}")
+    if interleave not in (0, 1, 4):
+        raise ValueError(f"interleave must be 0, 1 or 4, got {interleave}")
     cap = int(c.size * 4 + 65536)
     out = np.empty(cap, np.uint8)
-    n = lib.tpudct_rans_encode(c.ctypes.data, h, w, out.ctypes.data, cap, bands)
+    n = lib.tpudct_rans_encode(
+        c.ctypes.data, h, w, out.ctypes.data, cap, bands, interleave
+    )
     if n < 0:
         raise ValueError("rans encode failed")
     return out[:n].tobytes()
@@ -324,26 +337,36 @@ class _RansTable:
 
 
 class _RansState:
-    def __init__(self, stream: bytes):
-        if len(stream) < 4:
+    """Single- or N-way-interleaved rANS reader over one shared byte
+    stream (n > 1 = the v4 layout: symbol i rides state i mod n)."""
+
+    def __init__(self, stream: bytes, nstates: int = 1):
+        if len(stream) < 4 * nstates:
             raise ValueError("corrupt rans coefficient stream (state)")
         self.b = stream
-        self.state = int.from_bytes(stream[:4], "big")
-        self.pos = 4
+        self.states = [
+            int.from_bytes(stream[4 * j : 4 * j + 4], "big")
+            for j in range(nstates)
+        ]
+        self.pos = 4 * nstates
+        self.i = 0
+        self.n = nstates
 
     def next(self, t: _RansTable) -> int:
         if t.empty:
             raise ValueError("corrupt rans coefficient stream (ctx)")
-        slot = self.state & (_RANS_M - 1)
+        j = self.i % self.n
+        self.i += 1
+        state = self.states[j]
+        slot = state & (_RANS_M - 1)
         s = int(t.slot[slot])
-        self.state = int(t.freq[s]) * (self.state >> _RANS_BITS) + slot - int(
-            t.start[s]
-        )
-        while self.state < _RANS_L:
+        state = int(t.freq[s]) * (state >> _RANS_BITS) + slot - int(t.start[s])
+        while state < _RANS_L:
             if self.pos >= len(self.b):
                 raise ValueError("corrupt rans coefficient stream (EOF)")
-            self.state = (self.state << 8) | self.b[self.pos]
+            state = (state << 8) | self.b[self.pos]
             self.pos += 1
+        self.states[j] = state
         return s
 
 
@@ -353,10 +376,21 @@ def _py_rans_decode(data: bytes, h: int, w: int) -> np.ndarray:
     band parallelism is the native decoder's job."""
     if h % 8 or w % 8:
         raise ValueError(f"coefficient map {h}x{w} is not block-aligned")
-    if len(data) < 6 or data[0] not in (2, 3):
+    if len(data) < 6 or data[0] not in (2, 3, 4):
         raise ValueError("corrupt rans coefficient stream (header)")
     version = data[0]
-    nctx = 4 if version == 2 else 7
+    nstates = 1
+    if version == 4:  # interleaved layout; context choice in the flags byte
+        if len(data) < 7:
+            raise ValueError("corrupt rans coefficient stream (header)")
+        nstates = data[1] & 0x0F
+        if nstates != 4:
+            raise ValueError("corrupt rans coefficient stream (states)")
+        ctxv = 3 if data[1] & 0x10 else 2
+        data = data[1:]  # the v2/v3 field layout follows the flags byte
+    else:
+        ctxv = version
+    nctx = 4 if ctxv == 2 else 7
     nbands = data[1]
     rpb = int.from_bytes(data[2:6], "little")
     if not (1 <= nbands <= 16) or rpb % 8 or rpb < 8:
@@ -388,7 +422,7 @@ def _py_rans_decode(data: bytes, h: int, w: int) -> np.ndarray:
         rans_n = int.from_bytes(data[pos : pos + 4], "little")
         nbits = int.from_bytes(data[pos + 4 : pos + 8], "little")
         pos += 8
-        if rans_n < 4:
+        if rans_n < 4 * nstates:
             raise ValueError("corrupt rans coefficient stream (length)")
         lens.append((rans_n, nbits))
     out = np.zeros((h, w), np.int16)
@@ -398,7 +432,7 @@ def _py_rans_decode(data: bytes, h: int, w: int) -> np.ndarray:
         xb = (nbits + 7) // 8
         if off + rans_n + xb > len(data):
             raise ValueError("corrupt rans coefficient stream (length)")
-        st = _RansState(data[off : off + rans_n])
+        st = _RansState(data[off : off + rans_n], nstates)
         r = _Reader(data[off + rans_n : off + rans_n + xb], nbits)
         off += rans_n + xb
         row0 = rpb * bi
@@ -413,7 +447,7 @@ def _py_rans_decode(data: bytes, h: int, w: int) -> np.ndarray:
                 out[by * 8, bx * 8] = ((prev + 32768) & 0xFFFF) - 32768
                 k = 1
                 while k < 64:
-                    sym = st.next(tabs[_rans_ctx_of(1, k, version)])
+                    sym = st.next(tabs[_rans_ctx_of(1, k, ctxv)])
                     if sym == 0x00:
                         break
                     if sym == 0xF0:
