@@ -139,8 +139,11 @@ int tpudct_jpeg_encode(const char *filename, const unsigned char *data, int w,
 
 /* Encode to a malloc'd memory buffer; fills *out and *out_size.  Used for
  * compressed-size measurement without filesystem round-trips. */
+/* channels: 1 = grayscale, 3 = interleaved RGB (libjpeg converts to
+ * YCbCr and 4:2:0-subsamples by default — the standard color anchor the
+ * BD-rate comparison measures against). */
 int tpudct_jpeg_encode_mem(const unsigned char *data, int w, int h,
-                           int quality, unsigned char **out,
+                           int channels, int quality, unsigned char **out,
                            unsigned long *out_size) {
     struct jpeg_compress_struct cinfo;
     struct tpudct_err_mgr jerr;
@@ -158,7 +161,7 @@ int tpudct_jpeg_encode_mem(const unsigned char *data, int w, int h,
 
     jpeg_create_compress(&cinfo);
     jpeg_mem_dest(&cinfo, out, out_size);
-    encode_common(&cinfo, data, w, h, 1, quality);
+    encode_common(&cinfo, data, w, h, channels, quality);
     jpeg_destroy_compress(&cinfo);
     return 0;
 }

@@ -103,3 +103,66 @@ def test_q_scale_for_quality_ijg_mapping():
     # monotone: higher quality -> smaller scale
     scales = [q_scale_for_quality(q) for q in range(1, 101)]
     assert all(a >= b for a, b in zip(scales, scales[1:]))
+
+
+def test_quantize_deadzone(rng):
+    """Deadzone quantization (round 5, CodecConfig.deadzone): AC rounds at
+    |y|/Q + theta, DC keeps round-half-away, theta=0.5 is bit-identical
+    to the default rule, and dequantization needs no knowledge of theta
+    (decode unchanged)."""
+    import jax.numpy as jnp
+
+    from tpudct.constants import Q
+    from tpudct.ops.quant import quantize
+
+    y = rng.normal(0, 300, (64, 64)).astype(np.float32)
+    base = np.asarray(quantize(jnp.asarray(y), 1.0, "luma"))
+    same = np.asarray(quantize(jnp.asarray(y), 1.0, "luma", deadzone=0.5))
+    np.testing.assert_array_equal(base, same)
+    got = np.asarray(quantize(jnp.asarray(y), 1.0, "luma", deadzone=0.35))
+    q8 = np.tile(Q, (8, 8)).astype(np.float32)
+    s = y / q8
+    ref = np.sign(s) * np.floor(np.abs(s) + 0.35)
+    dc = np.zeros((64, 64), bool)
+    dc[::8, ::8] = True
+    ref[dc] = (np.sign(s) * np.floor(np.abs(s) + 0.5))[dc]
+    np.testing.assert_array_equal(got, ref)
+    # deadzone only ever shrinks magnitudes (toward zero)
+    assert (np.abs(got) <= np.abs(base)).all()
+    import pytest
+
+    with pytest.raises(ValueError, match="deadzone"):
+        quantize(jnp.asarray(y), 1.0, "luma", deadzone=0.7)
+
+
+def test_deadzone_dispatch_and_rate(rng):
+    """cfg.deadzone < 0.5 demotes encodes to the einsum quantizer (the
+    fused kernels bake the 0.5 rule), shrinks the rANS payload on real
+    content, and the stream decodes through the UNCHANGED decode path
+    (no header field needed).  Non-quantizing pipelines refuse loudly."""
+    import jax.numpy as jnp
+
+    from tpudct import CodecConfig, get_pipeline
+    from tpudct.models.dispatch import (
+        choose_gray_path, decode_gray_auto, encode_gray_auto,
+    )
+    from tpudct.utils import serialize
+
+    p = get_pipeline("hp")
+    img = rng.integers(0, 256, (128, 128)).astype(np.uint8)
+    cfg0, cfgd = CodecConfig(), CodecConfig(deadzone=0.35)
+    assert choose_gray_path(p, 128, 128, cfgd) == "general"
+    c0, _ = encode_gray_auto(p, img, cfg0)
+    cd, _ = encode_gray_auto(p, img, cfgd)
+    blob0 = serialize.coefficients_to_bytes(np.asarray(c0), codec="spectral")
+    blobd = serialize.coefficients_to_bytes(np.asarray(cd), codec="spectral")
+    assert len(blobd) < len(blob0)
+    # decode path identical: round-trips through the standard loader
+    back, _qs, _k = serialize.bytes_to_coefficients(blobd)
+    rec = decode_gray_auto(p, back, cfg0, (128, 128))
+    assert rec.dtype == np.uint8 and rec.shape == (128, 128)
+    import pytest
+
+    for name in ("cublas", "fast"):
+        with pytest.raises(ValueError, match="deadzone"):
+            get_pipeline(name).dct(jnp.asarray(img, jnp.float32), cfgd)

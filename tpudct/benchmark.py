@@ -762,6 +762,61 @@ def bd_psnr_db(anchor, test) -> float:
     return float(mean_t - mean_a)
 
 
+def rate_distortion_curve_color(
+    rgb: np.ndarray,
+    pipeline: str = "hp",
+    qualities=(10, 20, 30, 40, 50, 60, 70, 80, 90, 95),
+    cfg_base: Optional[CodecConfig] = None,
+    codec: str = "auto",
+    subsample="420",
+) -> list:
+    """Color rate-distortion sweep (round 5, VERDICT r4 #4a): on-disk
+    .tdcc bytes + RGB PSNR per IJG quality, next to libjpeg's COLOR file
+    (YCbCr + 4:2:0, its standard path) at the same quality setting.
+
+    The color twin of :func:`rate_distortion_curve` — until this round
+    the flagship color codec had never been compared against libjpeg
+    color at equal quality at all.  PSNR is over all three RGB channels
+    (the symmetric definition; both codecs decode to RGB).  The codec
+    path auto-selects exactly as the CLI does: int8-safe q_scales ride
+    the fused u8 4:2:0 kernels, looser ones the f32 path."""
+    import dataclasses
+
+    from tpudct.models.color import roundtrip_color_auto
+    from tpudct.ops.quant import q_scale_for_quality
+    from tpudct.utils.imageio import encode_jpeg_bytes
+    from tpudct.utils.serialize import color_to_bytes
+
+    cfg_base = cfg_base or CodecConfig()
+    p = get_pipeline(pipeline)
+    img8 = np.asarray(rgb, np.uint8)
+    if img8.ndim != 3 or img8.shape[2] != 3:
+        raise ValueError(f"expected an (H, W, 3) RGB image, got {img8.shape}")
+    rows = []
+    for q in qualities:
+        cfg = dataclasses.replace(cfg_base, q_scale=q_scale_for_quality(q))
+        planes, meta, rec = roundtrip_color_auto(
+            p, img8, cfg, subsample=subsample
+        )
+        mse = float(((np.asarray(rec, np.float64) - img8) ** 2).mean())
+        blob = color_to_bytes(
+            {k: np.asarray(v) for k, v in planes.items()}, meta,
+            cfg.q_scale, cfg.retain_k, cfg.transform, codec=codec,
+        )
+        jpg = encode_jpeg_bytes(img8, quality=int(q))
+        jdec = _pil_decode_rgb(jpg).astype(np.float64)
+        jmse = float(((jdec - img8) ** 2).mean())
+        rows.append({
+            "quality": int(q),
+            "tdc_bytes": len(blob),
+            "tdc_psnr_db": 10 * np.log10(255.0**2 / max(mse, 1e-9)),
+            "jpeg_bytes": len(jpg),
+            "jpeg_psnr_db": 10 * np.log10(255.0**2 / max(jmse, 1e-9)),
+            "color": True,
+        })
+    return rows
+
+
 def bd_summary(rows) -> dict:
     """BD-rate/BD-PSNR of the .tdc curve vs the libjpeg curve from
     `rate_distortion_curve` rows -> a summary record for the CLI."""
@@ -780,6 +835,14 @@ def _pil_decode(data: bytes) -> np.ndarray:
     from PIL import Image
 
     return np.asarray(Image.open(io.BytesIO(data)).convert("L"))
+
+
+def _pil_decode_rgb(data: bytes) -> np.ndarray:
+    import io
+
+    from PIL import Image
+
+    return np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
 
 
 def accuracy_table(

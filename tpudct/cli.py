@@ -48,6 +48,7 @@ def _cfg_from(args) -> "CodecConfig":
         retain_k=args.k,
         transform=getattr(args, "transform", "haweel"),
         q_table=q_table,
+        deadzone=getattr(args, "deadzone", 0.5),
     )
 
 
@@ -86,6 +87,8 @@ def _add_codec_flags(sp):
     sp.add_argument("--k", type=int, default=None, help="zonal retention: keep u+v < k")
     sp.add_argument("--transform", default="haweel",
                     help="8x8 transform: haweel (reference) | rdct (rounded-DCT = Cintra-Bayer 2011; alias cb2011) | wht (Walsh-Hadamard) | bas (sparsified-rdct, cheapest core) | dct (exact DCT-II)")
+    sp.add_argument("--deadzone", type=float, default=0.5, dest="deadzone",
+                    help="AC quantizer rounding offset: 0.5 (default) = the reference's round-half-away; <0.5 = deadzone quantization (rate-aware: near-edge AC magnitudes fall toward zero; theta=0.35 measured -5.3%% photo BD-rate vs the default, benchmarks/deadzone_study.py).  Encode-side only: streams decode unchanged; rides the einsum quantizer (no fused-u8/streamed encode)")
     sp.add_argument("--q-table-file", default=None, dest="q_table_file",
                     help="custom 8x8 luma quantization table: 64 numbers, whitespace/comma separated, '#' comments (cjpeg -qtables format); stored in .tdc so decode is self-contained")
     sp.add_argument("--entropy", default="auto", dest="entropy",
@@ -957,22 +960,37 @@ def cmd_table(args) -> int:
 
 
 def cmd_curve(args) -> int:
-    """Rate-distortion sweep: .tdc bytes+PSNR vs libjpeg per IJG quality."""
+    """Rate-distortion sweep: .tdc/.tdcc bytes+PSNR vs libjpeg per IJG
+    quality (gray by default; --color sweeps the color codec against
+    libjpeg's COLOR path at equal RGB PSNR — VERDICT r4 #4a)."""
     from tpudct.benchmark import (
-        photographic_image, rate_distortion_curve, structured_image,
+        photographic_image, rate_distortion_curve,
+        rate_distortion_curve_color, structured_image,
     )
 
-    if args.input is None:
-        img = photographic_image() if args.image == "photo" else structured_image()
-    else:
-        from tpudct.utils import imageio
-
-        img = imageio.load_image(args.input)
     qs = [int(q) for q in args.qualities.split(",")]
-    rows = rate_distortion_curve(
-        img, args.pipeline, qualities=qs, cfg_base=_cfg_from(args),
-        codec=args.entropy,
-    )
+    if args.color:
+        if args.input is None:
+            g = (photographic_image() if args.image == "photo"
+                 else structured_image())
+            img = np.stack([g, np.roll(g, 2, 0), np.roll(g, 4, 1)], -1)
+        else:
+            img = _load_rgb(args.input)
+        rows = rate_distortion_curve_color(
+            img, args.pipeline, qualities=qs, cfg_base=_cfg_from(args),
+            codec=args.entropy, subsample=_chroma_mode(args),
+        )
+    else:
+        if args.input is None:
+            img = photographic_image() if args.image == "photo" else structured_image()
+        else:
+            from tpudct.utils import imageio
+
+            img = imageio.load_image(args.input)
+        rows = rate_distortion_curve(
+            img, args.pipeline, qualities=qs, cfg_base=_cfg_from(args),
+            codec=args.entropy,
+        )
     for row in rows:
         print(json.dumps(row))
     if len(rows) >= 4:
@@ -2168,6 +2186,9 @@ def build_parser() -> argparse.ArgumentParser:
                     help="JPEG input; default: built-in generated image (see --image)")
     sp.add_argument("--image", choices=("circuit", "photo"), default="photo")
     sp.add_argument("--qualities", default="10,20,30,40,50,60,70,80,90,95")
+    # --color: sweep the color codec vs libjpeg COLOR at equal RGB PSNR
+    # (round 5, VERDICT r4 #4a); --chroma/--no-subsample pick the mode
+    _add_color_flags(sp)
     sp.set_defaults(fn=cmd_curve)
 
     sp = sub.add_parser("unbatch", help="bulk decode a directory of .tdc/.tdcc back to images, resumable")

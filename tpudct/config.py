@@ -75,6 +75,19 @@ class CodecConfig:
     q_scale: float = 1.0
     q_table: str = "luma"
     retain_k: Optional[int] = None
+    #: AC quantizer rounding offset (round 5): 0.5 = round-half-away (the
+    #: reference rule, bit-parity default); theta < 0.5 = deadzone
+    #: quantization — AC magnitudes round at |y|/Q + theta, so near-edge
+    #: coefficients fall toward zero, trading distortion for cheaper rANS
+    #: symbols.  Measured BD-rate vs the 0.5 baseline (photo/circuit 512²,
+    #: benchmarks/deadzone_study.py): theta=0.35 -> -5.3% / -0.6%;
+    #: theta=0.40 -> -5.0% / -1.4%.  DC always rounds half-away (it is
+    #: delta-coded and dense; a DC deadzone buys nothing and shifts block
+    #: means).  Encode-side only: dequantization is unchanged, so streams
+    #: decode identically everywhere and the header needs no new field.
+    #: Non-default values ride the einsum quantizer (hp/batched fall back;
+    #: the fused u8 kernels bake the 0.5 rule and demote via dispatch).
+    deadzone: float = 0.5
     interpret: bool = False
     exact_int_core: bool = True
     decode_precision: str = "butterfly"

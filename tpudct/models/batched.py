@@ -23,7 +23,7 @@ class BatchedPipeline(Pipeline):
     def dct(self, image, cfg: CodecConfig):
         return quantize(
             dct2_blocks(level_shift(image), transform=cfg.transform),
-            cfg.q_scale, cfg.q_table
+            cfg.q_scale, cfg.q_table, deadzone=cfg.deadzone,
         )
 
     def idct(self, coeffs, cfg: CodecConfig):

@@ -356,6 +356,8 @@ def supports_color_u8(
     ch, cw = _CHROMA_STACK[normalize_subsample(subsample)](h, w)
     return (
         hasattr(p, "encode_u8")
+        and cfg.deadzone == 0.5  # the fused kernels bake the 0.5 rule;
+        #                          deadzone encodes ride the f32 path
         and h % 64 == 0
         and w % 256 == 0
         and hp_pallas.supports_u8(h, w, cfg.q_scale, cfg.transform, "luma")

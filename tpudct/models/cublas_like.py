@@ -26,6 +26,12 @@ class CublasLikePipeline(Pipeline):
     name = "cublas"
 
     def dct(self, image, cfg: CodecConfig):
+        if cfg.deadzone != 0.5:
+            raise ValueError(
+                "deadzone quantization rides the hp/batched quantizer; "
+                f"pipeline {self.name!r} implements the reference's "
+                "round-half-away rule only"
+            )
         h, w = image.shape
         t = jnp.asarray(get_transform(cfg.transform).t, image.dtype)
         q = jnp.asarray(get_q_table(cfg.q_table), image.dtype) * jnp.asarray(cfg.q_scale, image.dtype)

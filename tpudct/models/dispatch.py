@@ -57,6 +57,11 @@ def choose_gray_path(p: Pipeline, h: int, w: int, cfg: CodecConfig) -> str:
     """
     from tpudct.kernels import hp_pallas
 
+    if cfg.deadzone != 0.5:
+        # encode-side deadzone rides the einsum quantizer only (the fused
+        # u8/f32 kernels bake the 0.5 rounding rule); decode never sees
+        # the knob, so this demotion affects encodes alone
+        return "general"
     if hasattr(p, "roundtrip_u8"):
         if hp_pallas.supports_u8(
             *kernel_padded_shape(h, w, _U8_ROWS, _LANE),

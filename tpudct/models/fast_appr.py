@@ -46,6 +46,12 @@ class FastApprPipeline(Pipeline):
     name = "fast"
 
     def dct(self, image, cfg: CodecConfig):
+        if cfg.deadzone != 0.5:
+            raise ValueError(
+                "deadzone quantization rides the hp/batched quantizer; "
+                f"pipeline {self.name!r} implements the reference's "
+                "round-half-away rule only"
+            )
         h, w = image.shape
         _ts, _d, _bdts = _core(cfg)
         # All scale math in f32 regardless of input dtype: casting the

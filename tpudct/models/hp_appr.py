@@ -55,7 +55,9 @@ class HpApprPipeline(Pipeline):
         if not jnp.issubdtype(image.dtype, jnp.floating):
             image = image.astype(jnp.float32)
         h, w = image.shape
-        if not hp_pallas.supports(h, w):
+        if not hp_pallas.supports(h, w) or cfg.deadzone != 0.5:
+            # deadzone quantization (encode-side rate knob) rides the
+            # einsum quantizer; the fused kernels bake the 0.5 rule
             return _batched.dct(image, cfg)
         return hp_pallas.hp_dct(
             image,
@@ -92,8 +94,8 @@ class HpApprPipeline(Pipeline):
         if not jnp.issubdtype(image.dtype, jnp.floating):
             image = image.astype(jnp.float32)
         h, w = image.shape
-        if not hp_pallas.supports(h, w):
-            return super().roundtrip(image, cfg)
+        if not hp_pallas.supports(h, w) or cfg.deadzone != 0.5:
+            return super().roundtrip(image, cfg)  # deadzone: einsum path
         c, r = hp_pallas.hp_roundtrip(
             image,
             q_scale=cfg.q_scale,

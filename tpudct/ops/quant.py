@@ -41,10 +41,32 @@ def _rowwise(x, tile8x8, op):
     return op(g, row).reshape(h, w)
 
 
-def quantize(y, q_scale: float = 1.0, q_table: str = "luma"):
-    """round_half_away(Y / Q) with Q broadcast per 8x8 block position."""
+def quantize(y, q_scale: float = 1.0, q_table: str = "luma",
+             deadzone: float = 0.5):
+    """round_half_away(Y / Q) with Q broadcast per 8x8 block position.
+
+    deadzone < 0.5 switches the AC positions to the deadzone rule
+    sign(y)·floor(|y|/Q + deadzone) — near-edge magnitudes fall toward
+    zero, trading distortion for cheaper entropy symbols (CodecConfig.
+    deadzone documents the measured BD-rate); DC keeps round-half-away
+    (delta-coded and dense — a deadzone there only shifts block means).
+    Dequantization is unchanged either way."""
     q = _q_for(y, q_scale, q_table)
-    return _rowwise(y, q, lambda g, row: round_half_away(g / row))
+    if deadzone == 0.5:
+        return _rowwise(y, q, lambda g, row: round_half_away(g / row))
+    if not 0.0 < deadzone < 0.5:
+        raise ValueError(f"deadzone must be in (0, 0.5], got {deadzone}")
+    h, w = y.shape
+    qrow = jnp.tile(q, (1, w // BLOCK_SIZE))
+    dc = np.zeros((BLOCK_SIZE, BLOCK_SIZE), bool)
+    dc[0, 0] = True
+    dcrow = jnp.tile(jnp.asarray(dc), (1, w // BLOCK_SIZE))
+    g = y.reshape(h // BLOCK_SIZE, BLOCK_SIZE, w) / qrow
+    a = jnp.abs(g)
+    f = jnp.floor(a)
+    rha = f + (a - f >= 0.5).astype(a.dtype)  # compare form, see rounding.py
+    dz = jnp.floor(a + jnp.asarray(deadzone, a.dtype))
+    return (jnp.sign(g) * jnp.where(dcrow, rha, dz)).reshape(h, w)
 
 
 def dequantize(c, q_scale: float = 1.0, q_table: str = "luma"):

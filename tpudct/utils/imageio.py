@@ -97,7 +97,7 @@ def _load_native() -> Optional[ctypes.CDLL]:
     ]
     lib.tpudct_jpeg_encode_ch.restype = ctypes.c_int
     lib.tpudct_jpeg_encode_mem.argtypes = [
-        u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.POINTER(u8p), ctypes.POINTER(ctypes.c_ulong),
     ]
     lib.tpudct_jpeg_encode_mem.restype = ctypes.c_int
@@ -252,18 +252,28 @@ def save_jpeg(path: str, image: np.ndarray, quality: int = 100) -> None:
 
 
 def encode_jpeg_bytes(image: np.ndarray, quality: int = 100) -> bytes:
-    """Encode to an in-memory JPEG (for compressed-size measurement)."""
+    """Encode to an in-memory JPEG (for compressed-size measurement).
+
+    Accepts (H, W) grayscale or (H, W, 3) interleaved RGB — the RGB form
+    rides libjpeg's standard color path (YCbCr + 4:2:0 by default), the
+    anchor the color BD-rate comparison measures against (round 5)."""
     image = np.ascontiguousarray(image, dtype=np.uint8)
-    if image.ndim != 2:
-        raise ValueError(f"expected (H, W) grayscale, got {image.shape}")
+    if image.ndim == 2:
+        ch = 1
+    elif image.ndim == 3 and image.shape[2] == 3:
+        ch = 3
+    else:
+        raise ValueError(
+            f"expected (H, W) grayscale or (H, W, 3) RGB, got {image.shape}"
+        )
     lib = _load_native()
     if lib is not None:
-        h, w = image.shape
+        h, w = image.shape[:2]
         out = ctypes.POINTER(ctypes.c_ubyte)()
         size = ctypes.c_ulong()
         rc = lib.tpudct_jpeg_encode_mem(
-            image.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)), w, h, quality,
-            ctypes.byref(out), ctypes.byref(size),
+            image.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)), w, h, ch,
+            quality, ctypes.byref(out), ctypes.byref(size),
         )
         if rc != 0:
             raise IOError(f"native in-memory JPEG encode failed (rc={rc})")
@@ -274,7 +284,9 @@ def encode_jpeg_bytes(image: np.ndarray, quality: int = 100) -> bytes:
     from PIL import Image
 
     buf = io.BytesIO()
-    Image.fromarray(image, mode="L").save(buf, format="JPEG", quality=quality)
+    Image.fromarray(image, mode="L" if ch == 1 else "RGB").save(
+        buf, format="JPEG", quality=quality
+    )
     return buf.getvalue()
 
 

@@ -284,11 +284,14 @@ def encode_gray_streamed_bytes(
         )
     h, w = img.shape
     hk, wk = kernel_padded_shape(h, w, 32, 128)
-    if not hp_pallas.supports_u8(hk, wk, cfg.q_scale, cfg.transform, cfg.q_table):
+    if cfg.deadzone != 0.5 or not hp_pallas.supports_u8(
+        hk, wk, cfg.q_scale, cfg.transform, cfg.q_table
+    ):
         raise ValueError(
             f"streamed encode needs an int8-safe config (integer-core "
-            f"transform, q_scale >= ~0.77); got transform={cfg.transform}, "
-            f"q_scale={cfg.q_scale}"
+            f"transform, q_scale >= ~0.77, default deadzone); got "
+            f"transform={cfg.transform}, q_scale={cfg.q_scale}, "
+            f"deadzone={cfg.deadzone}"
         )
     band_rows = max(32, band_rows - band_rows % 32)
     h8, w8 = padded_shape(h, w)
