@@ -147,6 +147,35 @@ def test_ring_decode_gather_overlap(image256):
     np.testing.assert_array_equal(np.asarray(rec), np.asarray(ref))
 
 
+def test_ring_decode_color_gather_overlap(rng):
+    """Color decode-while-gathering ring (round 5, parallel/ring.py): the
+    in-kernel luma+chroma decode AND fused 4:2:0 merge hidden under the
+    hops must be bitwise identical to decode_color_u8 of the gathered
+    planes, and both coefficient payloads replicated exactly."""
+    from tpudct.models.color import roundtrip_color_u8
+    from tpudct.parallel.ring import chroma_band_pack, ring_decode_color_gather
+
+    p = get_pipeline("hp")
+    cfg = CodecConfig(interpret=True)
+    rgb = rng.integers(0, 256, (256, 512, 3), dtype=np.uint8)
+    planes, _meta, rec_ref = roundtrip_color_u8(p, jnp.asarray(rgb), cfg)
+    y = np.asarray(planes["y"], np.int8)
+    pack = chroma_band_pack(
+        np.asarray(planes["cb"], np.int8), np.asarray(planes["cr"], np.int8), 8
+    )
+    mesh = band_mesh()
+    yrep, crep, rgb_out = ring_decode_color_gather(
+        shard_image(jnp.asarray(y), mesh),
+        shard_image(jnp.asarray(pack), mesh),
+        mesh, 1.0, "haweel", interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(yrep), y)
+    np.testing.assert_array_equal(np.asarray(crep), pack)
+    np.testing.assert_array_equal(
+        np.moveaxis(np.asarray(rgb_out), 0, -1), np.asarray(rec_ref)
+    )
+
+
 def test_grid_mesh_2d(image256):
     """2-D (band, col) mesh: zero halo in both axes, psum over both."""
     from tpudct.parallel import grid_mesh, shard_image_grid, sharded_codec_step_grid

@@ -314,3 +314,275 @@ def ring_decode_gather(coeffs_sharded, mesh, q_scale: float = 1.0,
     return _ring_decode_builder(
         mesh, h, w, float(q_scale), transform, q_table, interpret
     )(coeffs_sharded)
+
+
+# ---- color overlap: 4:2:0 decode + fused merge hidden under the hops --------
+#
+# The gray ring above hides one plane's decode under its gather; the color
+# codec is where per-band compute is actually interesting (two inverse-
+# transform passes + chroma upsample + the BT.601 rotation per band), so
+# this is the variant that completes the overlap story (VERDICT r4 #7).
+# Payload per device: its luma coefficient band (band_rows, W) int8 plus
+# the band's CHROMA PACK (band_rows, W/2) int8 — cb band rows stacked on
+# cr band rows, exactly the "chroma planes stacked through one codec
+# launch" layout the standard color path uses (models/color.py
+# decode_color_u8), so the stacked in-kernel decode is the same math.
+
+
+def chroma_band_pack(cb, cr, n_bands: int):
+    """(H/2, W/2) cb + cr planes -> the (H, W/2) per-band stacked pack the
+    color ring shards: rows [d·br, d·br + br/2) = cb band d, the lower
+    half = cr band d (br = luma band rows = 2·chroma band rows)."""
+    import numpy as np
+
+    ch = cb.shape[0]
+    if cb.shape != cr.shape or ch % n_bands:
+        raise ValueError(f"chroma planes {cb.shape}/{cr.shape} don't split into {n_bands} bands")
+    half = ch // n_bands
+    return np.concatenate(
+        [np.concatenate([cb[d * half : (d + 1) * half],
+                         cr[d * half : (d + 1) * half]], axis=0)
+         for d in range(n_bands)],
+        axis=0,
+    )
+
+
+def _ring_decode_color_kernel(
+    y_ref, c_ref, qddl_ref, qddc_ref, ts_ref, wts_ref, ur_ref,
+    yrep_ref, crep_ref, rgb_ref,
+    ycoef_vmem, yu8_vmem, ccoef_vmem, cu8_vmem, rgb_vmem,
+    local_sem, ysend_sem, yrecv_sem, csend_sem, crecv_sem, out_sem,
+    *, num_devices: int, band_rows: int, tile_cols: int, use_barrier: bool
+):
+    """Ring all-gather of int8 luma + chroma-pack coefficient bands with
+    each already-held band's FULL color reconstruction (two butterfly
+    decodes + the fused 4:2:0 merge) overlapping the in-flight RDMA pair.
+
+    Value chains are verbatim from the standard path — luma/chroma decode
+    via kernels.hp_pallas._inv_tile_bf + _to_u8 (the butterfly tier
+    hp_decode_u8 runs), merge via kernels.color_pallas._k_merge's exact
+    ops (-128 shift at half res, one bf16 replication dot, sublane
+    broadcast-reshape, _to_u8_trunc) — so the RGB output is bitwise
+    identical to decode_color_u8 of the gathered planes."""
+    import jax.numpy as jnp
+
+    from tpudct.kernels.color_pallas import (
+        _f32, _rgb_from_shifted, _to_u8_trunc,
+    )
+    from tpudct.kernels.hp_pallas import _inv_tile_bf, _to_u8
+
+    my_id = lax.axis_index(BAND_AXIS)
+    half_rows = band_rows // 2
+    half_cols = tile_cols // 2
+
+    def slot(d):
+        return pl.ds(d * band_rows, band_rows)
+
+    ly = pltpu.make_async_copy(y_ref, yrep_ref.at[slot(my_id), :], local_sem)
+    ly.start()
+    ly.wait()
+    lc = pltpu.make_async_copy(c_ref, crep_ref.at[slot(my_id), :], local_sem)
+    lc.start()
+    lc.wait()
+
+    if use_barrier:
+        _neighbor_barrier(my_id, num_devices)
+
+    n_col_tiles = rgb_ref.shape[2] // tile_cols
+    ur_bf = ur_ref[:].astype(jnp.bfloat16)
+
+    def decode_band(src):
+        """One band's luma + chroma decode + merge, in column tiles so the
+        VMEM working set stays bounded regardless of band size."""
+
+        def col_tile(j, _):
+            cs = pl.ds(j * tile_cols, tile_cols)
+            cs2 = pl.ds(j * half_cols, half_cols)
+            fy = pltpu.make_async_copy(
+                yrep_ref.at[slot(src), cs], ycoef_vmem, local_sem
+            )
+            fy.start()
+            fy.wait()
+            yv = ycoef_vmem[:].astype(jnp.int32).astype(jnp.float32)
+            yu8_vmem[:] = _to_u8(
+                _inv_tile_bf(yv, qddl_ref[:], ts_ref[:], wts_ref[:])
+            )
+            fc = pltpu.make_async_copy(
+                crep_ref.at[slot(src), cs2], ccoef_vmem, local_sem
+            )
+            fc.start()
+            fc.wait()
+            # stacked cb|cr decode — one pass, the seam is block-aligned
+            cv = ccoef_vmem[:].astype(jnp.int32).astype(jnp.float32)
+            cu8_vmem[:] = _to_u8(
+                _inv_tile_bf(cv, qddc_ref[:], ts_ref[:], wts_ref[:])
+            )
+
+            def up_shifted(c_u8):
+                c = (c_u8.astype(jnp.int32) - 128).astype(jnp.bfloat16)
+                wide = jax.lax.dot(c, ur_bf, preferred_element_type=jnp.float32)
+                h2, wv = wide.shape
+                return jnp.broadcast_to(
+                    wide[:, None, :], (h2, 2, wv)
+                ).reshape(2 * h2, wv)
+
+            r, g, b = _rgb_from_shifted(
+                _f32(yu8_vmem[:]),
+                up_shifted(cu8_vmem[:half_rows]),
+                up_shifted(cu8_vmem[half_rows:]),
+            )
+            rgb_vmem[0] = _to_u8_trunc(r)
+            rgb_vmem[1] = _to_u8_trunc(g)
+            rgb_vmem[2] = _to_u8_trunc(b)
+            put = pltpu.make_async_copy(
+                rgb_vmem, rgb_ref.at[:, slot(src), cs], out_sem
+            )
+            put.start()
+            put.wait()
+            return 0
+
+        lax.fori_loop(0, n_col_tiles, col_tile, 0)
+
+    def step(i, _):
+        src = lax.rem(my_id - i + num_devices, num_devices)
+        right = lax.rem(my_id + 1, num_devices)
+        ycopy = pltpu.make_async_remote_copy(
+            src_ref=yrep_ref.at[slot(src), :],
+            dst_ref=yrep_ref.at[slot(src), :],
+            send_sem=ysend_sem, recv_sem=yrecv_sem,
+            device_id=right, device_id_type=pltpu.DeviceIdType.LOGICAL,
+        )
+        ccopy = pltpu.make_async_remote_copy(
+            src_ref=crep_ref.at[slot(src), :],
+            dst_ref=crep_ref.at[slot(src), :],
+            send_sem=csend_sem, recv_sem=crecv_sem,
+            device_id=right, device_id_type=pltpu.DeviceIdType.LOGICAL,
+        )
+        ycopy.start()
+        ccopy.start()
+        decode_band(src)  # both planes' decode + merge under the RDMA pair
+        ycopy.wait()
+        ccopy.wait()
+        return 0
+
+    lax.fori_loop(0, num_devices - 1, step, 0)
+    decode_band(lax.rem(my_id + 1, num_devices))
+
+
+@functools.lru_cache(maxsize=16)
+def _ring_decode_color_builder(
+    mesh, h: int, w: int, q_scale: float, transform: str, interpret: bool
+):
+    import jax.numpy as jnp
+
+    from tpudct.kernels.color_pallas import _up_mat
+    from tpudct.kernels.hp_pallas import _consts_bf
+
+    n = mesh.shape[BAND_AXIS]
+    band_rows = h // n
+    # Compiled lowering: 32-row i8 staging minimum (like the gray ring)
+    # AND an 8-aligned cb/cr seam at band_rows/2 (32 covers it); interpret
+    # mode only needs the seam alignment.
+    row_align = 16 if interpret else 32
+    if band_rows * n != h or band_rows % row_align or w % 256:
+        raise ValueError(
+            f"color ring decode needs h split into {n} {row_align}-row-"
+            f"multiple bands and w % 256 == 0, got {h}x{w}"
+        )
+    max_elems = 512 * 1024
+    cands = [
+        d for d in range(256, w + 1, 256)
+        if w % d == 0 and band_rows * d <= max_elems
+    ]
+    if not cands:
+        raise ValueError(
+            f"color ring band ({band_rows}x{w}) too tall for VMEM even at "
+            "256-wide column tiles; shard over more devices"
+        )
+    tile_cols = max(cands)
+    qddl, ts, wts = _consts_bf(band_rows, q_scale, transform, "luma")
+    qddc, _ts2, _w2 = _consts_bf(band_rows, q_scale, transform, "chroma")
+    urm = _up_mat(tile_cols)
+    kernel = functools.partial(
+        _ring_decode_color_kernel, num_devices=n, band_rows=band_rows,
+        tile_cols=tile_cols, use_barrier=not interpret,
+    )
+    call = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((h, w), jnp.int8),        # luma coeffs
+            jax.ShapeDtypeStruct((h, w // 2), jnp.int8),   # chroma pack
+            jax.ShapeDtypeStruct((3, h, w), jnp.uint8),    # RGB
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((band_rows, tile_cols), jnp.int8),
+            pltpu.VMEM((band_rows, tile_cols), jnp.uint8),
+            pltpu.VMEM((band_rows, tile_cols // 2), jnp.int8),
+            pltpu.VMEM((band_rows, tile_cols // 2), jnp.uint8),
+            pltpu.VMEM((3, band_rows, tile_cols), jnp.uint8),
+            pltpu.SemaphoreType.DMA,  # local placement / fetches
+            pltpu.SemaphoreType.DMA,  # luma ring send
+            pltpu.SemaphoreType.DMA,  # luma ring recv
+            pltpu.SemaphoreType.DMA,  # chroma ring send
+            pltpu.SemaphoreType.DMA,  # chroma ring recv
+            pltpu.SemaphoreType.DMA,  # rgb put
+        ],
+        compiler_params=pltpu.CompilerParams(collective_id=9),
+        interpret=interpret,
+    )
+
+    def wrapped(y, c):
+        return call(
+            y, c, jnp.asarray(qddl), jnp.asarray(qddc), jnp.asarray(ts),
+            jnp.asarray(wts), jnp.asarray(urm),
+        )
+
+    fn = jax.shard_map(
+        wrapped,
+        mesh=mesh,
+        in_specs=(band_spec(), band_spec()),
+        out_specs=(
+            jax.sharding.PartitionSpec(),
+            jax.sharding.PartitionSpec(),
+            jax.sharding.PartitionSpec(),
+        ),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+def ring_decode_color_gather(
+    y_sharded, cpack_sharded, mesh, q_scale: float = 1.0,
+    transform: str = "haweel", interpret: bool = False,
+):
+    """Band-sharded int8 luma (H, W) + chroma-pack (H, W/2) coefficient
+    planes -> (replicated luma coeffs, replicated chroma pack, replicated
+    (3, H, W) uint8 RGB), with every band's two butterfly decodes AND the
+    fused 4:2:0 merge hidden under the ring hops.
+
+    Build the chroma pack with :func:`chroma_band_pack`.  Bitwise
+    identical to decode_color_u8 of the gathered planes (the kernel runs
+    the same value chains)."""
+    h, w = y_sharded.shape
+    if cpack_sharded.shape != (h, w // 2):
+        raise ValueError(
+            f"chroma pack must be ({h}, {w // 2}) for a ({h}, {w}) luma "
+            f"map, got {cpack_sharded.shape}"
+        )
+    return _ring_decode_color_builder(
+        mesh, h, w, float(q_scale), transform, interpret
+    )(y_sharded, cpack_sharded)
