@@ -46,6 +46,37 @@ static int bit_size(int v) { /* JPEG magnitude category */
     return s;
 }
 
+/* Nonzero bitmask of a 64-coefficient zig-zag block (bit k set iff
+ * zz[k] != 0).  The block scan below iterates SET BITS via ctz instead
+ * of stepping through all 64 positions one at a time — symbolization
+ * (not rANS coding) is 64-82% of encode on this host (pass-split
+ * instrumentation, round 5), and most positions are zero on real
+ * content.  SSE2 when available: 8 loads + 8 compares + 4 pack/movemask
+ * for the whole block; scalar fallback is bit-for-bit identical. */
+#if defined(__SSE2__)
+#include <emmintrin.h>
+static inline uint64_t nz_mask64(const int16_t *zz) {
+    uint64_t m = 0;
+    int c;
+    const __m128i zero = _mm_setzero_si128();
+    for (c = 0; c < 4; c++) {
+        __m128i a = _mm_loadu_si128((const __m128i *)(zz + 16 * c));
+        __m128i b = _mm_loadu_si128((const __m128i *)(zz + 16 * c + 8));
+        __m128i ez = _mm_packs_epi16(_mm_cmpeq_epi16(a, zero),
+                                     _mm_cmpeq_epi16(b, zero));
+        m |= (uint64_t)(uint16_t)~_mm_movemask_epi8(ez) << (16 * c);
+    }
+    return m;
+}
+#else
+static inline uint64_t nz_mask64(const int16_t *zz) {
+    uint64_t m = 0;
+    int k;
+    for (k = 0; k < 64; k++) m |= (uint64_t)(zz[k] != 0) << k;
+    return m;
+}
+#endif
+
 /* ---- optimal code lengths (ITU-T T.81 Annex K.2, as in libjpeg) ---------- */
 
 static void count_code_sizes(long freq[NSYM + 1], int codesize[NSYM + 1]) {
@@ -279,25 +310,33 @@ typedef void (*SymbolSink)(void *ctx, int table, int kpos, int sym,
                 s_ = bit_size(diff_);                                        \
                 SINK(CTX, 0, 0, s_, s_,                                      \
                      (uint32_t)(diff_ < 0 ? diff_ + ((1L << s_) - 1) : diff_)); \
-                last_ = 63;                                                  \
-                while (last_ >= 1 && zz_[last_] == 0) last_--;               \
-                run_ = 0;                                                    \
-                kcur_ = 1; /* decoder's scan cursor at the next symbol */    \
-                for (k_ = 1; k_ <= last_; k_++) {                            \
-                    if (zz_[k_] == 0) { run_++; continue; }                  \
-                    while (run_ > 15) {                                      \
-                        SINK(CTX, 1, kcur_, 0xF0, 0, 0);                     \
-                        run_ -= 16;                                          \
-                        kcur_ += 16;                                         \
+                /* mask-driven scan: visit only the nonzero AC positions   \
+                 * (ctz over nz_mask64) — emits the IDENTICAL symbol       \
+                 * sequence as stepping every position (runs come from bit \
+                 * gaps, ZRLs at the decoder cursor, EOB iff bit 63 clear  \
+                 * at the end), asserted byte-identical in tests/fuzz */   \
+                {                                                            \
+                    uint64_t nz_ = nz_mask64(zz_) & ~1ull;                   \
+                    kcur_ = 1; /* decoder's scan cursor at the next symbol */\
+                    while (nz_) {                                            \
+                        k_ = __builtin_ctzll(nz_);                           \
+                        nz_ &= nz_ - 1;                                      \
+                        run_ = k_ - kcur_;                                   \
+                        while (run_ > 15) {                                  \
+                            SINK(CTX, 1, kcur_, 0xF0, 0, 0);                 \
+                            run_ -= 16;                                      \
+                            kcur_ += 16;                                     \
+                        }                                                    \
+                        s_ = bit_size(zz_[k_]);                              \
+                        SINK(CTX, 1, kcur_, (run_ << 4) | s_, s_,            \
+                             (uint32_t)(zz_[k_] < 0                          \
+                                            ? zz_[k_] + ((1 << s_) - 1)      \
+                                            : zz_[k_]));                     \
+                        kcur_ = k_ + 1;                                      \
                     }                                                        \
-                    s_ = bit_size(zz_[k_]);                                  \
-                    SINK(CTX, 1, kcur_, (run_ << 4) | s_, s_,                \
-                         (uint32_t)(zz_[k_] < 0 ? zz_[k_] + ((1 << s_) - 1)  \
-                                                : zz_[k_]));                 \
-                    kcur_ = k_ + 1;                                          \
-                    run_ = 0;                                                \
+                    (void)last_;                                             \
+                    if (kcur_ < 64) SINK(CTX, 1, kcur_, 0x00, 0, 0); /*EOB*/ \
                 }                                                            \
-                if (last_ < 63) SINK(CTX, 1, kcur_, 0x00, 0, 0); /* EOB */   \
             }                                                                \
         }                                                                    \
     } while (0)
