@@ -881,3 +881,33 @@ def test_color_batch_single_split_dispatch(rng, monkeypatch):
     assert {qt for _, qt in calls} == {"luma", "chroma"}
     total_hk = sum(-(-(40 + 8 * i) // 64) * 64 for i in range(3))
     assert calls[0][0] == (total_hk, 256)
+
+
+def test_color_deadzone_composes(rng):
+    """cfg.deadzone composes with the color path (round 5): the u8 gate
+    demotes to the f32 plane encode (which rides the einsum quantizer),
+    payloads shrink, and the stream decodes through the unchanged color
+    decode path."""
+    import jax.numpy as jnp
+
+    from tpudct.models.color import (
+        color_kernel_shape, decode_color_auto, encode_color_auto,
+        supports_color_u8,
+    )
+    from tpudct.utils import serialize
+
+    hp = get_pipeline("hp")
+    rgb = rng.integers(0, 256, (128, 256, 3), dtype=np.uint8)
+    cfg0 = CodecConfig(interpret=True)
+    cfgd = CodecConfig(interpret=True, deadzone=0.35)
+    assert supports_color_u8(hp, cfg0, *color_kernel_shape(128, 256), "420")
+    assert not supports_color_u8(hp, cfgd, *color_kernel_shape(128, 256), "420")
+    pl0, m0 = encode_color_auto(hp, jnp.asarray(rgb), cfg0)
+    pld, md = encode_color_auto(hp, jnp.asarray(rgb), cfgd)
+    b0 = len(serialize.color_to_bytes(
+        {k: np.asarray(v) for k, v in pl0.items()}, m0, codec="spectral"))
+    bd = len(serialize.color_to_bytes(
+        {k: np.asarray(v) for k, v in pld.items()}, md, codec="spectral"))
+    assert bd < b0
+    rec = np.asarray(decode_color_auto(hp, pld, md, CodecConfig(interpret=True)))
+    assert rec.shape == (128, 256, 3) and rec.dtype == np.uint8
