@@ -854,6 +854,33 @@ def _partial_spectral_map(
     return _planes_to_map(planes, h, w)
 
 
+_MALLOC_TUNED = False
+
+
+def _tune_malloc_for_slabs() -> None:
+    """glibc returns >128 KB allocations to the OS on free (mmap/munmap),
+    so every decoded segment slab pays first-touch page faults on THIS
+    host — measured ~3 s per 268 MB slab, the dominant cost of
+    segment-at-a-time decode at archive scale (4.3-Gpix preview: ~100 s
+    of its 120 s; benchmarks/partial_at_scale.py).  Raising
+    M_MMAP_THRESHOLD / M_TRIM_THRESHOLD keeps the arena, so successive
+    slab allocations recycle warm pages (measured 3.7× on the segment
+    walk).  Process-global and sticky by design — the cost is retaining
+    roughly one slab's worth of arena; no-op off glibc."""
+    global _MALLOC_TUNED
+    if _MALLOC_TUNED:
+        return
+    _MALLOC_TUNED = True
+    try:
+        import ctypes
+
+        libc = ctypes.CDLL(None)
+        libc.mallopt(-3, 1 << 30)  # M_MMAP_THRESHOLD
+        libc.mallopt(-1, 1 << 30)  # M_TRIM_THRESHOLD
+    except Exception:  # non-glibc platforms: nothing to tune
+        pass
+
+
 def iter_banded_segments(
     raw, h: int, w: int, *, n_planes=None, row_range=None
 ):
@@ -870,6 +897,7 @@ def iter_banded_segments(
     decode + position mask for the interleaved ones (rans/huffman/raw).
     Raises the same corrupt-payload taxonomy as `_decode_payload`'s
     banded branch."""
+    _tune_malloc_for_slabs()
     raw = bytes(raw) if not isinstance(raw, (bytes, bytearray)) else raw
     if len(raw) < 1:
         raise ValueError("corrupt .tdc banded payload: empty")

@@ -365,6 +365,7 @@ class _PlaneRows:
     def __init__(self, blob, n_planes=None, row_range=None):
         from tpudct.utils import serialize as ser
 
+        ser._tune_malloc_for_slabs()  # slab allocations recycle warm pages
         (h, w, oh, ow, q_scale, retain_k, transform, q_table, code, psize,
          hsize, custom_q, _version) = ser._parse_plane_header(blob)
         self.h, self.w = h, w
