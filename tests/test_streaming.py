@@ -625,3 +625,35 @@ def test_batch_streams_oversized_frames(tmp_path, rng, capsys, monkeypatch):
     assert main(["unbatch", "--ext", ".png", str(dst), str(jout)]) == 0
     rep2 = json.loads(capsys.readouterr().out.strip())
     assert rep2["decoded"] == 2 and rep2["failed"] == 0
+
+
+def test_streamed_color_rejects_corrupt_trailing_payload(hp, rng):
+    """A banded plane payload with junk trailing bytes (valid prefix
+    still covers every declared row) must raise from the streamed color
+    decoder too — the band loop's pulls exactly consume the rows, so the
+    readers are explicitly drained to run the end-of-payload framing
+    validation (review finding, round 5)."""
+    import struct
+
+    from tpudct.utils.streaming import (
+        decode_color_streamed, encode_color_streamed_bytes,
+    )
+
+    cfg = CodecConfig(interpret=True)
+    rgb = rng.integers(0, 256, (128, 256, 3), dtype=np.uint8)
+    data, _ = encode_color_streamed_bytes(hp, rgb, cfg, band_rows=64)
+    # corrupt the Y plane: append junk inside its banded payload and fix
+    # the plane header's payload size + the container's plane length
+    hsizec = struct.calcsize(serialize._HEADERC)
+    (ylen,) = struct.unpack("<I", data[hsizec : hsizec + 4])
+    y = bytearray(data[hsizec + 4 : hsizec + 4 + ylen])
+    hdr = serialize._parse_plane_header(bytes(y))
+    psize, hsize = hdr[9], hdr[10]
+    y[hsize + psize : hsize + psize] = b"JUNK!"
+    struct.pack_into("<I", y, struct.calcsize(serialize._HEADER4) - 4, psize + 5)
+    bad = (data[:hsizec] + struct.pack("<I", len(y)) + bytes(y)
+           + data[hsizec + 4 + ylen :])
+    with pytest.raises(ValueError, match="banded payload"):
+        serialize.bytes_to_color(bad)  # the in-memory parser raises...
+    with pytest.raises(ValueError, match="banded payload"):
+        decode_color_streamed(hp, bad, band_rows=64)  # ...and now so do we

@@ -365,6 +365,25 @@ def cmd_encode(args) -> int:
     return 0
 
 
+
+def _parse_rows(spec: str, shown: str = "--rows"):
+    """'A:B' -> (a, b) ints; the ONE copy of the ROI grammar (review
+    finding: four drifting copies)."""
+    try:
+        a, b = (int(v) for v in spec.split(":"))
+    except Exception:
+        raise ValueError(f"{shown} expects A:B, got {spec!r}") from None
+    return a, b
+
+
+def _luma_blob(data: bytes) -> bytes:
+    """The Y plane's v4 stream from a .tdcc container (a valid gray .tdc
+    blob — what every --grayscale streamed mode decodes)."""
+    from tpudct.utils import serialize
+
+    return bytes(serialize._color_plane_slices(data)[1][0])
+
+
 def _parse_scale(s: str) -> int:
     """``--scale`` string -> numerator M of an M/8 scale (djpeg grammar).
 
@@ -493,7 +512,7 @@ def _decode_stream(args, path: str, shown: "str | None" = None) -> int:
                     scale_m=m, out_npy=out_npy,
                 )
             else:
-                blob = (serialize._color_plane_slices(data)[1][0]
+                blob = (_luma_blob(data)
                         if serialize.is_color_stream(head) else data)
                 rec = _streaming.decode_gray_streamed(
                     get_pipeline(args.pipeline), blob, band_rows=s_band,
@@ -566,7 +585,7 @@ def _decode_stream(args, path: str, shown: "str | None" = None) -> int:
                     n_planes=args.planes, out_npy=out_npy,
                 )
             else:
-                blob = (serialize._color_plane_slices(data)[1][0]
+                blob = (_luma_blob(data)
                         if serialize.is_color_stream(head) else data)
                 rec = _streaming.decode_gray_streamed(
                     get_pipeline(args.pipeline), blob, band_rows=s_band,
@@ -636,12 +655,9 @@ def _decode_stream(args, path: str, shown: "str | None" = None) -> int:
         if stream and args.rows is not None:
             # Streamed color ROI: only segments covering the requested
             # rows entropy-decode at all (VERDICT r4 #1).
-            try:
-                a, bnd = (int(v) for v in args.rows.split(":"))
-            except Exception:
-                raise ValueError(f"--rows expects A:B, got {args.rows!r}") from None
+            a, bnd = _parse_rows(args.rows)
             if args.grayscale:
-                blob = serialize._color_plane_slices(data)[1][0]
+                blob = _luma_blob(data)
                 rec = _streaming.decode_gray_streamed(
                     get_pipeline(args.pipeline), blob, band_rows=s_band,
                     row_range=(a, bnd), out_npy=out_npy,
@@ -657,7 +673,7 @@ def _decode_stream(args, path: str, shown: "str | None" = None) -> int:
         if stream and args.grayscale:
             # Streamed luma-only decode: the Y plane blob IS a gray .tdc
             # stream — chroma segments never entropy-decode.
-            blob = serialize._color_plane_slices(data)[1][0]
+            blob = _luma_blob(data)
             rec = _streaming.decode_gray_streamed(
                 get_pipeline(args.pipeline), blob, band_rows=s_band,
                 out_npy=out_npy,
@@ -689,10 +705,7 @@ def _decode_stream(args, path: str, shown: "str | None" = None) -> int:
             # replication upsampling is local, so the slice decode equals
             # the same rows of a full decode.
             h, w = meta["orig_shape"]
-            try:
-                a, bnd = (int(v) for v in args.rows.split(":"))
-            except Exception:
-                raise ValueError(f"--rows expects A:B, got {args.rows!r}") from None
+            a, bnd = _parse_rows(args.rows)
             a, bnd = max(0, a), min(h, bnd)
             if bnd <= a:
                 raise ValueError(f"--rows {args.rows}: empty range for height {h}")
@@ -777,10 +790,7 @@ def _decode_stream(args, path: str, shown: "str | None" = None) -> int:
     if stream and args.rows is not None:
         # Streamed gray ROI: only segments covering the requested rows
         # entropy-decode at all (VERDICT r4 #1).
-        try:
-            a, bnd = (int(v) for v in args.rows.split(":"))
-        except Exception:
-            raise ValueError(f"--rows expects A:B, got {args.rows!r}") from None
+        a, bnd = _parse_rows(args.rows)
         rec = _streaming.decode_gray_streamed(
             get_pipeline(args.pipeline), data, band_rows=s_band,
             row_range=(a, bnd), out_npy=out_npy,
@@ -816,10 +826,7 @@ def _decode_stream(args, path: str, shown: "str | None" = None) -> int:
     if args.rows is not None:
         # Region-of-interest decode: 8x8 blocks are independent, so only
         # the covering block rows ride the inverse transform.
-        try:
-            a, bnd = (int(v) for v in args.rows.split(":"))
-        except Exception:
-            raise ValueError(f"--rows expects A:B, got {args.rows!r}") from None
+        a, bnd = _parse_rows(args.rows)
         a, bnd = max(0, a), min(h, bnd)
         if bnd <= a:
             raise ValueError(f"--rows {args.rows}: empty range for height {h}")

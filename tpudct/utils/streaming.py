@@ -408,22 +408,23 @@ class _PlaneRows:
                 n_planes=n_planes, row_range=row_range,
             )
         else:
-            # non-banded: entropy-decode the whole map once, lazily
-            raw = blob[hsize : hsize + psize]
-            if code not in (ser._CODEC_HUFF, ser._CODEC_RANS, ser._CODEC_XZ):
-                import zlib
-
-                try:
-                    raw = zlib.decompress(raw)
-                except zlib.error as e:
-                    raise ValueError(f"corrupt .tdc payload: {e}") from None
+            # non-banded: entropy-decode the whole map once
             if (n_planes is not None
                     and code in (ser._CODEC_SPECTRAL, ser._CODEC_XZ)):
                 # spectral-ordered: only the needed prefix decompresses
+                # (the whole-map unwrap below would defeat exactly that)
                 cmap = ser._partial_spectral_map(
                     blob[hsize : hsize + psize], code, h, w, n_planes
                 )
             else:
+                raw = blob[hsize : hsize + psize]
+                if code not in (ser._CODEC_HUFF, ser._CODEC_RANS, ser._CODEC_XZ):
+                    import zlib
+
+                    try:
+                        raw = zlib.decompress(raw)
+                    except zlib.error as e:
+                        raise ValueError(f"corrupt .tdc payload: {e}") from None
                 cmap = ser._decode_payload(raw, code, h, w)
                 if n_planes is not None:
                     cmap = ser._zero_high_planes(
@@ -433,6 +434,19 @@ class _PlaneRows:
                 [(self._cursor, self._end - self._cursor,
                   cmap[self._cursor : self._end])]
             )
+
+    def drain(self) -> None:
+        """Exhaust the underlying segment walk so its end-of-payload
+        validation (trailing bytes, row coverage) runs even when the
+        band loop's pulls exactly consumed the declared rows — without
+        this, a corrupt banded payload whose valid prefix covers the
+        requested rows would decode silently (review finding, round
+        5)."""
+        while self._gen is not None:
+            try:
+                next(self._gen)
+            except StopIteration:
+                self._gen = None
 
     def pull(self, nrows: int) -> np.ndarray:
         """Next min(nrows, remaining) container coefficient rows as one
@@ -927,4 +941,6 @@ def decode_color_streamed(
             out[pos : pos + keep] = rec
         pos += keep_c
         cpos += c_take
+    for rd in (ry, rcb, rcr):
+        rd.drain()  # run each plane's end-of-payload framing validation
     return out
