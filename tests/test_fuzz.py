@@ -202,3 +202,40 @@ def test_fuzz_jpeg_marker_walker(rng):
         q = f"{d}/y.jpg"
         open(q, "wb").write(respliced)
         np.testing.assert_array_equal(imageio.load_jpeg(p), imageio.load_jpeg(q))
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_fuzz_banded_partial_walkers(seed):
+    """Byte-mutation fuzz of the round-5 partial-decode surface: the
+    banded segment walker, the spectral-prefix reader, and the preview
+    path must either return valid data or raise ValueError — never
+    crash, hang, or return out-of-contract shapes (the same contract the
+    C coders' ASan fuzz enforces, applied to the Python framing
+    layer)."""
+    from tpudct.utils import serialize
+
+    rng = np.random.default_rng(seed)
+    c = rng.integers(-90, 90, (96, 128)).astype(np.int16)
+    for codec in ("banded:3:spectral", "banded:3:raw", "banded:2:auto"):
+        data = bytearray(serialize.coefficients_to_bytes(
+            c, orig_shape=(90, 121), codec=codec
+        ))
+        # valid stream first: all three walkers succeed
+        assert serialize.partial_coefficients(bytes(data), 4)["coeffs"].shape == (96, 128)
+        assert serialize.preview_from_bytes(bytes(data)).shape == (12, 16)
+        for _ in range(60):
+            mut = bytearray(data)
+            for _k in range(rng.integers(1, 8)):
+                mut[rng.integers(0, len(mut))] = rng.integers(0, 256)
+            if rng.integers(0, 4) == 0:
+                mut = mut[: rng.integers(1, len(mut))]  # truncation
+            blob = bytes(mut)
+            for fn in (
+                lambda b: serialize.partial_coefficients(b, 4),
+                serialize.preview_from_bytes,
+                lambda b: serialize.bytes_to_coefficients(b),
+            ):
+                try:
+                    fn(blob)
+                except ValueError:
+                    pass  # the only acceptable failure mode
