@@ -183,48 +183,13 @@ static long bw_flush(BitWriter *w) { /* returns total BITS written */
     return bits;
 }
 
-typedef struct {
-    const uint8_t *buf;
-    long nbits, pos; /* bit cursor */
-} BitReader;
-
-static int br_bit(BitReader *r) {
-    if (r->pos >= r->nbits) return -1;
-    int b = (r->buf[r->pos >> 3] >> (7 - (r->pos & 7))) & 1;
-    r->pos++;
-    return b;
-}
-
-static long br_bits(BitReader *r, int n) {
-    /* multi-bit extraction (up to 8 bits per iteration) — the bit-by-bit
-     * loop was the decoders' hottest non-symbol path; magnitude reads are
-     * 1-17 bits each.  Bounds-checked up front; does not advance on EOF
-     * (every caller errors out immediately, so the partial-advance
-     * difference vs the old loop is unobservable). */
-    long v = 0;
-    int got = 0;
-    if (n == 0) return 0;
-    if (n < 0 || r->pos + n > r->nbits) return -1;
-    while (got < n) {
-        long bitpos = r->pos + got;
-        int bitoff = (int)(bitpos & 7);
-        int take = 8 - bitoff;
-        if (take > n - got) take = n - got;
-        v = (v << take) |
-            ((r->buf[bitpos >> 3] >> (8 - bitoff - take)) & ((1 << take) - 1));
-        got += take;
-    }
-    r->pos += n;
-    return v;
-}
-
 /* Windowed bit reader for the rANS magnitude streams: up to 64 bits
  * buffered left-justified in an accumulator, refilled bytewise only when
- * short.  Exact parity with br_bits' semantics (MSB-first; n == 0 -> 0;
- * reading past the declared bit budget -> -1, without consuming) at a
- * fraction of the per-read work — br_bits' per-call multi-chunk assembly
- * was the rANS decode loop's largest non-symbol cost (measured round 5;
- * the magnitude read runs once per nonzero coefficient). */
+ * short.  MSB-first; n == 0 -> 0; reading past the declared bit budget
+ * -> -1, without consuming.  Replaced the round-4 per-call multi-chunk
+ * bit reader — whose assembly work was the decode loops' largest
+ * non-symbol cost (the magnitude read runs once per nonzero
+ * coefficient) — in BOTH the rANS and Huffman decoders (round 5). */
 typedef struct {
     const uint8_t *buf;
     long nbytes;   /* payload bytes available */
@@ -243,6 +208,27 @@ static void fb_init(FastBits *f, const uint8_t *buf, long nbits, long nbytes) {
     f->bytepos = 0;
     f->acc = 0;
     f->navail = 0;
+}
+
+/* Peek the next n bits WITHOUT consuming (bits past the declared budget
+ * read as zero — acc keeps zeros below navail by construction, so no
+ * masking is needed; consumption stays bounds-checked in fb_skip). */
+static inline long fb_peek(FastBits *f, int n) {
+    if (f->navail < n) {
+        while (f->navail <= 56 && f->bytepos < f->nbytes) {
+            f->acc |= (uint64_t)f->buf[f->bytepos++] << (56 - f->navail);
+            f->navail += 8;
+        }
+    }
+    return (long)(f->acc >> (64 - n));
+}
+
+static inline int fb_skip(FastBits *f, int n) { /* 0 ok / -1 past budget */
+    if (f->bitpos + n > f->nbits) return -1;
+    f->acc <<= n;
+    f->navail -= n;
+    f->bitpos += n;
+    return 0;
 }
 
 static long fb_take(FastBits *f, int n) {
@@ -439,18 +425,55 @@ static void dec_table(const uint8_t bits[17], const uint8_t *huffval, DecTable *
     t->maxcode[17] = 0x7fffffffL;
 }
 
-static int dec_sym(BitReader *r, const DecTable *t) {
-    int i = 1, b = br_bit(r);
-    long code;
-    if (b < 0) return -1;
-    code = b;
-    while (t->maxcode[i] < 0 || code > t->maxcode[i]) {
-        if (++i > 16) return -1;
-        b = br_bit(r);
-        if (b < 0) return -1;
-        code = (code << 1) | b;
+/* First-HUF_LUT_BITS lookup decode (round 5): one peek + one table hit
+ * resolves every code of length <= HUF_LUT_BITS (the overwhelming
+ * majority — optimal tables put frequent symbols at short codes);
+ * longer codes walk the canonical ranges from length LUT+1 up.  2 KB
+ * per table, L1-resident.  Replaces the bit-by-bit dec_sym walk that
+ * made Huffman the slowest decoder leg (~508 MB/s vs rANS's 620-1270
+ * after the round-5 work; measured 2.2x on the study maps). */
+#define HUF_LUT_BITS 10
+
+typedef struct {
+    uint16_t lut[1 << HUF_LUT_BITS]; /* sym << 8 | len; 0 = longer code */
+} DecLut;
+
+static void dec_lut(const uint8_t bits[17], const uint8_t *huffval, DecLut *t) {
+    int l, k = 0;
+    uint32_t code = 0;
+    memset(t->lut, 0, sizeof(t->lut));
+    for (l = 1; l <= 16; l++) {
+        int n = bits[l];
+        while (n--) {
+            if (l <= HUF_LUT_BITS) {
+                uint32_t base = code << (HUF_LUT_BITS - l);
+                uint32_t span = 1u << (HUF_LUT_BITS - l), j;
+                for (j = 0; j < span; j++)
+                    t->lut[base + j] = (uint16_t)((huffval[k] << 8) | l);
+            }
+            code++;
+            k++;
+        }
+        code <<= 1;
     }
-    return t->huffval[t->valptr[i] + (int)(code - t->mincode[i])];
+}
+
+static int dec_sym_fast(FastBits *f, const DecLut *lu, const DecTable *t) {
+    long p = fb_peek(f, 16);
+    uint16_t e = lu->lut[p >> (16 - HUF_LUT_BITS)];
+    int l;
+    if (e) {
+        if (fb_skip(f, e & 0xff)) return -1;
+        return e >> 8;
+    }
+    for (l = HUF_LUT_BITS + 1; l <= 16; l++) {
+        long code = p >> (16 - l);
+        if (t->maxcode[l] >= 0 && code <= t->maxcode[l]) {
+            if (fb_skip(f, l)) return -1;
+            return t->huffval[t->valptr[l] + (int)(code - t->mincode[l])];
+        }
+    }
+    return -1;
 }
 
 static long extend(long v, int s) { /* T.81 F.12: magnitude bits -> value */
@@ -459,10 +482,11 @@ static long extend(long v, int s) { /* T.81 F.12: magnitude bits -> value */
 
 int tpudct_huff_decode(const uint8_t *data, long n, int h, int w, int16_t *out) {
     DecTable dct, act;
+    DecLut dlut, alut;
     uint8_t dbits[17] = {0}, abits[17] = {0}, dval[NSYM], aval[NSYM];
     int ndc = 0, nac = 0, i;
     long off, total_bits, prev_dc = 0;
-    BitReader br;
+    FastBits fb;
     int by, bx, k;
     if (h <= 0 || w <= 0 || (h % 8) || (w % 8)) return -2;
     if (n < 1 || data[0] != 1) return -3;
@@ -482,26 +506,26 @@ int tpudct_huff_decode(const uint8_t *data, long n, int h, int w, int16_t *out) 
     if ((n - off) * 8 < total_bits) return -4;
     dec_table(dbits, dval, &dct);
     dec_table(abits, aval, &act);
-    br.buf = data + off;
-    br.nbits = total_bits;
-    br.pos = 0;
+    dec_lut(dbits, dval, &dlut);
+    dec_lut(abits, aval, &alut);
+    fb_init(&fb, data + off, total_bits, n - off);
     memset(out, 0, sizeof(int16_t) * (long)h * w);
     for (by = 0; by < h / 8; by++) {
         for (bx = 0; bx < w / 8; bx++) {
             int16_t *blk = out + (long)by * 8 * w + bx * 8;
-            int s = dec_sym(&br, &dct);
+            int s = dec_sym_fast(&fb, &dlut, &dct);
             long v;
             if (s < 0) return -5;
             if (s > 17) return -5; /* DC size category bound (int16 deltas);
                                     * a corrupt table can hand any byte here
                                     * and extend()'s shift would be UB */
-            v = s ? br_bits(&br, s) : 0;
+            v = s ? fb_take(&fb, s) : 0;
             if (v < 0) return -5;
             prev_dc += extend(v, s);
             blk[0] = (int16_t)prev_dc;
             k = 1;
             while (k < 64) {
-                int sym = dec_sym(&br, &act);
+                int sym = dec_sym_fast(&fb, &alut, &act);
                 int run, size;
                 if (sym < 0) return -5;
                 if (sym == 0x00) break; /* EOB */
@@ -510,7 +534,7 @@ int tpudct_huff_decode(const uint8_t *data, long n, int h, int w, int16_t *out) 
                 if (sym == 0xF0) { k += 16; continue; }
                 k += run;
                 if (k > 63) return -6;
-                v = br_bits(&br, size);
+                v = fb_take(&fb, size);
                 if (v < 0) return -5;
                 blk[(ZZ[k] >> 3) * (long)w + (ZZ[k] & 7)] = (int16_t)extend(v, size);
                 k++;
