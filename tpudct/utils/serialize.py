@@ -937,6 +937,12 @@ def iter_banded_segments(
             if n_planes is not None:
                 cmap = _zero_high_planes(cmap, n_planes)
         yield r0, rows, cmap
+        # release our reference BEFORE decoding the next segment: holding
+        # it forces malloc to EXTEND the arena for the next slab instead
+        # of reusing this one's pages (two slabs transiently live), which
+        # re-pays first-touch page faults every segment — measured
+        # ~2.5 s/segment at archive scale vs ~0.4 s with top-chunk reuse
+        cmap = None
         r0 += rows
     if r0 != h or off != len(raw):
         raise ValueError("corrupt .tdc banded payload: coverage mismatch")
@@ -1071,6 +1077,7 @@ def partial_coefficients(data: bytes, n_planes: int = 1) -> dict:
             data[hsize : hsize + psize], h, w, n_planes=n_planes
         ):
             coeffs[r0 : r0 + rows] = cmap
+            cmap = None  # release before the next segment decodes (arena reuse)
     else:
         coeffs = _partial_spectral_map(
             memoryview(data)[hsize:], code, h, w, n_planes
@@ -1134,6 +1141,7 @@ def preview_from_bytes(data: bytes) -> np.ndarray:
             data[hsize : hsize + psize], h, w, n_planes=1
         ):
             dc[r0 // _BS : (r0 + rows) // _BS] = cmap[::_BS, ::_BS]
+            cmap = None  # release before the next segment decodes (arena reuse)
     else:
         p = partial_coefficients(data, n_planes=1)
         dc = p["coeffs"][::_BS, ::_BS]

@@ -594,6 +594,7 @@ def decode_gray_streamed(
                     rec = decode_gray_auto(pipeline, piece, cfg, (keep, ow))
                     out[cr : cr + keep] = rec
         cr += pix
+        piece = None  # release the slab before the next pull decodes
     return out
 
 
@@ -941,6 +942,7 @@ def decode_color_streamed(
             out[pos : pos + keep] = rec
         pos += keep_c
         cpos += c_take
+        yb = cbb = crb = band_planes = None  # release slabs (arena reuse)
     for rd in (ry, rcb, rcr):
         rd.drain()  # run each plane's end-of-payload framing validation
     return out
