@@ -24,7 +24,8 @@ Run phases from the repo root (TPU required for gen/enc/roi/scale):
     import runpy, sys; sys.argv = ['partial_at_scale.py', '<phase>']
     runpy.run_path('benchmarks/partial_at_scale.py', run_name='__main__')
     EOF
-with <phase> in gen | enc | preview | roi | scale.  Measured results
+with <phase> in gen | enc | preview | roi | scale (grayscale 4.3 Gpix)
+or genc | encc | previewc | roic (the 1-Gpix RGB .tdcc twin).  Measured results
 live in RESULTS_v5e.md ("Partial decode at archive scale").
 """
 
@@ -39,6 +40,9 @@ SIZE = 65536
 BAND = 2048
 PIX = "/tmp/pas_pixels.u8"
 TDC = "/tmp/pas_big.tdc"
+SIZE_C = 32768  # the color twin: 1 Gpix RGB = 3.2 GB of pixels
+RGB = "/tmp/pas_rgb.u8"
+TDCC = "/tmp/pas_big.tdcc"
 
 
 def band_pixels(b: int) -> np.ndarray:
@@ -52,6 +56,23 @@ def band_pixels(b: int) -> np.ndarray:
     return np.clip(
         base + rng.normal(0.0, 6.0, (BAND, SIZE)).astype(np.float32), 0, 255
     ).astype(np.uint8)
+
+
+def band_rgb(b: int) -> np.ndarray:
+    """Deterministic RGB content for color band b (rows of the SIZE_C
+    image): channel-shifted variants of the gray generator."""
+    rng = np.random.default_rng(5000 + b)
+    r = (np.arange(b * BAND, (b + 1) * BAND, dtype=np.float32) / 89.0)[:, None]
+    c = (np.arange(SIZE_C, dtype=np.float32) / 101.0)[None, :]
+    g = 96.0 + 50.0 * np.sin(r) * np.cos(c)
+    out = np.empty((BAND, SIZE_C, 3), np.uint8)
+    for ch, phase_ in enumerate((0.0, 0.7, 1.9)):
+        out[..., ch] = np.clip(
+            g + 24.0 * np.sin(0.29 * r + 0.13 * c + phase_)
+            + rng.normal(0.0, 5.0, (BAND, SIZE_C)).astype(np.float32),
+            0, 255,
+        ).astype(np.uint8)
+    return out
 
 
 def rss_mb() -> float:
@@ -155,6 +176,61 @@ def main() -> None:
         print(json.dumps({
             "phase": "scale", "s": round(t_sc, 1), "shape": list(rec.shape),
             "band15_bit_identical": True, "maxrss_mb": round(rss_mb()),
+        }))
+        return
+
+    # ---- color twin: a 1-Gpix RGB banded .tdcc (3.2 GB of pixels) ------
+    if phase == "genc":
+        mm = np.lib.format.open_memmap(
+            RGB, mode="w+", dtype=np.uint8, shape=(SIZE_C, SIZE_C, 3)
+        )
+        for bnd in range(SIZE_C // BAND):
+            mm[bnd * BAND : (bnd + 1) * BAND] = band_rgb(bnd)
+        mm.flush()
+        print(json.dumps({"phase": "genc", "s": round(time.perf_counter() - t0, 1)}))
+        return
+    if phase == "encc":
+        from tpudct.utils.streaming import encode_color_streamed_bytes
+
+        img = np.load(RGB, mmap_mode="r")
+        cdata, _ = encode_color_streamed_bytes(p, img, cfg, band_rows=BAND)
+        open(TDCC, "wb").write(cdata)
+        print(json.dumps({
+            "phase": "encc", "s": round(time.perf_counter() - t0, 1),
+            "bytes": len(cdata),
+            "factor": round(3 * SIZE_C * SIZE_C / len(cdata), 2),
+            "maxrss_mb": round(rss_mb()),
+        }))
+        return
+    cdata = open(TDCC, "rb").read()
+    if phase == "previewc":
+        from tpudct.utils.serialize import preview_color_from_bytes
+
+        pv = preview_color_from_bytes(cdata)
+        print(json.dumps({
+            "phase": "previewc", "s": round(time.perf_counter() - t0, 1),
+            "shape": list(pv.shape), "maxrss_mb": round(rss_mb()),
+        }))
+        return
+    if phase == "roic":
+        from tpudct.models.color import decode_color_u8, encode_color_u8
+        from tpudct.utils.streaming import decode_color_streamed
+
+        a, b = 16000, 16100
+        rec = decode_color_streamed(p, cdata, band_rows=BAND, row_range=(a, b))
+        t_roi = time.perf_counter() - t0
+        # truth: in-memory encode+decode of the covering band (bands are
+        # independent; the slice is 16-aligned, so the rows agree exactly)
+        bb = a // BAND
+        import jax.numpy as jnp
+
+        planes, meta = encode_color_u8(p, jnp.asarray(band_rgb(bb)), cfg)
+        ref = np.asarray(decode_color_u8(p, planes, meta, cfg))
+        assert (rec == ref[a - bb * BAND : b - bb * BAND]).all(), "color ROI mismatch"
+        print(json.dumps({
+            "phase": "roic", "s": round(t_roi, 1), "rows": [a, b],
+            "bit_identical_vs_in_memory_band": True,
+            "maxrss_mb": round(rss_mb()),
         }))
         return
 
