@@ -213,19 +213,22 @@ def main() -> None:
         }))
         return
     if phase == "roic":
-        from tpudct.models.color import decode_color_u8, encode_color_u8
+        from tpudct.models.color import decode_color, encode_color_u8
         from tpudct.utils.streaming import decode_color_streamed
 
         a, b = 16000, 16100
         rec = decode_color_streamed(p, cdata, band_rows=BAND, row_range=(a, b))
         t_roi = time.perf_counter() - t0
-        # truth: in-memory encode+decode of the covering band (bands are
-        # independent; the slice is 16-aligned, so the rows agree exactly)
+        # truth: in-memory encode + F32 decode of the covering band (the
+        # streamed ROI pins decode_color for parity with the CLI's
+        # in-memory --rows path — NOT the int8 decode, whose output sits
+        # in the documented ±1 tie class); bands are independent and the
+        # slice is 16-aligned, so the rows agree exactly
         bb = a // BAND
         import jax.numpy as jnp
 
         planes, meta = encode_color_u8(p, jnp.asarray(band_rgb(bb)), cfg)
-        ref = np.asarray(decode_color_u8(p, planes, meta, cfg))
+        ref = np.asarray(decode_color(p, planes, meta, cfg))
         assert (rec == ref[a - bb * BAND : b - bb * BAND]).all(), "color ROI mismatch"
         print(json.dumps({
             "phase": "roic", "s": round(t_roi, 1), "rows": [a, b],
