@@ -776,15 +776,24 @@ def _zero_high_planes(c: np.ndarray, n_planes: int) -> np.ndarray:
     payloads that are NOT spectral-ordered (rans/huffman/raw banded
     segments): those must entropy-decode whole, but the progressive
     contract — only the first N zig-zag planes survive — is then a pure
-    block-position mask.  In-place on the owned array (callers pass
-    freshly decoded segments); returns it for chaining."""
+    block-position mask.  Small n rebuilds sparsely (fresh zeros + one
+    strided copy per kept position — n/64 of the elements move) instead
+    of the whole-map masked multiply, which read+wrote all 64/64 just to
+    keep a DC plane (~0.2 s per 268 MB segment in the archive-scale
+    preview).  May return the input (mutated in place) OR a new array;
+    callers own the result either way."""
     n_planes = max(1, min(int(n_planes), 64))
     if n_planes >= 64:
         return c
+    h, w = c.shape
+    if n_planes <= 8:
+        out = np.zeros((h, w), c.dtype)
+        for (u, v) in _ZIGZAG[:n_planes]:
+            out[u::_BS, v::_BS] = c[u::_BS, v::_BS]
+        return out
     mask = np.zeros((_BS, _BS), np.int16)
     for (u, v) in _ZIGZAG[:n_planes]:
         mask[u, v] = 1
-    h, w = c.shape
     c.reshape(h // _BS, _BS, w // _BS, _BS)[:] *= mask[None, :, None, :]
     return c
 
