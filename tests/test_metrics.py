@@ -917,3 +917,17 @@ def test_rans_v3_six_band_contexts(rng):
     assert b2[0] == 2  # near-empty map: extra tables never pay
     np.testing.assert_array_equal(entropy.rans_decode(b2, 16, 16), tiny)
     np.testing.assert_array_equal(entropy._py_rans_decode(b2, 16, 16), tiny)
+
+
+def test_zero_high_planes_paths_agree(rng):
+    """The sparse small-n rebuild and the masked-multiply forms of
+    _zero_high_planes must agree at every n (round 5: n <= 8 rebuilds
+    sparsely — one strided copy per kept position)."""
+    c = rng.integers(-300, 300, (64, 128)).astype(np.int16)
+    for n in (1, 3, 8, 9, 20, 63, 64):
+        got = serialize._zero_high_planes(c.copy(), n)
+        mask = np.zeros((8, 8), np.int16)
+        for (u, v) in serialize._ZIGZAG[:n]:
+            mask[u, v] = 1
+        ref = c.copy().reshape(8, 8, 16, 8) * mask[None, :, None, :]
+        np.testing.assert_array_equal(got, ref.reshape(64, 128), err_msg=str(n))
