@@ -591,10 +591,10 @@ int tpudct_huff_decode(const uint8_t *data, long n, int h, int w, int16_t *out) 
  * interleaving gives the CPU four independent chains to overlap, which is
  * ILP (useful on this 1-core host), not thread parallelism (the pthread
  * bands above).  The encoder's pass B has no other cross-symbol
- * dependency at all, so it pipelines fully.  Version-adaptive: bands
- * below RANS_V4_MIN_SYMS symbols keep the v2/v3 single-state layout
- * (seed overhead outweighs a tiny band's decode time); the v2-vs-v3
- * CONTEXT choice stays independent and rides a v4 flags bit.
+ * dependency at all, so it pipelines fully.  v4 is an explicit OPT-IN
+ * via the encoder's `interleave` argument and applies stream-globally
+ * (the version byte covers every band); the v2-vs-v3 CONTEXT choice
+ * stays independent and rides a v4 flags bit.
  *
  * Stream layout (payload of .tdc codec 3, version 2, 3 or 4):
  *   u8  version (2 = 4 contexts, 3 = 7 contexts, 4 = interleaved)

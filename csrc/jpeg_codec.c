@@ -168,6 +168,15 @@ int tpudct_jpeg_encode_mem(const unsigned char *data, int w, int h,
 
 void tpudct_free(unsigned char *p) { free(p); }
 
+/* ABI version probe: bumped whenever ANY exported signature changes
+ * (round 5: tpudct_jpeg_encode_mem gained `channels`, tpudct_rans_encode
+ * gained `interleave`).  The Python loader refuses/rebuilds a library
+ * whose version disagrees — a NAME-presence probe cannot catch a
+ * signature-only change, and calling through a stale signature silently
+ * misreads arguments (review finding: an old .so would have read the
+ * new channels argument as `quality`). */
+int tpudct_abi_version(void) { return 5; }
+
 /* ---- coefficient-domain JPEG I/O (lossless transcode) -------------------
  *
  * The reference's only persistence is a pixel-domain quality-100 re-encode

@@ -657,3 +657,27 @@ def test_streamed_color_rejects_corrupt_trailing_payload(hp, rng):
         serialize.bytes_to_color(bad)  # the in-memory parser raises...
     with pytest.raises(ValueError, match="banded payload"):
         decode_color_streamed(hp, bad, band_rows=64)  # ...and now so do we
+
+
+def test_streamed_color_rejects_inconsistent_chroma_geometry(hp, rng):
+    """A .tdcc whose chroma planes declare a geometry inconsistent with
+    the subsample mode must be refused by the streamed decoder (the
+    in-memory parser decodes per the declared shape; the streamed band
+    loop derives chroma geometry from luma, so silently proceeding would
+    produce different output — refuse instead; review finding)."""
+    import jax.numpy as jnp
+
+    from tpudct.models.color import encode_color_auto
+    from tpudct.utils.streaming import decode_color_streamed
+
+    rgb = rng.integers(0, 256, (128, 256, 3), dtype=np.uint8)
+    planes, meta = encode_color_auto(hp, jnp.asarray(rgb), CodecConfig(interpret=True))
+    planes = {k: np.asarray(v) for k, v in planes.items()}
+    bad_meta = {**meta, "chroma_shape": (meta["chroma_shape"][0] - 2,
+                                         meta["chroma_shape"][1])}
+    # planes stay at their real (8-aligned) shapes; only the declared
+    # chroma orig_shape lies
+    data = serialize.color_to_bytes(planes, bad_meta, 1.0, None, "haweel",
+                                    codec="raw")
+    with pytest.raises(ValueError, match="chroma"):
+        decode_color_streamed(hp, data, band_rows=64)

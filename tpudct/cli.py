@@ -2136,7 +2136,7 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--grayscale", action="store_true",
                     help="decode a color stream luma-only (djpeg -grayscale): the chroma planes never decode; composes with --scale, --rows, --planes and --preview")
     sp.add_argument("--band-rows", type=int, default=None, dest="band_rows",
-                    help="stream the decode in device bands of N rows (bounded device memory; banded streams also bound the decoded-map residency); beyond-2^32-pixel maps auto-band at 8192 rows")
+                    help="stream the decode in device bands of N rows (bounded device memory; banded streams also bound the decoded-map residency); beyond-2^32-pixel maps auto-band at 8192 rows; composes with --scale/--planes/--rows/--grayscale (round 5); --preview is inherently segment-bounded, so the flag is accepted but has no further effect there")
     sp.add_argument("input")
     sp.add_argument("output")
     sp.set_defaults(fn=cmd_decode)

@@ -39,6 +39,18 @@ def _build_native(force: bool = False) -> bool:
     return _LIB_PATH.exists()
 
 
+#: Must match csrc/jpeg_codec.c tpudct_abi_version() — bump BOTH when any
+#: exported C signature changes; the loader rebuilds on mismatch.
+_ABI_VERSION = 5
+
+
+def _abi_ok(lib) -> bool:
+    if not hasattr(lib, "tpudct_abi_version"):
+        return False
+    lib.tpudct_abi_version.restype = ctypes.c_int
+    return int(lib.tpudct_abi_version()) == _ABI_VERSION
+
+
 def _load_native() -> Optional[ctypes.CDLL]:
     global _lib, _lib_tried
     if _lib_tried:
@@ -57,8 +69,9 @@ def _load_native() -> Optional[ctypes.CDLL]:
             if not _build_native(force=True):
                 return None
             lib = ctypes.CDLL(str(_LIB_PATH))
-        if not hasattr(lib, "tpudct_jpeg_write_coefs_ex"):
-            # Stale prebuilt library from older sources: rebuild once.
+        if not _abi_ok(lib):
+            # Stale prebuilt library from older sources (missing or
+            # mismatched ABI version): rebuild once.
             subprocess.run(
                 ["make", "-C", str(_CSRC), "-B"],
                 check=True, capture_output=True, timeout=120,
@@ -76,7 +89,7 @@ def _load_native() -> Optional[ctypes.CDLL]:
             finally:
                 # The mapping survives the unlink on Linux; don't leak /tmp copies.
                 os.unlink(tmp.name)
-            if not hasattr(lib, "tpudct_jpeg_write_coefs_ex"):
+            if not _abi_ok(lib):
                 return None
     except (OSError, subprocess.SubprocessError):
         return None
@@ -318,11 +331,20 @@ def load_image(path: str, force_gray: bool = True) -> np.ndarray:
     if ext == ".npy":
         arr = np.load(path, mmap_mode="r")
         if force_gray and arr.ndim == 3:
-            # BT.601 with libjpeg-style rounding, matching load_jpeg
-            a = arr.astype(np.float64)
-            arr = np.clip(np.floor(
-                0.299 * a[..., 0] + 0.587 * a[..., 1] + 0.114 * a[..., 2] + 0.5
-            ), 0, 255).astype(np.uint8)
+            # BT.601 with libjpeg-style rounding, matching load_jpeg —
+            # converted in ROW BANDS so a larger-than-RAM raster written
+            # by the streamed decoders never materializes f64 temporaries
+            # whole (review finding: the one-shot astype defeated the
+            # memmap's beyond-RAM purpose)
+            out = np.empty(arr.shape[:2], np.uint8)
+            step = max(1, (64 << 20) // max(1, arr.shape[1]))
+            for r0 in range(0, arr.shape[0], step):
+                a = arr[r0 : r0 + step].astype(np.float64)
+                out[r0 : r0 + step] = np.clip(np.floor(
+                    0.299 * a[..., 0] + 0.587 * a[..., 1]
+                    + 0.114 * a[..., 2] + 0.5
+                ), 0, 255).astype(np.uint8)
+            return out
         return arr
     from PIL import Image
 

@@ -388,6 +388,7 @@ class _PlaneRows:
 
             q_table = register_q_table(custom_q)
         self.q_scale = float(q_scale)
+        self.retain_k = None if retain_k < 0 else retain_k
         self.transform, self.q_table = transform, q_table
         self.code = code
         self._ser = ser
@@ -851,12 +852,21 @@ def decode_color_streamed(
     ry = _PlaneRows(slices[0], n_planes=n_planes, row_range=crange_y)
     rcb = _PlaneRows(slices[1], n_planes=n_planes, row_range=crange_c)
     rcr = _PlaneRows(slices[2], n_planes=n_planes, row_range=crange_c)
-    # cross-plane consistency, mirroring serialize._assemble_color
+    # cross-plane consistency — the FULL serialize._assemble_color
+    # mirror (review finding: the first version dropped retain_k and the
+    # chroma-geometry check, so a foreign .tdcc the in-memory parser
+    # rejects could reach the kernels and die with an opaque shape error)
     if not (ry.transform == rcb.transform == rcr.transform
             and ry.q_scale == rcb.q_scale == rcr.q_scale
+            and ry.retain_k == rcb.retain_k == rcr.retain_k
             and (rcb.oh, rcb.ow) == (rcr.oh, rcr.ow)
             and rcb.q_table == rcr.q_table):
         raise ValueError("inconsistent .tdcc plane headers")
+    if (rcb.oh, rcb.ow) != _chroma_plane_shape(mode, h, w):
+        raise ValueError(
+            f".tdcc chroma planes declare {(rcb.oh, rcb.ow)} but the "
+            f"subsample mode implies {_chroma_plane_shape(mode, h, w)}"
+        )
     cfg = CodecConfig(q_scale=ry.q_scale, transform=ry.transform)
     meta = {
         "y_q_table": ry.q_table,
