@@ -625,6 +625,19 @@ def test_batch_streams_oversized_frames(tmp_path, rng, capsys, monkeypatch):
     assert main(["unbatch", "--ext", ".png", str(dst), str(jout)]) == 0
     rep2 = json.loads(capsys.readouterr().out.strip())
     assert rep2["decoded"] == 2 and rep2["failed"] == 0
+    # round 5: the oversized archive DECODES streamed too (the wave
+    # machinery would load its whole map), marked in the manifest, with
+    # pixels identical to the direct streamed decode
+    urecs = {json.loads(l)["file"]: json.loads(l)
+             for l in (jout / "manifest.jsonl").read_text().splitlines()}
+    assert urecs["big.png.tdc"].get("streamed") is True
+    assert "streamed" not in urecs["small.png.tdc"]
+    direct = streaming.decode_gray_streamed(
+        get_pipeline("hp"), (dst / "big.png.tdc").read_bytes()
+    )
+    np.testing.assert_array_equal(
+        imageio.load_image(jout / "big.png.tdc.png"), direct
+    )
 
 
 def test_streamed_color_rejects_corrupt_trailing_payload(hp, rng):

@@ -1339,8 +1339,56 @@ def cmd_unbatch(args) -> int:
                 datas = list(ex.map(_read, cnames))
             from tpudct.models.dispatch import _chunk
 
+            # Beyond-threshold archives stream individually (round 5):
+            # the wave machinery loads whole coefficient maps, which for a
+            # beyond-HBM banded archive means gigabytes of host residency
+            # and a whole-map device dispatch — exactly what the streamed
+            # decoders exist to avoid.  Mirrors `batch`'s encode routing;
+            # a .npy --ext writes the raster through a disk memmap.
+            from tpudct.utils import streaming as _streaming
+
+            bigset = set()
+            for j, d in enumerate(datas):
+                if isinstance(d, tuple) or _map_elems(d) <= _streaming.STREAM_PIXELS:
+                    continue
+                bigset.add(j)
+                name = cnames[j]
+                out = dst / (name + ext)
+                try:
+                    kw = {"out_npy": str(out)} if ext == ".npy" else {}
+                    if serialize.is_color_stream(d[:4]):
+                        rec = _streaming.decode_color_streamed(
+                            p, d, scale_m=m_scale, **kw
+                        )
+                    else:
+                        rec = _streaming.decode_gray_streamed(
+                            p, d, scale_m=m_scale, **kw
+                        )
+                    if isinstance(rec, np.memmap):
+                        rec.flush()
+                    else:
+                        imageio.save_image(
+                            out, np.asarray(rec), quality=args.quality
+                        )
+                    recd = {"file": name, "out": out.name,
+                            "shape": list(rec.shape), "streamed": True}
+                    if m_scale is not None:
+                        recd["scale"] = m_scale
+                    mf.write(json.dumps(recd) + "\n")
+                    mf.flush()
+                    decoded += 1
+                except (ValueError, OSError) as e:
+                    mf.write(json.dumps({
+                        "file": name, "error": str(e),
+                        "error_kind": "io" if isinstance(e, OSError)
+                        else "stream",
+                    }) + "\n")
+                    mf.flush()
+                    failed += 1
+
+            rest = [j for j in range(len(datas)) if j not in bigset]
             waves = _chunk(
-                range(len(datas)), [_map_elems(d) for d in datas],
+                rest, [_map_elems(d) for d in datas],
                 wave_elems,
             )
             for wave in waves:
