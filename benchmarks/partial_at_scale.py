@@ -111,6 +111,65 @@ def main() -> None:
         }))
         return
 
+    # ---- color twin: a 1-Gpix RGB banded .tdcc (3.2 GB of pixels) ------
+    if phase == "genc":
+        mm = np.lib.format.open_memmap(
+            RGB, mode="w+", dtype=np.uint8, shape=(SIZE_C, SIZE_C, 3)
+        )
+        for bnd in range(SIZE_C // BAND):
+            mm[bnd * BAND : (bnd + 1) * BAND] = band_rgb(bnd)
+        mm.flush()
+        print(json.dumps({"phase": "genc", "s": round(time.perf_counter() - t0, 1)}))
+        return
+    if phase == "encc":
+        from tpudct.utils.streaming import encode_color_streamed_bytes
+
+        img = np.load(RGB, mmap_mode="r")
+        cdata, _ = encode_color_streamed_bytes(p, img, cfg, band_rows=BAND)
+        open(TDCC, "wb").write(cdata)
+        print(json.dumps({
+            "phase": "encc", "s": round(time.perf_counter() - t0, 1),
+            "bytes": len(cdata),
+            "factor": round(3 * SIZE_C * SIZE_C / len(cdata), 2),
+            "maxrss_mb": round(rss_mb()),
+        }))
+        return
+    cdata = open(TDCC, "rb").read()
+    if phase == "previewc":
+        from tpudct.utils.serialize import preview_color_from_bytes
+
+        pv = preview_color_from_bytes(cdata)
+        print(json.dumps({
+            "phase": "previewc", "s": round(time.perf_counter() - t0, 1),
+            "shape": list(pv.shape), "maxrss_mb": round(rss_mb()),
+        }))
+        return
+    if phase == "roic":
+        from tpudct.models.color import decode_color, encode_color_u8
+        from tpudct.utils.streaming import decode_color_streamed
+
+        a, b = 16000, 16100
+        rec = decode_color_streamed(p, cdata, band_rows=BAND, row_range=(a, b))
+        t_roi = time.perf_counter() - t0
+        # truth: in-memory encode + F32 decode of the covering band (the
+        # streamed ROI pins decode_color for parity with the CLI's
+        # in-memory --rows path — NOT the int8 decode, whose output sits
+        # in the documented ±1 tie class); bands are independent and the
+        # slice is 16-aligned, so the rows agree exactly
+        bb = a // BAND
+        import jax.numpy as jnp
+
+        planes, meta = encode_color_u8(p, jnp.asarray(band_rgb(bb)), cfg)
+        ref = np.asarray(decode_color(p, planes, meta, cfg))
+        assert (rec == ref[a - bb * BAND : b - bb * BAND]).all(), "color ROI mismatch"
+        print(json.dumps({
+            "phase": "roic", "s": round(t_roi, 1), "rows": [a, b],
+            "bit_identical_vs_in_memory_band": True,
+            "maxrss_mb": round(rss_mb()),
+        }))
+        return
+
+
     data = open(TDC, "rb").read()
     if phase == "preview":
         from tpudct.utils.serialize import preview_from_bytes
@@ -176,64 +235,6 @@ def main() -> None:
         print(json.dumps({
             "phase": "scale", "s": round(t_sc, 1), "shape": list(rec.shape),
             "band15_bit_identical": True, "maxrss_mb": round(rss_mb()),
-        }))
-        return
-
-    # ---- color twin: a 1-Gpix RGB banded .tdcc (3.2 GB of pixels) ------
-    if phase == "genc":
-        mm = np.lib.format.open_memmap(
-            RGB, mode="w+", dtype=np.uint8, shape=(SIZE_C, SIZE_C, 3)
-        )
-        for bnd in range(SIZE_C // BAND):
-            mm[bnd * BAND : (bnd + 1) * BAND] = band_rgb(bnd)
-        mm.flush()
-        print(json.dumps({"phase": "genc", "s": round(time.perf_counter() - t0, 1)}))
-        return
-    if phase == "encc":
-        from tpudct.utils.streaming import encode_color_streamed_bytes
-
-        img = np.load(RGB, mmap_mode="r")
-        cdata, _ = encode_color_streamed_bytes(p, img, cfg, band_rows=BAND)
-        open(TDCC, "wb").write(cdata)
-        print(json.dumps({
-            "phase": "encc", "s": round(time.perf_counter() - t0, 1),
-            "bytes": len(cdata),
-            "factor": round(3 * SIZE_C * SIZE_C / len(cdata), 2),
-            "maxrss_mb": round(rss_mb()),
-        }))
-        return
-    cdata = open(TDCC, "rb").read()
-    if phase == "previewc":
-        from tpudct.utils.serialize import preview_color_from_bytes
-
-        pv = preview_color_from_bytes(cdata)
-        print(json.dumps({
-            "phase": "previewc", "s": round(time.perf_counter() - t0, 1),
-            "shape": list(pv.shape), "maxrss_mb": round(rss_mb()),
-        }))
-        return
-    if phase == "roic":
-        from tpudct.models.color import decode_color, encode_color_u8
-        from tpudct.utils.streaming import decode_color_streamed
-
-        a, b = 16000, 16100
-        rec = decode_color_streamed(p, cdata, band_rows=BAND, row_range=(a, b))
-        t_roi = time.perf_counter() - t0
-        # truth: in-memory encode + F32 decode of the covering band (the
-        # streamed ROI pins decode_color for parity with the CLI's
-        # in-memory --rows path — NOT the int8 decode, whose output sits
-        # in the documented ±1 tie class); bands are independent and the
-        # slice is 16-aligned, so the rows agree exactly
-        bb = a // BAND
-        import jax.numpy as jnp
-
-        planes, meta = encode_color_u8(p, jnp.asarray(band_rgb(bb)), cfg)
-        ref = np.asarray(decode_color(p, planes, meta, cfg))
-        assert (rec == ref[a - bb * BAND : b - bb * BAND]).all(), "color ROI mismatch"
-        print(json.dumps({
-            "phase": "roic", "s": round(t_roi, 1), "rows": [a, b],
-            "bit_identical_vs_in_memory_band": True,
-            "maxrss_mb": round(rss_mb()),
         }))
         return
 

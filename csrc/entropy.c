@@ -438,13 +438,21 @@ typedef struct {
     uint16_t lut[1 << HUF_LUT_BITS]; /* sym << 8 | len; 0 = longer code */
 } DecLut;
 
-static void dec_lut(const uint8_t bits[17], const uint8_t *huffval, DecLut *t) {
+/* Returns 0, or -1 for a table whose per-length counts overflow the
+ * canonical code space (code >= 2^l at some length).  The shipped
+ * encoder can never emit such BITS (the K.2 builder satisfies Kraft);
+ * only corrupt streams reach it — and without this check the fill loop
+ * below would index past the 1024-entry lut (review finding: a stream
+ * with bits[1] = 255 smashed the stack where the old bit-by-bit walk
+ * returned an error). */
+static int dec_lut(const uint8_t bits[17], const uint8_t *huffval, DecLut *t) {
     int l, k = 0;
     uint32_t code = 0;
     memset(t->lut, 0, sizeof(t->lut));
     for (l = 1; l <= 16; l++) {
         int n = bits[l];
         while (n--) {
+            if (code >= (1u << l)) return -1; /* non-canonical: corrupt */
             if (l <= HUF_LUT_BITS) {
                 uint32_t base = code << (HUF_LUT_BITS - l);
                 uint32_t span = 1u << (HUF_LUT_BITS - l), j;
@@ -456,6 +464,7 @@ static void dec_lut(const uint8_t bits[17], const uint8_t *huffval, DecLut *t) {
         }
         code <<= 1;
     }
+    return 0;
 }
 
 static int dec_sym_fast(FastBits *f, const DecLut *lu, const DecTable *t) {
@@ -506,8 +515,8 @@ int tpudct_huff_decode(const uint8_t *data, long n, int h, int w, int16_t *out) 
     if ((n - off) * 8 < total_bits) return -4;
     dec_table(dbits, dval, &dct);
     dec_table(abits, aval, &act);
-    dec_lut(dbits, dval, &dlut);
-    dec_lut(abits, aval, &alut);
+    if (dec_lut(dbits, dval, &dlut) || dec_lut(abits, aval, &alut))
+        return -4; /* table counts overflow the canonical code space */
     fb_init(&fb, data + off, total_bits, n - off);
     memset(out, 0, sizeof(int16_t) * (long)h * w);
     for (by = 0; by < h / 8; by++) {

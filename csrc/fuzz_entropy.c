@@ -86,6 +86,14 @@ int main(void) {
         /* huffman: same routine */
         n = tpudct_huff_encode(c, h, w, buf, cap);
         if (n <= 0) { fprintf(stderr, "huff encode failed\n"); return 1; }
+        /* adversarial canonical-overflow table: bits[1] = 255 smashed the
+         * LUT builder's stack before the round-5 bound (review finding) */
+        memcpy(mut, buf, n);
+        mut[1] = 255;
+        if (tpudct_huff_decode(mut, n, h, w, back) == 0) {
+            fprintf(stderr, "overflow table accepted\n");
+            return 1;
+        }
         if (tpudct_huff_decode(buf, n, h, w, back) != 0 ||
             memcmp(c, back, (long)h * w * 2) != 0) {
             fprintf(stderr, "huff roundtrip mismatch h=%d w=%d\n", h, w);

@@ -1157,6 +1157,24 @@ def cmd_unbatch(args) -> int:
         except OSError as e:
             return ("err", "io", str(e))
 
+    def _mf_error(mf, name, kind, msg):
+        """ONE copy of the manifest error record (resume logic keys off
+        error_kind; a drifted copy would silently break retry semantics
+        for whichever path diverged)."""
+        mf.write(json.dumps({
+            "file": name, "error": msg, "error_kind": kind,
+        }) + "\n")
+        mf.flush()
+
+    def _mf_done(mf, name, out_name, shape, streamed=False):
+        rec = {"file": name, "out": out_name, "shape": list(shape)}
+        if streamed:
+            rec["streamed"] = True
+        if m_scale is not None:
+            rec["scale"] = m_scale
+        mf.write(json.dumps(rec) + "\n")
+        mf.flush()
+
     def _parse(data):
         """Entropy-decode one stream's bytes on a host thread (the entropy
         stages are C/zlib/lzma work that releases the GIL)."""
@@ -1318,19 +1336,11 @@ def cmd_unbatch(args) -> int:
                         # One corrupt stream must not abort the job
                         # (same recovery contract as `batch`); I/O
                         # failures are marked retryable.
-                        mf.write(json.dumps({
-                            "file": names[j], "error": res[2],
-                            "error_kind": res[1],
-                        }) + "\n")
+                        _mf_error(mf, names[j], res[1], res[2])
                         failed += 1
                     else:
-                        done_rec = {"file": names[j], "out": res[1],
-                                    "shape": res[2]}
-                        if m_scale is not None:
-                            done_rec["scale"] = m_scale
-                        mf.write(json.dumps(done_rec) + "\n")
+                        _mf_done(mf, names[j], res[1], res[2])
                         decoded += 1
-                    mf.flush()
 
     with open(manifest, "a") as mf:
         for ci in range(0, len(todo), chunk):
@@ -1370,20 +1380,11 @@ def cmd_unbatch(args) -> int:
                         imageio.save_image(
                             out, np.asarray(rec), quality=args.quality
                         )
-                    recd = {"file": name, "out": out.name,
-                            "shape": list(rec.shape), "streamed": True}
-                    if m_scale is not None:
-                        recd["scale"] = m_scale
-                    mf.write(json.dumps(recd) + "\n")
-                    mf.flush()
+                    _mf_done(mf, name, out.name, rec.shape, streamed=True)
                     decoded += 1
                 except (ValueError, OSError) as e:
-                    mf.write(json.dumps({
-                        "file": name, "error": str(e),
-                        "error_kind": "io" if isinstance(e, OSError)
-                        else "stream",
-                    }) + "\n")
-                    mf.flush()
+                    _mf_error(mf, name, "io" if isinstance(e, OSError)
+                              else "stream", str(e))
                     failed += 1
 
             rest = [j for j in range(len(datas)) if j not in bigset]

@@ -134,6 +134,13 @@ class _Table:
             self.mincode[i] = code
             code += bits[i]
             k += bits[i]
+            if code > (1 << i):
+                # per-length counts overflow the canonical code space —
+                # same rejection as the native dec_lut (a corrupt table
+                # would otherwise index huffval out of range in sym())
+                raise ValueError(
+                    "corrupt huffman coefficient stream (table)"
+                )
             self.maxcode[i] = code - 1 if bits[i] else -1
             code <<= 1
 
@@ -145,7 +152,10 @@ class _Table:
             if i > 16:
                 raise ValueError("corrupt huffman coefficient stream (code)")
             code = (code << 1) | r.bit()
-        return self.huffval[self.valptr[i] + code - self.mincode[i]]
+        idx = self.valptr[i] + code - self.mincode[i]
+        if idx >= len(self.huffval):
+            raise ValueError("corrupt huffman coefficient stream (code)")
+        return self.huffval[idx]
 
 
 def _extend(v: int, s: int) -> int:

@@ -337,7 +337,8 @@ def load_image(path: str, force_gray: bool = True) -> np.ndarray:
             # whole (review finding: the one-shot astype defeated the
             # memmap's beyond-RAM purpose)
             out = np.empty(arr.shape[:2], np.uint8)
-            step = max(1, (64 << 20) // max(1, arr.shape[1]))
+            # ~64 MB of f64 temporaries per band: 3 channels x 8 bytes
+            step = max(1, (64 << 20) // max(1, arr.shape[1] * 24))
             for r0 in range(0, arr.shape[0], step):
                 a = arr[r0 : r0 + step].astype(np.float64)
                 out[r0 : r0 + step] = np.clip(np.floor(
