@@ -712,3 +712,54 @@ def test_12bit_and_many_component_refusal(tmp_path, gray_jpg):
     p5.write_bytes(_patch_sof(jpg, 5, 5))  # SOF component count -> 5
     with pytest.raises((IOError, ValueError)):
         jpegcoef.import_jpeg(p5)
+
+
+def test_restage_banded_streamed(tmp_path, rng, capsys, monkeypatch):
+    """`transcode a.tdc b.tdc --entropy banded[::inner]` on a banded
+    source restages ONE SEGMENT AT A TIME (round 5): source row splits
+    preserved, headers/custom tables carried over, decode bit-identical;
+    an explicit :N resplit keeps the whole-map path."""
+    import numpy as np
+
+    from tpudct.cli import main
+    from tpudct.utils import serialize
+
+    c = rng.integers(-90, 90, (96, 128)).astype(np.int16)
+    src = tmp_path / "a.tdc"
+    serialize.save_coefficients(src, c, q_scale=2.0, orig_shape=(90, 121),
+                                codec="banded:3:spectral")
+    dst = tmp_path / "b.tdc"
+    # spy: segments decode one by one through the streamed walker
+    seen = []
+    orig = serialize._decode_payload
+
+    def spy(raw, code, h, w):
+        seen.append((code, h))
+        return orig(raw, code, h, w)
+
+    monkeypatch.setattr(serialize, "_decode_payload", spy)
+    assert main(["transcode", str(src), str(dst),
+                 "--entropy", "banded::rans"]) == 0
+    capsys.readouterr()
+    assert len(seen) == 3 and all(h == 32 for _c, h in seen)
+    info = serialize.inspect_stream(dst.read_bytes())
+    assert info["codec"] == "banded" and info["segments"] == 3
+    back, qs, _k, (oh, ow) = serialize.bytes_to_coefficients(
+        dst.read_bytes(), with_orig_shape=True
+    )
+    assert qs == 2.0 and (oh, ow) == (90, 121)
+    np.testing.assert_array_equal(np.asarray(back, np.int16), c)
+    # color container restage, per plane
+    g = rng.integers(-60, 60, (64, 128)).astype(np.float32)
+    planes = {"y": g, "cb": g[:32, :64] * 0 + 3, "cr": g[:32, :64] * 0 - 2}
+    meta = {"orig_shape": (64, 128), "chroma_shape": (32, 64),
+            "subsample": "420"}
+    csrc = tmp_path / "a.tdcc"
+    serialize.save_color(csrc, planes, meta, codec="banded:2:spectral")
+    cdst = tmp_path / "b.tdcc"
+    assert main(["transcode", str(csrc), str(cdst), "--entropy", "banded"]) == 0
+    capsys.readouterr()
+    pl2, me2 = serialize.load_color(cdst)
+    for k in planes:
+        np.testing.assert_array_equal(pl2[k], planes[k])
+    assert me2["subsample"] == "420"

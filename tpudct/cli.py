@@ -79,6 +79,38 @@ def _register_q_table_file(path: str) -> str:
         raise SystemExit(f"error: q-table file {path!r}: {e}") from None
 
 
+
+_ENTROPY_STAGES = ("auto", "auto-exact", "spectral", "huffman", "rans",
+                   "xz", "raw", "banded")
+
+
+def _entropy_spec(v: str) -> str:
+    """--entropy value: a stage name, or the banded spec grammar
+    banded[:N[:inner]] (round 5: the full library grammar is CLI-reachable
+    — previously a closed choices list rejected the spec forms)."""
+    if v in _ENTROPY_STAGES:
+        return v
+    if v.startswith("banded:"):
+        from tpudct.utils.serialize import _parse_banded_spec
+
+        try:
+            n, inner = _parse_banded_spec(v)
+        except ValueError as e:
+            raise argparse.ArgumentTypeError(str(e)) from None
+        if inner not in ("auto", "auto-exact", "spectral", "huffman",
+                         "rans", "xz", "raw"):
+            raise argparse.ArgumentTypeError(
+                f"unknown banded inner stage {inner!r}"
+            )
+        if n and not 1 <= n <= 255:
+            raise argparse.ArgumentTypeError("banded segment count must be 1..255")
+        return v
+    raise argparse.ArgumentTypeError(
+        f"unknown entropy stage {v!r}; use one of {_ENTROPY_STAGES} or "
+        "banded[:N[:inner]]"
+    )
+
+
 def _add_codec_flags(sp):
     sp.add_argument("--pipeline", default="hp", help="cublas|batched|cublas2|fast|hp")
     sp.add_argument("--q-scale", type=float, default=1.0, dest="q_scale")
@@ -92,7 +124,7 @@ def _add_codec_flags(sp):
     sp.add_argument("--q-table-file", default=None, dest="q_table_file",
                     help="custom 8x8 luma quantization table: 64 numbers, whitespace/comma separated, '#' comments (cjpeg -qtables format); stored in .tdc so decode is self-contained")
     sp.add_argument("--entropy", default="auto", dest="entropy",
-                    choices=("auto", "auto-exact", "spectral", "huffman", "rans", "xz", "raw", "banded"),
+                    type=_entropy_spec,
                     help=".tdc/.tdcc entropy stage: auto (default; smallest of rans/huffman/xz/spectral per file — above 4M coefficients the winner is picked by sampled rate estimation and only it runs) | auto-exact (trial-encode everything, keep the smallest) | spectral (+zlib) | huffman (JPEG-grade) | rans (positional-context rANS) | xz (spectral+lzma) | raw (+zlib) | banded (independent row-band segments, the multi-host archival layout); rans/huffman encode needs the native lib")
 
 
@@ -1893,7 +1925,42 @@ def cmd_transcode(args) -> int:
                 f"{args.src} is a {'.tdcc' if color else '.tdc'} stream; "
                 "the restage destination must keep the container type"
             )
-        if color:
+        def _banded_code(blob) -> bool:
+            try:
+                return (serialize._parse_plane_header(blob)[8]
+                        == serialize._CODEC_BANDED)
+            except ValueError:
+                return False
+
+        streamed_restage = False
+        if args.entropy == "banded" or args.entropy.startswith("banded:"):
+            n_spec, inner_spec = serialize._parse_banded_spec(args.entropy)
+            if n_spec == 0:
+                # banded -> banded with the source's own row splits:
+                # restage ONE SEGMENT AT A TIME (round 5) — a beyond-HBM
+                # archive upgrades its entropy stage without its
+                # coefficient map ever materializing.  An explicit :N
+                # resplit needs the whole map and keeps the path below.
+                if color:
+                    _sub, slices, _end = serialize._color_plane_slices(data)
+                    streamed_restage = all(_banded_code(s) for s in slices)
+                elif _banded_code(data):
+                    streamed_restage = True
+        if streamed_restage:
+            if color:
+                _sub, slices, _end = serialize._color_plane_slices(data)
+                blobs = [serialize.restage_banded_plane(bytes(s), inner_spec)
+                         for s in slices]
+                import struct as _struct
+
+                parts = [data[: _struct.calcsize(serialize._HEADERC)]]
+                for blob in blobs:
+                    parts.append(_struct.pack("<I", len(blob)))
+                    parts.append(blob)
+                out = b"".join(parts)
+            else:
+                out = serialize.restage_banded_plane(data, inner_spec)
+        elif color:
             planes, meta = serialize.bytes_to_color(data)
             out = serialize.color_to_bytes(
                 planes, meta, meta["q_scale"], meta["retain_k"],
@@ -2297,9 +2364,8 @@ def build_parser() -> argparse.ArgumentParser:
     sp = sub.add_parser("transcode", help="lossless coefficient-domain jpg <-> .tdc/.tdcc (no IDCT/FDCT; direction by extensions); tdc -> tdc re-codes the entropy stage in place")
     sp.add_argument("src")
     sp.add_argument("dst")
-    sp.add_argument("--entropy", default="auto",
-                    choices=("auto", "auto-exact", "spectral", "huffman", "rans", "xz", "raw", "banded"),
-                    help=".tdc entropy stage for jpg->tdc imports and tdc->tdc restages")
+    sp.add_argument("--entropy", default="auto", type=_entropy_spec,
+                    help=".tdc entropy stage for jpg->tdc imports and tdc->tdc restages; banded[::inner] on a banded source restages one segment at a time (bounded memory)")
     sp.add_argument("--optimize", action="store_true",
                     help="with a .jpg destination: two-pass optimal Huffman tables (jpegtran -optimize)")
     sp.add_argument("--progressive", action="store_true",

@@ -957,6 +957,50 @@ def iter_banded_segments(
         raise ValueError("corrupt .tdc banded payload: coverage mismatch")
 
 
+def restage_banded_plane(blob: bytes, inner: str, level: int = 6) -> bytes:
+    """Re-code a BANDED v4 plane stream with a new inner entropy stage,
+    ONE SEGMENT RESIDENT AT A TIME (round 5): each segment
+    entropy-decodes, re-codes with `inner` (``"auto"`` = the per-segment
+    sampled estimator, like the writers), and the stream re-wraps with
+    every header field — including an embedded custom q table — carried
+    over.  Source row splits are preserved, so the result is what the
+    original writer would have produced with the new stage.
+
+    This is the bounded-memory archival-upgrade path: restaging a
+    beyond-HBM banded archive through the whole-map restage would
+    materialize its multi-GB coefficient map; this never holds more than
+    one decoded segment.  Raises ValueError for non-banded streams
+    (callers fall back to the whole-map restage) and for a banded
+    `inner` (segments cannot nest)."""
+    if inner.startswith("banded"):
+        raise ValueError("banded segments cannot nest")
+    (h, w, oh, ow, q_scale, retain_k, transform, q_table, code, psize,
+     hsize, custom_q, version) = _parse_plane_header(blob)
+    if version != 4 or code != _CODEC_BANDED:
+        raise ValueError(
+            "streamed restage needs a banded v4 stream (this one is "
+            f"codec {code}, v{version}); use the whole-map restage"
+        )
+    if custom_q is not None:
+        # _wrap_v4 re-embeds the table by name; register before encoding
+        from tpudct.constants import register_q_table
+
+        q_table = register_q_table(custom_q)
+    segments = []
+    for _r0, rows, cmap in iter_banded_segments(
+        blob[hsize : hsize + psize], h, w
+    ):
+        segments.append((rows, _encode_payload(
+            cmap, inner, level, deterministic=True, sampled_auto=True
+        )))
+        cmap = None  # release before the next segment decodes (arena reuse)
+    return _wrap_v4(
+        h, w, _CODEC_BANDED, assemble_banded_segments(segments),
+        q_scale, None if retain_k < 0 else retain_k,
+        (oh, ow) if (oh or ow) else None, transform, q_table,
+    )
+
+
 def _parse_header_v4(data: bytes) -> tuple:
     """Parse just the v4 header -> (fields..., header size, custom_q).  For
     streams carrying a custom q-table the embedded values are returned (NOT
