@@ -97,8 +97,7 @@ def _entropy_spec(v: str) -> str:
             n, inner = _parse_banded_spec(v)
         except ValueError as e:
             raise argparse.ArgumentTypeError(str(e)) from None
-        if inner not in ("auto", "auto-exact", "spectral", "huffman",
-                         "rans", "xz", "raw"):
+        if inner not in tuple(c for c in _ENTROPY_STAGES if c != "banded"):
             raise argparse.ArgumentTypeError(
                 f"unknown banded inner stage {inner!r}"
             )
@@ -135,6 +134,19 @@ def _add_color_flags(sp):
                     help="with --color: keep chroma at full resolution (4:4:4 instead of 4:2:0)")
     sp.add_argument("--chroma", choices=("420", "422", "444"), default=None,
                     help="with --color: chroma subsampling mode (default 420; overrides --no-subsample)")
+
+
+def _stream_inner(entropy: str) -> str:
+    """The per-segment inner stage for the STREAMED writers: banded specs
+    reduce to their inner (the writers band by themselves — a full
+    banded spec would nest; review finding: 'banded::xz' errored on
+    every streaming path).  An explicit :N is ignored here — the band
+    split comes from --band-rows / the auto threshold."""
+    if entropy == "banded" or entropy.startswith("banded:"):
+        from tpudct.utils.serialize import _parse_banded_spec
+
+        return _parse_banded_spec(entropy)[1]
+    return entropy
 
 
 def _chroma_mode(args):
@@ -299,7 +311,7 @@ def cmd_encode(args) -> int:
             data, (h, w) = streaming.encode_color_streamed_bytes(
                 get_pipeline(args.pipeline), np.asarray(rgb, np.uint8), cfg,
                 band_rows=args.band_rows or 8192,
-                inner="auto" if args.entropy == "banded" else args.entropy,
+                inner=_stream_inner(args.entropy),
                 subsample=_chroma_mode(args),
             )
             t2 = _time.perf_counter()
@@ -353,7 +365,7 @@ def cmd_encode(args) -> int:
         # Device and entropy phases OVERLAP by design here (a band
         # entropy-codes while the next is on the device), so the record
         # reports the fused stream phase instead of a fake split.
-        inner = "auto" if args.entropy == "banded" else args.entropy
+        inner = _stream_inner(args.entropy)
         data, (h, w) = streaming.encode_gray_streamed_bytes(
             get_pipeline(args.pipeline), np.asarray(img, np.uint8), cfg,
             band_rows=args.band_rows or 8192, inner=inner,
@@ -1713,7 +1725,7 @@ def cmd_batch(args) -> int:
                     try:
                         data, (h, w) = _streaming.encode_gray_streamed_bytes(
                             p, np.asarray(im, np.uint8), cfg,
-                            inner=args.entropy if args.entropy != "banded" else "auto",
+                            inner=_stream_inner(args.entropy),
                         )
                         out.write_bytes(data)
                     except (ValueError, OSError) as e:
@@ -1925,41 +1937,25 @@ def cmd_transcode(args) -> int:
                 f"{args.src} is a {'.tdcc' if color else '.tdc'} stream; "
                 "the restage destination must keep the container type"
             )
-        def _banded_code(blob) -> bool:
-            try:
-                return (serialize._parse_plane_header(blob)[8]
-                        == serialize._CODEC_BANDED)
-            except ValueError:
-                return False
-
-        streamed_restage = False
+        out = None
         if args.entropy == "banded" or args.entropy.startswith("banded:"):
             n_spec, inner_spec = serialize._parse_banded_spec(args.entropy)
             if n_spec == 0:
                 # banded -> banded with the source's own row splits:
                 # restage ONE SEGMENT AT A TIME (round 5) — a beyond-HBM
                 # archive upgrades its entropy stage without its
-                # coefficient map ever materializing.  An explicit :N
-                # resplit needs the whole map and keeps the path below.
-                if color:
-                    _sub, slices, _end = serialize._color_plane_slices(data)
-                    streamed_restage = all(_banded_code(s) for s in slices)
-                elif _banded_code(data):
-                    streamed_restage = True
-        if streamed_restage:
-            if color:
-                _sub, slices, _end = serialize._color_plane_slices(data)
-                blobs = [serialize.restage_banded_plane(bytes(s), inner_spec)
-                         for s in slices]
-                import struct as _struct
-
-                parts = [data[: _struct.calcsize(serialize._HEADERC)]]
-                for blob in blobs:
-                    parts.append(_struct.pack("<I", len(blob)))
-                    parts.append(blob)
-                out = b"".join(parts)
-            else:
-                out = serialize.restage_banded_plane(data, inner_spec)
+                # coefficient map ever materializing.  Non-banded sources
+                # (and explicit :N resplits, which need the whole map)
+                # fall through to the whole-map path below.
+                try:
+                    out = (serialize.restage_banded_color(data, inner_spec)
+                           if color else
+                           serialize.restage_banded_plane(data, inner_spec))
+                except ValueError:
+                    out = None  # not banded / corrupt: the whole-map path
+                    #             re-parses and surfaces any real error
+        if out is not None:
+            pass
         elif color:
             planes, meta = serialize.bytes_to_color(data)
             out = serialize.color_to_bytes(

@@ -981,11 +981,6 @@ def restage_banded_plane(blob: bytes, inner: str, level: int = 6) -> bytes:
             "streamed restage needs a banded v4 stream (this one is "
             f"codec {code}, v{version}); use the whole-map restage"
         )
-    if custom_q is not None:
-        # _wrap_v4 re-embeds the table by name; register before encoding
-        from tpudct.constants import register_q_table
-
-        q_table = register_q_table(custom_q)
     segments = []
     for _r0, rows, cmap in iter_banded_segments(
         blob[hsize : hsize + psize], h, w
@@ -994,11 +989,43 @@ def restage_banded_plane(blob: bytes, inner: str, level: int = 6) -> bytes:
             cmap, inner, level, deterministic=True, sampled_auto=True
         )))
         cmap = None  # release before the next segment decodes (arena reuse)
+    if custom_q is not None:
+        # register only now, AFTER the whole payload validated (the walk
+        # above raises on corruption) — the same no-side-effects-on-
+        # corrupt-streams invariant _parse_plane keeps; _wrap_v4 re-embeds
+        # the table by its registered name
+        from tpudct.constants import register_q_table
+
+        q_table = register_q_table(custom_q)
     return _wrap_v4(
         h, w, _CODEC_BANDED, assemble_banded_segments(segments),
         q_scale, None if retain_k < 0 else retain_k,
         (oh, ow) if (oh or ow) else None, transform, q_table,
     )
+
+
+def restage_banded_color(data: bytes, inner: str, level: int = 6) -> bytes:
+    """Per-plane :func:`restage_banded_plane` over a .tdcc container,
+    re-framed through the ONE writer-side framing copy
+    (:func:`color_container_from_blobs`) so the container layout cannot
+    drift.  Raises ValueError when any plane is not a banded v4 stream
+    (callers fall back to the whole-map restage)."""
+    subsample, slices, _end = _color_plane_slices(data)
+    blobs = {}
+    hdrs = []
+    for name, sl in zip(("y", "cb", "cr"), slices):
+        blobs[name] = restage_banded_plane(bytes(sl), inner, level)
+        hdrs.append(_parse_plane_header(sl))
+    (yh, yw, yoh, yow, _qs, _rk, _tr, y_qt) = hdrs[0][:8]
+    (ch_, cw_, coh, cow, _q2, _r2, _t2, c_qt) = hdrs[1][:8]
+    meta = {
+        "orig_shape": (yoh or yh, yow or yw),
+        "chroma_shape": (coh or ch_, cow or cw_),
+        "subsample": {0: False, 1: "420", 2: "422"}.get(subsample, False),
+        "y_q_table": y_qt,
+        "c_q_table": c_qt,
+    }
+    return color_container_from_blobs(meta, lambda name, _q, _o: blobs[name])
 
 
 def _parse_header_v4(data: bytes) -> tuple:
