@@ -233,10 +233,13 @@ def test_partial_color_coefficients_progressive(tmp_path, capsys):
         mses.append(((rec - ref.astype(np.float64)) ** 2).mean())
     assert mses[0] >= mses[1] >= mses[2] >= mses[3] == 0.0
 
-    # non-spectral plane codecs refuse with the usual message
+    # interleaved plane codecs decode whole and mask: identical result
     raw = serialize.color_to_bytes(np_planes, meta, codec="raw")
-    with pytest.raises(ValueError, match="spectral-ordered"):
-        serialize.partial_color_coefficients(raw, 4)
+    pl4, m4 = serialize.partial_color_coefficients(raw, 4)
+    ref4, _ = serialize.partial_color_coefficients(data, 4)
+    assert m4 == full_meta
+    for k in ("y", "cb", "cr"):
+        np.testing.assert_array_equal(pl4[k], ref4[k])
 
     # CLI flow
     tdcc = tmp_path / "c.tdcc"

@@ -228,10 +228,17 @@ def test_progressive_partial_decode(rng):
         serialize.preview_from_bytes(blob[: len(blob) // 2]), pv
     )
 
-    with pytest.raises(ValueError):
-        serialize.partial_coefficients(
-            serialize.coefficients_to_bytes(c, codec="huffman"), 4
-        )
+    # interleaved whole-stream codecs have no truncatable prefix; they
+    # decode whole and mask — the progressive RESULT is identical to the
+    # spectral stream's at every n (decode-and-mask contract)
+    for codec in ("huffman", "rans", "raw"):
+        ib = serialize.coefficients_to_bytes(c, orig_shape=img.shape, codec=codec)
+        for n in (1, 4, 64):
+            np.testing.assert_array_equal(
+                serialize.partial_coefficients(ib, n_planes=n)["coeffs"],
+                serialize.partial_coefficients(blob, n_planes=n)["coeffs"],
+            )
+        np.testing.assert_array_equal(serialize.preview_from_bytes(ib), pv)
 
 
 def test_color_preview_matches_downsampled_original():

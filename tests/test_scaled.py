@@ -95,7 +95,7 @@ def test_scale_eighth_matches_dc_preview(rng, tmp_path):
     c = np.asarray(p.encode(jnp.asarray(img), cfg))
     data = serialize.coefficients_to_bytes(
         c, cfg.q_scale, orig_shape=img.shape, transform=cfg.transform,
-        codec="spectral",  # preview needs a spectral-ordered stream
+        codec="spectral",  # prefix-decodable (any codec previews now)
     )
     pv = serialize.preview_from_bytes(data)
     s = np.asarray(to_uint8(scaled_decode(jnp.asarray(c), cfg, 8)))

@@ -191,11 +191,15 @@ def test_banded_partial_coefficients_and_preview(rng):
         np.testing.assert_array_equal(
             serialize.preview_from_bytes(data), ref_pv, err_msg=inner
         )
-    # whole-stream interleaved codecs still refuse (nothing to truncate)
-    with pytest.raises(ValueError, match="progressive"):
+    # whole-stream interleaved codecs decode whole and mask: same answer
+    # (no truncatable prefix exists, but the progressive contract holds)
+    np.testing.assert_array_equal(
         serialize.partial_coefficients(
-            serialize.coefficients_to_bytes(c, codec="raw"), n_planes=4
-        )
+            serialize.coefficients_to_bytes(c, orig_shape=(90, 121), codec="raw"),
+            n_planes=4,
+        )["coeffs"],
+        ref4,
+    )
 
 
 def test_streamed_color_partial_modes_bit_identical(hp, rng):

@@ -454,10 +454,10 @@ def cmd_decode(args) -> int:
         # djpeg drop-in: a .jpg input imports its quantized coefficients
         # LOSSLESSLY (utils/jpegcoef.py, no pixel hop) and decodes through
         # the same machinery — so --scale/--planes/--preview/--rows all
-        # work straight on JPEG files.  The spectral codec (a full reorder
-        # + entropy pass) is only paid when a progressive option actually
-        # needs spectral-ordered streams; plain/--scale/--rows decodes
-        # import as "raw" (header + memcpy).
+        # work straight on JPEG files.  "raw" import is header + memcpy;
+        # the progressive modes ride partial_coefficients' decode-and-
+        # mask contract on it (frombuffer + position mask — cheaper than
+        # the spectral reorder + zlib round this path used to pay).
         import os
         import tempfile
 
@@ -467,8 +467,7 @@ def cmd_decode(args) -> int:
             raise ValueError(
                 "decoding .jpg inputs needs the native library (make -C csrc)"
             )
-        codec = "spectral" if (args.planes is not None or args.preview) else "raw"
-        data = jpegcoef.import_jpeg(args.input, codec=codec)
+        data = jpegcoef.import_jpeg(args.input, codec="raw")
         fd, tmppath = tempfile.mkstemp(suffix=".tdc")
         try:
             with os.fdopen(fd, "wb") as f:

@@ -766,7 +766,7 @@ def load_coefficients(
         )
 
 
-# ---- progressive decode (spectral codec only) -------------------------------
+# ---- progressive decode -----------------------------------------------------
 
 
 def _zero_high_planes(c: np.ndarray, n_planes: int) -> np.ndarray:
@@ -1137,19 +1137,17 @@ def partial_coefficients(data: bytes, n_planes: int = 1) -> dict:
     raw) decode whole and mask, one segment resident at a time (VERDICT
     r4 #1; for bounded OUTPUT memory too, use
     streaming.decode_gray_streamed(n_planes=...)).  Whole-stream
-    huffman/rans payloads remain unsupported (per-block interleaved,
-    nothing to truncate or bound).
+    interleaved payloads (huffman/rans/raw) have no truncatable prefix,
+    so they take the same decode-whole-and-mask contract the banded
+    walker applies to interleaved inner segments: no byte or memory
+    savings (the full payload decodes), but the progressive result is
+    identical — every .tdc answers preview/--planes.
 
     Returns the same plane dict shape as the internal parser: coeffs
     (float32, unrequested planes zero), orig_shape, q_scale, retain_k,
     transform, q_table, plus n_planes."""
     (h, w, oh, ow, q_scale, retain_k, tname, qname, code, psize, hsize,
      custom_q) = _parse_header_v4(data)
-    if code not in (_CODEC_SPECTRAL, _CODEC_XZ, _CODEC_BANDED):
-        raise ValueError(
-            "progressive decode needs a spectral-ordered or banded codec "
-            f"(this stream uses codec {code}); decode it fully instead"
-        )
     n_planes = max(1, min(int(n_planes), 64))
     if code == _CODEC_BANDED:
         coeffs = np.zeros((h, w), np.int16)
@@ -1158,10 +1156,22 @@ def partial_coefficients(data: bytes, n_planes: int = 1) -> dict:
         ):
             coeffs[r0 : r0 + rows] = cmap
             cmap = None  # release before the next segment decodes (arena reuse)
-    else:
+    elif code in (_CODEC_SPECTRAL, _CODEC_XZ):
         coeffs = _partial_spectral_map(
             memoryview(data)[hsize:], code, h, w, n_planes
         )
+    else:
+        # Interleaved whole-stream codecs (rans/huffman/raw): decode
+        # whole, then mask to the requested zig-zag prefix — the same
+        # contract the banded walker applies to interleaved inner
+        # segments above.
+        raw = data[hsize : hsize + psize]
+        if code in (_CODEC_RAW, _CODEC_SPECTRAL):  # zlib-wrapped pair
+            try:
+                raw = zlib.decompress(raw)
+            except zlib.error as e:
+                raise ValueError(f"corrupt .tdc payload: {e}") from None
+        coeffs = _zero_high_planes(_decode_payload(raw, code, h, w), n_planes)
     transform = tname.rstrip(b"\x00").decode("ascii")
     if custom_q is not None:
         from tpudct.constants import register_q_table
@@ -1196,9 +1206,11 @@ def _dc_to_mean_u8(dc, transform: str, q_table: str, q_scale: float):
 
 
 def preview_from_bytes(data: bytes) -> np.ndarray:
-    """Instant 1/8-scale thumbnail from a spectral or BANDED .tdc stream:
-    DC-only decode, no transform and no device work (math in
-    :func:`_dc_to_mean_u8`).
+    """Instant 1/8-scale thumbnail from ANY .tdc stream: DC-only decode,
+    no transform and no device work (math in :func:`_dc_to_mean_u8`).
+    Spectral/xz streams decompress only the DC prefix and banded streams
+    walk one segment at a time; interleaved codecs (rans/huffman/raw)
+    entropy-decode whole and keep the DC terms.
 
     Banded streams (the archival layout) walk one segment at a time and
     keep only each segment's DC terms, so host residency is one decoded
@@ -1396,9 +1408,10 @@ def _assemble_color(parsed: list, subsample: int) -> tuple:
 def partial_color_coefficients(data: bytes, n_planes: int = 1) -> tuple:
     """Progressive color decode: ({plane: f32 coeffs}, meta) from only the
     first `n_planes` zig-zag spectral planes of EACH .tdcc plane stream
-    (the color analog of `partial_coefficients`; same spectral-ordered-
-    codec requirement per plane — encode with --entropy spectral or xz).
-    Feed the result to models.color.decode_color."""
+    (the color analog of `partial_coefficients`; same per-codec contract
+    per plane — prefix decode for spectral/xz/banded, decode-and-mask
+    for interleaved codecs).  Feed the result to
+    models.color.decode_color."""
     subsample, slices, _end = _color_plane_slices(data)
     return _assemble_color(
         [partial_coefficients(s, n_planes) for s in slices], subsample
