@@ -1243,8 +1243,9 @@ def preview_from_bytes(data: bytes) -> np.ndarray:
 
 
 def preview_color_from_bytes(data: bytes) -> np.ndarray:
-    """Instant RGB thumbnail from a spectral .tdcc stream: DC-only decode
-    of all three planes, host arithmetic only.
+    """Instant RGB thumbnail from ANY .tdcc stream: DC-only decode of
+    all three planes, host arithmetic only (per-plane codec contract as
+    in :func:`preview_from_bytes`).
 
     Returns (H/8, W/8, 3) uint8.  The Y plane previews at 1/8 scale;
     4:2:0 chroma DC planes land at 1/16 scale and upsample 2x nearest
